@@ -1,0 +1,233 @@
+"""Scalar function surface: string / date / math / JSON / array /
+conditional expressions (SURVEY.md §2.2 row "Scalar functions").
+
+The reference's only scalar op is an ISO date parse (P4,
+``NytimesBatchProcessorApplication.kt:52-61`` — with a month-off bug this
+engine deliberately does not replicate, SURVEY.md §1.2) and a null-safe
+int parse (P3, ``…kt:49-50``). Everything here is built-in
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd; no Python
+UDF appears anywhere on this surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..functions import dec2, dec_rate, money, ratio
+from ..sources import load_tables
+
+
+@query(
+    "fn_string_surface",
+    tables=("part",),
+    oracle="""
+SELECT p_partkey,
+       UPPER(p_brand)                                        AS brand_upper,
+       LOWER(p_type)                                         AS type_lower,
+       CAST(LENGTH(p_name) AS INT)                           AS name_len,
+       SUBSTRING(p_type, 1, 3)                               AS type_prefix,
+       CONCAT_WS('|', p_brand, p_type)                       AS brand_type,
+       REGEXP_EXTRACT(p_brand, '([0-9]+)', 1)                AS brand_num,
+       REPLACE(p_name, ' ', '_')                             AS name_snake,
+       TRIM(p_name)                                          AS name_trim,
+       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INT) AS n_tokens
+FROM part
+""",
+)
+def fn_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """upper/lower/length/substring/concat_ws/regexp_extract/replace/trim
+    + a split-based token count, all codegen'd built-ins."""
+    t = load_tables(spark, sf_dir, "part")
+    return t.part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim("p_name").alias("name_trim"),
+        F.size(F.split("p_name", " ")).alias("n_tokens"),
+    )
+
+
+@query(
+    "fn_date_surface",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE)                              AS order_date,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT)            AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT)           AS order_month,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT)         AS order_quarter,
+       CAST(EXTRACT(dow FROM CAST(o_orderdate AS DATE)) + 1 AS INT) AS dow_1_7,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)      AS month_end,
+       CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INT) AS days_since_epoch0,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)  AS due_date
+FROM orders
+WHERE o_orderkey < 1000
+""",
+)
+def fn_date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """year/month/quarter/dayofweek/date_trunc/last_day/datediff/date_add
+    — the P4 intent (ISO date handling) done right, plus arithmetic."""
+    t = load_tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return t.orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.quarter(d).alias("order_quarter"),
+        F.dayofweek(d).alias("dow_1_7"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_epoch0"),
+        F.date_add(d, 90).alias("due_date"),
+    )
+
+
+@query(
+    "fn_math_surface",
+    tables=("lineitem",),
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT)                                   AS n,
+       CAST(ROUND(SUM(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) - 40000)), 2) AS DOUBLE) AS sum_abs_dev,
+       ROUND(SUM(SQRT(l_quantity)), 4)                            AS sum_sqrt_qty,
+       ROUND(SUM(LN(l_extendedprice)), 4)                         AS sum_ln_price,
+       ROUND(SUM(LOG10(l_extendedprice)), 4)                      AS sum_log10_price,
+       CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))), 6) AS DOUBLE) AS sum_disc_sq,
+       CAST(SUM(CAST(l_orderkey % 7 AS BIGINT)) AS BIGINT)        AS sum_mod7,
+       ROUND(SUM(CEIL(l_quantity / 3)), 2)                        AS sum_ceil,
+       ROUND(SUM(FLOOR(l_quantity / 3)), 2)                       AS sum_floor,
+       CAST(ROUND(SUM(GREATEST(CAST(l_tax AS DECIMAL(4,2)), CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_greatest,
+       CAST(ROUND(SUM(LEAST(CAST(l_tax AS DECIMAL(4,2)), CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_least
+FROM lineitem
+""",
+)
+def fn_math_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """abs/sqrt/ln/log10/pow/mod/ceil/floor/greatest/least folded into
+    checksum aggregates (single-row result keeps the oracle compact)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t.lineitem
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.abs(dec2("l_extendedprice") - 40000)), 2)
+        .cast("double")
+        .alias("sum_abs_dev"),
+        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
+        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln_price"),
+        F.round(F.sum(F.log10("l_extendedprice")), 4).alias("sum_log10_price"),
+        F.round(F.sum(dec_rate("l_discount") * dec_rate("l_discount")), 6)
+        .cast("double")
+        .alias("sum_disc_sq"),
+        F.sum(F.col("l_orderkey") % 7).alias("sum_mod7"),
+        money(F.sum(F.ceil(F.col("l_quantity") / 3))).alias("sum_ceil"),
+        money(F.sum(F.floor(F.col("l_quantity") / 3))).alias("sum_floor"),
+        F.round(F.sum(F.greatest(dec_rate("l_tax"), dec_rate("l_discount"))), 6)
+        .cast("double")
+        .alias("sum_greatest"),
+        F.round(F.sum(F.least(dec_rate("l_tax"), dec_rate("l_discount"))), 6)
+        .cast("double")
+        .alias("sum_least"),
+    )
+
+
+@query(
+    "fn_json_extract",
+    tables=("events",),
+    oracle="""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       CAST(COUNT(*) AS BIGINT)   AS n_events,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY 1
+""",
+)
+def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (get_json_object) + typed aggregation over
+    the extracted value. At scale prefer from_json with an explicit schema
+    once per column over repeated path extraction."""
+    t = load_tables(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t.events.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "fn_array_surface",
+    tables=("embeddings",),
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INT)                            AS dim,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+       ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS vec_sq_norm,
+       ROUND(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS vec_max,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6)                 AS first_component,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT)   AS n_positive
+FROM embeddings
+""",
+)
+def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform/aggregate/filter) over the
+    embedding column — all JVM-side, no UDF; this is the codegen'd path
+    used by the similarity operators."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dbl_sum = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0.0), lambda acc, x: acc + x
+    )
+    return t.embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        ratio(dbl_sum(emb)).alias("vec_sum"),
+        ratio(dbl_sum(F.transform(emb, lambda x: x * x))).alias("vec_sq_norm"),
+        ratio(F.array_max(emb)).alias("vec_max"),
+        ratio(F.col("embedding").getItem(0).cast("double")).alias("first_component"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "fn_conditional_null",
+    tables=("customer",),
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END                                  AS bal_tier,
+       COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR')   AS segment_renamed,
+       CAST(c_acctbal > 0 AS BOOLEAN)                        AS is_positive,
+       ROUND(IF(c_acctbal > 0, c_acctbal, 0), 2)             AS clamped_bal
+FROM customer
+""",
+)
+def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif / boolean projection — the engine's
+    null-handling surface (reference P3/P5 generalized)."""
+    t = load_tables(spark, sf_dir, "customer")
+    return t.customer.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("AUTOMOBILE")), F.lit("CAR")).alias(
+            "segment_renamed"
+        ),
+        (F.col("c_acctbal") > 0).alias("is_positive"),
+        money(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0)).alias(
+            "clamped_bal"
+        ),
+    )

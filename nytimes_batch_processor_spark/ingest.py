@@ -1,0 +1,98 @@
+"""The reference's whole pipeline, Spark-first (SURVEY.md §7 phase 1).
+
+Reference: chunked CSV -> typed record -> batched JDBC insert with
+ON CONFLICT DO NOTHING (S1-S3, P1-P5, W1-W3, O1-O3 in SURVEY.md §2.1).
+Engine: one declarative pipeline — CSV scan with explicit schema ->
+projection/cast/null handling -> deterministic first-write-wins dedup ->
+anti-join against the existing table -> append, partitioned by date.
+
+Semantics preserved:
+- P3 null-safe int parse: '' -> NULL (Spark cast does this natively).
+- P4 ISO date parse: to_date('y-M-d') — the *intent* of the reference's
+  parseDateString (…kt:52-61), not its 0-based-month bug (SURVEY.md §1.2).
+- P5 null->-1 fips sentinel at the sink (…kt:133,171), so key dedup
+  fires for null fips exactly as Postgres' unique index did.
+- W3 first-write-wins: within a batch the winner is pinned by arrival
+  order (row position), across batches by the anti-join (existing rows
+  always win).
+- O3/O4 idempotent re-run: ingesting the same file twice is a no-op.
+
+Scale notes: the target is partitioned by date — re-ingests prune to the
+incremental date range; the anti-join shuffles only new keys (existing
+side is scanned with partition pruning when a date predicate is pushed).
+At 100 TB the anti-join right side should be the last N days' partitions,
+not the full table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from . import schemas
+from .sources import read_csv
+
+
+def parse_covid_rows(raw: DataFrame, *, has_county: bool) -> DataFrame:
+    """P1-P5: positional projection + typed casts for the two NYT CSV
+    layouts (counties: date,county,state,fips,cases,deaths; states:
+    date,state,fips,cases,deaths — …kt:126-128,164-166)."""
+    cols = [
+        F.to_date("date", "y-M-d").alias("date"),
+        *([F.col("county")] if has_county else []),
+        F.col("state"),
+        # '' -> NULL int (P3, …kt:49-50); sentinel applied at sink (P5).
+        F.col("fips").cast("int").alias("fips"),
+        F.col("cases").cast("long").alias("cases"),
+        F.col("deaths").cast("long").alias("deaths"),
+    ]
+    return raw.select(*cols)
+
+
+def first_write_wins(df: DataFrame, keys: list[str], arrival_col: str) -> DataFrame:
+    """W3 within-batch dedup with a deterministic winner: first arrival
+    per key (the reference's DO NOTHING keeps the first inserted row;
+    dropDuplicates alone would keep an arbitrary one)."""
+    w = W.partitionBy(*keys).orderBy(F.col(arrival_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def upsert_append(new_rows: DataFrame, target_path: str, keys: list[str]) -> None:
+    """Cross-batch W3: append only rows whose key is absent from the
+    target (left_anti = the ON CONFLICT DO NOTHING membership test,
+    …kt:138-141). Existing rows always win."""
+    spark = new_rows.sparkSession
+    try:
+        existing = spark.read.parquet(target_path).select(*keys)
+        to_insert = new_rows.join(existing, on=keys, how="left_anti")
+    except Exception:  # first write: target does not exist yet
+        to_insert = new_rows
+    to_insert.write.mode("append").partitionBy("date").parquet(target_path)
+
+
+def ingest_covid_csv(
+    spark: SparkSession,
+    src_path: str,
+    target_path: str,
+    *,
+    has_county: bool,
+) -> DataFrame:
+    """EP1/EP2 collapsed into one declarative pipeline: scan -> type ->
+    sentinel -> in-batch dedup -> cross-batch anti-join append."""
+    schema = schemas.COVID_COUNTIES_CSV if has_county else schemas.COVID_STATES_CSV
+    keys = schemas.COVID_COUNTIES_KEYS if has_county else schemas.COVID_STATES_KEYS
+    raw = read_csv(spark, src_path, schema).withColumn(
+        "_arrival", F.monotonically_increasing_id()
+    )
+    typed = parse_covid_rows(raw, has_county=has_county).withColumn(
+        "_arrival", raw["_arrival"]
+    )
+    # P5: null fips -> -1 sentinel so it participates in the unique key
+    # (Postgres unique indexes treat NULLs as distinct; …kt:133,171).
+    typed = typed.withColumn("fips", F.coalesce("fips", F.lit(-1)))
+    deduped = first_write_wins(typed, keys, "_arrival").drop("_arrival")
+    upsert_append(deduped, target_path, keys)
+    return spark.read.parquet(target_path)

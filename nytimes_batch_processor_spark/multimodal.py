@@ -1,0 +1,140 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake behind ``try: import PIL`` (clearly marked); the
+Spark-side plumbing — binary column construction, typed metadata struct,
+Arrow-batched mapInPandas feature extraction, output schema — is real
+and tested (tests/test_multimodal.py).
+
+Scale notes: binary payloads ride in parquet as BYTE_ARRAY; never
+collect them. Feature extraction is mapInPandas (Arrow batches, one
+Python worker per core) — the only Python hot path in the engine, and
+it is batch-columnar, not row-at-a-time. Partition sizing matters more
+than usual: keep `spark.sql.files.maxPartitionBytes` low enough that a
+batch of payloads fits executor memory (e.g. 32 MB for ~10 MB images).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .catalog import query
+from .sources import load_tables
+
+try:  # codecs are not installed in this container — STUBBED decode path
+    from PIL import Image  # noqa: F401
+
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+
+
+def decode_image(payload: bytes) -> object:
+    """Real decode when PIL exists; otherwise NotImplementedError — the
+    deterministic fake used by the pipeline lives in fake_features()."""
+    if not _HAVE_PIL:
+        raise NotImplementedError(
+            "image codec not available in this environment; "
+            "pipeline uses deterministic fake features instead"
+        )
+    from io import BytesIO
+
+    return Image.open(BytesIO(payload))
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal table: binary payload + typed metadata struct.
+
+    Fixtures have no real media, so the payload is the UTF-8 text bytes
+    and metadata is derived — the *schema shape* (binary + struct) is
+    what downstream operators contract on.
+    """
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.col("lang").alias("source_lang"),
+        ).alias("meta"),
+    )
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("feat", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def fake_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: deterministic fake 'decoder' — 4-dim feature =
+    [len, n_distinct_bytes, first_byte, last_byte] scaled. Replaces the
+    real image/audio feature extractor (see decode_image) with identical
+    batch shape and schema."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        feats = [
+            [
+                float(len(b)),
+                float(len(set(b))),
+                float(b[0]) if len(b) else 0.0,
+                float(b[-1]) if len(b) else 0.0,
+            ]
+            for b in payloads
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in payloads],
+                "feat": feats,
+            }
+        )
+
+
+@query(
+    "mm_binary_metadata",
+    tables=("documents",),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       'application/octet-stream'              AS mime,
+       md5(text)                               AS payload_md5
+FROM documents
+""",
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata surface (oracle-checked): payload size and
+    content checksum computed on the binary column JVM-side."""
+    t = load_tables(spark, sf_dir, "documents")
+    mm = attach_binary_payload(t.documents)
+    return mm.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.mime").alias("mime"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@query("mm_decode_features", tables=("documents",))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (rows-only check: the fake decoder is not SQL). This is
+    the engine's multimodal hot path shape — decode/resize/frame-sample
+    plug in here unchanged."""
+    t = load_tables(spark, sf_dir, "documents")
+    mm = attach_binary_payload(t.documents)
+    feats = mm.select("doc_id", "payload").mapInPandas(fake_features, FEATURE_SCHEMA)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
+        F.size("feat").alias("feat_dim"),
+    )

@@ -1,0 +1,120 @@
+"""As-of (point-in-time) join — a custom operator Spark lacks natively.
+
+For each left event, find the latest right event with ts <= left.ts per
+key. Implemented as a composition of existing DataFrame ops (SURVEY.md
+§2.2 strategy (a)): union both sides with a side marker, then a window
+`last(right_value, ignorenulls=True)` ordered by (ts, side) carries the
+most recent right row forward onto each left row. One shuffle on the key,
+no range explosion.
+
+Scale notes: the union-window formulation shuffles each side once on the
+join key — same cost as a sort-merge join — and state per key is O(1)
+(the carried last value). The naive alternative (range join + groupBy max)
+explodes to O(pairs). Skewed keys (one user with millions of events)
+split via AQE; a salted two-level variant is the documented fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import query
+from ..sources import load_tables
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+    tie_breaker: str | None = None,
+) -> DataFrame:
+    """Generic as-of join: attach to each `left` row the `right_values`
+    of the most recent `right` row with right_ts <= left_ts, per `on` key.
+
+    Rows tie on timestamp: the right side wins (<=, inclusive), matching
+    DuckDB's ASOF JOIN semantics used as the oracle.
+    """
+    lcols = left.columns
+    marked_left = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*lcols).alias("_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+    )
+    marked_right = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_left"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+    )
+    order: list[Column] = [F.col("_ts").asc(), F.col("_side").asc()]
+    if tie_breaker is not None:
+        order.append(F.col(tie_breaker).asc())
+    w = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = marked_left.unionByName(marked_right).select(
+        "_side",
+        "_left",
+        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in right_values],
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(f"_left.{c}").alias(c) for c in lcols],
+        *[F.col(f"_rv_{c}").alias(f"asof_{c}") for c in right_values],
+    )
+    return out
+
+
+@query(
+    "join_asof_purchase_click",
+    tables=("events",),
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, ts AS click_ts, event_id AS click_event_id
+    FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id,
+       p.user_id,
+       epoch_us(p.ts)                                 AS purchase_epoch_us,
+       ROUND(p.value, 2)                              AS purchase_value,
+       epoch_us(c.click_ts)                           AS last_click_epoch_us,
+       c.click_event_id                               AS last_click_event_id
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+""",
+)
+def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the most recent prior (or simultaneous) click
+    by the same user — oracle-checked against DuckDB's native ASOF JOIN."""
+    t = load_tables(spark, sf_dir, "events")
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_ts", "click_event_id"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_epoch_us"),
+        F.round("value", 2).alias("purchase_value"),
+        F.unix_micros("asof_click_ts").alias("last_click_epoch_us"),
+        F.col("asof_click_event_id").alias("last_click_event_id"),
+    )

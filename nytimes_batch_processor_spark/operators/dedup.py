@@ -1,0 +1,332 @@
+"""Deduplication operators — exact, keyed-first-write-wins, and near-dup.
+
+The reference's core guarantee is keyed idempotent dedup (W3:
+``INSERT … ON CONFLICT DO NOTHING``, ``NytimesBatchProcessorApplication
+.kt:138-141,175-178``) — first write wins per unique key. This module
+generalizes that to the training-data-pipeline dedup family (L2,
+SURVEY.md §2.3): exact hash dedup, deterministic-winner keyed dedup,
+n-gram Jaccard near-dup, MinHash+LSH, and SimHash.
+
+Scale notes:
+- Exact dedup = hash groupBy on the key — one shuffle, AQE-skew-safe.
+- First-write-wins = row_number over (key ORDER BY arrival) — pins the
+  winner deterministically where dropDuplicates() keeps an arbitrary row
+  (SURVEY.md §7 risk register).
+- All-pairs Jaccard is O(n²·|tokens|): only viable on a bounded slice.
+  The scale path is MinHash+LSH — O(n·perms) signatures, band-bucket
+  join only collides near-duplicates; this is how 100 TB corpora are
+  deduped in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import query
+from ..functions import money, ratio
+from ..sources import load_tables
+
+# Deterministic MinHash parameters: k permutations of the token hash via
+# (a*h + b) mod p over the Mersenne prime 2^31-1. The 31-bit hash space
+# keeps a*h < 2^62 (no ANSI long overflow) while fixed constants keep
+# signatures stable run-to-run (required for the driver's re-run compare).
+_MINHASH_PRIME = (1 << 31) - 1
+_MINHASH_PERMS = 32
+_MINHASH_BANDS = 8  # 8 bands x 4 rows: collides pairs with J >~ 0.6
+
+
+def _tokens(col) -> F.Column:
+    """Distinct lowercase whitespace tokens (shared by all near-dup ops)."""
+    return F.array_distinct(F.split(F.lower(col), r"\s+"))
+
+
+@query(
+    "dedup_exact_union",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_quantity, 2) AS quantity,
+       ROUND(l_extendedprice, 2) AS price
+FROM (
+    SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem
+)
+GROUP BY ALL
+""",
+)
+def dedup_exact_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: dedup(a ∪ a) = a. Hash groupBy on the full key —
+    the idempotency property the reference's re-ingest loop relies on
+    (O4 + W3): re-reading the same input must not grow the table."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    doubled = t.lineitem.unionAll(t.lineitem)
+    return doubled.select(
+        "l_orderkey",
+        "l_linenumber",
+        money("l_quantity").alias("quantity"),
+        money("l_extendedprice").alias("price"),
+    ).dropDuplicates()
+
+
+@query(
+    "dedup_first_write_wins",
+    tables=("orders",),
+    oracle="""
+SELECT o_custkey, o_orderkey AS first_orderkey,
+       CAST(o_orderdate AS DATE) AS first_order_date,
+       ROUND(o_totalprice, 2) AS first_order_price
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+    ) AS rn
+    FROM orders
+) WHERE rn = 1
+""",
+)
+def dedup_first_write_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed first-write-wins dedup — the reference's ON CONFLICT DO
+    NOTHING semantics (W3) with the winner pinned by arrival order
+    (orderdate, orderkey), not left arbitrary as dropDuplicates would."""
+    t = load_tables(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").cast("date").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").cast("date").alias("first_order_date"),
+            money("o_totalprice").alias("first_order_price"),
+        )
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    tables=("documents",),
+    oracle="""
+WITH docs AS (
+    SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+    FROM documents WHERE doc_id < 100
+),
+tok AS (
+    SELECT doc_id, unnest(toks) AS tok FROM docs
+),
+sizes AS (
+    SELECT doc_id, len(toks) AS n FROM docs
+),
+common AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id1, id2,
+       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = id1
+JOIN sizes s2 ON s2.doc_id = id2
+WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= 0.82
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard near-dup on a bounded slice
+    (doc_id < 100): explode tokens, self-join on token, |∩| via groupBy,
+    J = |∩| / (|A|+|B|-|∩|). All-pairs exact is the *correctness oracle*
+    for MinHash below — never the 100 TB path."""
+    t = load_tables(spark, sf_dir, "documents")
+    docs = (
+        t.documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", _tokens(F.col("text")).alias("toks"))
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("tok"))
+    sizes = docs.select("doc_id", F.size("toks").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2"))
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .filter(jac >= 0.82)
+        .select("id1", "id2", ratio(jac).alias("jaccard"))
+    )
+
+
+def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc MinHash signature: array of _MINHASH_PERMS minima of
+    ((a_i * xxhash64(token) + b_i) mod p). Pure built-ins — the token
+    explode + groupBy(min) runs as one shuffle; signature size is
+    constant per doc regardless of doc length."""
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.abs(F.xxhash64("tok")) % F.lit(_MINHASH_PRIME))
+    mins = [
+        F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 13)) % F.lit(_MINHASH_PRIME)).alias(
+            f"mh_{i}"
+        )
+        for i in range(_MINHASH_PERMS)
+    ]
+    sig = tok.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(_MINHASH_PERMS)]).alias("sig"))
+
+
+@query("dedup_minhash_lsh", tables=("documents",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup at scale (rows-only check; the exact
+    Jaccard query above is its correctness oracle in tests/test_dedup.py).
+
+    Pipeline: token shingles -> 32-perm MinHash signature -> 8 LSH bands
+    -> band-hash bucket self-join (collides only candidate pairs) ->
+    verify candidates with estimated Jaccard (signature agreement) >= 0.8.
+    At 100 TB only the bucket join shuffles, keyed by (band, band_hash),
+    and each bucket is small by construction; skewed buckets (boilerplate
+    docs) split via AQE.
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    sig = minhash_signatures(t.documents, "doc_id", "text")
+    rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)])
+                    for b in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.sig").alias("sig1"),
+            F.col("b.sig").alias("sig2"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+    est_jaccard = (
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(_MINHASH_PERMS)
+    ).cast("double")
+    return (
+        cand.withColumn("est_jaccard", ratio(est_jaccard))
+        .filter(F.col("est_jaccard") >= 0.8)
+        .select("id1", "id2", "est_jaccard")
+    )
+
+
+@query("dedup_simhash", tables=("documents",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (rows-only check): 16-bit deterministic simhash
+    from token hashes, candidates = equal simhash halves (LSH on 2 bands
+    of 8 bits), verified by Hamming distance <= 3.
+
+    Per-doc cost is O(tokens); the candidate join is keyed on an 8-bit
+    band so it scales like a hash join on a low-cardinality key — at
+    100 TB use 64-bit simhash with 4x16-bit bands (same shape, bigger
+    constants).
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    tok = t.documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
+    bit_cols = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")
+        for i in range(16)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_cols)
+    simhash = agg.select(
+        "doc_id",
+        sum(
+            [F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(16)],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    banded = simhash.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array((F.col("simhash") % 256).cast("long"), (F.col("simhash") / 256).cast("long"))
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= 3)
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id1", "id2"])
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    tables=("embeddings",),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, label,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings WHERE vec_id < 250
+)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       ROUND(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+""",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup on a bounded slice (vec_id < 250):
+    all-pairs cosine >= 0.9 via JVM-side higher-order functions
+    (zip_with + aggregate — no Python in the loop). The unbounded-scale
+    variant is the LSH-bucketed ANN in operators/similarity.py."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    v = (
+        t.embeddings.filter(F.col("vec_id") < 250)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+        .withColumn(
+            "nrm",
+            F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+        )
+    )
+    a, b = v.alias("a"), v.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.9)
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), ratio(F.col("cosine")).alias("cosine"))
+    )

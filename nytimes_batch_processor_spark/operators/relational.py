@@ -1,0 +1,440 @@
+"""Relational core: scans, projections, filters, joins, aggregations.
+
+The reference has projection+cast only (P1-P4, SURVEY.md §2.1); joins and
+aggregations are the L1 implied surface (§2.2) its landed tables exist to
+serve. Everything here is declarative DataFrame API — Catalyst supplies
+predicate pushdown, column pruning, join selection and AQE.
+
+Scale notes per operator are inline. General posture: dimension tables
+(region/nation/customer/supplier/part) are broadcast explicitly where we
+know they're small relative to the fact side; fact-fact joins shuffle on
+the join key and rely on AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..functions import dec2, dec_rate, mavg6, money, msum, ratio
+from ..sources import load_tables
+
+
+@query(
+    "agg_pricing_summary",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_returnflag,
+       l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+       ROUND(AVG(l_quantity), 6)                                   AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT)                                    AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter -> hash aggregate.
+
+    Catalyst plans this as partial (map-side) + final hash aggregation, so
+    the shuffle moves one row per (flag, status, partition) — at 100 TB the
+    shuffle is bounded by group cardinality (6), not data size. The date
+    filter and 7-column projection push down to the parquet scan.
+    """
+    t = load_tables(spark, sf_dir, "lineitem")
+    li = t.lineitem.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-12-01").cast("date"))
+    price = dec2("l_extendedprice")
+    disc_price = price * (1 - dec_rate("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            msum("l_extendedprice").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + dec_rate("l_tax"))), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            mavg6("l_extendedprice").alias("avg_price"),
+            F.round(F.sum(dec_rate("l_discount")).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "filter_project_revenue",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_orderkey,
+       l_linenumber,
+       CAST(l_shipdate AS DATE)                            AS ship_date,
+       CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1996-12-31'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 25
+""",
+)
+def filter_project_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level projection + conjunctive predicates (TPC-H Q6 shape).
+
+    All three predicates and the 6-column ReadSchema push into the parquet
+    scan (verify with .explain: PushedFilters). No shuffle at all — this
+    is a map-only plan at any scale.
+    """
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t.lineitem.filter(
+            F.col("l_shipdate").cast("date").between("1996-01-01", "1996-12-31")
+            & F.col("l_discount").between(0.03, 0.07)
+            & (F.col("l_quantity") < 25)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship_date"),
+            F.round(dec2("l_extendedprice") * (1 - dec_rate("l_discount")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_broadcast_star",
+    tables=("customer", "nation", "region", "orders"),
+    oracle="""
+SELECT n.n_name                                   AS nation,
+       r.r_name                                   AS region,
+       CAST(COUNT(*) AS BIGINT)                   AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+       ROUND(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_order_value
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'P'
+GROUP BY n.n_name, r.r_name
+""",
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact (orders) against three broadcast dimensions.
+
+    customer/nation/region are broadcast (explicit hint) so the fact table
+    never shuffles for the join — the only shuffle is the final group-by,
+    bounded by |nation| groups. This is the canonical 100 TB star-join
+    plan: dimension hash maps ship to every executor once.
+    """
+    t = load_tables(spark, sf_dir, "customer", "nation", "region", "orders")
+    return (
+        t.orders.filter(F.col("o_orderstatus") != "P")
+        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice").alias("total_revenue"),
+            mavg6("o_totalprice").alias("avg_order_value"),
+        )
+    )
+
+
+@query(
+    "join_left_semi",
+    tables=("customer", "orders"),
+    oracle="""
+SELECT c.c_mktsegment                 AS mktsegment,
+       CAST(COUNT(*) AS BIGINT)       AS n_customers,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+GROUP BY c.c_mktsegment
+""",
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semantics via left_semi join (the reference's ON CONFLICT
+    key-membership test, W3, is semantically this operator's dual).
+
+    Semi joins never duplicate or widen the left side — Catalyst can
+    broadcast the distinct right keys; at scale prefer semi over
+    join+distinct which materializes the multiplicity first.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    big_buyers = t.orders.filter(F.col("o_totalprice") > 400000)
+    return (
+        t.customer.join(big_buyers, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            msum("c_acctbal").alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "join_left_anti",
+    tables=("customer", "orders"),
+    oracle="""
+SELECT c.c_custkey, c.c_name, c.c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti join — the exact operator behind the
+    engine's idempotent upsert (reference W3: insert rows whose key is
+    not already present, ``…kt:138-141``)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@query(
+    "join_theta_range",
+    tables=("lineitem", "orders"),
+    oracle="""
+SELECT o.o_orderpriority                         AS priority,
+       CAST(COUNT(*) AS BIGINT)                  AS n_late_lines,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS late_value
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND CAST(l.l_shipdate AS DATE) > CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY
+GROUP BY o.o_orderpriority
+""",
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + theta (range) residual: lines shipped >60 days after
+    their order date.
+
+    The equi component (orderkey) drives a shuffle/broadcast hash join;
+    the inequality evaluates as a post-join residual filter. A pure theta
+    join (no equi key) would degenerate to BroadcastNestedLoop — always
+    keep an equi component at scale.
+    """
+    t = load_tables(spark, sf_dir, "lineitem", "orders")
+    return (
+        t.lineitem.alias("l")
+        .join(
+            t.orders.alias("o"),
+            (F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+            & (
+                F.col("l.l_shipdate").cast("date")
+                > F.date_add(F.col("o.o_orderdate").cast("date"), 60)
+            ),
+        )
+        .groupBy(F.col("o.o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_late_lines"),
+            msum("l.l_extendedprice").alias("late_value"),
+        )
+    )
+
+
+@query(
+    "agg_distinct_counts",
+    tables=("orders", "lineitem"),
+    oracle="""
+SELECT o.o_orderstatus                                AS status,
+       CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT)    AS n_distinct_customers,
+       CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT)    AS n_distinct_parts,
+       CAST(COUNT(*) AS BIGINT)                       AS n_lines
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+""",
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate.
+
+    Catalyst expands multi-distinct into an Expand + two-phase aggregate;
+    at scale each distinct column multiplies the shuffled rows, so prefer
+    approx_count_distinct (see operators/approx.py) when exactness isn't
+    contractual.
+    """
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_distinct_customers"),
+            F.countDistinct("l_partkey").alias("n_distinct_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    tables=("orders",),
+    oracle="""
+SELECT COALESCE(o_orderstatus, 'ALL')    AS status,
+       COALESCE(o_orderpriority, 'ALL')  AS priority,
+       CAST(COUNT(*) AS BIGINT)          AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status -> status+priority -> grand total).
+
+    Spark plans rollup as one Expand (3 replicas of each row) + hash agg —
+    one pass over the data, no re-scan per level. NULL group labels are
+    coalesced to 'ALL' so the hash compare is null-safe.
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    tables=("lineitem",),
+    oracle="""
+SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
+       COALESCE(l_linestatus, 'ALL')  AS linestatus,
+       CAST(COUNT(*) AS BIGINT)       AS n_lines,
+       ROUND(SUM(l_quantity), 2)      AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
+    one Expand+aggregate pass."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"), money(F.sum("l_quantity")).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n_lines",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    tables=("orders",),
+    oracle="""
+SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       COALESCE(o_orderstatus, 'ALL')                                   AS status,
+       CAST(COUNT(*) AS BIGINT)                                         AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((EXTRACT(year FROM o_orderdate)), (o_orderstatus))
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS: per-year totals and per-status totals in
+    one pass (neither is a rollup of the other)."""
+    t = load_tables(spark, sf_dir, "orders")
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+               COALESCE(o_orderstatus, 'ALL')                     AS status,
+               COUNT(*)                                           AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus))
+        """
+    )
+
+
+@query(
+    "pivot_status_by_flag",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_returnflag                                                       AS returnflag,
+       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)    AS qty_open,
+       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)    AS qty_filled,
+       CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)     AS n_open,
+       CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)     AS n_filled
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns. Pivot values are given explicitly —
+    letting Spark discover them costs an extra distinct scan at 100 TB."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    pivoted = (
+        t.lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(
+            money(F.sum("l_quantity")).alias("qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return pivoted.select(
+        "returnflag",
+        F.col("O_qty").alias("qty_open"),
+        F.col("F_qty").alias("qty_filled"),
+        F.col("O_n").alias("n_open"),
+        F.col("F_n").alias("n_filled"),
+    )
+
+
+@query(
+    "sort_global_topk",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS totalprice,
+       CAST(o_orderdate AS DATE) AS order_date
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 25
+""",
+)
+def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY ... LIMIT k.
+
+    Spark executes this as TakeOrderedAndProject — each partition keeps a
+    k-row heap, the driver merges P*k rows. No global sort materializes,
+    so it scales to any input size for small k. Tie-broken on o_orderkey
+    so the cut line is deterministic.
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    return (
+        t.orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            money("o_totalprice").alias("totalprice"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )

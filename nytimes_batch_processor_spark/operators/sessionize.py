@@ -1,0 +1,159 @@
+"""Time windows over event streams, expressed in batch form.
+
+The reference's only "streaming" is a 15-minute cron re-run with an
+idempotent sink (O3/O4/W3, SURVEY.md §2.1). This module implements the
+window semantics (tumbling / sliding / session) as deterministic batch
+queries the DuckDB oracle can check; `streaming/` wires the same logic to
+Structured Streaming (readStream + watermark), which the driver checks
+rows-only.
+
+Scale notes: tumbling windows are a plain groupBy on the bucketed time —
+one shuffle, group count bounded by (#buckets x #types). Sessionization
+uses the gaps-and-islands decomposition: one shuffle on user_id, two
+window passes, no cross-row explosion; this is exactly what
+session_window does inside Structured Streaming's state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import query
+from ..functions import dec2, msum
+from ..sources import load_tables
+
+
+@query(
+    "stream_tumbling_daily",
+    tables=("events",),
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE)  AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)             AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window aggregate (batch form of
+    ``groupBy(window(ts, '1 day'))``)."""
+    t = load_tables(spark, sf_dir, "events")
+    return (
+        t.events.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            msum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "stream_sliding_3d_1d",
+    tables=("events",),
+    oracle="""
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(EXTRACT(epoch FROM CAST(date_trunc('day', ts) AS DATE)) / 86400 AS BIGINT) AS day_no,
+           SUM(CAST(value AS DECIMAL(18,2))) AS day_value,
+           COUNT(*) AS day_events
+    FROM events GROUP BY 1, 2
+)
+SELECT day,
+       CAST(ROUND(SUM(day_value) OVER w, 2) AS DOUBLE) AS value_3d,
+       CAST(SUM(day_events) OVER w AS BIGINT) AS events_3d
+FROM daily
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def stream_sliding_3d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-day window sliding by 1 day (batch form of
+    ``window(ts, '3 days', '1 day')``), decomposed as daily partials + a
+    range frame — the scalable two-level form (raw data is touched once).
+    """
+    t = load_tables(spark, sf_dir, "events")
+    daily = (
+        t.events.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(dec2("value")).alias("day_value"), F.count(F.lit(1)).alias("day_events"))
+        .withColumn("day_no", F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long"))
+    )
+    w = W.orderBy("day_no").rangeBetween(-2, 0)
+    return daily.select(
+        "day",
+        F.round(F.sum("day_value").over(w), 2).cast("double").alias("value_3d"),
+        F.sum("day_events").over(w).alias("events_3d"),
+    )
+
+
+@query(
+    "sessionize_gap_30min",
+    tables=("events",),
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, event_id, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                )) > 30 * 60 * 1000000 THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, event_id, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM ordered
+)
+SELECT user_id,
+       CAST(session_no AS BIGINT)                        AS session_no,
+       CAST(COUNT(*) AS BIGINT)                          AS n_events,
+       MIN(epoch_us(ts))                                 AS session_start_us,
+       MAX(epoch_us(ts)) - MIN(epoch_us(ts))             AS duration_us,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def sessionize_gap_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) via gaps-and-islands:
+    flag session starts with lag, number sessions with a running sum,
+    aggregate per (user, session)."""
+    t = load_tables(spark, sf_dir, "events")
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t.events.select("user_id", "ts", "event_id", "value").withColumn(
+        "prev_us", F.unix_micros(F.lag("ts").over(w_ord))
+    )
+    ev = ev.withColumn(
+        "new_session",
+        F.when(F.col("prev_us").isNull(), 1)
+        .when(F.unix_micros("ts") - F.col("prev_us") > 30 * 60 * 1_000_000, 1)
+        .otherwise(0),
+    )
+    ev = ev.withColumn(
+        "session_no",
+        F.sum("new_session").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        ev.groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+            msum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_no").cast("long").alias("session_no"),
+            "n_events",
+            "session_start_us",
+            "duration_us",
+            "session_value",
+        )
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (L2, SURVEY.md §2.3).
+
+Two tiers, as a 100 TB training-data pipeline needs:
+
+- **Brute-force cosine top-k** (oracle-checked): exact baseline. The
+  query set is broadcast; the corpus streams through a JVM-side
+  zip_with/aggregate dot product — no Python in the loop, no shuffle of
+  the corpus; the rank window shuffles only (queries x corpus) scored
+  rows keyed by query.
+- **LSH-bucketed ANN** (rows-only check; recall vs the exact baseline is
+  asserted in tests/test_similarity.py): deterministic random-hyperplane
+  signatures; candidate generation touches only same-bucket pairs, so
+  corpus-side cost scales with bucket occupancy, not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import query
+from ..functions import ratio
+from ..sources import load_tables
+
+N_QUERIES = 5  # vec_id < 5 are the query vectors in both catalog entries
+TOP_K = 10
+_N_PLANES = 12
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(col) -> Column:
+    return F.sqrt(F.aggregate(F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+
+
+@query(
+    "sim_cosine_topk_bruteforce",
+    tables=("embeddings",),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+scored AS (
+    SELECT q.vec_id AS query_id,
+           c.vec_id AS neighbor_id,
+           list_inner_product(q.e, c.e) / (q.nrm * c.nrm) AS cos_raw
+    FROM v q JOIN v c ON q.vec_id < {nq} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_raw,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+           ) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rnk <= {k}
+""".format(nq=N_QUERIES, k=TOP_K),
+)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query set against the
+    corpus, score JVM-side, rank-window per query."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    v = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        v.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", ratio(F.col("cos_raw")).alias("cosine"))
+    )
+
+
+def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = _N_PLANES) -> Column:
+    """Deterministic random-hyperplane LSH signature (int bitmask).
+
+    Plane components are pseudo-random in [-1, 1), derived from
+    xxhash64(plane, component) — no RNG state, so signatures are
+    reproducible across runs and executors (a hard requirement for both
+    the driver's re-run compare and incremental indexing at scale).
+    """
+    bits = []
+    for p in range(n_planes):
+        comps = F.array(
+            *[
+                (F.xxhash64(F.lit(p * 10007 + i)) % F.lit(2_000_003)).cast("double")
+                / F.lit(1_000_001.5)
+                - F.lit(1.0)
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, comps, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+@query("sim_ann_lsh_topk", tables=("embeddings",))
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: score only corpus
+    vectors whose signature is within Hamming distance 2 of the query's
+    signature (multi-probe), then exact-rerank the candidates.
+
+    Scale path vs brute force: candidate generation is a broadcast
+    semi-filter on the signature (64-4k buckets), so the corpus-side dot
+    products drop by the bucket selectivity; an IVF (k-means coarse
+    quantizer) variant slots into the same shape with centroid id as the
+    bucket key.
+    """
+    t = load_tables(spark, sf_dir, "embeddings")
+    dim = 64
+    v = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e"))).withColumn(
+        "sig", hyperplane_signature(F.col("e"), dim)
+    )
+    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("sig").alias("qsig"),
+    )
+    cand = v.join(
+        F.broadcast(queries),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= 2),
+    )
+    scored = cand.withColumn(
+        "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", ratio(F.col("cos_raw")).alias("cosine"))
+    )

@@ -1,0 +1,207 @@
+"""Text analysis operators (L2, SURVEY.md §2.3): token statistics,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built-in string/regex/array functions — fully codegen'd;
+at 100 TB these run as map-only passes (no shuffle except the final
+small aggregations), which is exactly the shape a corpus-filtering
+pipeline needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..functions import ratio
+from ..sources import load_tables
+
+# Tiny per-language stopword lists for the heuristic language id.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de", "le", "shi", "bu", "wo"],
+}
+
+
+@query(
+    "text_tokens_topk",
+    tables=("documents",),
+    oracle="""
+WITH tok AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def text_tokens_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency top-20 (explode -> count -> top-k). The
+    explode multiplies rows by tokens-per-doc; the groupBy shuffle moves
+    one row per (token, partition) thanks to partial aggregation."""
+    t = load_tables(spark, sf_dir, "documents")
+    return (
+        t.documents.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "text_quality_score",
+    tables=("documents",),
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(length(text) AS BIGINT) AS n_chars_actual,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT) AS n_bpe_ish,
+           CAST(length(regexp_replace(text, '[^.!?,;]', '', 'g')) AS BIGINT) AS n_punct,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    t -> t IN ('the', 'and', 'of', 'to', 'a'))) AS BIGINT) AS n_stop
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)              AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)         AS total_tokens,
+       CAST(SUM(n_bpe_ish) AS BIGINT)        AS total_bpe_ish,
+       ROUND(AVG(CAST(n_chars_actual AS DOUBLE) / n_tokens), 6)  AS avg_chars_per_token,
+       ROUND(AVG(CAST(n_punct AS DOUBLE) / n_chars_actual), 6)   AS avg_punct_ratio,
+       ROUND(AVG(CAST(n_stop AS DOUBLE) / n_tokens), 6)          AS avg_stopword_ratio
+FROM scored
+GROUP BY lang
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality metrics per language: token counts (whitespace +
+    BPE-ish regex), chars/token, punctuation ratio, stopword ratio —
+    the standard corpus-quality filter features."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    scored = t.documents.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)).cast(
+            "long"
+        ).alias("n_bpe_ish"),
+        F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("long").alias("n_punct"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "and", "of", "to", "a"))).cast(
+            "long"
+        ).alias("n_stop"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_bpe_ish").alias("total_bpe_ish"),
+        ratio(F.avg(F.col("n_chars_actual").cast("double") / F.col("n_tokens"))).alias(
+            "avg_chars_per_token"
+        ),
+        ratio(F.avg(F.col("n_punct").cast("double") / F.col("n_chars_actual"))).alias(
+            "avg_punct_ratio"
+        ),
+        ratio(F.avg(F.col("n_stop").cast("double") / F.col("n_tokens"))).alias(
+            "avg_stopword_ratio"
+        ),
+    )
+
+
+def _marker_count_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in _LANG_MARKERS[lang])
+    return (
+        f"CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),"
+        f" t -> t IN ({markers}))) AS BIGINT)"
+    )
+
+
+@query(
+    "text_langid_heuristic",
+    tables=("documents",),
+    oracle=f"""
+WITH scores AS (
+    SELECT doc_id, lang,
+           {_marker_count_sql('en')} AS s_en,
+           {_marker_count_sql('de')} AS s_de,
+           {_marker_count_sql('es')} AS s_es,
+           {_marker_count_sql('fr')} AS s_fr,
+           {_marker_count_sql('zh')} AS s_zh
+    FROM documents
+),
+pred AS (
+    SELECT doc_id, lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                WHEN s_fr >= s_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+    FROM scores
+)
+SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred
+GROUP BY lang, predicted
+""",
+)
+def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID: score each language by marker-token
+    hits, argmax with a fixed preference order (en>de>es>fr>zh) for ties
+    — deterministic, map-only, and honest about being a heuristic (the
+    fixture text is synthetic, so the confusion matrix *is* the result).
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    def marker_count(lg: str):
+        markers = _LANG_MARKERS[lg]
+        return F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(f"s_{lg}")
+
+    scores = t.documents.select(
+        "doc_id", "lang", *[marker_count(lg) for lg in _LANG_MARKERS]
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_MARKERS}
+    predicted = (
+        F.when(
+            (s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]) & (s["de"] >= s["zh"]), "de")
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    return (
+        scores.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "text_fingerprint",
+    tables=("documents",),
+    oracle="""
+SELECT doc_id,
+       md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fingerprint,
+       CAST(length(text) AS BIGINT) AS n_chars_actual
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lowercase, collapse whitespace,
+    md5) — the exact-dedup key for document pipelines; md5 is computed
+    identically by Spark and DuckDB so it is oracle-checkable, unlike
+    engine-specific hash()."""
+    t = load_tables(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return t.documents.select(
+        "doc_id",
+        F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+    )

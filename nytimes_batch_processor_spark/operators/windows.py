@@ -1,0 +1,184 @@
+"""Window functions: ranking, analytic (lag/lead), and frame-based ops.
+
+None exist in the reference, but they are the L1 core (SURVEY.md §2.2):
+its landed tables are *cumulative* time series, so daily deltas = lag,
+rolling averages = frames, top-k regions = rank. Implemented over the
+driver fixtures so the DuckDB oracle can check them.
+
+Scale notes: a window's partitionBy is a shuffle key — partitions must be
+numerous and balanced (here custkey/user_id, not a constant). A window
+with no partitionBy collapses to a single task; every query below
+partitions. Frames are bounded (rowsBetween/rangeBetween), so state per
+key is O(frame), not O(partition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ..catalog import query
+from ..functions import dec2, money, msum, ratio
+from ..sources import load_tables
+
+
+@query(
+    "window_rank_topk_per_group",
+    tables=("orders",),
+    oracle="""
+SELECT * FROM (
+    SELECT o_custkey,
+           o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           CAST(DENSE_RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+           ) AS INT) AS rnk
+    FROM orders
+) WHERE rnk <= 3
+""",
+)
+def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via dense_rank — the scalable per-group
+    top-k (no per-group sort materialization; one shuffle on custkey)."""
+    t = load_tables(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        t.orders.withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", money("o_totalprice").alias("totalprice"), "rnk")
+    )
+
+
+@query(
+    "window_running_total",
+    tables=("orders",),
+    oracle="""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(o_orderdate AS DATE) AS order_date,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_spend
+FROM orders
+""",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (running-sum frame). Ordering is
+    tie-broken by o_orderkey so the prefix sums are deterministic."""
+    t = load_tables(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        money(F.sum("o_totalprice").over(w)).alias("running_spend"),
+    )
+
+
+@query(
+    "window_lag_daily_delta",
+    tables=("orders",),
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS day_revenue
+    FROM orders GROUP BY 1
+)
+SELECT order_date,
+       day_revenue,
+       ROUND(day_revenue - LAG(day_revenue) OVER (ORDER BY order_date), 2) AS delta_vs_prev_day
+FROM daily
+""",
+)
+def window_lag_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day revenue delta — the reference-domain query "daily new
+    cases from cumulative counts" (SURVEY.md §2.2) in fixture form: agg to
+    one row per day, then lag.
+
+    The window is unpartitioned but runs over |days| rows (post-agg), not
+    raw data — the correct decomposition at scale: aggregate first, window
+    the small result.
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    daily = (
+        t.orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(msum("o_totalprice").alias("day_revenue"))
+    )
+    w = W.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        "day_revenue",
+        money(F.col("day_revenue") - F.lag("day_revenue").over(w)).alias("delta_vs_prev_day"),
+    )
+
+
+@query(
+    "window_ntile_first_last",
+    tables=("customer",),
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment,
+       CAST(NTILE(4) OVER w AS INT)  AS acctbal_quartile,
+       ROUND(FIRST_VALUE(c_acctbal) OVER w, 2) AS segment_max_bal,
+       CAST(ROW_NUMBER() OVER w AS BIGINT)     AS rn
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+""",
+)
+def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / first_value / row_number over one shared window spec."""
+    t = load_tables(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return t.customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("acctbal_quartile"),
+        money(F.first("c_acctbal").over(w)).alias("segment_max_bal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+    )
+
+
+@query(
+    "window_range_rolling_7d",
+    tables=("orders",),
+    oracle="""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS order_date,
+           CAST(EXTRACT(epoch FROM CAST(o_orderdate AS DATE)) / 86400 AS BIGINT) AS day_no,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue
+    FROM orders GROUP BY 1, 2
+)
+SELECT order_date,
+       CAST(ROUND(day_revenue, 2) AS DOUBLE) AS day_revenue,
+       ROUND(CAST(SUM(day_revenue) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 6) AS avg_7d
+FROM daily
+WINDOW w AS (ORDER BY day_no RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_range_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling average revenue via a RANGE frame over epoch-day —
+    the reference-domain "7-day average of new cases" (SURVEY.md §2.2).
+
+    RANGE (value-based) not ROWS: missing calendar days must still bound
+    the frame to 7 *days*, not 7 *rows*.
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    daily = (
+        t.orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(dec2("o_totalprice")).alias("day_revenue"))
+        .withColumn("day_no", F.datediff("order_date", F.lit("1970-01-01").cast("date")).cast("long"))
+    )
+    w = W.orderBy("day_no").rangeBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        F.round("day_revenue", 2).cast("double").alias("day_revenue"),
+        F.round(
+            F.sum("day_revenue").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ).alias("avg_7d"),
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming: the reference's micro-batch loop done natively.
+
+The reference "streams" by cron-re-running the whole batch job every 15
+minutes with an idempotent keyed sink (O3/O4/W3, SURVEY.md §2.1) —
+functionally an at-least-once micro-batch pipeline that ignores late
+updates (first write wins). Here that becomes:
+
+- a file-source ``readStream`` over CSV drops (new files = new data),
+- ``Trigger.AvailableNow`` for the cron-equivalent drain-and-stop run,
+- ``foreachBatch`` running the same anti-join upsert as batch ingest —
+  idempotent per key, so at-least-once delivery is safe,
+- watermarked tumbling/sliding/session windows for the L1 analytics the
+  reference's cron model could not express (late data handled instead of
+  ignored).
+
+Scale notes: file-source listing is incremental (checkpointed); state
+stores for windows/dedup are bounded by the watermark horizon; the
+foreachBatch upsert prunes the target by partition before anti-joining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import DataStreamWriter
+
+from .. import schemas
+from ..ingest import first_write_wins, parse_covid_rows, upsert_append
+
+
+def foreach_batch_upsert(target_path: str, keys: list[str], *, has_county: bool):
+    """Returns the foreachBatch function: type, dedup within the batch
+    (batch_id pins first-write-wins ordering across retries), anti-join
+    upsert into the target — the W3 sink as a streaming sink."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        typed = parse_covid_rows(batch_df, has_county=has_county)
+        typed = typed.withColumn("fips", F.coalesce("fips", F.lit(-1)))
+        typed = typed.withColumn("_arrival", F.monotonically_increasing_id())
+        deduped = first_write_wins(typed, keys, "_arrival").drop("_arrival")
+        upsert_append(deduped, target_path, keys)
+
+    return _apply
+
+
+def stream_covid_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    target_path: str,
+    checkpoint_dir: str,
+    *,
+    has_county: bool = False,
+) -> DataStreamWriter:
+    """File-source streaming ingest with the reference's semantics.
+    Caller starts it with .trigger(availableNow=True).start() for the
+    cron-equivalent run, or processingTime='15 minutes' for live mode."""
+    schema = schemas.COVID_COUNTIES_CSV if has_county else schemas.COVID_STATES_CSV
+    keys = schemas.COVID_COUNTIES_KEYS if has_county else schemas.COVID_STATES_KEYS
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 16)
+        .csv(src_dir)
+    )
+    return raw.writeStream.foreachBatch(
+        foreach_batch_upsert(target_path, keys, has_county=has_county)
+    ).option("checkpointLocation", checkpoint_dir)
+
+
+def windowed_event_counts(events: DataFrame, *, sliding: bool = False) -> DataFrame:
+    """Watermarked tumbling (1h) or sliding (1h every 15min) counts per
+    event_type. Works on a streaming *or* batch events DataFrame with
+    (ts, event_type, value) — the batch form is what the DuckDB oracle
+    checks (operators/sessionize.py); this is the streaming form."""
+    win = (
+        F.window("ts", "1 hour", "15 minutes") if sliding else F.window("ts", "1 hour")
+    )
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (state-store backed in streaming mode) —
+    the streaming twin of operators/sessionize.py's gaps-and-islands."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("session_value"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
