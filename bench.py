@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the engine's headline
+queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to completion through the noop sink (full plan runs,
+nothing collected to the driver — the honest way to time a distributed
+plan). First a warmup pass on one trivial action amortizes JVM/codegen
+startup out of the numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nytimes_batch_processor_spark.catalog import all_specs
+from nytimes_batch_processor_spark.flagship import flagship
+from nytimes_batch_processor_spark.session import get_spark
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "filter_project_revenue",
+    "join_broadcast_star",
+    "join_theta_range",
+    "agg_distinct_counts",
+    "window_rank_topk_per_group",
+    "window_range_rolling_7d",
+    "sessionize_gap_30min",
+    "dedup_exact_union",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk_bruteforce",
+    "text_quality_score",
+    "fn_json_extract",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("engine-bench", cpus=cpus)
+
+    specs = all_specs()
+    # Warmup: spin up executors + codegen paths once.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].fn if name in specs else flagship
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    timings["flagship"] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

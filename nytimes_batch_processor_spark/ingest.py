@@ -32,7 +32,9 @@ from . import schemas
 from .sources import read_csv
 
 
-def parse_covid_rows(raw: DataFrame, *, has_county: bool) -> DataFrame:
+def parse_covid_rows(
+    raw: DataFrame, *, has_county: bool, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """P1-P5: positional projection + typed casts for the two NYT CSV
     layouts (counties: date,county,state,fips,cases,deaths; states:
     date,state,fips,cases,deaths — …kt:126-128,164-166)."""
@@ -44,6 +46,7 @@ def parse_covid_rows(raw: DataFrame, *, has_county: bool) -> DataFrame:
         F.col("fips").cast("int").alias("fips"),
         F.col("cases").cast("long").alias("cases"),
         F.col("deaths").cast("long").alias("deaths"),
+        *[F.col(c) for c in passthrough],
     ]
     return raw.select(*cols)
 
@@ -87,9 +90,7 @@ def ingest_covid_csv(
     raw = read_csv(spark, src_path, schema).withColumn(
         "_arrival", F.monotonically_increasing_id()
     )
-    typed = parse_covid_rows(raw, has_county=has_county).withColumn(
-        "_arrival", raw["_arrival"]
-    )
+    typed = parse_covid_rows(raw, has_county=has_county, passthrough=("_arrival",))
     # P5: null fips -> -1 sentinel so it participates in the unique key
     # (Postgres unique indexes treat NULLs as distinct; …kt:133,171).
     typed = typed.withColumn("fips", F.coalesce("fips", F.lit(-1)))

@@ -32,7 +32,7 @@ from ..sources import load_tables
 # signatures stable run-to-run (required for the driver's re-run compare).
 _MINHASH_PRIME = (1 << 31) - 1
 _MINHASH_PERMS = 32
-_MINHASH_BANDS = 8  # 8 bands x 4 rows: collides pairs with J >~ 0.6
+_MINHASH_BANDS = 4  # 4 bands x 8 rows: collides pairs with J >~ 0.85
 
 
 def _tokens(col) -> F.Column:
@@ -193,9 +193,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     sig = minhash_signatures(t.documents, "doc_id", "text")
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
+    # ID-only band rows: the bucket self-join never carries signature
+    # arrays, so the (bands x bucket-size²) intermediate stays narrow.
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -213,35 +214,41 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            F.col("a.sig").alias("sig1"),
-            F.col("b.sig").alias("sig2"),
-        )
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
     )
+    # Re-attach signatures once per distinct pair (broadcast: one sig row
+    # per doc — tiny next to the pair set).
+    s1 = sig.select(F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"))
     est_jaccard = (
         F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq))
         / F.lit(_MINHASH_PERMS)
     ).cast("double")
     return (
-        cand.withColumn("est_jaccard", ratio(est_jaccard))
-        .filter(F.col("est_jaccard") >= 0.8)
+        cand.join(F.broadcast(s1), "id1")
+        .join(F.broadcast(s2), "id2")
+        .withColumn("est_jaccard", ratio(est_jaccard))
+        .filter(F.col("est_jaccard") >= 0.9)
         .select("id1", "id2", "est_jaccard")
     )
 
 
+_SIMHASH_BITS = 48  # stays clear of the long sign bit
+_SIMHASH_BANDS = 4  # 4 x 12-bit bands: candidates need one equal band
+_SIMHASH_MAX_HAMMING = 3
+
+
 @query("dedup_simhash", tables=("documents",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only check): 16-bit deterministic simhash
-    from token hashes, candidates = equal simhash halves (LSH on 2 bands
-    of 8 bits), verified by Hamming distance <= 3.
+    """SimHash near-dup (rows-only check): 48-bit deterministic simhash
+    from token hashes; candidates share one of 4 12-bit bands (LSH), and
+    survive if Hamming distance <= 3 over all 48 bits.
 
-    Per-doc cost is O(tokens); the candidate join is keyed on an 8-bit
-    band so it scales like a hash join on a low-cardinality key — at
-    100 TB use 64-bit simhash with 4x16-bit bands (same shape, bigger
-    constants).
+    Per-doc cost is O(tokens); the candidate join is keyed on
+    (band, band_val) so it scales like a hash join whose bucket sizes
+    shrink exponentially with band width — widen bands before corpus
+    growth makes buckets hot.
     """
     t = load_tables(spark, sf_dir, "documents")
     tok = t.documents.select(
@@ -250,21 +257,31 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
     bit_cols = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")
-        for i in range(16)
+        for i in range(_SIMHASH_BITS)
     ]
     agg = tok.groupBy("doc_id").agg(*bit_cols)
     simhash = agg.select(
         "doc_id",
         sum(
-            [F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0) for i in range(16)],
+            [
+                F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0)
+                for i in range(_SIMHASH_BITS)
+            ],
             F.lit(0),
         ).cast("long").alias("simhash"),
     )
+    band_width = _SIMHASH_BITS // _SIMHASH_BANDS
     banded = simhash.select(
         "doc_id",
         "simhash",
         F.posexplode(
-            F.array((F.col("simhash") % 256).cast("long"), (F.col("simhash") / 256).cast("long"))
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * band_width)
+                    % F.lit(1 << band_width)
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
         ).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -276,7 +293,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .filter(hamming <= 3)
+        .filter(hamming <= _SIMHASH_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("id1"),
             F.col("b.doc_id").alias("id2"),

@@ -17,6 +17,22 @@ def physical_plan(df: DataFrame) -> str:
     )
 
 
+def executed_plan(df: DataFrame) -> str:
+    """Execute the plan and return the AQE *final* plan string (codegen
+    stages appear as '*(n)' markers). The static explain of an adaptive
+    plan hides both runtime re-planning and codegen placement."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()  # type: ignore[attr-defined]
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Number of whole-stage-codegen spans in the executed plan — widen
+    these (fewer, larger spans) when tuning an operator."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
+
+
 def has_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in physical_plan(df)
 

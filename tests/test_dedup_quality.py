@@ -1,0 +1,78 @@
+"""Near-dup quality gates: the LSH paths must actually find what the
+exact operators find (recall), not merely run."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _exact_pairs(spark, duck, sf_dir, threshold):
+    rows = duck.execute(
+        f"""
+        WITH docs AS (
+            SELECT doc_id, list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+            FROM documents WHERE doc_id < 100
+        ),
+        tok AS (SELECT doc_id, unnest(toks) AS tok FROM docs),
+        sizes AS (SELECT doc_id, len(toks) AS n FROM docs),
+        common AS (
+            SELECT a.doc_id id1, b.doc_id id2, COUNT(*) c
+            FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id1, id2
+        FROM common JOIN sizes s1 ON s1.doc_id = id1 JOIN sizes s2 ON s2.doc_id = id2
+        WHERE CAST(c AS DOUBLE) / (s1.n + s2.n - c) >= {threshold}
+        """
+    ).fetchall()
+    return {(r[0], r[1]) for r in rows}
+
+
+def test_minhash_recall_vs_exact(spark, duck, sf_dir):
+    from nytimes_batch_processor_spark.operators.dedup import dedup_minhash_lsh
+
+    found = {
+        (r["id1"], r["id2"])
+        for r in dedup_minhash_lsh(spark, sf_dir)
+        .filter((F.col("id1") < 100) & (F.col("id2") < 100))
+        .collect()
+    }
+    truth = _exact_pairs(spark, duck, sf_dir, 0.97)
+    assert truth, "fixture should contain >=1 high-similarity pair"
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.6, f"minhash recall {recall:.2f} on J>=0.97 pairs (found {len(found)})"
+
+
+def test_simhash_pairs_are_similar(spark, duck, sf_dir):
+    """Every simhash-reported pair must be a genuinely similar pair
+    (precision proxy: median exact Jaccard of reported pairs well above
+    the corpus average)."""
+    from nytimes_batch_processor_spark.operators.dedup import dedup_simhash
+
+    pairs = (
+        dedup_simhash(spark, sf_dir)
+        .filter((F.col("id1") < 100) & (F.col("id2") < 100))
+        .collect()
+    )
+    assert pairs, "simhash should report candidate pairs on this corpus"
+    reported = {(r["id1"], r["id2"]) for r in pairs}
+    loose = _exact_pairs(spark, duck, sf_dir, 0.75)
+    precision = len(reported & loose) / len(reported)
+    assert precision >= 0.5, f"simhash precision vs J>=0.75: {precision:.2f}"
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from nytimes_batch_processor_spark.operators.similarity import (
+        sim_ann_lsh_topk,
+        sim_cosine_topk_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_ann_lsh_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"ANN recall@10 vs brute force: {recall:.2f}"

@@ -1,0 +1,90 @@
+"""Ingest pipeline tests: the reference's W3/O3/O4 guarantees
+(first-write-wins keyed dedup, idempotent re-runs, null-fips sentinel)."""
+
+from __future__ import annotations
+
+import pytest
+
+STATES_CSV = """date,state,fips,cases,deaths
+2020-01-21,Washington,53,1,0
+2020-01-22,Washington,53,2,0
+2020-01-22,Washington,53,999,999
+2020-01-22,Illinois,17,1,0
+2020-12-31,Guam,,100,2
+2020-12-31,Guam,,555,5
+"""
+
+STATES_CSV_DAY2 = """date,state,fips,cases,deaths
+2020-01-22,Washington,53,777,777
+2020-01-23,Washington,53,3,1
+2020-12-31,Guam,,777,7
+2021-01-01,Guam,,101,2
+"""
+
+
+@pytest.fixture()
+def staging(tmp_path):
+    d = tmp_path / "drops"
+    d.mkdir()
+    return d
+
+
+def _write(path, name, content):
+    f = path / name
+    f.write_text(content)
+    return str(f)
+
+
+def test_ingest_first_write_wins_and_idempotent(spark, tmp_path, staging):
+    from nytimes_batch_processor_spark.ingest import ingest_covid_csv
+
+    target = str(tmp_path / "covid_states")
+    src1 = _write(staging, "day1.csv", STATES_CSV)
+
+    out1 = ingest_covid_csv(spark, src1, target, has_county=False)
+    rows = {(str(r["date"]), r["state"], r["fips"]): (r["cases"], r["deaths"]) for r in out1.collect()}
+    # in-batch duplicate key (2020-01-22, Washington, 53): first row wins
+    assert rows[("2020-01-22", "Washington", 53)] == (2, 0)
+    # null fips -> -1 sentinel participates in the key (P5)
+    assert rows[("2020-12-31", "Guam", -1)] == (100, 2)
+    assert len(rows) == 4
+
+    # re-run same input: no growth (O3/O4 idempotency)
+    out2 = ingest_covid_csv(spark, src1, target, has_county=False)
+    assert out2.count() == 4
+
+    # day-2 drop: existing keys kept (DO NOTHING), new keys appended
+    src2 = _write(staging, "day2.csv", STATES_CSV_DAY2)
+    out3 = ingest_covid_csv(spark, src2, target, has_county=False)
+    rows3 = {(str(r["date"]), r["state"], r["fips"]): (r["cases"], r["deaths"]) for r in out3.collect()}
+    assert rows3[("2020-01-22", "Washington", 53)] == (2, 0)  # not 777
+    assert rows3[("2020-12-31", "Guam", -1)] == (100, 2)  # not 777
+    assert rows3[("2020-01-23", "Washington", 53)] == (3, 1)
+    assert rows3[("2021-01-01", "Guam", -1)] == (101, 2)
+    assert len(rows3) == 6
+
+    # target is partitioned by date (scale posture: partition pruning)
+    import os
+
+    assert any(p.startswith("date=") for p in os.listdir(target))
+
+
+def test_ingest_counties_schema(spark, tmp_path, staging):
+    from nytimes_batch_processor_spark.ingest import ingest_covid_csv
+
+    csv = (
+        "date,county,state,fips,cases,deaths\n"
+        "2020-03-01,King,Washington,53033,10,1\n"
+        "2020-03-01,Unknown,Washington,,5,0\n"
+    )
+    src = _write(staging, "c.csv", csv)
+    out = ingest_covid_csv(spark, src, str(tmp_path / "covid_counties"), has_county=True)
+    got = {(r["county"], r["fips"]) for r in out.collect()}
+    assert got == {("King", 53033), ("Unknown", -1)}
+    assert [f.name for f in out.schema.fields if f.name != "date"] == [
+        "county",
+        "state",
+        "fips",
+        "cases",
+        "deaths",
+    ]

@@ -1,0 +1,68 @@
+"""Property-based invariants (hypothesis) — SURVEY.md §5 item 5:
+dedup idempotency, delta/cumsum round-trip, union-then-agg = agg-then-merge.
+Generated inputs are tiny; each example is one local Spark job."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from pyspark.sql import Window as W, functions as F
+
+keys = st.integers(min_value=0, max_value=5)
+vals = st.integers(min_value=-1000, max_value=1000)
+rows = st.lists(st.tuples(keys, vals), min_size=1, max_size=30)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows)
+def test_dedup_idempotent(data):
+    spark = _spark()
+    df = spark.createDataFrame(data, "k int, v int")
+    once = df.unionAll(df).dropDuplicates()
+    twice = once.unionAll(once).dropDuplicates()
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+    assert once.count() == df.dropDuplicates().count()
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows)
+def test_union_agg_equals_agg_merge(data):
+    """sum-by-key over (a ∪ b) == elementwise merge of per-side sums —
+    the partial/final aggregation contract Catalyst relies on."""
+    spark = _spark()
+    half = len(data) // 2
+    a = spark.createDataFrame(data[: half + 1], "k int, v int")
+    b = spark.createDataFrame(data[half:] or [(0, 0)], "k int, v int")
+    merged = dict(
+        a.unionAll(b).groupBy("k").agg(F.sum("v").alias("s")).collect()
+    )
+    pa = dict(a.groupBy("k").agg(F.sum("v").alias("s")).collect())
+    pb = dict(b.groupBy("k").agg(F.sum("v").alias("s")).collect())
+    manual = {k: pa.get(k, 0) + pb.get(k, 0) for k in set(pa) | set(pb)}
+    assert merged == manual
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(vals, min_size=1, max_size=25))
+def test_delta_cumsum_roundtrip(series):
+    """daily-delta (lag) then running-sum reconstructs the cumulative
+    series — the reference-domain invariant (cumulative cases -> new
+    cases -> cumulative again)."""
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(series)], "day int, cum int"
+    )
+    w = W.orderBy("day")
+    delta = df.withColumn(
+        "new", F.col("cum") - F.coalesce(F.lag("cum").over(w), F.lit(0))
+    )
+    rebuilt = delta.withColumn(
+        "rebuilt", F.sum("new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+    )
+    assert all(r["rebuilt"] == r["cum"] for r in rebuilt.collect())
+
+
+def _spark():
+    from nytimes_batch_processor_spark.session import get_spark
+
+    return get_spark("engine-tests", cpus=8)

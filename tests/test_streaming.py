@@ -1,0 +1,72 @@
+"""Structured Streaming tests: the reference's micro-batch loop (O4) as
+readStream + foreachBatch upsert, drained with Trigger.AvailableNow."""
+
+from __future__ import annotations
+
+
+CSV1 = """date,state,fips,cases,deaths
+2020-01-21,Washington,53,1,0
+2020-01-22,Washington,53,2,0
+"""
+
+CSV2 = """date,state,fips,cases,deaths
+2020-01-22,Washington,53,999,999
+2020-01-23,Washington,53,3,1
+"""
+
+
+def test_stream_ingest_available_now(spark, tmp_path):
+    from nytimes_batch_processor_spark.streaming import stream_covid_ingest
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    target = str(tmp_path / "covid")
+    ckpt = str(tmp_path / "ckpt")
+
+    (src / "f1.csv").write_text(CSV1)
+    q = stream_covid_ingest(spark, str(src), target, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 2
+
+    # second drop: late update to an existing key is ignored (W3), new key lands
+    (src / "f2.csv").write_text(CSV2)
+    q = stream_covid_ingest(spark, str(src), target, ckpt).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    rows = {
+        (str(r["date"]), r["fips"]): r["cases"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert rows[("2020-01-22", 53)] == 2  # first write won
+    assert rows[("2020-01-23", 53)] == 3
+    assert len(rows) == 3
+
+
+def test_windowed_counts_batch_equivalence(spark, sf_dir):
+    """The streaming window aggregation, applied to the same events in
+    batch mode, must agree with a plain groupBy on the hour bucket."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.sources import load_table
+    from nytimes_batch_processor_spark.streaming import windowed_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    got = windowed_event_counts(events).select("window_start", "event_type", "n_events")
+    expected = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
+
+
+def test_session_window_matches_gaps_and_islands(spark, sf_dir):
+    """Native session_window must produce the same (user, session-count)
+    profile as the gaps-and-islands batch operator."""
+    from nytimes_batch_processor_spark.operators.sessionize import sessionize_gap_30min
+    from nytimes_batch_processor_spark.sources import load_table
+    from nytimes_batch_processor_spark.streaming import sessionized_stream
+
+    events = load_table(spark, sf_dir, "events")
+    native = sessionized_stream(events).groupBy("user_id").count()
+    islands = sessionize_gap_30min(spark, sf_dir).groupBy("user_id").count()
+    assert native.exceptAll(islands).count() == 0
+    assert islands.exceptAll(native).count() == 0
