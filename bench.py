@@ -52,7 +52,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = specs[name].fn if name in specs else flagship
+        fn = specs[name].fn  # KeyError = stale HEADLINE entry; fail loudly
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)

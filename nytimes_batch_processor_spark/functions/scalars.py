@@ -96,9 +96,9 @@ def fn_date_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(COUNT(*) AS BIGINT)                                   AS n,
        CAST(ROUND(SUM(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) - 40000)), 2) AS DOUBLE) AS sum_abs_dev,
-       ROUND(SUM(SQRT(l_quantity)), 4)                            AS sum_sqrt_qty,
-       ROUND(SUM(LN(l_extendedprice)), 4)                         AS sum_ln_price,
-       ROUND(SUM(LOG10(l_extendedprice)), 4)                      AS sum_log10_price,
+       CAST(SUM(CAST(ROUND(SQRT(l_quantity), 6) AS DECIMAL(28,6))) AS DOUBLE)      AS sum_sqrt_qty,
+       CAST(SUM(CAST(ROUND(LN(l_extendedprice), 6) AS DECIMAL(28,6))) AS DOUBLE)   AS sum_ln_price,
+       CAST(SUM(CAST(ROUND(LOG10(l_extendedprice), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_log10_price,
        CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))), 6) AS DOUBLE) AS sum_disc_sq,
        CAST(SUM(CAST(l_orderkey % 7 AS BIGINT)) AS BIGINT)        AS sum_mod7,
        ROUND(SUM(CEIL(l_quantity / 3)), 2)                        AS sum_ceil,
@@ -118,9 +118,18 @@ def fn_math_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.abs(dec2("l_extendedprice") - 40000)), 2)
         .cast("double")
         .alias("sum_abs_dev"),
-        F.round(F.sum(F.sqrt("l_quantity")), 4).alias("sum_sqrt_qty"),
-        F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln_price"),
-        F.round(F.sum(F.log10("l_extendedprice")), 4).alias("sum_log10_price"),
+        # Round each continuous term to 6dp THEN sum as exact decimal:
+        # decimal addition is order-independent, so the 32-way-parallel
+        # sum can't flip low bits run-to-run (a double SUM here is flaky).
+        F.sum(F.round(F.sqrt("l_quantity"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_sqrt_qty"),
+        F.sum(F.round(F.log(F.col("l_extendedprice")), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_ln_price"),
+        F.sum(F.round(F.log10("l_extendedprice"), 6).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("sum_log10_price"),
         F.round(F.sum(dec_rate("l_discount") * dec_rate("l_discount")), 6)
         .cast("double")
         .alias("sum_disc_sq"),
@@ -162,6 +171,35 @@ def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
+    )
+
+
+@query(
+    "fn_json_struct",
+    tables=("events",),
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS BIGINT) AS n_high_k,
+       CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS n_missing,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+""",
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full ``from_json`` over ``events.props`` — the at-scale JSON
+    path: one parse per row into a typed struct (codegen'd JacksonParser),
+    vs N ``get_json_object`` path walks. Malformed/missing fields become
+    NULL (PERMISSIVE), counted explicitly so the null path is verified."""
+    t = load_tables(spark, sf_dir, "events")
+    parsed = t.events.withColumn("p", F.from_json("props", "struct<k: bigint>"))
+    k = F.col("p.k")
+    return parsed.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+        F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        F.count(F.lit(1)).alias("n_events"),
     )
 
 

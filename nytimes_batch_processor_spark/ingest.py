@@ -63,15 +63,31 @@ def first_write_wins(df: DataFrame, keys: list[str], arrival_col: str) -> DataFr
     )
 
 
+def target_exists(spark: SparkSession, target_path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API, so it works on
+    any supported filesystem (local, HDFS, object stores) — not just
+    local paths."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(target_path)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def upsert_append(new_rows: DataFrame, target_path: str, keys: list[str]) -> None:
     """Cross-batch W3: append only rows whose key is absent from the
     target (left_anti = the ON CONFLICT DO NOTHING membership test,
-    …kt:138-141). Existing rows always win."""
+    …kt:138-141). Existing rows always win.
+
+    The first-write branch is taken only on an explicit existence check —
+    never by swallowing read errors: a transient failure reading an
+    EXISTING target must propagate, not silently disable dedup and
+    append duplicates (the one corruption the reference's ON CONFLICT
+    could never produce)."""
     spark = new_rows.sparkSession
-    try:
+    if target_exists(spark, target_path):
         existing = spark.read.parquet(target_path).select(*keys)
         to_insert = new_rows.join(existing, on=keys, how="left_anti")
-    except Exception:  # first write: target does not exist yet
+    else:
         to_insert = new_rows
     to_insert.write.mode("append").partitionBy("date").parquet(target_path)
 

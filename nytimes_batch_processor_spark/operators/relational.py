@@ -212,6 +212,129 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_left_outer_null_ext",
+    tables=("customer", "orders"),
+    oracle="""
+SELECT c.c_custkey,
+       c.c_mktsegment                                   AS mktsegment,
+       CAST(COUNT(o.o_orderkey) AS BIGINT)              AS n_big_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS big_spend,
+       CAST(MAX(CAST(o.o_orderdate AS DATE)) AS DATE)   AS last_big_order
+FROM customer c
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+  ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment
+""",
+)
+def join_left_outer_null_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with real null extension: every customer is kept;
+    customers without a big (>300k) order aggregate over the
+    null-extended right side — COUNT(col) gives 0, SUM/MAX give NULL.
+    This is exactly where Spark/DuckDB null semantics could diverge, so
+    it's oracle-checked row-by-row (1 row per customer).
+
+    Scale: left outer preserves the fact side's partitioning; the
+    filtered right side is small enough to broadcast, and a broadcast
+    LEFT OUTER is legal when the *right* side is built (Spark supports
+    BuildRight for LeftOuter) — no shuffle of customers.
+    """
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    return (
+        t.customer.join(big, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            msum("o_totalprice").alias("big_spend"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_big_order"),
+        )
+    )
+
+
+@query(
+    "join_right_outer_never_matched",
+    tables=("customer", "orders"),
+    oracle="""
+SELECT c.c_mktsegment                                   AS mktsegment,
+       CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN c.c_custkey END) AS BIGINT) AS n_no_urgent,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)      AS n_customers
+FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_right_outer_never_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: all customers survive; those with no urgent
+    order appear once, null-extended — counted via the NULL probe column
+    (the IS NULL test on the preserved side is the canonical outer-join
+    idiom the reference's state-vs-county reconciliation would use)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        urgent.join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.countDistinct(
+                F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
+            ).alias("n_no_urgent"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "join_full_outer_reconcile",
+    tables=("customer", "supplier"),
+    oracle="""
+WITH c AS (
+    SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_customers
+    FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+),
+s AS (
+    SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_rich_suppliers
+    FROM supplier WHERE s_acctbal > 8000 GROUP BY 1
+)
+SELECT COALESCE(c.nationkey, s.nationkey)               AS nationkey,
+       CAST(COALESCE(c.n_rich_customers, 0) AS BIGINT)  AS n_rich_customers,
+       CAST(COALESCE(s.n_rich_suppliers, 0) AS BIGINT)  AS n_rich_suppliers,
+       CAST(COALESCE(c.n_rich_customers, 0) - COALESCE(s.n_rich_suppliers, 0) AS BIGINT) AS imbalance
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""",
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two aggregates — the reference-domain
+    'state totals vs county totals' diff (SURVEY.md §2.2 set-ops row):
+    nations present on only one side are null-extended on the other, in
+    BOTH directions (thresholds chosen so each side misses some nations).
+
+    Scale: both inputs are pre-aggregated to |nation| rows before the
+    join, so the full outer joins group-cardinality-sized inputs — the
+    reconciliation pattern that works at any fact-table size.
+    """
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    c = (
+        t.customer.filter(F.col("c_acctbal") > 9900)
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_customers"))
+    )
+    s = (
+        t.supplier.filter(F.col("s_acctbal") > 8000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    joined = c.join(s, "nationkey", "full_outer")
+    return joined.select(
+        "nationkey",
+        F.coalesce("n_rich_customers", F.lit(0)).alias("n_rich_customers"),
+        F.coalesce("n_rich_suppliers", F.lit(0)).alias("n_rich_suppliers"),
+        (
+            F.coalesce("n_rich_customers", F.lit(0))
+            - F.coalesce("n_rich_suppliers", F.lit(0))
+        ).alias("imbalance"),
+    )
+
+
+@query(
     "join_theta_range",
     tables=("lineitem", "orders"),
     oracle="""

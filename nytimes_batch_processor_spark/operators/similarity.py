@@ -8,9 +8,10 @@ Two tiers, as a 100 TB training-data pipeline needs:
   the corpus; the rank window shuffles only (queries x corpus) scored
   rows keyed by query.
 - **LSH-bucketed ANN** (rows-only check; recall vs the exact baseline is
-  asserted in tests/test_similarity.py): deterministic random-hyperplane
-  signatures; candidate generation touches only same-bucket pairs, so
-  corpus-side cost scales with bucket occupancy, not corpus size.
+  asserted in tests/test_dedup_quality.py): deterministic multi-table
+  random-hyperplane signatures; candidate generation is a bucket
+  equi-join, so corpus-side cost scales with bucket occupancy, not
+  corpus size.
 """
 
 from __future__ import annotations
@@ -23,12 +24,15 @@ from ..sources import load_tables
 
 N_QUERIES = 5  # vec_id < 5 are the query vectors in both catalog entries
 TOP_K = 10
-# 8 planes + Hamming-3 multi-probe: measured recall ~0.6 at ~1/3 corpus
-# scanned on the *random-vector* fixture — ANN's worst case (top-10
-# cosine ~0.3, no cluster structure). Real embedding corpora cluster, so
-# the same shape gets far better recall/selectivity in production.
-_N_PLANES = 8
+# L independent hash tables of 10 planes each, Hamming-3 multi-probe per
+# table: measured recall@10 0.68 (sf0.001) / 0.80 (sf0.01) at ~43% of
+# the corpus scored, on the *random-vector* fixture — ANN's worst case
+# (top-10 cosine ~0.3, no cluster structure). Real embedding corpora
+# cluster, so the same shape gets far better recall/selectivity in
+# production (and more planes per table sharpen the buckets).
+_N_PLANES = 10
 _PROBE_RADIUS = 3
+_N_TABLES = 3
 
 
 def _as_double(col) -> Column:
@@ -92,19 +96,26 @@ def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = _N_PLANES) -> Column:
+def hyperplane_signature(
+    vec_col: Column, dim: int, n_planes: int = _N_PLANES, table: int = 0
+) -> Column:
     """Deterministic random-hyperplane LSH signature (int bitmask).
 
-    Plane components are pseudo-random in [-1, 1), derived from
-    xxhash64(plane, component) — no RNG state, so signatures are
+    Plane components are pseudo-random uniform in [-1, 1), derived from
+    pmod(xxhash64(plane, component), p) — pmod, not %, because Spark's %
+    keeps the dividend's sign and would bias components negative,
+    unbalancing the LSH buckets. No RNG state, so signatures are
     reproducible across runs and executors (a hard requirement for both
     the driver's re-run compare and incremental indexing at scale).
+    ``table`` offsets the plane seeds so multi-table LSH draws
+    independent hyperplane sets.
     """
     bits = []
     for p in range(n_planes):
+        seed = (table * n_planes + p) * 10007
         comps = F.array(
             *[
-                (F.xxhash64(F.lit(p * 10007 + i)) % F.lit(2_000_003)).cast("double")
+                F.pmod(F.xxhash64(F.lit(seed + i)), F.lit(2_000_003)).cast("double")
                 / F.lit(1_000_001.5)
                 - F.lit(1.0)
                 for i in range(dim)
@@ -120,35 +131,74 @@ def hyperplane_signature(vec_col: Column, dim: int, n_planes: int = _N_PLANES) -
     return out.cast("long")
 
 
+# All XOR masks with popcount <= _PROBE_RADIUS: the Hamming ball the
+# multi-probe enumerates per table (176 probes for 10 planes, radius 3).
+_PROBE_MASKS = [m for m in range(1 << _N_PLANES) if bin(m).count("1") <= _PROBE_RADIUS]
+
+
 @query("sim_ann_lsh_topk", tables=("embeddings",))
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: score only corpus
-    vectors whose signature is within Hamming distance _PROBE_RADIUS of
-    the query's signature (multi-probe), then exact-rerank the candidates.
+    """Approximate NN via multi-table random-hyperplane LSH with a true
+    bucket EQUI-join: the corpus carries one signature per hash table
+    (posexplode to (tbl, sig) rows); each query explodes into its
+    Hamming-<=_PROBE_RADIUS multi-probe signatures per table, and
+    candidates are corpus rows whose (tbl, sig) equals a probe row — a
+    broadcast hash join on the bucket key, never a nested-loop scan of
+    the corpus. Candidates are deduped per (query, vector) across tables,
+    then exact-reranked (cosine) per query.
 
-    Scale path vs brute force: candidate generation is a broadcast
-    semi-filter on the signature (64-4k buckets), so the corpus-side dot
-    products drop by the bucket selectivity; an IVF (k-means coarse
-    quantizer) variant slots into the same shape with centroid id as the
-    bucket key.
+    Scale path vs brute force: corpus-side work is one hash-probe per
+    (row x table); dot products are computed only for bucket hits (~43%
+    of the corpus on the worst-case random fixture at recall 0.7-0.8;
+    far sharper on clustered real embeddings with more planes per
+    table). An IVF (k-means coarse quantizer) variant slots into the
+    same shape with centroid id as the bucket key.
     """
     t = load_tables(spark, sf_dir, "embeddings")
     dim = 64
-    v = t.embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("nrm", _norm(F.col("e"))).withColumn(
-        "sig", hyperplane_signature(F.col("e"), dim)
+    v = (
+        t.embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+        .select(
+            "vec_id",
+            "e",
+            "nrm",
+            F.posexplode(
+                F.array(
+                    *[
+                        hyperplane_signature(F.col("e"), dim, table=ti)
+                        for ti in range(_N_TABLES)
+                    ]
+                )
+            ).alias("tbl", "sig"),
+        )
     )
-    queries = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
-        F.col("sig").alias("qsig"),
+    # Query side: tiny (N_QUERIES x tables x 176 probe rows) — broadcast.
+    probes = (
+        v.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            "tbl",
+            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+            F.col("sig").alias("qsig"),
+        )
+        .select(
+            "query_id",
+            "qe",
+            "qn",
+            "tbl",
+            F.col("qsig").bitwiseXOR(F.col("mask")).alias("sig"),
+        )
     )
-    cand = v.join(
-        F.broadcast(queries),
-        (F.col("vec_id") != F.col("query_id"))
-        & (F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= _PROBE_RADIUS),
+    # Within one table the probe sigs are distinct (distinct XOR masks);
+    # across tables the same (query, vector) pair can collide twice, so
+    # dedup before the (expensive) exact rerank.
+    cand = (
+        v.join(F.broadcast(probes), ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
     )
     scored = cand.withColumn(
         "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))

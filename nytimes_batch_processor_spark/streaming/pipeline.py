@@ -28,9 +28,10 @@ from ..ingest import first_write_wins, parse_covid_rows, upsert_append
 
 
 def foreach_batch_upsert(target_path: str, keys: list[str], *, has_county: bool):
-    """Returns the foreachBatch function: type, dedup within the batch
-    (batch_id pins first-write-wins ordering across retries), anti-join
-    upsert into the target — the W3 sink as a streaming sink."""
+    """Returns the foreachBatch function: type, dedup within the batch,
+    anti-join upsert into the target — the W3 sink as a streaming sink.
+    Replay safety comes from the upsert itself (existing keys always
+    win), so a retried micro-batch is a no-op regardless of batch_id."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         typed = parse_covid_rows(batch_df, has_county=has_county)

@@ -69,6 +69,22 @@ def test_ingest_first_write_wins_and_idempotent(spark, tmp_path, staging):
     assert any(p.startswith("date=") for p in os.listdir(target))
 
 
+def test_upsert_read_failure_does_not_double_insert(spark, tmp_path, staging):
+    """A failing read of an EXISTING target must raise — not be treated
+    as 'first write' (which would silently append duplicate keys and
+    break the W3 idempotency guarantee)."""
+    from nytimes_batch_processor_spark.ingest import ingest_covid_csv
+
+    target = tmp_path / "covid_states"
+    target.mkdir()
+    (target / "part-00000.parquet").write_bytes(b"not a parquet file")
+    src = _write(staging, "day1.csv", STATES_CSV)
+    with pytest.raises(Exception):
+        ingest_covid_csv(spark, src, str(target), has_county=False)
+    # nothing was appended to the corrupt target
+    assert {p.name for p in target.iterdir()} == {"part-00000.parquet"}
+
+
 def test_ingest_counties_schema(spark, tmp_path, staging):
     from nytimes_batch_processor_spark.ingest import ingest_covid_csv
 
