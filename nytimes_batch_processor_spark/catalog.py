@@ -69,7 +69,7 @@ def _load_all_modules() -> None:
         sessionize,
     )
     from .functions import scalars  # noqa: F401
-    from . import multimodal  # noqa: F401
+    from . import ingest, multimodal, tables  # noqa: F401
 
 
 def all_specs() -> dict[str, QuerySpec]:

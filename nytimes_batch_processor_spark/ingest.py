@@ -26,10 +26,14 @@ not the full table.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from . import schemas
-from .sources import read_csv
+from .catalog import query
+from .sources import load_tables, read_csv
 
 
 def parse_covid_rows(
@@ -113,3 +117,67 @@ def ingest_covid_csv(
     deduped = first_write_wins(typed, keys, "_arrival").drop("_arrival")
     upsert_append(deduped, target_path, keys)
     return spark.read.parquet(target_path)
+
+
+@query(
+    "ingest_covid_states",
+    tables=("orders",),
+    oracle="""
+SELECT CAST(o_orderdate AS DATE)                        AS date,
+       o_orderpriority                                  AS state,
+       COALESCE(CASE WHEN o_custkey % 10 = 0 THEN NULL
+                     ELSE CAST(o_custkey % 100 AS INT) END, -1) AS fips,
+       CAST(SUM(o_orderkey) AS BIGINT)                  AS cases,
+       CAST(COUNT(*) AS BIGINT)                         AS deaths
+FROM orders
+GROUP BY CAST(o_orderdate AS DATE), o_orderpriority,
+         CASE WHEN o_custkey % 10 = 0 THEN NULL
+              ELSE CAST(o_custkey % 100 AS INT) END
+""",
+)
+def ingest_covid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LITERAL pipeline under the driver's oracle gate:
+    S1-S3 CSV scan (explicit schema, header, comma) -> P1-P5 typed
+    projection (ISO date parse, ''->NULL fips, null->-1 sentinel) -> W3
+    first-write-wins dedup + anti-join upsert -> date-partitioned table,
+    ingested TWICE to exercise the O3/O4 idempotent re-run live.
+
+    The input CSV is derived deterministically from the `orders` fixture
+    (key-level aggregate, so duplicate rows are byte-identical and the
+    dedup winner is arrival-independent), each row written twice so the
+    in-batch dedup does real work. The driver-side CSV materialization is
+    fixture generation, not the query path — the pipeline itself never
+    collects.
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    fips = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
+        (F.col("o_custkey") % 100).cast("int")
+    )
+    derived = (
+        t.orders.groupBy(
+            F.col("o_orderdate").cast("date").alias("date"),
+            F.col("o_orderpriority").alias("state"),
+            fips.alias("fips"),
+        )
+        .agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
+        .orderBy("date", "state", "fips")
+    )
+    workdir = tempfile.mkdtemp(prefix="ingest_covid_states_")
+    csv_path = os.path.join(workdir, "states.csv")
+    with open(csv_path, "w") as f:
+        f.write("date,state,fips,cases,deaths\n")
+        for r in derived.collect():
+            fips_s = "" if r["fips"] is None else str(r["fips"])
+            line = f'{r["date"].isoformat()},{r["state"]},{fips_s},{r["cases"]},{r["deaths"]}\n'
+            f.write(line)  # each row twice: in-batch dup for W3 to kill
+            f.write(line)
+    target = os.path.join(workdir, "covid_states")
+    ingest_covid_csv(spark, csv_path, target, has_county=False)
+    out = ingest_covid_csv(spark, csv_path, target, has_county=False)
+    return out.select(
+        F.col("date").cast("date").alias("date"),
+        "state",
+        F.col("fips").cast("int").alias("fips"),
+        F.col("cases").cast("long").alias("cases"),
+        F.col("deaths").cast("long").alias("deaths"),
+    )

@@ -1,0 +1,114 @@
+"""Managed tables (D1): catalog-registered DDL provisioning.
+
+The reference provisions its two sink tables on boot with
+``CREATE TABLE IF NOT EXISTS`` DDL (``schema.sql:1-21``, auto-applied via
+``application.properties:4``). This module is the Spark-catalog
+equivalent: idempotent DDL for the COVID tables plus a
+``saveAsTable``-backed managed-table path, so data is addressable by
+NAME through ``spark.table(...)`` / ``spark.sql(...)`` — not only by
+filesystem path.
+
+Scale notes: managed tables put layout under the catalog's control —
+`PARTITIONED BY (date)` gives partition pruning on the reference's
+re-ingest window; on a real deployment the same DDL targets a shared
+metastore so every engine/session sees one schema (the role Postgres'
+DDL played for the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import query
+from .sources import load_tables
+
+# Spark-SQL DDL mirroring schema.sql:1-9 (states) and :12-21 (counties):
+# timestamp->DATE intent (SURVEY.md §1.2), bigint counters, nullable fips
+# that the sink coalesces to -1 so it can participate in the dedup key.
+COVID_STATES_DDL = """
+CREATE TABLE IF NOT EXISTS {name} (
+    state  STRING NOT NULL,
+    fips   INT,
+    cases  BIGINT NOT NULL,
+    deaths BIGINT NOT NULL,
+    date   DATE NOT NULL
+) USING parquet PARTITIONED BY (date)
+"""
+
+COVID_COUNTIES_DDL = """
+CREATE TABLE IF NOT EXISTS {name} (
+    county STRING NOT NULL,
+    state  STRING NOT NULL,
+    fips   INT,
+    cases  BIGINT NOT NULL,
+    deaths BIGINT NOT NULL,
+    date   DATE NOT NULL
+) USING parquet PARTITIONED BY (date)
+"""
+
+
+def create_covid_tables(
+    spark: SparkSession,
+    states_table: str = "covid19_usa_by_states",
+    counties_table: str = "covid19_usa_by_counties",
+) -> None:
+    """D1 parity: idempotent boot-time provisioning of both COVID tables
+    (``CREATE TABLE IF NOT EXISTS`` — re-running is a no-op, exactly like
+    the reference's initialization-mode=always + IF NOT EXISTS DDL)."""
+    spark.sql(COVID_STATES_DDL.format(name=states_table))
+    spark.sql(COVID_COUNTIES_DDL.format(name=counties_table))
+
+
+def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None = None) -> None:
+    """Register a DataFrame as a (replaceable) managed table addressable
+    by name. Overwrite keeps the entry idempotent across re-runs.
+
+    With the default in-memory catalog a previous SESSION's table leaves
+    an orphaned warehouse directory the new catalog doesn't know about,
+    and saveAsTable refuses the location (LOCATION_ALREADY_EXISTS) —
+    remove it first. A shared metastore deployment never hits this
+    branch (tableExists is true and overwrite handles it)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(name):
+        warehouse = spark.conf.get("spark.sql.warehouse.dir")
+        loc_path = f"{warehouse.rstrip('/')}/{name.lower()}"
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(loc_path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            fs.delete(p, True)
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.saveAsTable(name)
+
+
+@query(
+    "table_catalog_roundtrip",
+    tables=("nation", "region"),
+    oracle="""
+SELECT r.r_name                        AS region,
+       CAST(COUNT(*) AS BIGINT)        AS n_nations,
+       MIN(n.n_name)                   AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def table_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 under the driver's gate: write `nation` through the table
+    catalog (``saveAsTable``), read it back BY NAME (``spark.table``),
+    and aggregate against the broadcast region dim. A path bug, schema
+    drift, or catalog miss surfaces as an oracle mismatch."""
+    t = load_tables(spark, sf_dir, "nation", "region")
+    save_as_managed_table(t.nation, "engine_nation_managed")
+    managed = spark.table("engine_nation_managed")
+    return (
+        managed.join(
+            F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+    )

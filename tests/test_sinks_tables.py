@@ -1,0 +1,126 @@
+"""D1 (managed tables) and W2 (JDBC parity sink) tests.
+
+The JDBC sink is exercised with sqlite3 (stdlib DB-API) injected as the
+connection factory — same pipeline code, same SQL shape as the
+postgres production path (``INSERT OR IGNORE`` vs ``ON CONFLICT DO
+NOTHING``)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+SCHEMA = "date string, state string, fips int, cases long, deaths long"
+
+
+def _factory(db_path):
+    # sqlite allows one writer at a time; the generous timeout lets the
+    # parallel partition writers queue instead of erroring.
+    def connect():
+        return sqlite3.connect(db_path, timeout=60)
+
+    return connect
+
+
+def test_jdbc_upsert_sink_first_write_wins(spark, tmp_path):
+    from nytimes_batch_processor_spark.sinks import jdbc_upsert_sink
+
+    db = str(tmp_path / "sink.db")
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE covid (date TEXT, state TEXT, fips INT, cases INT, "
+        "deaths INT, UNIQUE(date, state, fips))"
+    )
+    con.commit()
+    con.close()
+
+    df = spark.createDataFrame(
+        [
+            ("2020-01-01", "WA", 53, 1, 0),
+            ("2020-01-02", "WA", 53, 2, 0),
+            ("2020-01-01", "IL", 17, 5, 1),
+        ],
+        SCHEMA,
+    ).repartition(2)
+    jdbc_upsert_sink(df, "covid", ["date", "state", "fips"], _factory(db), batch_size=2)
+
+    # Re-run with a conflicting payload + one new key: DO NOTHING on the
+    # existing keys (first write wins), insert only the new key.
+    df2 = spark.createDataFrame(
+        [("2020-01-01", "WA", 53, 999, 999), ("2020-01-03", "WA", 53, 3, 1)],
+        SCHEMA,
+    )
+    jdbc_upsert_sink(df2, "covid", ["date", "state", "fips"], _factory(db))
+
+    con = sqlite3.connect(db)
+    rows = {
+        (d, s, f): (c, de)
+        for d, s, f, c, de in con.execute("SELECT * FROM covid").fetchall()
+    }
+    con.close()
+    assert rows[("2020-01-01", "WA", 53)] == (1, 0)  # not 999
+    assert rows[("2020-01-03", "WA", 53)] == (3, 1)
+    assert len(rows) == 4
+
+
+def test_jdbc_upsert_sink_idempotent_rerun(spark, tmp_path):
+    from nytimes_batch_processor_spark.sinks import jdbc_upsert_sink
+
+    db = str(tmp_path / "rerun.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INT, v INT, UNIQUE(k))")
+    con.commit()
+    con.close()
+    df = spark.range(100).selectExpr("CAST(id AS INT) k", "CAST(id * 2 AS INT) v")
+    for _ in range(2):  # the reference's cron re-run (O4): no growth
+        jdbc_upsert_sink(df, "t", ["k"], _factory(db), batch_size=7)
+    con = sqlite3.connect(db)
+    n, vsum = con.execute("SELECT COUNT(*), SUM(v) FROM t").fetchone()
+    con.close()
+    assert (n, vsum) == (100, 9900)
+
+
+def test_conflict_sql_dialects():
+    from nytimes_batch_processor_spark.sinks import conflict_ignore_sql
+
+    assert conflict_ignore_sql("t", ["a", "b"], ["a"]) == (
+        "INSERT OR IGNORE INTO t (a, b) VALUES (?, ?)"
+    )
+    assert conflict_ignore_sql("t", ["a", "b"], ["a"], paramstyle="pyformat") == (
+        "INSERT INTO t (a, b) VALUES (%s, %s) ON CONFLICT (a) DO NOTHING"
+    )
+
+
+def test_create_covid_tables_idempotent(spark):
+    from nytimes_batch_processor_spark.tables import create_covid_tables
+
+    names = ("t_states_ddl_test", "t_counties_ddl_test")
+    try:
+        create_covid_tables(spark, *names)
+        create_covid_tables(spark, *names)  # IF NOT EXISTS: re-run is a no-op
+        for n in names:
+            assert spark.catalog.tableExists(n)
+        spark.sql(
+            f"INSERT INTO {names[0]} VALUES ('Washington', 53, 1, 0, DATE'2020-01-21')"
+        )
+        got = spark.table(names[0]).collect()
+        assert len(got) == 1
+        row = got[0].asDict()
+        assert row["state"] == "Washington" and row["cases"] == 1
+        assert str(row["date"]) == "2020-01-21"
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
+def test_save_as_managed_table_roundtrip(spark):
+    from nytimes_batch_processor_spark.tables import save_as_managed_table
+
+    df = spark.range(10).selectExpr("id", "id % 3 AS g")
+    try:
+        save_as_managed_table(df, "t_managed_roundtrip")
+        back = spark.table("t_managed_roundtrip")
+        assert back.count() == 10
+        save_as_managed_table(df.filter("id < 5"), "t_managed_roundtrip")  # replace
+        assert spark.table("t_managed_roundtrip").count() == 5
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_managed_roundtrip")
