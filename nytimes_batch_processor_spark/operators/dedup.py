@@ -161,21 +161,30 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc MinHash signature: array of _MINHASH_PERMS minima of
-    ((a_i * xxhash64(token) + b_i) mod p). Pure built-ins — the token
-    explode + groupBy(min) runs as one shuffle; signature size is
-    constant per doc regardless of doc length."""
-    tok = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(_tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(_MINHASH_PRIME)))
-    mins = [
-        F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 13)) % F.lit(_MINHASH_PRIME)).alias(
-            f"mh_{i}"
-        )
-        for i in range(_MINHASH_PERMS)
-    ]
-    sig = tok.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"mh_{i}" for i in range(_MINHASH_PERMS)]).alias("sig"))
+    ((a_i * xxhash64(token) + b_i) mod p).
+
+    MAP-ONLY by construction: the token array never explodes — each
+    permutation minimum is an ``array_min(transform(...))`` over the
+    per-row token-hash array, all inside whole-stage codegen. No shuffle,
+    no groupBy hash table; at 100 TB this pipelines straight out of the
+    parquet scan. (The explode + groupBy(min) formulation costs a full
+    token-table shuffle for the same result.)"""
+    toks_h = F.transform(
+        _tokens(F.col(text_col)), lambda tk: F.pmod(F.xxhash64(tk), F.lit(_MINHASH_PRIME))
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    toks_h,
+                    lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i + 13))
+                    % F.lit(_MINHASH_PRIME),
+                )
+            )
+            for i in range(_MINHASH_PERMS)
+        ]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 @query("dedup_minhash_lsh", tables=("documents",))
@@ -189,20 +198,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join -> verify candidates with estimated Jaccard (signature
     agreement fraction) >= 0.9.
 
-    The band rows carry their 32-int signature array (~256 B) through the
-    bucket join, so candidate verification is a column read — no re-join
-    against a per-document signature table (a broadcast of that table
-    would be a per-corpus-row broadcast: driver OOM at 100 TB). The only
-    shuffles are the bucket join keyed by (band, band_hash) — each bucket
-    small by construction, skewed buckets (boilerplate docs) split by
-    AQE — and the final pair dedup.
+    Shuffle discipline (the fixture's templated docs make candidate
+    volume ~1000x the corpus size, so every stage is sized to touch the
+    pair set as few times as possible):
+
+    1. signatures are MAP-ONLY (see minhash_signatures) and
+       localCheckpoint'ed so the self-join + re-attach consumers don't
+       recompute them (at cluster scale, checkpoint to reliable storage
+       or persist to a table instead);
+    2. the bucket self-join carries doc_id ONLY — the 5M+ collision rows
+       stay 16 bytes wide (a row-local "first common band" filter was
+       measured 3x SLOWER here: the two-sided array predicate lands in
+       the join's probe loop and runs per probed pair);
+    3. pairs are dedup'ed (distinct (id1,id2)) BEFORE signatures are
+       re-attached, so the zip_with verification runs once per distinct
+       pair, not once per band collision;
+    4. signature re-attach for the est-Jaccard verification is a plain
+       equi-join against the (one row per doc) signature table — NO
+       broadcast hint: the optimizer broadcasts it while it fits and
+       falls back to shuffle at corpus scale.
     """
     t = load_tables(spark, sf_dir, "documents")
-    sig = minhash_signatures(t.documents, "doc_id", "text")
+    sig = minhash_signatures(t.documents, "doc_id", "text").localCheckpoint(eager=True)
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
     bands = sig.select(
         "doc_id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -213,29 +233,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "band_hash"),
     )
     a, b = bands.alias("a"), bands.alias("b")
-    est_jaccard = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        )
-        / F.lit(_MINHASH_PERMS)
-    ).cast("double")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id1"),
-            F.col("b.doc_id").alias("id2"),
-            ratio(est_jaccard).alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= 0.9)
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .dropDuplicates(["id1", "id2"])
+    )
+    s1 = sig.select(F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = sig.select(F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"))
+    est_jaccard = (
+        F.size(F.filter(F.zip_with("sig1", "sig2", lambda x, y: x == y), lambda eq: eq))
+        / F.lit(_MINHASH_PERMS)
+    ).cast("double")
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", ratio(est_jaccard).alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.9)
     )
 
 
