@@ -64,11 +64,12 @@ def _load_all_modules() -> None:
         asof,
         dedup,
         similarity,
+        skew,
         text,
         approx,
         sessionize,
     )
-    from .functions import scalars  # noqa: F401
+    from .functions import scalars, udfs  # noqa: F401
     from . import ingest, multimodal, tables  # noqa: F401
 
 

@@ -1,0 +1,164 @@
+"""User-defined function surface: Arrow-vectorized Pandas UDFs.
+
+The reference's "UDF" extension points are the FieldSetMapper lambdas and
+PreparedStatement setters (``NytimesBatchProcessorApplication.kt:126-128,
+130-137`` — arbitrary record-level code in a fixed pipeline). This module
+is the engine's equivalent surface, in its three Spark shapes, each
+oracle-checked so the Arrow boundary itself is under the driver's gate:
+
+- scalar pandas_udf (vectorized row-wise compute),
+- grouped-aggregate pandas_udf (custom UDAF),
+- grouped-map ``applyInPandas`` (custom per-group transform, UDTF-like).
+
+Engine policy (SURVEY.md §2.2): built-ins first — every query here is
+deliberately SQL-expressible so DuckDB can verify the UDF machinery;
+real use cases are the NON-expressible ones (model scoring, tokenizers,
+decoders — see multimodal.py). Plain row-at-a-time Python UDFs
+(``F.udf``) are banned from the engine: 10-100x slower than Arrow
+batches at 100 TB.
+
+Determinism: Python-side reductions use ``math.fsum`` (exactly-rounded
+float summation), so results don't depend on the arbitrary row order
+Spark delivers to each group — the Python twin of the engine's
+decimal-sum policy (functions/__init__.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..catalog import query
+from ..sources import load_tables
+
+
+# Return types are DataType instances (not DDL strings) so the UDFs can
+# be declared at import time without an active SparkContext.
+@F.pandas_udf(T.DoubleType())
+def _margin_score(retailprice: pd.Series, size: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: one Arrow batch in, one out — numpy math,
+    no Python-per-row loop."""
+    return (retailprice - size * 10.0) / (size + 1.0)
+
+
+@F.pandas_udf(T.DoubleType())
+def _weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+    """Grouped-agg UDF (custom UDAF): sum(price*qty)/sum(qty) with fsum
+    so the result is independent of within-group row order."""
+    num = math.fsum(price * qty)
+    den = math.fsum(qty)
+    return num / den if den else float("nan")
+
+
+@F.pandas_udf(T.LongType())
+def _count_rows(qty: pd.Series) -> int:
+    """Companion UDAF: Spark disallows mixing grouped-agg pandas UDFs
+    with JVM aggregates in one agg(), so the count is a pandas UDAF too."""
+    return len(qty)
+
+
+@query(
+    "udf_pandas_scalar",
+    tables=("part",),
+    oracle="""
+SELECT p_partkey,
+       p_brand,
+       ROUND((p_retailprice - p_size * 10.0) / (p_size + 1.0), 6) AS margin_score
+FROM part
+WHERE p_size >= 10
+""",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow UDF under the oracle gate: the filter still pushes to
+    the scan (the UDF is projection-only), and the plan shows ArrowEvalPython
+    as one vectorized stage — not a per-row PythonUDF."""
+    t = load_tables(spark, sf_dir, "part")
+    return (
+        t.part.filter(F.col("p_size") >= 10)
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round(_margin_score("p_retailprice", "p_size"), 6).alias("margin_score"),
+        )
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS weighted_avg_price,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via grouped-agg pandas_udf: Spark still plans partial
+    shuffle by group key; the Python worker sees each group's Arrow
+    batches once. fsum keeps the float reduction order-independent."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(_weighted_avg_price("l_extendedprice", "l_quantity"), 6).alias(
+            "weighted_avg_price"
+        ),
+        _count_rows("l_quantity").alias("n_lines"),
+    )
+
+
+_ZSCORE_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("mktsegment", T.StringType()),
+        T.StructField("acctbal_z", T.DoubleType()),
+    ]
+)
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Grouped-map worker: population z-score within the group. Mean and
+    variance via fsum — identical result for any row order."""
+    x = pdf["c_acctbal"].astype(float)
+    n = len(x)
+    mean = math.fsum(x) / n
+    var = math.fsum((v - mean) ** 2 for v in x) / n
+    std = math.sqrt(var)
+    z = (x - mean) / std if std > 0 else x * 0.0
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "mktsegment": pdf["c_mktsegment"],
+            "acctbal_z": z.round(6),
+        }
+    )
+
+
+@query(
+    "udf_grouped_map_zscore",
+    tables=("customer",),
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment AS mktsegment,
+       ROUND(CASE WHEN STDDEV_POP(c_acctbal) OVER w > 0
+                  THEN (c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_POP(c_acctbal) OVER w
+                  ELSE 0.0 END, 6) AS acctbal_z
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment)
+""",
+)
+def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the UDTF-shaped surface): per-segment
+    z-score normalization — one shuffle on the group key, then each group
+    transformed in a single Arrow-batched Python call. The oracle is the
+    equivalent window SQL, proving the custom path against the
+    declarative one."""
+    t = load_tables(spark, sf_dir, "customer")
+    return (
+        t.customer.select("c_custkey", "c_mktsegment", "c_acctbal")
+        .groupBy("c_mktsegment")
+        .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
+    )

@@ -1,0 +1,79 @@
+"""Skew mitigation: salted equi-join (100 TB posture, SURVEY.md §2.3).
+
+AQE's skew-join splitting (enabled in session.py) handles most skew at
+runtime, but it only splits *partitions*, not a single hot KEY whose
+rows all hash to one reducer. Salting fixes the hot-key case
+structurally: the probe side scatters each key across ``n_salts``
+sub-keys, the build side is replicated once per salt, and the join key
+becomes (key, salt) — a hot key's rows now spread over ``n_salts``
+reducers. Cost: build side x n_salts (only acceptable for dimension-
+sized builds) — which is why this is an explicit operator, not a
+default.
+
+The catalog entry proves the rewrite is semantics-preserving: the
+DuckDB oracle runs the UNSALTED join, and the hash-compare shows the
+salted plan produces identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..functions import msum
+from ..sources import load_tables
+
+
+def salted_equi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    n_salts: int,
+    scatter: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the probe side scattered over ``n_salts`` salts and
+    the build side replicated per salt.
+
+    ``scatter`` must be a deterministic expression over probe columns
+    (e.g. pmod(xxhash64(<unique cols>), n_salts)) — row-random salts
+    would break retry idempotency and re-run comparisons. Result is
+    row-identical to ``probe.join(build, probe_key == build_key, how)``.
+    """
+    salted_probe = probe.withColumn("_salt", scatter.cast("int"))
+    salted_build = build.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    cond = (F.col(probe_key) == F.col(build_key)) & (
+        salted_probe["_salt"] == salted_build["_salt"]
+    )
+    return salted_probe.join(salted_build, cond, how).drop("_salt")
+
+
+@query(
+    "join_skew_salted",
+    tables=("lineitem", "part"),
+    oracle="""
+SELECT p.p_brand                                  AS brand,
+       CAST(COUNT(*) AS BIGINT)                   AS n_lines,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted fact-dim join vs the plain-join oracle: lineitem scattered
+    over 8 salts (deterministic hash of its unique key), part replicated
+    x8, joined on (partkey, salt) — the exact rewrite you'd deploy when
+    one part id dominates the fact table and AQE's partition splitting
+    isn't enough."""
+    t = load_tables(spark, sf_dir, "lineitem", "part")
+    scatter = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(8))
+    joined = salted_equi_join(
+        t.lineitem, t.part, "l_partkey", "p_partkey", 8, scatter
+    )
+    return joined.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        msum("l_extendedprice").alias("revenue"),
+    )

@@ -50,19 +50,29 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
-    Local mode is a single JVM with ``cpus`` executor threads; shuffle
-    partitions match the core count (not Spark's default 200 — at local
-    scale 200 tiny partitions is pure scheduling overhead, and on a real
-    cluster this knob is set per deployment).
+    Settings resolve through config.EngineConfig (defaults < properties
+    file < SPARK_GRAFT_* env vars — the reference's O5 layering); an
+    explicit ``cpus`` argument wins over all of them. Local mode is a
+    single JVM with ``cpus`` executor threads; shuffle partitions match
+    the core count (not Spark's default 200 — at local scale 200 tiny
+    partitions is pure scheduling overhead, and on a real cluster this
+    knob is set per deployment).
     """
+    from .config import EngineConfig
+
+    cfg = EngineConfig.resolve()
     if cpus is None:
-        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or os.cpu_count() or 4
+        cpus = cfg.effective_cpus()
+    shuffle_parts = cfg.shuffle_partitions or max(cpus, 4)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.shuffle.partitions", str(shuffle_parts))
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", cfg.driver_memory),
+        )
     )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)

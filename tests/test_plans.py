@@ -58,6 +58,24 @@ def test_pricing_summary_partial_aggregation(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_scalar_udf_is_arrow_vectorized(spark, sf_dir):
+    """The Pandas UDF surface must plan as ArrowEvalPython (vectorized
+    batch transfer), never BatchEvalPython (pickled row-at-a-time) —
+    the 10-100x difference at 100 TB."""
+    from nytimes_batch_processor_spark.functions.udfs import udf_pandas_scalar
+
+    plan = physical_plan(udf_pandas_scalar(spark, sf_dir))
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_scalar_udf_filter_still_pushes_down(spark, sf_dir):
+    """A projection-only UDF must not block predicate pushdown."""
+    from nytimes_batch_processor_spark.functions.udfs import udf_pandas_scalar
+
+    assert "p_size" in pushed_filters(udf_pandas_scalar(spark, sf_dir))
+
+
 def test_whole_stage_codegen_present(spark, sf_dir):
     """Both aggregate stages (partial + final) must run inside
     whole-stage codegen — visible only in the AQE final plan."""
