@@ -123,6 +123,102 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+_THUMB_W, _THUMB_H = 8, 8
+
+
+def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: deterministic fake 'resize' — samples
+    _THUMB_W*_THUMB_H bytes evenly spaced across the payload (the real
+    implementation decodes via decode_image and PIL-resizes; identical
+    batch shape and output schema)."""
+    k = _THUMB_W * _THUMB_H
+    for pdf in batches:
+        thumbs = []
+        for b in pdf["payload"]:
+            n = len(b)
+            thumbs.append(
+                bytes(b[(i * n) // k] for i in range(k)) if n else b""
+            )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "thumb": thumbs,
+                "thumb_w": _THUMB_W,
+                "thumb_h": _THUMB_H,
+            }
+        )
+
+
+@query("mm_resize_thumbs", tables=("documents",))
+def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize step of the multimodal pipeline (rows-only check): fixed
+    _THUMB_W x _THUMB_H 'thumbnail' per payload via Arrow-batched
+    mapInPandas — the decode+PIL.resize slot with the codec stubbed."""
+    t = load_tables(spark, sf_dir, "documents")
+    mm = attach_binary_payload(t.documents)
+    thumbs = mm.select("doc_id", "payload").mapInPandas(fake_resize, THUMB_SCHEMA)
+    return thumbs.select(
+        "doc_id",
+        "thumb_w",
+        "thumb_h",
+        F.octet_length("thumb").alias("thumb_bytes"),
+        F.md5("thumb").alias("thumb_md5"),
+    )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+_N_FRAMES = 4
+
+
+def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker in the UDTF shape (rows out > rows in):
+    deterministic fake 'frame sampler' slicing each payload into
+    _N_FRAMES contiguous chunks (the real implementation seeks keyframes
+    in a video container; identical fan-out shape and schema)."""
+    for pdf in batches:
+        ids, idxs, frames = [], [], []
+        for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+            n = len(b)
+            for i in range(_N_FRAMES):
+                lo, hi = (i * n) // _N_FRAMES, ((i + 1) * n) // _N_FRAMES
+                ids.append(doc_id)
+                idxs.append(i)
+                frames.append(bytes(b[lo:hi]))
+        yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+
+@query("mm_frame_sample", tables=("documents",))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling step (rows-only check): _N_FRAMES rows per payload
+    out of one row in — the row-expanding (flatMap/UDTF) multimodal
+    shape; partitioning survives because mapInPandas is map-side only."""
+    t = load_tables(spark, sf_dir, "documents")
+    mm = attach_binary_payload(t.documents)
+    frames = mm.select("doc_id", "payload").mapInPandas(fake_frame_sample, FRAME_SCHEMA)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame").alias("frame_bytes"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 @query("mm_decode_features", tables=("documents",))
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via

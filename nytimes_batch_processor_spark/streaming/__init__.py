@@ -4,9 +4,11 @@ from .pipeline import (
     stream_covid_ingest,
     windowed_event_counts,
 )
+from .stateful import running_user_totals
 
 __all__ = [
     "foreach_batch_upsert",
+    "running_user_totals",
     "sessionized_stream",
     "stream_covid_ingest",
     "windowed_event_counts",

@@ -41,6 +41,44 @@ def test_stream_ingest_available_now(spark, tmp_path):
     assert len(rows) == 3
 
 
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry across micro-batches
+    (one file per trigger forces >=2 batches) and the final per-user
+    totals must equal the batch groupBy over the same rows."""
+    from nytimes_batch_processor_spark.streaming import running_user_totals
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.csv").write_text("user_id,value\n1,1.0\n1,2.0\n2,5.0\n")
+    (src / "b.csv").write_text("user_id,value\n1,3.0\n3,7.0\n")
+    stream = (
+        spark.readStream.schema("user_id LONG, value DOUBLE")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName("totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM totals").collect()
+    # memory sink accumulates every update; the final state per user is
+    # the row with the largest n_events
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final == {1: (3, 6.0), 2: (1, 5.0), 3: (1, 7.0)}
+    # user 1 must have been updated in more than one micro-batch
+    assert len([r for r in rows if r["user_id"] == 1]) >= 2
+
+
 def test_windowed_counts_batch_equivalence(spark, sf_dir):
     """The streaming window aggregation, applied to the same events in
     batch mode, must agree with a plain groupBy on the hour bucket."""
