@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_exact_union",
     "dedup_minhash_lsh",
     "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_topk",
     "text_quality_score",
     "fn_json_extract",
 ]
@@ -47,8 +48,13 @@ def main() -> None:
     spark = get_spark("engine-bench", cpus=cpus)
 
     specs = all_specs()
-    # Warmup: spin up executors + codegen paths once.
+    # Warmup: spin up executors, codegen, AND the vectorized parquet read
+    # path (otherwise the first fixture-scanning query absorbs one-time
+    # JIT/classloading cost and its number is not its own).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").selectExpr(
+        "count(*)", "sum(l_quantity)"
+    ).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -62,6 +62,26 @@ def test_delta_cumsum_roundtrip(series):
     assert all(r["rebuilt"] == r["cum"] for r in rebuilt.collect())
 
 
+@settings(max_examples=6, deadline=None)
+@given(rows, rows)
+def test_salted_join_equals_plain_join(fact_rows, dim_rows):
+    """The skew-salting rewrite must be row-identical to the plain
+    equi-join for ANY inputs, including duplicate build-side keys
+    (multiplicity must be preserved, not inflated by the replication)."""
+    from nytimes_batch_processor_spark.operators.skew import salted_equi_join
+
+    spark = _spark()
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact_rows)], "rid int, k int, v int"
+    )
+    dim = spark.createDataFrame(dim_rows, "k2 int, w int")
+    plain = fact.join(dim, fact["k"] == dim["k2"]).select("rid", "k", "v", "w")
+    salted = salted_equi_join(
+        fact, dim, "k", "k2", 4, F.pmod(F.xxhash64("rid"), F.lit(4))
+    ).select("rid", "k", "v", "w")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
 def _spark():
     from nytimes_batch_processor_spark.session import get_spark
 
