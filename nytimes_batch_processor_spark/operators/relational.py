@@ -532,6 +532,121 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spine_gap_fill_daily",
+    tables=("orders",),
+    oracle="""
+WITH b AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+),
+spine AS (
+    SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+)
+SELECT s.day,
+       CAST(COALESCE(d.n, 0) AS BIGINT)       AS n_orders,
+       COALESCE(d.rev, 0.0)                   AS revenue,
+       d.n IS NULL                            AS is_gap
+FROM spine s LEFT JOIN daily d ON d.day = s.day
+""",
+)
+def spine_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: generate every day in the data's range
+    (sequence + explode — Spark's idiom for what DuckDB does with a
+    recursive/generate_series spine) and left-join daily totals so
+    missing days appear as explicit zeros. The reference-domain need:
+    cumulative COVID series must not silently skip days.
+
+    Scale: the spine is |days| rows built from a 1-row aggregate —
+    broadcast side of the join; the daily aggregate is bounded by
+    calendar size, so the whole query's post-scan cost is O(days).
+    """
+    t = load_tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    bounds = t.orders.agg(F.min(d).alias("lo"), F.max(d).alias("hi"))
+    spine = bounds.select(F.explode(F.sequence("lo", "hi")).alias("day"))
+    daily = t.orders.groupBy(d.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), msum("o_totalprice").alias("rev")
+    )
+    return spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce("n", F.lit(0)).alias("n_orders"),
+        F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+        F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "agg_string_agg_sorted",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderpriority                        AS priority,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses,
+       CAST(COUNT(*) AS BIGINT)               AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_set -> sort_array ->
+    concat_ws. collect_list/collect_set order is nondeterministic across
+    partitions — ALWAYS sort before serializing (the only way a
+    collected aggregate can be hash-compared or diffed at all)."""
+    t = load_tables(spark, sf_dir, "orders")
+    return t.orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("o_orderstatus"))).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "window_pct_of_total",
+    tables=("orders", "customer", "nation"),
+    oracle="""
+WITH per_nation AS (
+    SELECT n.n_name AS nation,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation,
+       CAST(ROUND(rev, 2) AS DOUBLE)                                AS revenue,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share
+FROM per_nation
+""",
+)
+def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: an unpartitioned window over the AGGREGATED
+    rows (|nation| = 25), not the fact table — the single-partition
+    window is bounded by group cardinality, so it's safe at any fact
+    size (same decomposition as the day-level windows, windows.py)."""
+    t = load_tables(spark, sf_dir, "orders", "customer", "nation")
+    per_nation = (
+        t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(dec2("o_totalprice")).alias("rev"))
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("rev").over(W.partitionBy())
+    return per_nation.select(
+        "nation",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        F.round(F.col("rev").cast("double") / total.cast("double"), 6).alias("share"),
+    )
+
+
+@query(
     "sort_global_topk",
     tables=("orders",),
     oracle="""

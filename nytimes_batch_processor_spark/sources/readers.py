@@ -46,6 +46,37 @@ def read_csv(
     )
 
 
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    header: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """The at-scale alternative to FAILFAST (E1 scale note): PERMISSIVE
+    parse with a _corrupt_record quarantine — one malformed row must not
+    kill a 100 TB ingest; it lands in the quarantine frame for triage.
+
+    Returns (good_rows, quarantined_raw_lines). The frame is cached
+    because Spark forbids filtering on the corrupt-record column of the
+    live parse (SPARK-21610) — the cache materializes the parse first.
+    """
+    corrupt_col = "_corrupt_record"
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt_col, T.StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("sep", ",")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .csv(path)
+    ).cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing physical quirks:
 

@@ -69,6 +69,26 @@ def test_ingest_first_write_wins_and_idempotent(spark, tmp_path, staging):
     assert any(p.startswith("date=") for p in os.listdir(target))
 
 
+def test_permissive_quarantine_splits_bad_rows(spark, staging):
+    """PERMISSIVE ingest: malformed rows land in quarantine with their
+    raw line; good rows parse fully — nothing is dropped silently."""
+    from nytimes_batch_processor_spark.schemas import COVID_STATES_CSV
+    from nytimes_batch_processor_spark.sources.readers import read_csv_quarantine
+
+    csv = (
+        "date,state,fips,cases,deaths\n"
+        "2020-01-21,Washington,53,1,0\n"
+        "2020-01-22,Washington,53,not_a_number,0\n"  # bad int
+        "2020-01-23,Illinois,17,2,1\n"
+    )
+    src = _write(staging, "mixed.csv", csv)
+    good, bad = read_csv_quarantine(spark, src, COVID_STATES_CSV)
+    assert good.count() == 2
+    assert "_corrupt_record" not in good.columns
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 1 and "not_a_number" in bad_lines[0]
+
+
 def test_upsert_read_failure_does_not_double_insert(spark, tmp_path, staging):
     """A failing read of an EXISTING target must raise — not be treated
     as 'first write' (which would silently append duplicate keys and
