@@ -238,6 +238,33 @@ def fn_array_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "fn_map_surface",
+    tables=("events",),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS BIGINT) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)  AS sum_k,
+       CAST(MAX(len(json_keys(props))) AS INT)                                 AS max_n_keys
+FROM events
+GROUP BY event_type
+""",
+)
+def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed access: props parsed once to map<string,bigint>, probed
+    with element_at / map_keys — the schema-free sibling of
+    fn_json_struct for payloads whose key set isn't fixed."""
+    t = load_tables(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    parsed = t.events.select("event_type", m.alias("m"))
+    k = F.element_at("m", "k")
+    return parsed.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.sum(k).alias("sum_k"),
+        F.max(F.size(F.map_keys("m"))).alias("max_n_keys"),
+    )
+
+
+@query(
     "fn_conditional_null",
     tables=("customer",),
     oracle="""

@@ -49,6 +49,41 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_rank_extras",
+    tables=("customer",),
+    oracle="""
+SELECT c_custkey,
+       c_mktsegment AS mktsegment,
+       ROUND(PERCENT_RANK() OVER w, 6)                 AS bal_pct_rank,
+       ROUND(CUME_DIST() OVER w, 6)                    AS bal_cume_dist,
+       ROUND(NTH_VALUE(c_acctbal, 2) OVER (
+           PARTITION BY c_mktsegment
+           ORDER BY c_acctbal ASC, c_custkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ), 2)                                           AS second_lowest_bal
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+)
+def window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ranking/analytic family: percent_rank, cume_dist,
+    nth_value (full-partition frame). Tie-broken on custkey so the
+    relative ranks are deterministic."""
+    t = load_tables(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return t.customer.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        ratio(F.percent_rank().over(w)).alias("bal_pct_rank"),
+        ratio(F.cume_dist().over(w)).alias("bal_cume_dist"),
+        money(F.nth_value("c_acctbal", 2).over(w_full)).alias("second_lowest_bal"),
+    )
+
+
+@query(
     "window_running_total",
     tables=("orders",),
     oracle="""
