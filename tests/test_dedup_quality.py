@@ -78,6 +78,27 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.6, f"ANN recall@10 vs brute force: {recall:.2f}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF (k-means coarse quantizer, nprobe=4 of 16 cells) must recover
+    a solid fraction of the exact top-10 on the worst-case random
+    fixture (measured 0.58 at sf0.001; gate leaves margin for k-means
+    float-order wobble)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        sim_ann_ivf_topk,
+        sim_cosine_topk_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall@10 vs brute force: {recall:.2f}"
+
+
 def test_ann_lsh_is_bucket_equijoin(spark, sf_dir):
     """The ANN candidate generation must plan as a hash equi-join on the
     bucket key — a BroadcastNestedLoopJoin would mean the 'index' still
