@@ -532,6 +532,40 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unpivot_measures_long",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_returnflag                     AS returnflag,
+       measure,
+       CAST(ROUND(SUM(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
+       CAST(COUNT(*) AS BIGINT)         AS n
+FROM (
+    UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_tax FROM lineitem)
+    ON l_quantity, l_extendedprice, l_tax
+    INTO NAME measure VALUE val
+)
+GROUP BY l_returnflag, measure
+""",
+)
+def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide measures -> long (measure, value) rows) + aggregate
+    — the inverse of pivot_status_by_flag. Spark's unpivot/melt is a
+    map-only Expand (3 rows out per row in), so the only shuffle is the
+    final bounded groupBy."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    long = t.lineitem.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return long.groupBy(F.col("l_returnflag").alias("returnflag"), "measure").agg(
+        F.round(F.sum(dec2("val")), 2).cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
     "spine_gap_fill_daily",
     tables=("orders",),
     oracle="""
