@@ -91,7 +91,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("lineitem",),
     oracle="""
 SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6) AS weighted_avg_price,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_avg_price,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem
 GROUP BY l_returnflag
@@ -102,8 +102,11 @@ def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle by group key; the Python worker sees each group's Arrow
     batches once. fsum keeps the float reduction order-independent."""
     t = load_tables(spark, sf_dir, "lineitem")
+    # 4dp, not the usual 6: the value's magnitude (~4e4) against DuckDB's
+    # parallel (order-jittery) double SUM makes a 6dp boundary collision
+    # non-negligible; 4dp restores a ~1e4 safety margin.
     return t.lineitem.groupBy("l_returnflag").agg(
-        F.round(_weighted_avg_price("l_extendedprice", "l_quantity"), 6).alias(
+        F.round(_weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias(
             "weighted_avg_price"
         ),
         _count_rows("l_quantity").alias("n_lines"),
