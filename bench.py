@@ -6,8 +6,11 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query executes to completion through the noop sink (full plan runs,
 nothing collected to the driver — the honest way to time a distributed
-plan). First a warmup pass on one trivial action amortizes JVM/codegen
-startup out of the numbers.
+plan). Methodology: one UNMEASURED pass over every headline query warms
+JVM/JIT/codegen and the parquet read path, then a second pass is timed —
+steady-state numbers, which is what a long-running engine's latency
+actually is (r1 numbers were cold-start; the warmup pass is the
+methodology change, stated here so cross-round comparison is honest).
 """
 
 from __future__ import annotations
@@ -48,24 +51,19 @@ def main() -> None:
     spark = get_spark("engine-bench", cpus=cpus)
 
     specs = all_specs()
-    # Warmup: spin up executors, codegen, AND the vectorized parquet read
-    # path (otherwise the first fixture-scanning query absorbs one-time
-    # JIT/classloading cost and its number is not its own).
     spark.range(1_000_000).selectExpr("sum(id)").collect()
-    spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").selectExpr(
-        "count(*)", "sum(l_quantity)"
-    ).collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = specs[name].fn  # KeyError = stale HEADLINE entry; fail loudly
+    def run(name: str) -> float:
+        # KeyError on a stale HEADLINE entry = fail loudly, never mislabel
+        fn = flagship if name == "flagship" else specs[name].fn
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return round(time.perf_counter() - t0, 3)
 
-    t0 = time.perf_counter()
-    flagship(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings["flagship"] = round(time.perf_counter() - t0, 3)
+    all_names = [*HEADLINE, "flagship"]
+    for name in all_names:  # warmup pass: JIT/codegen/read-path, unmeasured
+        run(name)
+    timings: dict[str, float] = {name: run(name) for name in all_names}
 
     total = round(sum(timings.values()), 3)
     print(

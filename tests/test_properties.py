@@ -82,6 +82,54 @@ def test_salted_join_equals_plain_join(fact_rows, dim_rows):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+asof_left = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
+)
+asof_right = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(-99, 99)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(asof_left, asof_right)
+def test_asof_join_matches_bruteforce(left_rows, right_rows):
+    """asof_join == per-left-row argmax over {right | key match, ts <=
+    left.ts} with ties broken by the largest tie_breaker — checked
+    against a brute-force Python model on arbitrary inputs (duplicate
+    timestamps included, which is exactly where the window formulation
+    could pick the wrong row)."""
+    from nytimes_batch_processor_spark.operators.asof import asof_join
+
+    spark = _spark()
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(i, k, t, v) for i, (k, t, v) in enumerate(right_rows)],
+        "rid int, k int, rts int, v int",
+    )
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["rid", "v"], tie_breaker="rid",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        matches = [
+            (rts, rid, v)
+            for rid, (rk, rts, v) in enumerate(right_rows)
+            if rk == k and rts <= t
+        ]
+        expected = (None, None)
+        if matches:
+            _, rid, v = max(matches)  # latest ts, then largest rid
+            expected = (rid, v)
+        assert got[i] == expected, f"left row {i}: {got[i]} != {expected}"
+
+
 def _spark():
     from nytimes_batch_processor_spark.session import get_spark
 
