@@ -532,6 +532,125 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_cross_grid",
+    tables=("region", "nation"),
+    oracle="""
+SELECT r.r_name                                  AS region,
+       n.n_name                                  AS nation,
+       n.n_regionkey = r.r_regionkey             AS is_home
+FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join (every region x every nation, 5x25) with a
+    post-hoc membership flag. Cartesian products are only ever legal
+    between bounded inputs — Spark plans this as BroadcastNestedLoopJoin,
+    which is correct HERE because both sides are dimension-sized; the
+    same plan on two fact tables is the anti-pattern the LSH operators
+    exist to avoid."""
+    t = load_tables(spark, sf_dir, "region", "nation")
+    return t.region.crossJoin(t.nation).select(
+        F.col("r_name").alias("region"),
+        F.col("n_name").alias("nation"),
+        (F.col("n_regionkey") == F.col("r_regionkey")).alias("is_home"),
+    )
+
+
+@query(
+    "join_interval_window",
+    tables=("events",),
+    oracle="""
+SELECT c.event_id                                AS click_event_id,
+       CAST(COUNT(p.event_id) AS BIGINT)         AS n_purchases_within_1h,
+       CAST(ROUND(SUM(CAST(p.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS purchase_value_1h
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+LEFT JOIN (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = c.user_id
+ AND p.ts > c.ts
+ AND p.ts <= c.ts + INTERVAL 1 HOUR
+GROUP BY c.event_id
+""",
+)
+def join_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join (two-sided range residual on an equi key): purchases
+    attributed to a click if they land in the hour after it. The equi
+    component (user_id) drives the hash join; the interval evaluates as
+    a residual — never a pure-range nested loop. At 100 TB, bucketing
+    both sides by user_id co-locates the join."""
+    t = load_tables(spark, sf_dir, "events")
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"), F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value"
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("pts") > F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("click_event_id").agg(
+        F.count("pe").alias("n_purchases_within_1h"),
+        msum("value").alias("purchase_value_1h"),
+    )
+
+
+@query(
+    "agg_min_max_by",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderstatus                              AS status,
+       CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_orderkey,
+       CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_orderkey,
+       ROUND(MIN(o_totalprice), 2)                AS min_price,
+       ROUND(MAX(o_totalprice), 2)                AS max_price
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax aggregates): the orderkey carrying
+    the extreme price, without a self-join or window — one hash
+    aggregate. Unique extremes in this fixture; with ties, pair the
+    value with a tie-breaker struct to pin the winner."""
+    t = load_tables(spark, sf_dir, "orders")
+    return t.orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_orderkey"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_orderkey"),
+        money(F.min("o_totalprice")).alias("min_price"),
+        money(F.max("o_totalprice")).alias("max_price"),
+    )
+
+
+@query(
+    "sort_nulls_ordering",
+    tables=("supplier",),
+    oracle="""
+SELECT s_suppkey,
+       CASE WHEN s_acctbal < 0 THEN NULL ELSE ROUND(s_acctbal, 2) END AS bal_or_null
+FROM supplier
+ORDER BY bal_or_null ASC NULLS FIRST, s_suppkey ASC
+LIMIT 40
+""",
+)
+def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit null ordering. Engine-portability trap made visible:
+    Spark's ASC default is NULLS FIRST, DuckDB's is NULLS LAST — a bare
+    ORDER BY on a nullable key silently disagrees across engines, so the
+    engine's policy is to ALWAYS spell the null position at a sort that
+    feeds a limit."""
+    t = load_tables(spark, sf_dir, "supplier")
+    bal = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(money("s_acctbal"))
+    return (
+        t.supplier.select("s_suppkey", bal.alias("bal_or_null"))
+        .orderBy(F.col("bal_or_null").asc_nulls_first(), F.col("s_suppkey").asc())
+        .limit(40)
+    )
+
+
+@query(
     "unpivot_measures_long",
     tables=("lineitem",),
     oracle="""
