@@ -63,6 +63,7 @@ def _load_all_modules() -> None:
         setops,
         asof,
         dedup,
+        graph,
         similarity,
         skew,
         text,

@@ -1,0 +1,99 @@
+"""Iterative graph operators: connected components by label propagation.
+
+The greedy min-id resolve (operators/dedup.py `dedup_minhash_resolve`)
+drops any doc paired with a lower id — single-pass, but transitive
+chains (a~b, b~c, NOT a~c) can leave different survivors than true
+clustering. This module computes exact connected components over the
+candidate-pair graph with iterative minimum-label propagation — the
+standard MapReduce/Pregel formulation, expressed as a driver-side loop
+of DataFrame joins (the engine's example of a genuinely iterative,
+non-SQL-expressible operator).
+
+Scale notes: each iteration is one shuffle join on the edge list plus a
+bounded aggregate; iterations needed = graph diameter (near-dup cluster
+diameters are tiny — 2-4). Lineage is truncated per iteration with
+localCheckpoint, or the plan tree grows exponentially (on a cluster,
+persist + checkpoint dir instead). For web-scale graphs swap the loop
+body for the large-star/small-star variant; the join shapes are
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import query
+from ..sources import load_tables
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 25
+) -> DataFrame:
+    """Exact connected components of an undirected edge list.
+
+    Returns (node, component) where component = the minimum node id
+    reachable from `node` — a deterministic canonical label. Converges
+    in O(diameter) iterations; raises if max_iter is hit (a safety
+    valve, not an approximation: partial labels are never returned).
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["a"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+@query("dedup_minhash_cc", tables=("documents",))
+def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup with EXACT clustering (rows-only check; the
+    Python union-find oracle lives in tests/test_graph.py): MinHash+LSH
+    candidate pairs -> connected components -> keep each component's
+    min-id representative; unpaired docs survive untouched.
+
+    vs `dedup_minhash_resolve` (greedy): CC keeps exactly one doc per
+    transitive near-dup cluster — chains collapse to one survivor
+    instead of zero-or-more.
+    """
+    from .dedup import dedup_minhash_lsh
+
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    comp = connected_components(pairs)
+    # Drop every clustered doc that is not its component's representative.
+    dupes = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return t.documents.join(dupes, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
