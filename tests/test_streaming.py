@@ -96,6 +96,57 @@ def test_windowed_counts_batch_equivalence(spark, sf_dir):
     assert expected.exceptAll(got).count() == 0
 
 
+def test_session_window_streams_match_batch(spark, tmp_path):
+    """session_window executed as a REAL stream (state-store backed,
+    two micro-batches) must produce the same sessions as the identical
+    logic in batch mode over the union of the inputs."""
+    from nytimes_batch_processor_spark.streaming import sessionized_stream
+
+    src = tmp_path / "sess"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "user_id,ts,value\n"
+        "1,2024-01-01 10:00:00,1.0\n"
+        "1,2024-01-01 10:10:00,2.0\n"  # same session (gap < 30min)
+        "2,2024-01-01 10:00:00,5.0\n"
+    )
+    (src / "b.csv").write_text(
+        "user_id,ts,value\n"
+        "1,2024-01-01 12:00:00,3.0\n"  # new session (gap > 30min)
+        "2,2024-01-01 10:20:00,7.0\n"  # extends user 2's open session
+    )
+    schema = "user_id LONG, ts TIMESTAMP, value DOUBLE"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        sessionized_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    batch = spark.read.schema(schema).option("header", "true").csv(str(src))
+    expected = {
+        (r["user_id"], str(r["session_start"])): (r["n_events"], r["session_value"])
+        for r in sessionized_stream(batch).collect()
+    }
+    assert got == expected
+    assert got[(1, "2024-01-01 10:00:00")] == (2, 3.0)  # merged within gap
+    assert got[(2, "2024-01-01 10:00:00")] == (2, 12.0)  # extended across batches
+    assert (1, "2024-01-01 12:00:00") in got  # new session after gap
+
+
 def test_session_window_matches_gaps_and_islands(spark, sf_dir):
     """Native session_window must produce the same (user, session-count)
     profile as the gaps-and-islands batch operator."""
