@@ -172,6 +172,10 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, "embeddings")
     dim = 64
+    # Signatures are checkpointed once: the corpus side and the probe
+    # side both read them, and without the checkpoint the 30-projection
+    # signature expression is evaluated twice (measured 3x slower cold).
+    # At cluster scale this is the persisted ANN index table.
     v = (
         t.embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
         .withColumn("nrm", _norm(F.col("e")))
@@ -188,6 +192,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tbl", "sig"),
         )
+        .localCheckpoint(eager=True)
     )
     # Query side: tiny (N_QUERIES x tables x 176 probe rows) — broadcast.
     probes = (
