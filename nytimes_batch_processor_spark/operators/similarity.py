@@ -278,10 +278,13 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     dists = F.array(*[sq_dist(c) for c in centers])
+    # Checkpointed once: probe and corpus sides both read the cell
+    # assignment (the persisted IVF index at cluster scale).
     assigned = (
         v.withColumn("_d", dists)
         .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
         .drop("_d")
+        .localCheckpoint(eager=True)
     )
     # (distance, cell) structs sorted -> nearest _IVF_NPROBE cell ids.
     ranked_cells = F.transform(
