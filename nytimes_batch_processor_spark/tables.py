@@ -83,6 +83,42 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
     writer.saveAsTable(name)
 
 
+def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> int:
+    """Small-files compaction: rewrite a parquet dataset into
+    ``target_partitions`` files and atomically swap it into place.
+
+    The reference's 15-minute append loop (O4) is exactly the workload
+    that accretes small files — thousands of appends x partitions — and
+    at 100 TB an uncompacted table wastes a task per tiny file on every
+    scan. coalesce (not repartition): no shuffle, just fewer write
+    tasks. Returns the file count after compaction.
+
+    The swap is two renames through the Hadoop FileSystem API (atomic
+    enough for a maintenance window on HDFS/local; object stores want a
+    manifest/table format instead — this utility is the format-free
+    fallback).
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
+    old = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
+    spark.read.parquet(path).coalesce(target_partitions).write.mode(
+        "overwrite"
+    ).parquet(str(tmp))
+    if not fs.rename(hpath, old):
+        raise IOError(f"compaction swap failed: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compaction swap failed: could not promote {tmp}")
+    fs.delete(old, True)
+    return sum(
+        1
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+
+
 @query(
     "table_catalog_roundtrip",
     tables=("nation", "region"),

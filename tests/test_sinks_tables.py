@@ -112,6 +112,27 @@ def test_create_covid_tables_idempotent(spark):
             spark.sql(f"DROP TABLE IF EXISTS {n}")
 
 
+def test_compact_parquet_preserves_data(spark, tmp_path):
+    """Compaction: many small files -> few, byte-identical content,
+    original safely swapped out."""
+    import os
+
+    from nytimes_batch_processor_spark.tables import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).selectExpr("id", "id % 7 AS g").repartition(40).write.parquet(path)
+    before_files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(before_files) >= 30
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    n_after = compact_parquet(spark, path, target_partitions=4)
+    assert n_after <= 4
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+    assert not os.path.exists(path + "._precompact")
+    assert not os.path.exists(path + "._compacting")
+
+
 def test_save_as_managed_table_roundtrip(spark):
     from nytimes_batch_processor_spark.tables import save_as_managed_table
 
