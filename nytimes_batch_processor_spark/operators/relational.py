@@ -532,6 +532,81 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "filter_like_in_patterns",
+    tables=("part",),
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_type
+FROM part
+WHERE p_type LIKE '%BRASS'
+  AND p_name ILIKE '%green%'
+  AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
+  AND p_name NOT LIKE 'forest%'
+""",
+)
+def filter_like_in_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIKE / ILIKE / NOT LIKE / IN-list predicate family. Suffix and
+    infix patterns can't prune parquet row groups (no leading literal),
+    but StringEndsWith/Contains still push to the scan as data filters;
+    the IN-list pushes fully."""
+    t = load_tables(spark, sf_dir, "part")
+    return t.part.filter(
+        F.col("p_type").like("%BRASS")
+        & F.col("p_name").ilike("%green%")
+        & F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & ~F.col("p_name").like("forest%")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+@query(
+    "join_null_safe_eq",
+    tables=("customer", "supplier"),
+    oracle="""
+WITH c AS (
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE CAST(c_nationkey % 5 AS INT) END AS grp
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal < 0 THEN NULL ELSE CAST(s_nationkey % 5 AS INT) END AS grp
+    FROM supplier
+)
+SELECT c.grp                                        AS grp,
+       CAST(COUNT(*) AS BIGINT)                     AS n_pairs,
+       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)  AS n_customers,
+       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT)  AS n_suppliers
+FROM c JOIN s ON c.grp IS NOT DISTINCT FROM s.grp
+GROUP BY c.grp
+""",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other — the semantics behind the reference's fips
+    sentinel (P5): Postgres unique indexes treat NULLs as distinct, so
+    it wrote -1; an engine with null-safe equality joins the NULL group
+    directly. Still a hash join: <=> is an equi-comparison, not a theta
+    residual."""
+    t = load_tables(spark, sf_dir, "customer", "supplier")
+    grp_c = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        (F.col("c_nationkey") % 5).cast("int")
+    )
+    grp_s = F.when(F.col("s_acctbal") < 0, F.lit(None)).otherwise(
+        (F.col("s_nationkey") % 5).cast("int")
+    )
+    c = t.customer.select("c_custkey", grp_c.alias("cg"))
+    s = t.supplier.select("s_suppkey", grp_s.alias("sg"))
+    return (
+        c.join(s, F.col("cg").eqNullSafe(F.col("sg")))
+        .groupBy(F.col("cg").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
     "join_cross_grid",
     tables=("region", "nation"),
     oracle="""
