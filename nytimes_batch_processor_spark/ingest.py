@@ -144,33 +144,31 @@ def ingest_covid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The input CSV is derived deterministically from the `orders` fixture
     (key-level aggregate, so duplicate rows are byte-identical and the
-    dedup winner is arrival-independent), each row written twice so the
-    in-batch dedup does real work. The driver-side CSV materialization is
-    fixture generation, not the query path — the pipeline itself never
-    collects.
+    dedup winner is arrival-independent), unioned with itself so the
+    in-batch dedup does real work. Fixture generation is fully
+    Spark-side (distributed CSV write — nulls as '', ISO dates, the NYT
+    file shape) — nothing is ever collected to the driver, so the entry
+    scales with the fixture like every other catalog query.
     """
     t = load_tables(spark, sf_dir, "orders")
     fips = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
         (F.col("o_custkey") % 100).cast("int")
     )
-    derived = (
-        t.orders.groupBy(
-            F.col("o_orderdate").cast("date").alias("date"),
-            F.col("o_orderpriority").alias("state"),
-            fips.alias("fips"),
-        )
-        .agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
-        .orderBy("date", "state", "fips")
-    )
+    derived = t.orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("date"),
+        F.col("o_orderpriority").alias("state"),
+        fips.alias("fips"),
+    ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
     workdir = tempfile.mkdtemp(prefix="ingest_covid_states_")
-    csv_path = os.path.join(workdir, "states.csv")
-    with open(csv_path, "w") as f:
-        f.write("date,state,fips,cases,deaths\n")
-        for r in derived.collect():
-            fips_s = "" if r["fips"] is None else str(r["fips"])
-            line = f'{r["date"].isoformat()},{r["state"]},{fips_s},{r["cases"]},{r["deaths"]}\n'
-            f.write(line)  # each row twice: in-batch dup for W3 to kill
-            f.write(line)
+    csv_path = os.path.join(workdir, "states_csv")
+    # Each row twice: byte-identical in-batch duplicates for W3 to kill.
+    # Spark's CSV writer emits NULL as '' (P3's inverse) and dates as ISO.
+    (
+        derived.unionByName(derived)
+        .coalesce(1)  # one part-file: the reference reads ONE remote CSV
+        .write.option("header", True)
+        .csv(csv_path)
+    )
     target = os.path.join(workdir, "covid_states")
     ingest_covid_csv(spark, csv_path, target, has_county=False)
     out = ingest_covid_csv(spark, csv_path, target, has_county=False)

@@ -537,23 +537,33 @@ def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey, p_name, p_brand, p_type
 FROM part
-WHERE p_type LIKE '%BRASS'
-  AND p_name ILIKE '%green%'
-  AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34')
-  AND p_name NOT LIKE 'forest%'
+WHERE p_name LIKE '%t'
+  AND p_type ILIKE '%dar%'
+  AND p_brand IN ('Brand#12', 'Brand#23', 'Brand#34', 'Brand#45',
+                  'Brand#5', 'Brand#15', 'Brand#25')
+  AND p_name NOT LIKE 'red%'
 """,
 )
 def filter_like_in_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LIKE / ILIKE / NOT LIKE / IN-list predicate family. Suffix and
     infix patterns can't prune parquet row groups (no leading literal),
     but StringEndsWith/Contains still push to the scan as data filters;
-    the IN-list pushes fully."""
+    the IN-list pushes fully.
+
+    Predicates are calibrated to the driver fixture (names are
+    "<color> <noun>", types ECONOMY/STANDARD/...) so the conjunction is
+    selective but NON-EMPTY at every fixture SF (1 row at sf0.001, 13 at
+    sf0.01, 162 at sf0.1) — a 0-row result would pass the oracle
+    vacuously (the r2 verdict's trap)."""
     t = load_tables(spark, sf_dir, "part")
     return t.part.filter(
-        F.col("p_type").like("%BRASS")
-        & F.col("p_name").ilike("%green%")
-        & F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
-        & ~F.col("p_name").like("forest%")
+        F.col("p_name").like("%t")
+        & F.col("p_type").ilike("%dar%")
+        & F.col("p_brand").isin(
+            "Brand#12", "Brand#23", "Brand#34", "Brand#45",
+            "Brand#5", "Brand#15", "Brand#25",
+        )
+        & ~F.col("p_name").like("red%")
     ).select("p_partkey", "p_name", "p_brand", "p_type")
 
 

@@ -1,3 +1,4 @@
 from .readers import load_table, load_tables, read_csv
+from .staging import fetch_to_staging
 
-__all__ = ["load_table", "load_tables", "read_csv"]
+__all__ = ["fetch_to_staging", "load_table", "load_tables", "read_csv"]

@@ -124,3 +124,38 @@ def test_ingest_counties_schema(spark, tmp_path, staging):
         "cases",
         "deaths",
     ]
+
+
+def test_fetch_to_staging_file_url_feeds_ingest(spark, tmp_path, staging):
+    """S1: the reference's remote-CSV source (application.properties:1-2)
+    as fetch-to-staging + Spark scan — exercised via a file:// URL (no
+    network in the test container)."""
+    from nytimes_batch_processor_spark.ingest import ingest_covid_csv
+    from nytimes_batch_processor_spark.sources import fetch_to_staging
+
+    src = _write(staging, "us-states.csv", STATES_CSV)
+    staged_dir = str(tmp_path / "staged")
+    staged = fetch_to_staging(f"file://{src}", staged_dir)
+    assert staged == f"{staged_dir}/us-states.csv"
+    with open(staged) as f:
+        assert f.read() == STATES_CSV
+
+    target = str(tmp_path / "covid_states_fetched")
+    out = ingest_covid_csv(spark, staged, target, has_county=False)
+    assert out.count() == 4
+
+    # re-fetch overwrites atomically (15-min re-pull, deploy.sh:29);
+    # no stray temp files remain in the staging dir
+    import os
+
+    fetch_to_staging(f"file://{src}", staged_dir)
+    assert os.listdir(staged_dir) == ["us-states.csv"]
+
+
+def test_fetch_to_staging_rejects_bad_scheme(tmp_path):
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.sources import fetch_to_staging
+
+    with _pytest.raises(ValueError, match="unsupported URL scheme"):
+        fetch_to_staging("ftp://example.com/x.csv", str(tmp_path))
