@@ -96,7 +96,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
         (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf_topk(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.4, f"IVF recall@10 vs brute force: {recall:.2f}"
+    assert recall >= 0.5, f"IVF recall@10 vs brute force: {recall:.2f}"
 
 
 def test_ann_lsh_is_bucket_equijoin(spark, sf_dir):
@@ -127,3 +127,21 @@ def test_minhash_resolve_shrinks_corpus(spark, sf_dir):
     survivors = dedup_minhash_resolve(spark, sf_dir)
     assert survivors.count() == total - dropped
     assert survivors.select("doc_id").distinct().count() == total - dropped
+
+
+def test_minhash_signatures_drop_tokenless_docs(spark):
+    """Empty / whitespace-only / NULL text must not reach banding: all
+    such docs would share one signature and collide pairwise in every
+    LSH bucket (O(n_empty^2) candidates at corpus scale)."""
+    from nytimes_batch_processor_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, "   "), (4, None),
+         (5, "the quick brown fox")],
+        "doc_id int, text string",
+    )
+    sig = minhash_signatures(docs, "doc_id", "text")
+    rows = {r["doc_id"]: r["sig"] for r in sig.collect()}
+    assert set(rows) == {1, 5}, "token-less docs must be dropped"
+    assert rows[1] == rows[5]
+    assert all(v is not None for v in rows[1])
