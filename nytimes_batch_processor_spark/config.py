@@ -18,10 +18,38 @@ secret-bearing values arrive only through the environment.
 from __future__ import annotations
 
 import os
+import typing
 from collections.abc import Mapping
 from dataclasses import dataclass
 
 ENV_PREFIX = "SPARK_GRAFT_"
+# Deployments point this at a java-style properties file to use the
+# middle config layer without touching code (the reference's
+# application.properties, deploy.sh:18-22 pattern).
+PROPERTIES_ENV = "SPARK_GRAFT_PROPERTIES"
+
+
+def _coerce(raw: str, typ: object):
+    """Coerce a string setting to the field's REAL type (resolved via
+    typing.get_type_hints, never the string annotation — `from
+    __future__ import annotations` makes every annotation a string, so
+    comparing ``field.type == "int"`` silently stops coercing the moment
+    a field becomes ``int | None`` or the import is dropped)."""
+    args = [a for a in typing.get_args(typ) if a is not type(None)]
+    if args:  # Optional[X] / X | None -> coerce to X
+        typ = args[0]
+    if typ is bool:  # must precede int: bool is an int subclass
+        low = raw.strip().lower()
+        if low in ("true", "1", "yes", "on"):
+            return True
+        if low in ("false", "0", "no", "off"):
+            return False
+        raise ValueError(f"not a boolean: {raw!r}")
+    if typ is int:
+        return int(raw)
+    if typ is float:
+        return float(raw)
+    return raw
 
 
 def load_properties(path: str) -> dict[str, str]:
@@ -59,8 +87,15 @@ class EngineConfig:
         properties_file: str | None = None,
         env: Mapping[str, str] | None = None,
     ) -> "EngineConfig":
-        """defaults < properties file < SPARK_GRAFT_* env vars."""
+        """defaults < properties file < SPARK_GRAFT_* env vars.
+
+        ``properties_file`` defaults to $SPARK_GRAFT_PROPERTIES when
+        set, so the file layer is reachable from a deployment without
+        any code path passing it explicitly (get_spark calls resolve()
+        bare)."""
         env = os.environ if env is None else env
+        if properties_file is None:
+            properties_file = env.get(PROPERTIES_ENV) or None
         layered: dict[str, str] = {}
         if properties_file is not None:
             layered.update(load_properties(properties_file))
@@ -68,12 +103,12 @@ class EngineConfig:
             env_key = ENV_PREFIX + field_name.upper()
             if env_key in env:
                 layered[field_name] = env[env_key]
-        kwargs: dict[str, object] = {}
-        for field_name, field in cls.__dataclass_fields__.items():
-            if field_name not in layered:
-                continue
-            raw = layered[field_name]
-            kwargs[field_name] = int(raw) if field.type == "int" else raw
+        hints = typing.get_type_hints(cls)
+        kwargs: dict[str, object] = {
+            field_name: _coerce(raw, hints[field_name])
+            for field_name, raw in layered.items()
+            if field_name in cls.__dataclass_fields__
+        }
         return cls(**kwargs)
 
     def effective_cpus(self) -> int:

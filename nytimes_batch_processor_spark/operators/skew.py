@@ -40,7 +40,22 @@ def salted_equi_join(
     (e.g. pmod(xxhash64(<unique cols>), n_salts)) — row-random salts
     would break retry idempotency and re-run comparisons. Result is
     row-identical to ``probe.join(build, probe_key == build_key, how)``.
+
+    Only probe-preserving join types are accepted: the build side is
+    replicated once per salt, so under right/full-outer a build row with
+    NO probe match would be emitted ``n_salts`` times (each salt replica
+    is separately unmatched) — silently wrong results, so those ``how``
+    values raise. (Right-side skew: swap the inputs and salt the other
+    way.)
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_equi_join: how={how!r} would replicate unmatched build "
+            f"rows x{n_salts}; only probe-preserving joins are valid: "
+            f"{sorted(allowed)}"
+        )
     salted_probe = probe.withColumn("_salt", scatter.cast("int"))
     salted_build = build.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))

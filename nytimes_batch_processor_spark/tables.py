@@ -70,12 +70,35 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
     branch (tableExists is true and overwrite handles it)."""
     spark = df.sparkSession
     if not spark.catalog.tableExists(name):
-        warehouse = spark.conf.get("spark.sql.warehouse.dir")
-        loc_path = f"{warehouse.rstrip('/')}/{name.lower()}"
+        # Derive the warehouse location the way Spark lays it out:
+        # <warehouse>/<table> for the default db, <warehouse>/<db>.db/<table>
+        # for qualified names. Delete ONLY when the directory actually
+        # looks like an orphaned Spark table (data/commit files present) —
+        # never a directory some other system owns that merely collides.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        parts = name.lower().split(".")
+        if len(parts) == 2:
+            loc_path = f"{warehouse}/{parts[0]}.db/{parts[1]}"
+        elif len(parts) == 1:
+            loc_path = f"{warehouse}/{parts[0]}"
+        else:
+            raise ValueError(f"unsupported table identifier: {name}")
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(loc_path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         if fs.exists(p):
+            children = [f.getPath().getName() for f in fs.listStatus(p)]
+            looks_like_table = not children or any(
+                c == "_SUCCESS" or c.endswith(".parquet") or c.startswith("part-")
+                or "=" in c
+                for c in children
+            )
+            if not looks_like_table:
+                raise IOError(
+                    f"refusing to delete {loc_path}: exists but does not look "
+                    f"like an orphaned Spark table (children: {children[:5]})"
+                )
+            print(f"save_as_managed_table: removing orphaned table dir {loc_path}")
             fs.delete(p, True)
     writer = df.write.mode("overwrite")
     if partition_by is not None:
@@ -83,15 +106,46 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
     writer.saveAsTable(name)
 
 
+def detect_partition_columns(spark: SparkSession, path: str) -> list[str]:
+    """Partition columns of a parquet dataset, from its directory layout
+    (``col=value`` levels under ``path``, outermost first)."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    cols: list[str] = []
+    cur = jvm.org.apache.hadoop.fs.Path(path)
+    while True:
+        subdirs = [
+            f.getPath()
+            for f in fs.listStatus(cur)
+            if f.isDirectory() and "=" in f.getPath().getName()
+        ]
+        if not subdirs:
+            return cols
+        cols.append(subdirs[0].getName().split("=", 1)[0])
+        cur = subdirs[0]
+
+
 def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> int:
-    """Small-files compaction: rewrite a parquet dataset into
-    ``target_partitions`` files and atomically swap it into place.
+    """Small-files compaction: rewrite a parquet dataset into few files
+    and atomically swap it into place, PRESERVING the partition layout.
 
     The reference's 15-minute append loop (O4) is exactly the workload
     that accretes small files — thousands of appends x partitions — and
     at 100 TB an uncompacted table wastes a task per tiny file on every
-    scan. coalesce (not repartition): no shuffle, just fewer write
-    tasks. Returns the file count after compaction.
+    scan. Partition columns are detected from the ``col=value`` directory
+    layout and the rewrite re-emits them with the same ``partitionBy``:
+    a flat rewrite of a partitioned target would leave a mixed layout
+    the NEXT ``upsert_append`` (which writes ``partitionBy('date')``)
+    turns into 'Conflicting directory structures', and silently lose
+    partition pruning.
+
+    Unpartitioned data is coalesced (no shuffle, just fewer write
+    tasks); partitioned data is repartitioned BY the partition columns
+    (one shuffle) so each partition directory compacts to one file
+    instead of up-to-``target_partitions`` files per directory. Returns
+    the data-file count after compaction.
 
     The swap is two renames through the Hadoop FileSystem API (atomic
     enough for a maintenance window on HDFS/local; object stores want a
@@ -103,20 +157,29 @@ def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> i
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
     old = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
-    spark.read.parquet(path).coalesce(target_partitions).write.mode(
-        "overwrite"
-    ).parquet(str(tmp))
+    part_cols = detect_partition_columns(spark, path)
+    df = spark.read.parquet(path)
+    if part_cols:
+        writer = (
+            df.repartition(target_partitions, *[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        )
+    else:
+        writer = df.coalesce(target_partitions).write.mode("overwrite")
+    writer.parquet(str(tmp))
     if not fs.rename(hpath, old):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(tmp, hpath):
         fs.rename(old, hpath)  # roll back
         raise IOError(f"compaction swap failed: could not promote {tmp}")
     fs.delete(old, True)
-    return sum(
-        1
-        for f in fs.listStatus(hpath)
-        if f.getPath().getName().endswith(".parquet")
-    )
+    it = fs.listFiles(hpath, True)  # recursive: partitioned layouts nest
+    n = 0
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            n += 1
+    return n
 
 
 @query(

@@ -82,6 +82,45 @@ def test_salted_join_equals_plain_join(fact_rows, dim_rows):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+@settings(max_examples=6, deadline=None)
+@given(rows, rows)
+def test_salted_left_join_equals_plain_left_join(fact_rows, dim_rows):
+    """Probe-preserving outer how (left): unmatched PROBE rows appear
+    exactly once — salting scatters the probe side, never replicates it,
+    so left-outer stays row-identical to the plain join."""
+    from nytimes_batch_processor_spark.operators.skew import salted_equi_join
+
+    spark = _spark()
+    fact = spark.createDataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(fact_rows)], "rid int, k int, v int"
+    )
+    dim = spark.createDataFrame(dim_rows, "k2 int, w int")
+    plain = fact.join(dim, fact["k"] == dim["k2"], "left").select("rid", "k", "v", "w")
+    salted = salted_equi_join(
+        fact, dim, "k", "k2", 4, F.pmod(F.xxhash64("rid"), F.lit(4)), how="left"
+    ).select("rid", "k", "v", "w")
+    assert sorted(map(tuple, plain.collect()), key=repr) == sorted(
+        map(tuple, salted.collect()), key=repr
+    )
+
+
+def test_salted_join_rejects_build_preserving_hows():
+    """right/full outer would emit each unmatched build row once PER
+    SALT REPLICA (n_salts copies instead of one) — the API must refuse,
+    not silently corrupt."""
+    import pytest
+
+    from nytimes_batch_processor_spark.operators.skew import salted_equi_join
+
+    spark = _spark()
+    fact = spark.createDataFrame([(1, 1, 1)], "rid int, k int, v int")
+    dim = spark.createDataFrame([(2, 9)], "k2 int, w int")
+    scatter = F.pmod(F.xxhash64("rid"), F.lit(4))
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="probe-preserving"):
+            salted_equi_join(fact, dim, "k", "k2", 4, scatter, how=how)
+
+
 asof_left = st.lists(
     st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=20
 )

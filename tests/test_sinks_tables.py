@@ -145,3 +145,46 @@ def test_save_as_managed_table_roundtrip(spark):
         assert spark.table("t_managed_roundtrip").count() == 5
     finally:
         spark.sql("DROP TABLE IF EXISTS t_managed_roundtrip")
+
+
+def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
+    """Compacting a date-partitioned target must re-emit date= dirs —
+    a flat rewrite would collide with the next partitioned append
+    ('Conflicting directory structures') and lose partition pruning."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.ingest import upsert_append
+    from nytimes_batch_processor_spark.tables import (
+        compact_parquet,
+        detect_partition_columns,
+    )
+
+    path = str(tmp_path / "covid_frag")
+    base = spark.range(300).select(
+        F.expr("date_add(DATE'2020-01-01', CAST(id % 3 AS INT))").alias("date"),
+        F.concat(F.lit("S"), (F.col("id") % 7).cast("string")).alias("state"),
+        F.col("id").cast("int").alias("fips"),
+        F.col("id").alias("cases"),
+        F.lit(0).cast("long").alias("deaths"),
+    )
+    # fragment: several appends, many files per date= dir
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        base.filter((F.col("cases") >= lo) & (F.col("cases") < hi)).write.mode(
+            "append"
+        ).partitionBy("date").parquet(path)
+    assert detect_partition_columns(spark, path) == ["date"]
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    n_after = compact_parquet(spark, path, target_partitions=4)
+    assert n_after <= 3  # one file per date= dir
+    date_dirs = [d for d in os.listdir(path) if d.startswith("date=")]
+    assert len(date_dirs) == 3, f"partition layout lost: {os.listdir(path)}"
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+    # the exact workload the docstring cites: a partitioned append AFTER
+    # compaction must still read cleanly (no mixed/conflicting layout)
+    day4 = base.limit(10).withColumn("date", F.lit("2020-01-04").cast("date"))
+    upsert_append(day4, path, ["date", "state", "fips"])
+    assert spark.read.parquet(path).select("date").distinct().count() == 4
