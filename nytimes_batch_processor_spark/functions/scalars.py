@@ -296,3 +296,33 @@ def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             "clamped_bal"
         ),
     )
+
+
+@query(
+    "fn_regexp_surface",
+    tables=("part",),
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '^(?:red|blue) (\\w+)$', 1) AS noun,
+       regexp_replace(p_brand, '[0-9]', '', 'g')          AS brand_family,
+       CAST(regexp_matches(p_type, '^(ECONOMY|PROMO)') AS BOOLEAN) AS is_value_tier
+FROM part
+WHERE regexp_matches(p_name, '^(red|blue) ')
+""",
+)
+def fn_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: rlike predicate, group extraction, global
+    replacement — the text-wrangling trio every ingest normalization
+    pass uses. All JVM-side built-ins (codegen'd java.util.regex);
+    the rlike filter is evaluated at the scan, and at 100 TB a
+    leading-literal pattern additionally prunes via a derived
+    StartsWith data filter. Dialect note: DuckDB regexp_replace
+    needs the explicit 'g' flag to match Spark's replace-all
+    default."""
+    t = load_tables(spark, sf_dir, "part")
+    return t.part.filter(F.col("p_name").rlike("^(red|blue) ")).select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(?:red|blue) (\w+)$", 1).alias("noun"),
+        F.regexp_replace("p_brand", "[0-9]", "").alias("brand_family"),
+        F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_value_tier"),
+    )

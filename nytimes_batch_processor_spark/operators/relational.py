@@ -914,3 +914,123 @@ def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("order_date"),
         )
     )
+
+
+@query(
+    "agg_stats_surface",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_returnflag                                      AS returnflag,
+       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
+       ROUND(covar_samp(l_quantity, l_discount), 6)      AS covar_qty_disc,
+       ROUND(stddev_samp(l_discount), 6)                 AS sd_discount,
+       ROUND(var_pop(l_tax), 6)                          AS var_tax
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr / covar_samp / stddev_samp / var_pop)
+    — the moments layer a data-quality or feature-drift monitor runs over
+    a training corpus.
+
+    Spark computes all four in a single hash-aggregate pass (partial
+    moment merge is associative, so map-side combine applies — the same
+    one-shuffle shape as SUM at 100 TB). Magnitudes here are O(1) or
+    smaller (corr in [-1,1], discount/tax in [0, 0.1]) so 6dp rounding is
+    safely inside the double-merge jitter margin; large-magnitude
+    covariances would need the decimal-sum treatment instead
+    (functions/__init__ docstring)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    return t.lineitem.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        ratio(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        ratio(F.covar_samp("l_quantity", "l_discount")).alias("covar_qty_disc"),
+        ratio(F.stddev_samp("l_discount")).alias("sd_discount"),
+        ratio(F.var_pop("l_tax")).alias("var_tax"),
+    )
+
+
+@query(
+    "agg_time_rollup",
+    tables=("orders",),
+    oracle="""
+SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS INT), -1)  AS yr,
+       COALESCE(CAST(EXTRACT(month FROM o_orderdate) AS INT), -1) AS mo,
+       CAST(COUNT(*) AS BIGINT)                                   AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT),
+                 CAST(EXTRACT(month FROM o_orderdate) AS INT))
+""",
+)
+def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP (year -> year+month -> grand total) —
+    the time-series drill-down the reference's cumulative tables feed
+    ("cases by month, by year, total"). One Expand + hash agg pass;
+    sentinel -1 for the rolled-up levels keeps the compare null-safe
+    (year/month are ints, so 'ALL' can't be the label)."""
+    t = load_tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        t.orders.rollup(
+            F.year(d).cast("int").alias("yr"), F.month(d).cast("int").alias("mo")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice").alias("revenue"))
+        .select(
+            F.coalesce("yr", F.lit(-1)).alias("yr"),
+            F.coalesce("mo", F.lit(-1)).alias("mo"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    tables=("customer", "orders", "lineitem"),
+    oracle="""
+SELECT l.l_orderkey                                     AS orderkey,
+       CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                      * CAST(1 - l.l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+       CAST(o.o_orderdate AS DATE)                      AS orderdate,
+       o.o_orderpriority                                AS priority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND CAST(o.o_orderdate AS DATE) < DATE '1998-01-01'
+  AND CAST(l.l_shipdate AS DATE)  > DATE '1996-01-01'
+GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped integration query (segment filter -> 3-way join ->
+    revenue agg -> top-10): the canonical 'does the whole relational
+    stack compose' probe.
+
+    Plan shape at scale: both filters push to the parquet scans; the
+    filtered BUILDING customer slice is dimension-sized so Catalyst
+    broadcasts it into the orders join; the orders->lineitem join
+    shuffles on orderkey (both fact-sized); the LIMIT 10 runs as
+    TakeOrderedAndProject (never a global sort). Revenue is an exact
+    decimal sum -> 2dp, with orderkey as the deterministic tie-break."""
+    t = load_tables(spark, sf_dir, "customer", "orders", "lineitem")
+    c = t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    o = t.orders.filter(F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    l = t.lineitem.filter(F.col("l_shipdate").cast("date") > F.lit("1996-01-01").cast("date"))
+    rev = F.sum(dec2("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast("decimal(18,6)"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.round(rev, 2).cast("double").alias("revenue"))
+        .select("orderkey", "revenue", "orderdate", "priority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )

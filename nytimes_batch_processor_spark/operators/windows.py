@@ -217,3 +217,51 @@ def window_range_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_revenue").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
         ).alias("avg_7d"),
     )
+
+
+@query(
+    "window_ignore_nulls_ffill",
+    tables=("events",),
+    oracle="""
+SELECT event_id,
+       user_id,
+       last_value(nv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )                                               AS filled_value,
+       first_value(nv IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       )                                               AS first_seen_value
+FROM (
+    SELECT event_id, user_id, ts,
+           CASE WHEN event_type IN ('click', 'error') THEN NULL
+                ELSE ROUND(value, 2) END AS nv
+    FROM events
+)
+""",
+)
+def window_ignore_nulls_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytic windows: forward-fill (last non-null value
+    so far) and first-non-null per user — the gap-fill idiom for sensor /
+    event streams where some event types carry no measurement.
+
+    last/first with ignorenulls are frame-based (running state is one
+    value per key), so the window costs the same one shuffle as any
+    per-user window; event_id tie-breaks equal timestamps so the fill is
+    deterministic."""
+    t = load_tables(spark, sf_dir, "events")
+    nv = F.when(F.col("event_type").isin("click", "error"), F.lit(None)).otherwise(
+        F.round("value", 2)
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t.events.withColumn("nv", nv).select(
+        "event_id",
+        "user_id",
+        F.last("nv", ignorenulls=True).over(w).alias("filled_value"),
+        F.first("nv", ignorenulls=True).over(w).alias("first_seen_value"),
+    )

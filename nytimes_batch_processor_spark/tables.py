@@ -211,3 +211,27 @@ def table_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_name").alias("first_nation"),
         )
     )
+
+
+def write_bucketed(
+    df: DataFrame, name: str, key: str, n_buckets: int, sort: bool = True
+) -> None:
+    """Persist a table bucketed (and bucket-sorted) by ``key`` — the
+    co-located-join layout for 100 TB fact-fact joins.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with NO Exchange on either side (asserted in tests/test_plans.py):
+    the hash-partitioning is baked into the file layout at write time, so
+    every subsequent join/aggregate on the key reuses it for free. This
+    is the physical answer to the reference's Postgres-unique-index
+    lookup (W3): the key's locality is a property of the table, paid
+    once, not per query. Bucket count is a layout contract: at cluster
+    scale pick ~(total cores) buckets and keep it stable across writers.
+    """
+    spark = df.sparkSession
+    if spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE {name}")
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.saveAsTable(name)

@@ -83,3 +83,44 @@ def test_whole_stage_codegen_present(spark, sf_dir):
     from nytimes_batch_processor_spark.plans import codegen_stage_count
 
     assert codegen_stage_count(agg_pricing_summary(spark, sf_dir)) >= 2
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located bucketed join: both sides bucketed on the key with the
+    same bucket count -> SortMergeJoin with NO shuffle on either input.
+    At 100 TB this is the difference between a layout-amortized join and
+    re-shuffling both fact tables on every query."""
+    from nytimes_batch_processor_spark.sources import load_tables
+    from nytimes_batch_processor_spark.tables import write_bucketed
+
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # At fixture scale Catalyst would just broadcast the small side (and
+    # skip the bucketed scan); force the fact-fact regime the layout is
+    # FOR by disabling auto-broadcast within the test.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(t.orders, "orders_bkt", "o_custkey", 8)
+        write_bucketed(
+            t.customer.withColumnRenamed("c_custkey", "o_custkey"),
+            "customer_bkt",
+            "o_custkey",
+            8,
+        )
+        joined = spark.table("orders_bkt").join(
+            spark.table("customer_bkt"), "o_custkey"
+        )
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        # and the layout survives for aggregation too: groupBy on the
+        # bucket key needs no exchange either
+        agg = spark.table("orders_bkt").groupBy("o_custkey").count()
+        agg.collect()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, f"bucketed agg still shuffles:\n{agg_plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS customer_bkt")
