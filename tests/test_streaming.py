@@ -159,3 +159,98 @@ def test_session_window_matches_gaps_and_islands(spark, sf_dir):
     islands = sessionize_gap_30min(spark, sf_dir).groupBy("user_id").count()
     assert native.exceptAll(islands).count() == 0
     assert islands.exceptAll(native).count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics (L1 streaming checklist): in append mode a
+    window only emits once the watermark passes its end, and an event
+    arriving AFTER the watermark has passed its window is dropped — the
+    state store stays bounded by the watermark horizon at any scale."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, user_id LONG")
+            .option("header", "true")
+            .csv(str(src))
+        )
+        counts = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .count()
+            .select(F.col("w.start").cast("string").alias("start"), "count")
+        )
+        q = (
+            counts.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.csv").write_text(
+        "ts,user_id\n"
+        "2024-01-01 10:30:00,1\n"
+        "2024-01-01 11:30:00,2\n"
+        "2024-01-01 13:00:00,3\n"  # advances watermark to 12:00
+    )
+    drain()
+    # a 09:10 event arrives after the watermark (12:00) closed its
+    # [09:00,10:00) window -> dropped; 14:10 is on time and advances
+    # the watermark so the 10:00 window is guaranteed emitted
+    (src / "b2.csv").write_text(
+        "ts,user_id\n2024-01-01 09:10:00,9\n2024-01-01 14:10:00,4\n"
+    )
+    drain()
+
+    rows = {r["start"]: r["count"] for r in spark.read.parquet(out).collect()}
+    assert not any(s.startswith("2024-01-01 09:") for s in rows), (
+        f"late row opened a closed window: {rows}"
+    )
+    assert rows["2024-01-01 10:00:00"] == 1  # on-time window emitted once
+
+
+def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
+    """Streaming keyed dedup — the W3 ON-CONFLICT semantics as a native
+    streaming operator: dropDuplicates over the key suppresses re-sends
+    across micro-batches while the watermark bounds the dedup state."""
+    src = tmp_path / "dedup_ev"
+    src.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+    out = str(tmp_path / "dedup_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts TIMESTAMP, k STRING, v LONG")
+            .option("header", "true")
+            .csv(str(src))
+        )
+        deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["k"])
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    (src / "b1.csv").write_text(
+        "ts,k,v\n2024-01-01 10:00:00,a,1\n2024-01-01 10:05:00,b,2\n"
+    )
+    drain()  # 'a' and 'b' land and enter the dedup state
+    (src / "b2.csv").write_text(
+        "ts,k,v\n2024-01-01 10:06:00,a,999\n2024-01-01 10:07:00,c,3\n"
+    )
+    drain()  # re-sent 'a' suppressed by state; 'c' is new
+
+    rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 3}, rows
