@@ -30,15 +30,22 @@ def asof_join(
     right_ts: str,
     right_values: list[str],
     tie_breaker: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: attach to each `left` row the `right_values`
-    of the most recent `right` row with right_ts <= left_ts, per `on` key.
+    of the nearest `right` row per `on` key — the most recent with
+    right_ts <= left_ts (``direction="backward"``, the default) or the
+    earliest with right_ts >= left_ts (``direction="forward"``). Both
+    directions are the SAME one-shuffle union-window plan; forward just
+    flips the window order, so the scale properties are identical.
 
-    Rows tie on timestamp: the right side wins (<=, inclusive), matching
+    Rows tie on timestamp: the right side wins (inclusive), matching
     DuckDB's ASOF JOIN semantics used as the oracle. Among right rows
     sharing (key, ts), `tie_breaker` (a unique right column) pins the
-    winner — the largest tie_breaker value — so results are
-    deterministic (catalog.py's tie-break-every-window policy).
+    winner — the largest tie_breaker value in either direction (ordering
+    within an equal-ts group is unaffected by the ts sort flip, and the
+    carried row is always the last right row before the left one) — so
+    results are deterministic (catalog.py's tie-break policy).
 
     The right values travel as ONE struct carried by a single
     last(ignorenulls=True), so all attached columns always come from the
@@ -64,10 +71,15 @@ def asof_join(
         F.struct(*right_values).alias("_rv"),
         (F.col(tie_breaker) if tie_breaker is not None else F.lit(0)).alias("_tie"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Left rows carry _tie = NULL; nulls_last keeps them after any tied
     # right rows (they carry no value anyway — _rv is NULL on the left).
+    # Forward scans time in reverse: the "last carried" right row is then
+    # the EARLIEST one at-or-after the left row.
+    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
     order: list[Column] = [
-        F.col("_ts").asc(),
+        ts_ord,
         F.col("_side").asc(),
         F.col("_tie").asc_nulls_last(),
     ]
@@ -134,4 +146,63 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("purchase_value"),
         F.unix_micros("asof_click_ts").alias("last_click_epoch_us"),
         F.col("asof_click_event_id").alias("last_click_event_id"),
+    )
+
+
+@query(
+    "join_asof_forward_activation",
+    tables=("events",),
+    oracle="""
+WITH signups AS (
+    SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
+),
+purchases AS (
+    SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+           ROUND(value, 2) AS p_value
+    FROM events WHERE event_type = 'purchase'
+)
+SELECT s.event_id,
+       s.user_id,
+       epoch_us(s.ts)                                 AS signup_epoch_us,
+       epoch_us(p.p_ts)                               AS next_purchase_epoch_us,
+       p.p_event_id                                   AS next_purchase_event_id,
+       p.p_value                                      AS next_purchase_value
+FROM signups s
+ASOF LEFT JOIN purchases p
+  ON s.user_id = p.user_id AND s.ts <= p.p_ts
+""",
+)
+def join_asof_forward_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: for every signup, the EARLIEST purchase at or
+    after it by the same user — the activation/conversion metric, and the
+    direction twin of join_asof_purchase_click. Same union-window plan
+    with the time order flipped; oracle is DuckDB's native forward ASOF
+    (ON s.ts <= p.ts)."""
+    t = load_tables(spark, sf_dir, "events")
+    signups = t.events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event_id"),
+        F.round("value", 2).alias("p_value"),
+    )
+    joined = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_values=["p_ts", "p_event_id", "p_value"],
+        tie_breaker="p_event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("signup_epoch_us"),
+        F.unix_micros("asof_p_ts").alias("next_purchase_epoch_us"),
+        F.col("asof_p_event_id").alias("next_purchase_event_id"),
+        F.col("asof_p_value").alias("next_purchase_value"),
     )

@@ -1034,3 +1034,64 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "agg_incremental_merge",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderpriority                               AS priority,
+       CAST(COUNT(*) AS BIGINT)                      AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       ROUND(MIN(o_totalprice), 2)                   AS min_price,
+       ROUND(MAX(o_totalprice), 2)                   AS max_price,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: partial aggregation states
+    computed per batch, merged WITHOUT rescanning history — the
+    analytical counterpart of the reference's 15-minute re-ingest loop
+    (O4): a day's new partition re-aggregates alone and merges into the
+    running state in O(groups), not O(history).
+
+    The fact table is split into two 'batches' (orderdate halves); each
+    produces (count, decimal-sum, min, max) partials per group; the
+    merge is sum-of-counts / sum-of-sums / min-of-mins / max-of-maxs,
+    with AVG derived at read time (sum/count) — the only formulation
+    that merges associatively. The oracle is the ONE-PASS aggregate over
+    everything: merged partials must be indistinguishable from a full
+    rescan."""
+    t = load_tables(spark, sf_dir, "orders")
+    cut = F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(dec2("o_totalprice")).alias("_sum"),
+            F.min("o_totalprice").alias("_min"),
+            F.max("o_totalprice").alias("_max"),
+        )
+
+    batch1 = partials(t.orders.filter(cut))
+    batch2 = partials(t.orders.filter(~cut))
+    merged = (
+        batch1.unionByName(batch2)
+        .groupBy("priority")
+        .agg(
+            F.sum("_n").alias("n_orders"),
+            F.sum("_sum").alias("_sum"),
+            F.min("_min").alias("_min"),
+            F.max("_max").alias("_max"),
+        )
+    )
+    return merged.select(
+        "priority",
+        "n_orders",
+        F.round("_sum", 2).cast("double").alias("revenue"),
+        F.round("_min", 2).alias("min_price"),
+        F.round("_max", 2).alias("max_price"),
+        F.round(F.col("_sum").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
+    )

@@ -173,3 +173,39 @@ def _spark():
     from nytimes_batch_processor_spark.session import get_spark
 
     return get_spark("engine-tests", cpus=8)
+
+
+@settings(max_examples=6, deadline=None)
+@given(asof_left, asof_right)
+def test_asof_forward_matches_bruteforce(left_rows, right_rows):
+    """direction='forward': per-left-row argmin over {right | key match,
+    ts >= left.ts}, ties (same earliest ts) broken by the LARGEST
+    tie_breaker — brute-force model on arbitrary inputs."""
+    from nytimes_batch_processor_spark.operators.asof import asof_join
+
+    spark = _spark()
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(left_rows)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(i, k, t, v) for i, (k, t, v) in enumerate(right_rows)],
+        "rid int, k int, rts int, v int",
+    )
+    got = {
+        r["lid"]: (r["asof_rid"], r["asof_v"])
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            right_values=["rid", "v"], tie_breaker="rid", direction="forward",
+        ).collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        matches = [
+            (rts, -rid, v)
+            for rid, (rk, rts, v) in enumerate(right_rows)
+            if rk == k and rts >= t
+        ]
+        expected = (None, None)
+        if matches:
+            rts, neg_rid, v = min(matches)  # earliest ts, then largest rid
+            expected = (-neg_rid, v)
+        assert got[i] == expected, f"left row {i}: {got[i]} != {expected}"
