@@ -37,6 +37,7 @@ HEADLINE = [
     "window_rank_topk_per_group",
     "window_range_rolling_7d",
     "sessionize_gap_30min",
+    "q3_shipping_priority",
     "dedup_exact_union",
     "dedup_minhash_lsh",
     "sim_cosine_topk_bruteforce",

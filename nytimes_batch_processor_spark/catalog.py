@@ -115,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_broadcast_star",          # joins: broadcast
     "join_left_anti",               # joins: anti (W3 semantics)
     "join_left_outer_null_ext",     # joins: outer
-    "join_full_outer_reconcile",
+    "udtf_tokenize_positions",      # true Python UDTF (new in r3)
     "join_interval_window",         # joins: range/interval
     "join_skew_salted",             # joins: skew handling
     "join_asof_purchase_click",     # joins: as-of
@@ -123,7 +123,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_distinct_counts",
     "agg_grouping_sets",            # generalizes rollup/cube
     "pivot_status_by_flag",
-    "unpivot_measures_long",
+    "q3_shipping_priority",         # integration: 3-way join + top-k (r3)
     "window_rank_topk_per_group",   # windows: ranking
     "window_lag_daily_delta",       # windows: analytic (flagship semantic)
     "window_range_rolling_7d",      # windows: range frames
@@ -139,14 +139,18 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_bruteforce",   # L2 similarity
     "sim_ann_lsh_topk",
     "text_tokens_topk",             # L2 text (one of four; rest in tail)
-    # -- tail: redundant variants, all driver-green in r2 ----------------
-    # (join_left_semi, join_right_outer_never_matched, join_theta_range,
-    #  join_null_safe_eq, join_cross_grid, agg_rollup, agg_cube,
-    #  agg_min_max_by, agg_string_agg_sorted, sort_nulls_ordering,
-    #  window_running_total, window_ntile_first_last, window_rank_extras,
-    #  window_pct_of_total, dedup_minhash_resolve, dedup_simhash,
-    #  sim_ann_ivf_topk, text_quality_score, text_langid_heuristic,
-    #  text_fingerprint, approx_count_distinct_bounds)
+    # -- tail: redundant variants of window-covered families — all either
+    # driver-green in r2 (join_left_semi, join_right_outer_never_matched,
+    # join_full_outer_reconcile, join_theta_range, join_null_safe_eq,
+    # join_cross_grid, agg_rollup, agg_cube, agg_min_max_by,
+    # agg_string_agg_sorted, sort_nulls_ordering, unpivot_measures_long,
+    # window_running_total, window_ntile_first_last, window_rank_extras,
+    # window_pct_of_total, dedup_minhash_resolve, dedup_simhash,
+    # sim_ann_ivf_topk, text_quality_score, text_langid_heuristic,
+    # text_fingerprint, approx_count_distinct_bounds) or new-in-r3
+    # variants verified by the local parity sweep (agg_stats_surface,
+    # agg_time_rollup, agg_incremental_merge, window_ignore_nulls_ffill,
+    # fn_regexp_surface, join_asof_forward_activation).
 )
 
 

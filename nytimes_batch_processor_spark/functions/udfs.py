@@ -165,3 +165,47 @@ def udf_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .applyInPandas(_zscore_group, _ZSCORE_SCHEMA)
     )
+
+
+@query(
+    "udtf_tokenize_positions",
+    tables=("documents",),
+    oracle="""
+SELECT doc_id,
+       unnest(string_split_regex(lower(text), '\\s+'))      AS tok,
+       generate_subscripts(string_split_regex(lower(text), '\\s+'), 1) AS pos
+FROM documents
+WHERE doc_id < 50
+""",
+)
+def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Python UDTF (table function): one input row fans out to one
+    row PER TOKEN with its 1-based position — the tokenizer shape every
+    training-data pipeline runs, as a LATERAL correlated table function
+    rather than explode() (the UDTF owns arbitrary Python fan-out
+    logic; explode only unrolls an existing array).
+
+    The UDTF is declared inside the function because @udtf registration
+    needs a live SparkContext. Arrow serializes batches across the
+    boundary; per-row Python cost is the generator body only. The regex
+    split mirrors DuckDB's string_split_regex exactly (re.split keeps
+    leading empty strings) so the oracle is byte-comparable."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
+            for i, tk in enumerate(re.split(r"\s+", (text or "").lower())):
+                yield tk, i + 1
+
+    spark.udtf.register("tokenize_positions", Tokenize)
+    t = load_tables(spark, sf_dir, "documents")
+    t.documents.filter(F.col("doc_id") < 50).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tk.tok, tk.pos
+        FROM _udtf_docs d, LATERAL tokenize_positions(d.doc_id, d.text) tk
+        """
+    )

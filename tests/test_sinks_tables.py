@@ -188,3 +188,38 @@ def test_compact_parquet_preserves_partition_layout(spark, tmp_path):
     day4 = base.limit(10).withColumn("date", F.lit("2020-01-04").cast("date"))
     upsert_append(day4, path, ["date", "state", "fips"])
     assert spark.read.parquet(path).select("date").distinct().count() == 4
+
+
+def test_json_lines_roundtrip_and_quarantine(spark, tmp_path):
+    """JSON-lines source/sink with an EXPLICIT schema (never inference —
+    an inference pass is a full extra scan at 100 TB), plus PERMISSIVE
+    corrupt-record quarantine, mirroring the CSV path's E1 semantics."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(50).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("int").alias("g"),
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("name"),
+    )
+    path = str(tmp_path / "events_json")
+    df.write.mode("overwrite").json(path)
+
+    schema = "k LONG, g INT, name STRING"
+    back = spark.read.schema(schema).json(path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # corrupt line lands in the quarantine column, good rows survive
+    with open(f"{path}/zz_bad.json", "w") as f:
+        f.write('{"k": 999, "g": 1, "name": "ok"}\n')
+        f.write("{not json at all\n")
+    q = (
+        spark.read.schema(schema + ", _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    ).cache()
+    good = q.filter(F.col("_corrupt_record").isNull())
+    bad = q.filter(F.col("_corrupt_record").isNotNull())
+    assert good.count() == 51
+    assert bad.count() == 1
+    q.unpersist()
