@@ -124,3 +124,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS customer_bkt")
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
+    """Dynamic partition pruning: a date-partitioned fact joined to a
+    dimension with a selective filter must prune fact partitions at
+    RUNTIME from the dim's join keys — at 100 TB this is the difference
+    between scanning 3 date partitions and scanning all of them."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir, "orders")
+    fact_path = str(tmp_path / "orders_by_month")
+    fact = t.orders.withColumn(
+        "order_month", F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    )
+    fact.write.partitionBy("order_month").parquet(fact_path)
+
+    dim = (
+        fact.select("order_month").distinct()
+        .filter(F.year("order_month") == 1997)
+    )
+    joined = spark.read.parquet(fact_path).join(dim, "order_month")
+    plan = physical_plan(joined)
+    assert "dynamicpruning" in plan.lower(), f"no DPP subquery in scan:\n{plan}"
+    # and the pruned scan returns exactly the 1997 partitions' rows
+    n_1997 = fact.filter(F.year("order_month") == 1997).count()
+    assert joined.count() == n_1997
