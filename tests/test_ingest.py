@@ -159,3 +159,24 @@ def test_fetch_to_staging_rejects_bad_scheme(tmp_path):
 
     with _pytest.raises(ValueError, match="unsupported URL scheme"):
         fetch_to_staging("ftp://example.com/x.csv", str(tmp_path))
+
+
+def test_failfast_raises_on_malformed_row(spark, staging):
+    """E1 parity: the reference configures no skip/retry policy, so the
+    first malformed row fails the step — read_csv's default FAILFAST
+    must do the same (the PERMISSIVE quarantine is the opt-in scale
+    path, tested above)."""
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark import schemas
+    from nytimes_batch_processor_spark.sources import read_csv
+
+    bad = _write(
+        staging,
+        "bad.csv",
+        "date,state,fips,cases,deaths\n2020-01-21,Washington,53,not_a_number,0\n",
+    )
+    # surfaces as a FAILED_READ_FILE SparkException wrapping the malformed
+    # record (raw Py4J error, not a converted PySparkException subclass)
+    with _pytest.raises(Exception, match="FAILED_READ_FILE|Malformed|MALFORMED"):
+        read_csv(spark, bad, schemas.COVID_STATES_CSV).collect()
