@@ -123,14 +123,14 @@ def ingest_covid_csv(
     "ingest_covid_states",
     tables=("orders",),
     oracle="""
-SELECT CAST(o_orderdate AS DATE)                        AS date,
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
        o_orderpriority                                  AS state,
        COALESCE(CASE WHEN o_custkey % 10 = 0 THEN NULL
                      ELSE CAST(o_custkey % 100 AS INT) END, -1) AS fips,
        CAST(SUM(o_orderkey) AS BIGINT)                  AS cases,
        CAST(COUNT(*) AS BIGINT)                         AS deaths
 FROM orders
-GROUP BY CAST(o_orderdate AS DATE), o_orderpriority,
+GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE), o_orderpriority,
          CASE WHEN o_custkey % 10 = 0 THEN NULL
               ELSE CAST(o_custkey % 100 AS INT) END
 """,
@@ -154,8 +154,14 @@ def ingest_covid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     fips = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
         (F.col("o_custkey") % 100).cast("int")
     )
+    # Month grain, not day: the target is partitioned by `date`, and ~80
+    # month partitions exercise partition pruning exactly like ~2400 day
+    # partitions while keeping the twice-run fixture pipeline fast (the
+    # 55s day-grain variant spent its time creating 2x2405 tiny
+    # partition directories — the small-files antipattern compact_parquet
+    # exists to fix, not something the gate entry should manufacture).
     derived = t.orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("date"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date").alias("date"),
         F.col("o_orderpriority").alias("state"),
         fips.alias("fips"),
     ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
