@@ -92,3 +92,68 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         msum("l_extendedprice").alias("revenue"),
     )
+
+
+def salted_agg_sum_count(
+    df: DataFrame, key: str, n_salts: int, sums: dict[str, str]
+) -> DataFrame:
+    """Two-level aggregation for skewed GROUP BY keys: partial aggregate
+    on (key, salt) — spreading one hot key over ``n_salts`` reducers —
+    then merge partials per key. Only decomposable aggregates belong
+    here (sum/count/min/max); avg = merged sum / merged count.
+
+    AQE splits skewed JOIN partitions but a hash aggregate's hot key
+    still lands on one reducer; salting is the structural fix. Cost: a
+    second (tiny) shuffle over n_salts rows per key.
+
+    ``sums`` maps output column -> input column to SUM. A row count is
+    always emitted as ``n_rows``.
+    """
+    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    partial = (
+        df.withColumn("_salt", salt)
+        .groupBy(key, "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(src).alias(f"_s_{out}") for out, src in sums.items()],
+        )
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_n").alias("n_rows"),
+        *[F.sum(f"_s_{out}").alias(out) for out in sums],
+    )
+
+
+@query(
+    "agg_skew_salted_sum",
+    tables=("lineitem",),
+    oracle="""
+SELECT l_returnflag                                   AS returnflag,
+       CAST(COUNT(*) AS BIGINT)                      AS n_rows,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+       ROUND(SUM(l_quantity), 2)                     AS total_qty
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-level aggregate vs the direct-GROUP-BY oracle:
+    l_returnflag has only 3 values (every group is a hot key — the
+    worst case for a single-level hash agg at scale), so each partial
+    aggregates (flag, salt) over 8 salts and the merge touches 24 rows.
+    Result must be row-identical to the plain aggregate."""
+    from ..functions import dec2
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    merged = salted_agg_sum_count(
+        t.lineitem.withColumn("_p2", dec2("l_extendedprice")),
+        "l_returnflag",
+        8,
+        {"revenue": "_p2", "total_qty": "l_quantity"},
+    )
+    return merged.select(
+        F.col("l_returnflag").alias("returnflag"),
+        "n_rows",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        F.round("total_qty", 2).alias("total_qty"),
+    )

@@ -152,3 +152,37 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path, sf_dir):
     # and the pruned scan returns exactly the 1997 partitions' rows
     n_1997 = fact.filter(F.year("order_month") == 1997).count()
     assert joined.count() == n_1997
+
+
+def test_range_partitioned_layout_skips_files(spark, tmp_path, sf_dir):
+    """Range-partitioned + sorted layout: a narrow range predicate must
+    touch only the files whose key range intersects it, while the same
+    predicate over a randomly-distributed layout touches all files —
+    the data-skipping payoff measured directly via input_file_name()."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import write_range_partitioned
+
+    df = spark.range(200_000).select(
+        F.col("id").alias("o_orderkey"), (F.col("id") % 97).alias("v")
+    )
+    ranged = str(tmp_path / "orders_ranged")
+    scattered = str(tmp_path / "orders_scattered")
+    write_range_partitioned(df, ranged, "o_orderkey", 16)
+    df.repartition(16).write.parquet(scattered)
+
+    # 2.5% of the keyspace: intersects at most 2 of 16 contiguous ranges
+    pred = (F.col("o_orderkey") >= 100_000) & (F.col("o_orderkey") < 105_000)
+
+    def files_touched(path: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    n_ranged, n_scattered = files_touched(ranged), files_touched(scattered)
+    assert n_scattered >= 8, f"scattered layout unexpectedly localized: {n_scattered}"
+    assert n_ranged <= 3, f"range layout did not localize the scan: {n_ranged} files"
