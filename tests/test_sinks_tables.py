@@ -223,3 +223,37 @@ def test_json_lines_roundtrip_and_quarantine(spark, tmp_path):
     assert good.count() == 51
     assert bad.count() == 1
     q.unpersist()
+
+
+def test_compact_parquet_two_level_partitions(spark, tmp_path):
+    """Nested partition layout (region=/date=) must survive compaction
+    with both levels intact."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import (
+        compact_parquet,
+        detect_partition_columns,
+    )
+
+    path = str(tmp_path / "two_level")
+    df = spark.range(120).select(
+        (F.col("id") % 2).cast("string").alias("region"),
+        F.expr("date_add(DATE'2020-01-01', CAST(id % 3 AS INT))").alias("date"),
+        F.col("id").alias("v"),
+    )
+    for _ in range(3):  # fragment
+        df.write.mode("append").partitionBy("region", "date").parquet(path)
+    assert detect_partition_columns(spark, path) == ["region", "date"]
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    compact_parquet(spark, path, target_partitions=2)
+    assert sorted(d for d in os.listdir(path) if d.startswith("region=")) == [
+        "region=0", "region=1",
+    ]
+    inner = os.listdir(f"{path}/region=0")
+    assert sorted(d for d in inner if d.startswith("date=")) == [
+        "date=2020-01-01", "date=2020-01-02", "date=2020-01-03",
+    ]
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
