@@ -254,3 +254,64 @@ def test_streaming_dropduplicates_within_watermark(spark, tmp_path):
 
     rows = {r["k"]: r["v"] for r in spark.read.parquet(out).collect()}
     assert rows == {"a": 1, "b": 2, "c": 3}, rows
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join: two watermarked streams joined on key
+    plus an event-time range condition — both sides buffer state only up
+    to watermark + range, so the join state is bounded at any scale.
+    Result must equal the same join run in batch over the same rows."""
+    from pyspark.sql import functions as F
+
+    imp_dir = tmp_path / "impressions"
+    clk_dir = tmp_path / "clicks"
+    imp_dir.mkdir(); clk_dir.mkdir()
+    ckpt = str(tmp_path / "ss_ckpt")
+    out = str(tmp_path / "ss_out")
+
+    impressions_csv = (
+        "ts,ad_id\n"
+        "2024-01-01 10:00:00,a\n"
+        "2024-01-01 10:01:00,b\n"
+        "2024-01-01 11:00:00,c\n"
+    )
+    clicks_csv = (
+        "ts,ad_id\n"
+        "2024-01-01 10:04:00,a\n"   # within 10 min of impression a
+        "2024-01-01 10:45:00,b\n"   # 44 min after b -> outside range
+        "2024-01-01 11:02:00,c\n"   # within range of c
+    )
+    (imp_dir / "i1.csv").write_text(impressions_csv)
+    (clk_dir / "c1.csv").write_text(clicks_csv)
+
+    def src(d):
+        return (
+            spark.readStream.schema("ts TIMESTAMP, ad_id STRING")
+            .option("header", "true")
+            .csv(str(d))
+        )
+
+    imps = src(imp_dir).withWatermark("ts", "30 minutes").select(
+        F.col("ad_id"), F.col("ts").alias("imp_ts")
+    )
+    clks = src(clk_dir).withWatermark("ts", "30 minutes").select(
+        F.col("ad_id").alias("c_ad_id"), F.col("ts").alias("click_ts")
+    )
+    joined = imps.join(
+        clks,
+        (F.col("ad_id") == F.col("c_ad_id"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("ad_id", "imp_ts", "click_ts")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["ad_id"]) for r in spark.read.parquet(out).collect()}
+    assert got == {"a", "c"}, got  # b's click fell outside the 10-min window
