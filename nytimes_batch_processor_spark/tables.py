@@ -258,3 +258,78 @@ def write_range_partitioned(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def delete_rows_partition_scoped(
+    spark: SparkSession, path: str, partition_col: str, predicate
+) -> int:
+    """Hard-delete rows matching ``predicate`` from a ``partition_col``-
+    partitioned parquet dataset by rewriting ONLY the partitions that
+    contain matches — the takedown/right-to-erasure primitive a
+    training-data pipeline must run routinely.
+
+    At 100 TB a full-table rewrite per takedown batch is untenable; the
+    affected-partition set is usually tiny. Mechanics: (1) one scan finds
+    the distinct partition values with matches (partition pruning makes
+    this cheap if the predicate implies the partition col); (2) each
+    affected partition directory is rewritten without the matching rows
+    and swapped in via rename. Untouched partitions keep their files
+    byte-identical (asserted in tests). Returns the number of rows
+    deleted. Table formats (Delta/Iceberg) do this transactionally;
+    this is the format-free equivalent with per-partition atomicity.
+    """
+    df = spark.read.parquet(path)
+    hits = df.filter(predicate)
+    affected = [r[0] for r in hits.select(partition_col).distinct().collect()]
+    if not affected:
+        return 0
+    n_deleted = 0
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
+        spark._jsc.hadoopConfiguration()
+    )
+    part_type = df.schema[partition_col].dataType
+    for value in affected:
+        part_dir = f"{path}/{partition_col}={value}"
+        # A single partition dir has no partition column in its files —
+        # re-attach it as a literal so predicates may reference it, and
+        # drop it again before writing (the dir name carries it).
+        part_df = spark.read.parquet(part_dir).withColumn(
+            partition_col, F.lit(value).cast(part_type)
+        )
+        n_before = part_df.count()
+        keep = part_df.filter(~predicate).drop(partition_col)
+        n_deleted += n_before - keep.count()
+        tmp = part_dir + "._deleting"
+        keep.write.mode("overwrite").parquet(tmp)
+        old = part_dir + "._predelete"
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(part_dir), jvm.org.apache.hadoop.fs.Path(old)):
+            raise IOError(f"delete swap failed: could not move {part_dir} aside")
+        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(part_dir)):
+            fs.rename(jvm.org.apache.hadoop.fs.Path(old), jvm.org.apache.hadoop.fs.Path(part_dir))
+            raise IOError(f"delete swap failed: could not promote {tmp}")
+        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+    return n_deleted
+
+
+def drop_partitions_older_than(
+    spark: SparkSession, path: str, partition_col: str, cutoff: str
+) -> list[str]:
+    """Retention: drop whole ``partition_col=<value>`` directories whose
+    value sorts strictly below ``cutoff`` (ISO dates compare correctly as
+    strings). Pure directory deletes — no data rewrite, O(partitions
+    dropped) — the reference's append-forever table made finite.
+    Returns the dropped partition values."""
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+    dropped: list[str] = []
+    prefix = f"{partition_col}="
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith(prefix):
+            value = name[len(prefix):]
+            if value < cutoff:
+                fs.delete(st.getPath(), True)
+                dropped.append(value)
+    return dropped

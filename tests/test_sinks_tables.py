@@ -257,3 +257,60 @@ def test_compact_parquet_two_level_partitions(spark, tmp_path):
         "date=2020-01-01", "date=2020-01-02", "date=2020-01-03",
     ]
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == before
+
+
+def test_delete_rows_partition_scoped(spark, tmp_path):
+    """Takedown delete: matching rows vanish, ONLY affected partitions
+    are rewritten (untouched partitions keep byte-identical files), and
+    the partition column remains usable in the predicate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import delete_rows_partition_scoped
+
+    path = str(tmp_path / "docs_by_day")
+    df = spark.range(90).select(
+        F.expr("date_add(DATE'2020-01-01', CAST(id % 3 AS INT))").alias("date"),
+        F.col("id").alias("doc_id"),
+    )
+    df.write.partitionBy("date").parquet(path)
+
+    def snapshot(day):
+        d = f"{path}/date={day}"
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    untouched_before = snapshot("2020-01-02")
+
+    # delete two docs that live only in the 2020-01-01 partition
+    n = delete_rows_partition_scoped(
+        spark, path, "date",
+        (F.col("doc_id").isin(0, 3)) & (F.col("date") == "2020-01-01"),
+    )
+    assert n == 2
+    back = spark.read.parquet(path)
+    assert back.count() == 88
+    assert back.filter(F.col("doc_id").isin(0, 3)).count() == 0
+    assert snapshot("2020-01-02") == untouched_before, "untouched partition was rewritten"
+    # partition layout intact for subsequent partitioned appends
+    assert sorted(d for d in os.listdir(path) if d.startswith("date=")) == [
+        "date=2020-01-01", "date=2020-01-02", "date=2020-01-03",
+    ]
+
+
+def test_drop_partitions_older_than(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import drop_partitions_older_than
+
+    path = str(tmp_path / "retention")
+    df = spark.range(30).select(
+        F.expr("date_add(DATE'2020-01-01', CAST(id % 5 AS INT))").alias("date"),
+        F.col("id").alias("v"),
+    )
+    df.write.partitionBy("date").parquet(path)
+    dropped = drop_partitions_older_than(spark, path, "date", "2020-01-03")
+    assert sorted(dropped) == ["2020-01-01", "2020-01-02"]
+    back = spark.read.parquet(path)
+    assert back.select("date").distinct().count() == 3
+    assert back.count() == 18
