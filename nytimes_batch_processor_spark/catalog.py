@@ -121,13 +121,13 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_purchase_click",     # joins: as-of
     "agg_pricing_summary",          # aggs: hash partial+final
     "agg_distinct_counts",
-    "agg_grouping_sets",            # generalizes rollup/cube
-    "pivot_status_by_flag",
+    "agg_grouping_sets",            # generalizes rollup/cube/pivot shapes
+    "agg_stats_surface",            # statistical moments (new in r3)
     "q3_shipping_priority",         # integration: 3-way join + top-k (r3)
     "window_rank_topk_per_group",   # windows: ranking
     "window_lag_daily_delta",       # windows: analytic (flagship semantic)
-    "window_range_rolling_7d",      # windows: range frames
-    "sort_global_topk",             # sorts/top-k
+    "window_ignore_nulls_ffill",    # windows: IGNORE NULLS fill (r3)
+    "join_asof_forward_activation", # as-of forward twin (new in r3)
     "setops_customer_cohorts",      # set ops
     "spine_gap_fill_daily",         # calendar spine
     "dedup_exact_union",            # L2 dedup: exact
@@ -142,15 +142,16 @@ _PRIORITY: tuple[str, ...] = (
     # -- tail: redundant variants of window-covered families — all either
     # driver-green in r2 (join_left_semi, join_right_outer_never_matched,
     # join_full_outer_reconcile, join_theta_range, join_null_safe_eq,
-    # join_cross_grid, agg_rollup, agg_cube, agg_min_max_by,
-    # agg_string_agg_sorted, sort_nulls_ordering, unpivot_measures_long,
-    # window_running_total, window_ntile_first_last, window_rank_extras,
-    # window_pct_of_total, dedup_minhash_resolve, dedup_simhash,
+    # join_cross_grid, pivot_status_by_flag, agg_rollup, agg_cube,
+    # agg_min_max_by, agg_string_agg_sorted, sort_global_topk — its
+    # TakeOrderedAndProject shape also runs inside q3_shipping_priority —
+    # sort_nulls_ordering, unpivot_measures_long, window_running_total,
+    # window_ntile_first_last, window_rank_extras, window_pct_of_total,
+    # window_range_rolling_7d, dedup_minhash_resolve, dedup_simhash,
     # sim_ann_ivf_topk, text_quality_score, text_langid_heuristic,
     # text_fingerprint, approx_count_distinct_bounds) or new-in-r3
-    # variants verified by the local parity sweep (agg_stats_surface,
-    # agg_time_rollup, agg_incremental_merge, window_ignore_nulls_ffill,
-    # fn_regexp_surface, join_asof_forward_activation).
+    # variants verified by the local parity sweep (agg_time_rollup,
+    # agg_incremental_merge, agg_skew_salted_sum, fn_regexp_surface).
 )
 
 
