@@ -326,3 +326,43 @@ def fn_regexp_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_brand", "[0-9]", "").alias("brand_family"),
         F.col("p_type").rlike("^(ECONOMY|PROMO)").alias("is_value_tier"),
     )
+
+
+@query(
+    "fn_higher_order_surface",
+    tables=("embeddings",),
+    oracle="""
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.1)) AS INT) AS n_above,
+       list_bool_or(list_transform(embedding, x -> CAST(x AS DOUBLE) < -0.5)) AS any_strong_neg,
+       list_bool_and(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)) < 10)) AS all_bounded,
+       ROUND(list_sum(list_transform(embedding,
+                      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))), 6) AS sum_sq
+FROM embeddings
+WHERE vec_id < 300
+""",
+)
+def fn_higher_order_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions — filter / exists / forall /
+    aggregate with lambdas, all JVM-side (codegen'd, no Python): the
+    vector-column toolkit used by every embedding operator in this
+    engine. The fold uses per-term decimal terms so parallel summation
+    order can't flip the 6dp rounding (the fn_math_surface lesson)."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return t.embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id",
+        F.size(F.filter(e, lambda x: x > 0.1)).alias("n_above"),
+        F.exists(e, lambda x: x < -0.5).alias("any_strong_neg"),
+        F.forall(e, lambda x: F.abs(x) < 10).alias("all_bounded"),
+        F.round(
+            F.aggregate(
+                F.transform(e, lambda x: (x * x).cast("decimal(28,12)")),
+                F.lit(0).cast("decimal(38,12)"),
+                # decimal + widens then caps at precision 38 scale 11;
+                # re-cast keeps the accumulator type fixed across steps
+                lambda acc, x: (acc + x).cast("decimal(38,12)"),
+            ),
+            6,
+        ).alias("sum_sq"),
+    )
