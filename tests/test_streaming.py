@@ -315,3 +315,43 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
 
     got = {(r["ad_id"]) for r in spark.read.parquet(out).collect()}
     assert got == {"a", "c"}, got  # b's click fell outside the 10-min window
+
+
+def test_update_mode_emits_revised_aggregates(spark, tmp_path):
+    """Update output mode: each micro-batch emits only the groups whose
+    aggregate CHANGED — the low-latency dashboard mode (vs append's
+    watermark-delayed finals). Two single-file micro-batches revise the
+    same key; the sink sees both versions, and the last one matches the
+    batch aggregate."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "upd_ev"
+    src.mkdir()
+    (src / "b1.csv").write_text("k,v\na,1\nb,10\n")
+    (src / "b2.csv").write_text("k,v\na,2\n")
+    stream = (
+        spark.readStream.schema("k STRING, v LONG")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        stream.groupBy("k")
+        .agg(F.sum("v").alias("total"))
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("upd_sink")
+        .option("checkpointLocation", str(tmp_path / "upd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM upd_sink").collect()
+    per_key = {}
+    for r in rows:
+        per_key.setdefault(r["k"], []).append(r["total"])
+    # 'a' was revised across batches (file order is mtime-arbitrary, so
+    # the intermediate value is 1 or 2) and its final total is 3; 'b'
+    # emitted once and never re-emitted — update mode's contract
+    assert max(per_key["a"]) == 3 and len(per_key["a"]) <= 2, per_key
+    assert per_key["b"] == [10], per_key
