@@ -132,7 +132,7 @@ _PRIORITY: tuple[str, ...] = (
     "spine_gap_fill_daily",         # calendar spine
     "dedup_exact_union",            # L2 dedup: exact
     "dedup_first_write_wins",
-    "dedup_ngram_jaccard",
+    "pipeline_curate_corpus",       # L2 showcase: score->filter->dedup (r3)
     "dedup_minhash_lsh",
     "dedup_minhash_cc",             # graph connected components
     "dedup_embedding_cosine",
@@ -147,7 +147,9 @@ _PRIORITY: tuple[str, ...] = (
     # TakeOrderedAndProject shape also runs inside q3_shipping_priority —
     # sort_nulls_ordering, unpivot_measures_long, window_running_total,
     # window_ntile_first_last, window_rank_extras, window_pct_of_total,
-    # window_range_rolling_7d, dedup_minhash_resolve, dedup_simhash,
+    # window_range_rolling_7d, dedup_ngram_jaccard — still the pytest
+    # oracle for the MinHash recall gates — dedup_minhash_resolve,
+    # dedup_simhash,
     # sim_ann_ivf_topk, text_quality_score, text_langid_heuristic,
     # text_fingerprint, approx_count_distinct_bounds) or new-in-r3
     # variants verified by the local parity sweep (agg_time_rollup,

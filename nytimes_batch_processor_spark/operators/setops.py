@@ -58,3 +58,38 @@ def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(tagged("intersect", urgent.intersect(high_bal)))
         .unionByName(tagged("except", high_bal.exceptAll(urgent)))
     )
+
+
+@query(
+    "setops_multiset_all",
+    tables=("orders",),
+    oracle="""
+WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 3 = 0),
+     b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderkey % 2 = 0)
+SELECT 'except_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT p FROM a EXCEPT ALL SELECT p FROM b
+) GROUP BY p
+UNION ALL
+SELECT 'intersect_all' AS op, p, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT p FROM a INTERSECT ALL SELECT p FROM b
+) GROUP BY p
+""",
+)
+def setops_multiset_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set ops (exceptAll / intersectAll): duplicates count —
+    EXCEPT ALL keeps max(m-n, 0) copies per value, INTERSECT ALL keeps
+    min(m, n) — the bag semantics reconciliation jobs need when row
+    multiplicity IS the signal (e.g. per-priority order counts across
+    two overlapping extracts). Spark plans both as a single hash
+    aggregate computing per-value counts on each side — one shuffle,
+    group-cardinality-bounded, no pairwise explosion."""
+    t = load_tables(spark, sf_dir, "orders")
+    a = t.orders.filter(F.col("o_orderkey") % 3 == 0).select(F.col("o_orderpriority").alias("p"))
+    b = t.orders.filter(F.col("o_orderkey") % 2 == 0).select(F.col("o_orderpriority").alias("p"))
+    ex = a.exceptAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("except_all").alias("op"), "p", "n"
+    )
+    it = a.intersectAll(b).groupBy("p").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("intersect_all").alias("op"), "p", "n"
+    )
+    return ex.unionByName(it)

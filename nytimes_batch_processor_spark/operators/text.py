@@ -9,7 +9,7 @@ pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import query
 from ..functions import ratio
@@ -204,4 +204,68 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars_actual"),
+    )
+
+
+@query(
+    "pipeline_curate_corpus",
+    tables=("documents",),
+    oracle="""
+WITH scored AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+           CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+),
+quality AS (
+    SELECT * FROM scored
+    WHERE n_tokens >= 5 AND CAST(n_chars AS DOUBLE) / n_tokens < 15
+),
+deduped AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM quality
+    ) WHERE rn = 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)        AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT)   AS total_tokens,
+       ROUND(AVG(CAST(n_tokens AS DOUBLE)), 6) AS avg_tokens
+FROM deduped
+GROUP BY lang
+""",
+)
+def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data curation chain as ONE oracle-checked pipeline:
+    score -> quality-filter -> exact-dedup (normalized fingerprint,
+    min-doc_id winner) -> per-language corpus stats. This is the
+    composition every L2 operator exists to serve, and the flagship
+    shape of a 100 TB curation job: every stage is a map or a single
+    keyed shuffle (fingerprint window, language agg); near-dup stages
+    (MinHash/SimHash/ANN) slot between dedup and stats with the same
+    join shapes, checked separately as rows-only entries."""
+    t = load_tables(spark, sf_dir, "documents")
+    # plain split (duplicates kept) — token COUNTS, not the distinct
+    # shingle set the dedup operators use
+    toks = F.split(F.lower("text"), r"\s+")
+    scored = t.documents.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.encode(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), "UTF-8")
+        ).alias("fp"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    quality = scored.filter(
+        (F.col("n_tokens") >= 5)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens") < 15)
+    )
+    w = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
     )
