@@ -97,3 +97,49 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.join(dupes, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+@query(
+    "graph_reachability_rcte",
+    tables=("nation",),
+    oracle="""
+WITH RECURSIVE tree(key, depth) AS (
+    SELECT CAST(n_nationkey AS INT), 0 FROM nation WHERE n_nationkey = 0
+    UNION ALL
+    SELECT CAST(n.n_nationkey AS INT), t.depth + 1
+    FROM nation n JOIN tree t
+      ON CAST(FLOOR((n.n_nationkey - 1) / 2) AS INT) = t.key
+     AND n.n_nationkey > 0
+)
+SELECT t.key                         AS nationkey,
+       n.n_name                      AS name,
+       CAST(t.depth AS INT)          AS depth
+FROM tree t JOIN nation n ON n.n_nationkey = t.key
+""",
+)
+def graph_reachability_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.1 WITH RECURSIVE): reachability/depth over
+    an implicit binary tree on the nation keys (parent(k) =
+    floor((k-1)/2)) — the declarative iterative-join family next to the
+    imperative connected-components loop above. Spark executes each
+    recursion step as a join against the previous frontier, exactly the
+    O(depth)-rounds shape of dedup_minhash_cc, but planner-managed.
+    DuckDB runs the identical SQL as the oracle."""
+    t = load_tables(spark, sf_dir, "nation")
+    t.nation.createOrReplaceTempView("_rcte_nation")
+    return spark.sql(
+        """
+        WITH RECURSIVE tree(key, depth) AS (
+            SELECT CAST(n_nationkey AS INT), 0 FROM _rcte_nation WHERE n_nationkey = 0
+            UNION ALL
+            SELECT CAST(n.n_nationkey AS INT), t.depth + 1
+            FROM _rcte_nation n JOIN tree t
+              ON CAST(FLOOR((n.n_nationkey - 1) / 2) AS INT) = t.key
+             AND n.n_nationkey > 0
+        )
+        SELECT t.key                AS nationkey,
+               n.n_name             AS name,
+               CAST(t.depth AS INT) AS depth
+        FROM tree t JOIN _rcte_nation n ON n.n_nationkey = t.key
+        """
+    )
