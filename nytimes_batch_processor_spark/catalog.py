@@ -152,8 +152,10 @@ _PRIORITY: tuple[str, ...] = (
     # dedup_simhash,
     # sim_ann_ivf_topk, text_quality_score, text_langid_heuristic,
     # text_fingerprint, approx_count_distinct_bounds) or new-in-r3
-    # variants verified by the local parity sweep (agg_time_rollup,
-    # agg_incremental_merge, agg_skew_salted_sum, fn_regexp_surface).
+    # entries verified by the local parity sweep but not (yet) swapped
+    # into the window (agg_time_rollup, agg_incremental_merge,
+    # agg_skew_salted_sum, fn_regexp_surface, fn_higher_order_surface,
+    # fn_variant_json, setops_multiset_all, graph_reachability_rcte).
 )
 
 

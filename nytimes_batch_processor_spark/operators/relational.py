@@ -1065,7 +1065,13 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything: merged partials must be indistinguishable from a full
     rescan."""
     t = load_tables(spark, sf_dir, "orders")
-    cut = F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date")
+    # coalesce pins three-valued logic: a NULL orderdate must land in
+    # exactly one batch (filter(cut)/filter(~cut) would drop it from
+    # BOTH — undercounting vs the one-pass oracle on real data)
+    cut = F.coalesce(
+        F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"),
+        F.lit(False),
+    )
 
     def partials(df: DataFrame) -> DataFrame:
         return df.groupBy(F.col("o_orderpriority").alias("priority")).agg(

@@ -95,7 +95,11 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def salted_agg_sum_count(
-    df: DataFrame, key: str, n_salts: int, sums: dict[str, str]
+    df: DataFrame,
+    key: str,
+    n_salts: int,
+    sums: dict[str, str],
+    scatter: Column | None = None,
 ) -> DataFrame:
     """Two-level aggregation for skewed GROUP BY keys: partial aggregate
     on (key, salt) — spreading one hot key over ``n_salts`` reducers —
@@ -106,10 +110,20 @@ def salted_agg_sum_count(
     still lands on one reducer; salting is the structural fix. Cost: a
     second (tiny) shuffle over n_salts rows per key.
 
+    ``scatter`` must be DETERMINISTIC over row content (same rule as
+    salted_equi_join: partition-id / row-id salts change on task retry,
+    re-routing recomputed rows into different (key, salt) groups than
+    the partials already fetched — lost/duplicated sums under
+    stage-retry). Default: xxhash64 over all input columns; pass an
+    explicit hash of a unique key when exact duplicate rows should
+    still spread.
+
     ``sums`` maps output column -> input column to SUM. A row count is
     always emitted as ``n_rows``.
     """
-    salt = F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts))
+    if scatter is None:
+        scatter = F.xxhash64(*[F.col(c) for c in df.columns])
+    salt = F.pmod(scatter, F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(key, "_salt")
@@ -150,6 +164,7 @@ def agg_skew_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         8,
         {"revenue": "_p2", "total_qty": "l_quantity"},
+        scatter=F.xxhash64("l_orderkey", "l_linenumber"),
     )
     return merged.select(
         F.col("l_returnflag").alias("returnflag"),

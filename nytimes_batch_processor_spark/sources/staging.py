@@ -27,7 +27,9 @@ import urllib.request
 _ALLOWED_SCHEMES = ("http://", "https://", "file://")
 
 
-def fetch_to_staging(url: str, staging_dir: str, filename: str | None = None) -> str:
+def fetch_to_staging(
+    url: str, staging_dir: str, filename: str | None = None, timeout: float = 60.0
+) -> str:
     """Download ``url`` into ``staging_dir`` atomically; return the path.
 
     Streams in 1 MiB chunks (constant memory, like the reference's
@@ -37,6 +39,10 @@ def fetch_to_staging(url: str, staging_dir: str, filename: str | None = None) ->
     re-reads the full (growing) CSV every 15 minutes (``deploy.sh:29``)
     and relies on keyed dedup for idempotency, which ``upsert_append``
     preserves downstream.
+
+    ``timeout`` bounds the socket (connect and per-read): a remote that
+    accepts the connection and stalls must fail this fetch, not hang the
+    15-minute loop forever and silently freeze the staging file.
     """
     if not url.startswith(_ALLOWED_SCHEMES):
         raise ValueError(f"unsupported URL scheme: {url}")
@@ -45,7 +51,7 @@ def fetch_to_staging(url: str, staging_dir: str, filename: str | None = None) ->
     final_path = os.path.join(staging_dir, name)
     fd, tmp_path = tempfile.mkstemp(prefix=f".{name}.", dir=staging_dir)
     try:
-        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url, timeout=timeout) as resp:
             shutil.copyfileobj(resp, out, length=1024 * 1024)
         os.replace(tmp_path, final_path)
     except BaseException:

@@ -17,10 +17,14 @@ DDL played for the reference).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query
 from .sources import load_tables
+
+_LOG = logging.getLogger(__name__)
 
 # Spark-SQL DDL mirroring schema.sql:1-9 (states) and :12-21 (counties):
 # timestamp->DATE intent (SURVEY.md §1.2), bigint counters, nullable fips
@@ -76,13 +80,17 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
         # looks like an orphaned Spark table (data/commit files present) —
         # never a directory some other system owns that merely collides.
         warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        # Accept table / db.table / catalog.db.table: the location depends
+        # only on the last two parts, and the default db lives at the
+        # warehouse root (not default.db/).
         parts = name.lower().split(".")
-        if len(parts) == 2:
-            loc_path = f"{warehouse}/{parts[0]}.db/{parts[1]}"
-        elif len(parts) == 1:
-            loc_path = f"{warehouse}/{parts[0]}"
-        else:
+        if len(parts) > 3 or any(not p for p in parts):
             raise ValueError(f"unsupported table identifier: {name}")
+        table = parts[-1]
+        db = parts[-2] if len(parts) >= 2 else "default"
+        loc_path = (
+            f"{warehouse}/{table}" if db == "default" else f"{warehouse}/{db}.db/{table}"
+        )
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(loc_path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -98,7 +106,7 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
                     f"refusing to delete {loc_path}: exists but does not look "
                     f"like an orphaned Spark table (children: {children[:5]})"
                 )
-            print(f"save_as_managed_table: removing orphaned table dir {loc_path}")
+            _LOG.warning("save_as_managed_table: removing orphaned table dir %s", loc_path)
             fs.delete(p, True)
     writer = df.write.mode("overwrite")
     if partition_by is not None:
@@ -158,16 +166,28 @@ def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> i
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
     old = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
     part_cols = detect_partition_columns(spark, path)
-    df = spark.read.parquet(path)
-    if part_cols:
-        writer = (
-            df.repartition(target_partitions, *[F.col(c) for c in part_cols])
-            .write.mode("overwrite")
-            .partitionBy(*part_cols)
-        )
-    else:
-        writer = df.coalesce(target_partitions).write.mode("overwrite")
-    writer.parquet(str(tmp))
+    # Read partition values as VERBATIM strings for the roundtrip:
+    # type inference would turn a zero-padded string value like
+    # fips=00123 into int 123 and rewrite the directory as fips=123 —
+    # silently renaming partitions. With inference off, directory names
+    # pass through unchanged; later readers re-infer exactly as they
+    # did before compaction (file-borne column types are untouched).
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key)
+    spark.conf.set(infer_key, "false")
+    try:
+        df = spark.read.parquet(path)
+        if part_cols:
+            writer = (
+                df.repartition(target_partitions, *[F.col(c) for c in part_cols])
+                .write.mode("overwrite")
+                .partitionBy(*part_cols)
+            )
+        else:
+            writer = df.coalesce(target_partitions).write.mode("overwrite")
+        writer.parquet(str(tmp))
+    finally:
+        spark.conf.set(infer_key, prev_infer)
     if not fs.rename(hpath, old):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(tmp, hpath):
@@ -270,18 +290,36 @@ def delete_rows_partition_scoped(
 
     At 100 TB a full-table rewrite per takedown batch is untenable; the
     affected-partition set is usually tiny. Mechanics: (1) one scan finds
-    the distinct partition values with matches (partition pruning makes
-    this cheap if the predicate implies the partition col); (2) each
-    affected partition directory is rewritten without the matching rows
-    and swapped in via rename. Untouched partitions keep their files
-    byte-identical (asserted in tests). Returns the number of rows
-    deleted. Table formats (Delta/Iceberg) do this transactionally;
-    this is the format-free equivalent with per-partition atomicity.
+    the PHYSICAL directories containing matches via input_file_name()
+    (no path re-interpolation: Hive percent-escapes special characters
+    in partition values and spells NULL as __HIVE_DEFAULT_PARTITION__,
+    so rebuilding paths from values is wrong for both); (2) each
+    affected directory is rewritten without the matching rows and
+    swapped in via rename. Rows where the predicate evaluates to NULL
+    are KEPT (a takedown must only remove rows that provably match —
+    three-valued logic would otherwise silently delete NULL-field
+    rows). Untouched partitions keep their files byte-identical
+    (asserted in tests). Returns the number of rows deleted. Table
+    formats (Delta/Iceberg) do this transactionally; this is the
+    format-free equivalent with per-partition atomicity.
     """
+    import os as _os
+    from urllib.parse import unquote, urlparse
+
     df = spark.read.parquet(path)
-    hits = df.filter(predicate)
-    affected = [r[0] for r in hits.select(partition_col).distinct().collect()]
-    if not affected:
+    matches = F.coalesce(predicate, F.lit(False))
+    hits = df.filter(matches)
+    # input_file_name returns a URI: unquote once to recover the LITERAL
+    # filesystem path (a dir named 'src=a b' appears as 'src=a%20b' in
+    # the URI); the partition VALUE below unquotes a second time for the
+    # Hive escaping layer (a value 'a%b' is stored as dir 'a%25b').
+    affected_dirs = sorted(
+        {
+            _os.path.dirname(unquote(urlparse(r[0]).path))
+            for r in hits.select(F.input_file_name()).distinct().collect()
+        }
+    )
+    if not affected_dirs:
         return 0
     n_deleted = 0
     jvm = spark._jvm
@@ -289,8 +327,13 @@ def delete_rows_partition_scoped(
         spark._jsc.hadoopConfiguration()
     )
     part_type = df.schema[partition_col].dataType
-    for value in affected:
-        part_dir = f"{path}/{partition_col}={value}"
+    prefix = f"{partition_col}="
+    for part_dir in affected_dirs:
+        dirname = _os.path.basename(part_dir)
+        if not dirname.startswith(prefix):  # pragma: no cover - layout guard
+            raise ValueError(f"unexpected partition directory layout: {part_dir}")
+        raw = dirname[len(prefix):]
+        value = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
         # A single partition dir has no partition column in its files —
         # re-attach it as a literal so predicates may reference it, and
         # drop it again before writing (the dir name carries it).
@@ -298,7 +341,7 @@ def delete_rows_partition_scoped(
             partition_col, F.lit(value).cast(part_type)
         )
         n_before = part_df.count()
-        keep = part_df.filter(~predicate).drop(partition_col)
+        keep = part_df.filter(~matches).drop(partition_col)
         n_deleted += n_before - keep.count()
         tmp = part_dir + "._deleting"
         keep.write.mode("overwrite").parquet(tmp)

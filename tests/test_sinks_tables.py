@@ -314,3 +314,72 @@ def test_drop_partitions_older_than(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.select("date").distinct().count() == 3
     assert back.count() == 18
+
+
+def test_delete_rows_keeps_null_predicate_rows(spark, tmp_path):
+    """Three-valued logic: rows where the takedown predicate evaluates
+    to NULL must be KEPT — a takedown removes only rows that provably
+    match. Also covers percent-escaped and NULL partition values (the
+    physical dirs come from input_file_name, never re-interpolation)."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import delete_rows_partition_scoped
+
+    path = str(tmp_path / "docs_by_src")
+    df = spark.createDataFrame(
+        [
+            ("a b", 1, "alice"),
+            ("a b", 2, None),       # author NULL: predicate NULL -> keep
+            ("a b", 3, "mallory"),
+            (None, 4, "mallory"),   # NULL partition value
+            ("plain", 5, "bob"),
+        ],
+        "src string, doc_id int, author string",
+    )
+    df.write.partitionBy("src").parquet(path)
+
+    n = delete_rows_partition_scoped(
+        spark, path, "src", F.col("author") == "mallory"
+    )
+    assert n == 2, n
+    back = spark.read.parquet(path)
+    remaining = {(r["doc_id"], r["author"]) for r in back.collect()}
+    assert remaining == {(1, "alice"), (2, None), (5, "bob")}, remaining
+    # escaped partition dir (src='a b' -> src=a%20b) survived the rewrite
+    assert back.filter(F.col("src") == "a b").count() == 2
+
+
+def test_save_as_managed_table_catalog_qualified(spark):
+    """3-part identifiers (catalog.db.table) must work — Spark accepts
+    them, so the orphan-cleanup path derivation must too."""
+    from nytimes_batch_processor_spark.tables import save_as_managed_table
+
+    df = spark.range(4).selectExpr("id")
+    try:
+        save_as_managed_table(df, "spark_catalog.default.t_cat_qualified")
+        assert spark.table("spark_catalog.default.t_cat_qualified").count() == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spark_catalog.default.t_cat_qualified")
+
+
+def test_compact_parquet_preserves_stringy_partition_values(spark, tmp_path):
+    """Zero-padded string partition values must survive compaction
+    verbatim: type inference would rewrite fips=00123 as fips=123 —
+    silently renaming the partition."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import compact_parquet
+
+    path = str(tmp_path / "padded")
+    df = spark.createDataFrame(
+        [("00123", 1), ("00123", 2), ("451", 3)], "fips string, v int"
+    )
+    for _ in range(2):
+        df.write.mode("append").partitionBy("fips").parquet(path)
+    compact_parquet(spark, path, target_partitions=2)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("fips="))
+    assert dirs == ["fips=00123", "fips=451"], dirs
+    back = spark.read.option("mergeSchema", "false").parquet(path)
+    assert back.filter(F.col("fips") == "00123").count() == 4
