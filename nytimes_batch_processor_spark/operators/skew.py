@@ -114,15 +114,27 @@ def salted_agg_sum_count(
     salted_equi_join: partition-id / row-id salts change on task retry,
     re-routing recomputed rows into different (key, salt) groups than
     the partials already fetched — lost/duplicated sums under
-    stage-retry). Default: xxhash64 over all input columns; pass an
-    explicit hash of a unique key when exact duplicate rows should
-    still spread.
+    stage-retry). Default: xxhash64 over all hashable input columns
+    (MapType is unhashable and skipped). Pass an explicit hash of a
+    unique key when the input contains exact DUPLICATE rows on the hot
+    key — identical rows hash to one salt, so the default cannot
+    spread them.
 
     ``sums`` maps output column -> input column to SUM. A row count is
     always emitted as ``n_rows``.
     """
     if scatter is None:
-        scatter = F.xxhash64(*[F.col(c) for c in df.columns])
+        from pyspark.sql import types as T
+
+        hashable = [
+            f.name for f in df.schema.fields if not isinstance(f.dataType, T.MapType)
+        ]
+        if not hashable:
+            raise ValueError(
+                "salted_agg_sum_count: no hashable columns for the default "
+                "scatter (all MapType) — pass an explicit scatter expression"
+            )
+        scatter = F.xxhash64(*[F.col(c) for c in hashable])
     salt = F.pmod(scatter, F.lit(n_salts))
     partial = (
         df.withColumn("_salt", salt)

@@ -73,19 +73,22 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
     remove it first. A shared metastore deployment never hits this
     branch (tableExists is true and overwrite handles it)."""
     spark = df.sparkSession
-    if not spark.catalog.tableExists(name):
+    parts = name.lower().split(".")
+    if len(parts) > 3 or any(not p for p in parts):
+        raise ValueError(f"unsupported table identifier: {name}")
+    # The warehouse-path derivation below is only valid for the SESSION
+    # catalog — a foreign catalog (Iceberg/JDBC/...) stores tables
+    # elsewhere, and deleting <session-warehouse>/db.db/t for 'ice.db.t'
+    # could destroy a DIFFERENT table's directory. Orphan cleanup is
+    # therefore skipped for non-session catalogs.
+    session_catalog = len(parts) < 3 or parts[0] == "spark_catalog"
+    if session_catalog and not spark.catalog.tableExists(name):
         # Derive the warehouse location the way Spark lays it out:
         # <warehouse>/<table> for the default db, <warehouse>/<db>.db/<table>
-        # for qualified names. Delete ONLY when the directory actually
-        # looks like an orphaned Spark table (data/commit files present) —
-        # never a directory some other system owns that merely collides.
+        # otherwise. Delete ONLY when the directory actually looks like
+        # an orphaned Spark table (data/commit files present) — never a
+        # directory some other system owns that merely collides.
         warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        # Accept table / db.table / catalog.db.table: the location depends
-        # only on the last two parts, and the default db lives at the
-        # warehouse root (not default.db/).
-        parts = name.lower().split(".")
-        if len(parts) > 3 or any(not p for p in parts):
-            raise ValueError(f"unsupported table identifier: {name}")
         table = parts[-1]
         db = parts[-2] if len(parts) >= 2 else "default"
         loc_path = (
@@ -117,6 +120,13 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
 def detect_partition_columns(spark: SparkSession, path: str) -> list[str]:
     """Partition columns of a parquet dataset, from its directory layout
     (``col=value`` levels under ``path``, outermost first)."""
+    return _detect_partitions_with_leaf(spark, path)[0]
+
+
+def _detect_partitions_with_leaf(
+    spark: SparkSession, path: str
+) -> tuple[list[str], str]:
+    """(partition columns, one leaf directory holding data files)."""
     jvm = spark._jvm
     fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
         spark._jsc.hadoopConfiguration()
@@ -130,7 +140,7 @@ def detect_partition_columns(spark: SparkSession, path: str) -> list[str]:
             if f.isDirectory() and "=" in f.getPath().getName()
         ]
         if not subdirs:
-            return cols
+            return cols, str(cur.toUri().getPath())
         cols.append(subdirs[0].getName().split("=", 1)[0])
         cur = subdirs[0]
 
@@ -165,29 +175,34 @@ def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> i
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
     old = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
-    part_cols = detect_partition_columns(spark, path)
-    # Read partition values as VERBATIM strings for the roundtrip:
-    # type inference would turn a zero-padded string value like
-    # fips=00123 into int 123 and rewrite the directory as fips=123 —
-    # silently renaming partitions. With inference off, directory names
-    # pass through unchanged; later readers re-infer exactly as they
-    # did before compaction (file-borne column types are untouched).
-    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev_infer = spark.conf.get(infer_key)
-    spark.conf.set(infer_key, "false")
-    try:
+    part_cols, leaf_dir = _detect_partitions_with_leaf(spark, path)
+    if part_cols:
+        # Read partition values as VERBATIM strings for the roundtrip:
+        # type inference would turn a zero-padded string value like
+        # fips=00123 into int 123 and rewrite the directory as fips=123
+        # — silently renaming partitions. An EXPLICIT schema (leaf-file
+        # fields + partition cols pinned to STRING) disables inference
+        # for this read only — no session-wide conf flip that would
+        # change partition types under concurrent readers. Directory
+        # names pass through unchanged; later readers re-infer exactly
+        # as they did before compaction.
+        from pyspark.sql import types as T
+
+        leaf_fields = spark.read.parquet(leaf_dir).schema.fields
+        schema = T.StructType(
+            list(leaf_fields)
+            + [T.StructField(c, T.StringType(), True) for c in part_cols]
+        )
+        df = spark.read.schema(schema).parquet(path)
+        writer = (
+            df.repartition(target_partitions, *[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+        )
+    else:
         df = spark.read.parquet(path)
-        if part_cols:
-            writer = (
-                df.repartition(target_partitions, *[F.col(c) for c in part_cols])
-                .write.mode("overwrite")
-                .partitionBy(*part_cols)
-            )
-        else:
-            writer = df.coalesce(target_partitions).write.mode("overwrite")
-        writer.parquet(str(tmp))
-    finally:
-        spark.conf.set(infer_key, prev_infer)
+        writer = df.coalesce(target_partitions).write.mode("overwrite")
+    writer.parquet(str(tmp))
     if not fs.rename(hpath, old):
         raise IOError(f"compaction swap failed: could not move {path} aside")
     if not fs.rename(tmp, hpath):
@@ -304,18 +319,31 @@ def delete_rows_partition_scoped(
     format-free equivalent with per-partition atomicity.
     """
     import os as _os
-    from urllib.parse import unquote, urlparse
+    from urllib.parse import quote, unquote, urlparse
 
     df = spark.read.parquet(path)
     matches = F.coalesce(predicate, F.lit(False))
     hits = df.filter(matches)
-    # input_file_name returns a URI: unquote once to recover the LITERAL
-    # filesystem path (a dir named 'src=a b' appears as 'src=a%20b' in
-    # the URI); the partition VALUE below unquotes a second time for the
-    # Hive escaping layer (a value 'a%b' is stored as dir 'a%25b').
+    # input_file_name returns a URI: unquote the PATH once to recover the
+    # literal name (a dir named 'src=a b' appears as 'src=a%20b'), but
+    # KEEP the scheme/authority — dropping them would resolve the
+    # rewrite against the default filesystem for s3a://bucket/... or
+    # cross-namenode hdfs:// datasets. The partition VALUE below
+    # unquotes a second time for the Hive escaping layer (a value 'a%b'
+    # is stored as dir 'a%25b').
+    def _literal_dir(uri: str) -> str:
+        p = urlparse(uri)
+        d = _os.path.dirname(unquote(p.path))
+        if not p.scheme or p.scheme == "file":
+            # plain paths are NOT URI-parsed by Hadoop: pass the literal
+            return d
+        # scheme-qualified strings ARE URI-parsed (and %-decoded) again
+        # by Hadoop Path — re-quote so the literal name round-trips
+        return f"{p.scheme}://{p.netloc}{quote(d, safe='/')}"
+
     affected_dirs = sorted(
         {
-            _os.path.dirname(unquote(urlparse(r[0]).path))
+            _literal_dir(r[0])
             for r in hits.select(F.input_file_name()).distinct().collect()
         }
     )
