@@ -187,17 +187,22 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The UDTF is declared inside the function because @udtf registration
     needs a live SparkContext. Arrow serializes batches across the
-    boundary; per-row Python cost is the generator body only. The regex
-    split mirrors DuckDB's string_split_regex exactly (re.split keeps
-    leading empty strings) so the oracle is byte-comparable."""
+    boundary; per-row Python cost is the generator body only. NULL text
+    yields ZERO rows (matching unnest(NULL)); re.split keeps leading
+    empty strings like string_split_regex. Dialect boundary: Python's
+    \\s is Unicode-aware while DuckDB's RE2 \\s is ASCII-only — the
+    fixture is all-ASCII, so the oracle is byte-comparable; a Unicode
+    corpus needs the same regex class pinned on both sides."""
     import re
 
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="tok string, pos int")
     class Tokenize:
-        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF protocol
-            for i, tk in enumerate(re.split(r"\s+", (text or "").lower())):
+        def eval(self, text):  # noqa: ANN001 - UDTF protocol
+            if text is None:
+                return
+            for i, tk in enumerate(re.split(r"\s+", text.lower())):
                 yield tk, i + 1
 
     spark.udtf.register("tokenize_positions", Tokenize)
@@ -206,6 +211,6 @@ def udtf_tokenize_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT d.doc_id, tk.tok, tk.pos
-        FROM _udtf_docs d, LATERAL tokenize_positions(d.doc_id, d.text) tk
+        FROM _udtf_docs d, LATERAL tokenize_positions(d.text) tk
         """
     )

@@ -73,11 +73,24 @@ def asof_join(
     )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # NULL-timestamp contract: a NULL ts satisfies no inequality, so a
+    # NULL-ts LEFT row matches nothing (it still appears, null-extended)
+    # and a NULL-ts RIGHT row is never a match candidate. Right rows are
+    # filtered; left rows sort FIRST in BOTH directions (nulls-first on
+    # asc and desc alike) so the carried value at their position is
+    # still NULL — without the explicit desc_nulls_first, forward's
+    # default nulls-LAST ordering silently matched NULL-ts left rows to
+    # the globally earliest right row.
+    marked_right = marked_right.filter(F.col("_ts").isNotNull())
     # Left rows carry _tie = NULL; nulls_last keeps them after any tied
     # right rows (they carry no value anyway — _rv is NULL on the left).
     # Forward scans time in reverse: the "last carried" right row is then
     # the EARLIEST one at-or-after the left row.
-    ts_ord = F.col("_ts").asc() if direction == "backward" else F.col("_ts").desc()
+    ts_ord = (
+        F.col("_ts").asc_nulls_first()
+        if direction == "backward"
+        else F.col("_ts").desc_nulls_first()
+    )
     order: list[Column] = [
         ts_ord,
         F.col("_side").asc(),

@@ -15,6 +15,18 @@ from ..catalog import query
 from ..functions import ratio
 from ..sources import load_tables
 
+
+def content_fingerprint(col) -> F.Column:
+    """Canonical exact-dedup key: md5 over lowercased,
+    whitespace-collapsed content. ONE definition shared by the
+    fingerprint entry and the curation pipeline — two drifting copies
+    would make "exact dedup" mean different things in different
+    entries. Dialect boundary: Java's \\s includes \\x0B where
+    DuckDB's RE2 \\s does not; the fixture has no such characters, and
+    a Unicode corpus must pin one regex class on both sides."""
+    normalized = F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    return F.md5(F.encode(normalized, "UTF-8"))
+
 # Tiny per-language stopword lists for the heuristic language id.
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a"],
@@ -199,10 +211,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically by Spark and DuckDB so it is oracle-checkable, unlike
     engine-specific hash()."""
     t = load_tables(spark, sf_dir, "documents")
-    normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
     return t.documents.select(
         "doc_id",
-        F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint"),
+        content_fingerprint("text").alias("fingerprint"),
         F.length("text").cast("long").alias("n_chars_actual"),
     )
 
@@ -252,9 +263,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = t.documents.select(
         "doc_id",
         "lang",
-        F.md5(
-            F.encode(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "), "UTF-8")
-        ).alias("fp"),
+        content_fingerprint("text").alias("fp"),
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )

@@ -209,3 +209,30 @@ def test_asof_forward_matches_bruteforce(left_rows, right_rows):
             rts, neg_rid, v = min(matches)  # earliest ts, then largest rid
             expected = (-neg_rid, v)
         assert got[i] == expected, f"left row {i}: {got[i]} != {expected}"
+
+
+def test_asof_null_timestamps_match_nothing():
+    """NULL timestamps satisfy no inequality: a NULL-ts left row is
+    null-extended (not matched to the earliest/latest right row) and a
+    NULL-ts right row is never a candidate — in BOTH directions."""
+    from nytimes_batch_processor_spark.operators.asof import asof_join
+
+    spark = _spark()
+    left = spark.createDataFrame(
+        [(0, 1, None), (1, 1, 20)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(0, 1, None, 99), (1, 1, 10, 7), (2, 1, 30, 8)],
+        "rid int, k int, rts int, v int",
+    )
+    for direction, expected in (("backward", (1, 7)), ("forward", (2, 8))):
+        got = {
+            r["lid"]: (r["asof_rid"], r["asof_v"])
+            for r in asof_join(
+                left, right, on="k", left_ts="ts", right_ts="rts",
+                right_values=["rid", "v"], tie_breaker="rid",
+                direction=direction,
+            ).collect()
+        }
+        assert got[0] == (None, None), (direction, got)  # NULL left ts
+        assert got[1] == expected, (direction, got)      # never rid=0 (NULL rts)
