@@ -9,13 +9,16 @@ standard MapReduce/Pregel formulation, expressed as a driver-side loop
 of DataFrame joins (the engine's example of a genuinely iterative,
 non-SQL-expressible operator).
 
-Scale notes: each iteration is one shuffle join on the edge list plus a
-bounded aggregate; iterations needed = graph diameter (near-dup cluster
-diameters are tiny — 2-4). Lineage is truncated per iteration with
-localCheckpoint, or the plan tree grows exponentially (on a cluster,
-persist + checkpoint dir instead). For web-scale graphs swap the loop
-body for the large-star/small-star variant; the join shapes are
-identical.
+Scale notes: `connected_components` (min-label propagation) needs one
+shuffle join per iteration and O(diameter) iterations — right for
+near-dup graphs whose cluster diameters are tiny (2-4).
+`connected_components_star` is the web-scale variant (alternating
+large-star/small-star, O(log n) rounds regardless of diameter) — same
+output contract, property-tested against the same union-find oracle,
+converging on a 200-node chain in <=12 rounds where min-label needs
+199. Lineage is truncated per iteration with localCheckpoint, or the
+plan tree grows exponentially (on a cluster, persist + checkpoint dir
+instead).
 """
 
 from __future__ import annotations
@@ -72,6 +75,85 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 50
+) -> DataFrame:
+    """Exact connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the web-scale swap for `connected_components`: O(log n) rounds
+    instead of O(diameter), so a 10M-long chain needs ~25 rounds, not
+    10M. Same output contract: (node, component=min reachable id).
+
+    Each round is two edge rewrites, each one shuffle:
+      large-star(u): every neighbor v > u re-points to
+          m = min(neighbors(u) ∪ {u});
+      small-star(u): every neighbor v <= u (and u itself) re-points to m.
+    Both preserve connectivity; the fixpoint is a union of stars whose
+    centers are the component minima. Fixpoint detection compares an
+    order-insensitive edge-set checksum between rounds.
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )  # canonical (big, small) so the checksum is orientation-free
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _star(cur: DataFrame, large: bool) -> DataFrame:
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_nmin"))
+            .select("u", F.least("u", "_nmin").alias("m"))
+        )
+        joined = sym.join(mins, "u")
+        if large:
+            out = joined.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = joined.filter(F.col("v") <= F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            ).union(joined.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        return (
+            out.filter(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+
+    def _checksum(cur: DataFrame):
+        # decimal sum: a long sum of 64-bit hashes overflows under ANSI
+        return cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+
+    prev = _checksum(e)
+    for _ in range(max_iter):
+        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        cur = _checksum(e)
+        if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("_nmin"))
+        .select(
+            F.col("u").alias("node"), F.least("u", "_nmin").alias("component")
+        )
+    )
 
 
 @query("dedup_minhash_cc", tables=("documents",))
