@@ -101,8 +101,8 @@ SELECT CAST(COUNT(*) AS BIGINT)                                   AS n,
        CAST(SUM(CAST(ROUND(LOG10(l_extendedprice), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_log10_price,
        CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(4,2)) * CAST(l_discount AS DECIMAL(4,2))), 6) AS DOUBLE) AS sum_disc_sq,
        CAST(SUM(CAST(l_orderkey % 7 AS BIGINT)) AS BIGINT)        AS sum_mod7,
-       ROUND(SUM(CEIL(l_quantity / 3)), 2)                        AS sum_ceil,
-       ROUND(SUM(FLOOR(l_quantity / 3)), 2)                       AS sum_floor,
+       CAST(SUM(CEIL(l_quantity / 3)) AS BIGINT)                  AS sum_ceil,
+       CAST(SUM(FLOOR(l_quantity / 3)) AS BIGINT)                 AS sum_floor,
        CAST(ROUND(SUM(GREATEST(CAST(l_tax AS DECIMAL(4,2)), CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_greatest,
        CAST(ROUND(SUM(LEAST(CAST(l_tax AS DECIMAL(4,2)), CAST(l_discount AS DECIMAL(4,2)))), 6) AS DOUBLE) AS sum_least
 FROM lineitem
@@ -134,8 +134,11 @@ def fn_math_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_disc_sq"),
         F.sum(F.col("l_orderkey") % 7).alias("sum_mod7"),
-        money(F.sum(F.ceil(F.col("l_quantity") / 3))).alias("sum_ceil"),
-        money(F.sum(F.floor(F.col("l_quantity") / 3))).alias("sum_floor"),
+        # ceil/floor of qty/3 are integral: keep BIGINT on BOTH sides.
+        # (r2's money() round left Spark LONG vs the oracle's ROUND(...)
+        # DOUBLE — numerically equal, type-hash different. r3 red row.)
+        F.sum(F.ceil(F.col("l_quantity") / 3)).cast("bigint").alias("sum_ceil"),
+        F.sum(F.floor(F.col("l_quantity") / 3)).cast("bigint").alias("sum_floor"),
         F.round(F.sum(F.greatest(dec_rate("l_tax"), dec_rate("l_discount"))), 6)
         .cast("double")
         .alias("sum_greatest"),

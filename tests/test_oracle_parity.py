@@ -67,6 +67,86 @@ def test_oracle_parity(name, spark, duck, sf_dir):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+def _spark_type_class(dt) -> str:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "floating"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return "list"
+    if isinstance(dt, T.MapType):
+        return "map"
+    if isinstance(dt, T.StructType):
+        return "struct"
+    return type(dt).__name__
+
+
+def _arrow_type_class(dt) -> str:
+    import pyarrow.types as pat
+
+    if pat.is_integer(dt):
+        return "integer"
+    if pat.is_floating(dt):
+        return "floating"
+    if pat.is_decimal(dt):
+        return "decimal"
+    if pat.is_boolean(dt):
+        return "boolean"
+    if pat.is_string(dt) or pat.is_large_string(dt):
+        return "string"
+    if pat.is_date(dt):
+        return "date"
+    if pat.is_timestamp(dt):
+        return "timestamp"
+    if pat.is_binary(dt) or pat.is_large_binary(dt):
+        return "binary"
+    if pat.is_list(dt) or pat.is_large_list(dt):
+        return "list"
+    if pat.is_map(dt):
+        return "map"
+    if pat.is_struct(dt):
+        return "struct"
+    return str(dt)
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_dtype_parity(name, spark, duck, sf_dir):
+    """Numeric-CLASS agreement per column between the Spark result schema
+    and the DuckDB oracle's Arrow schema. The driver's value hash
+    serializes BIGINT 528299 and DOUBLE 528299.0 differently, but the
+    value-parity test above normalizes Decimal->float and Python compares
+    528299 == 528299.0 as equal — so a pure type drift (fn_math_surface's
+    r2/r3 sum_ceil/sum_floor red row) is invisible to it. This test closes
+    that class of bug locally: integer vs floating vs decimal (and every
+    other type family) must agree column-by-column."""
+    spec = SPECS[name]
+    s_schema = {f.name: _spark_type_class(f.dataType) for f in spec.fn(spark, sf_dir).schema}
+    d_schema = {
+        f.name: _arrow_type_class(f.type) for f in duck.execute(spec.oracle).arrow().schema
+    }
+    assert set(s_schema) == set(d_schema), (
+        f"{name}: column sets differ spark={sorted(s_schema)} duck={sorted(d_schema)}"
+    )
+    diffs = {
+        c: (s_schema[c], d_schema[c]) for c in s_schema if s_schema[c] != d_schema[c]
+    }
+    assert not diffs, f"{name}: dtype class mismatch (spark, duck): {diffs}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY_SPECS)
 def test_rows_only_queries_run(name, spark, sf_dir):
     spec = SPECS[name]
