@@ -87,34 +87,34 @@ def _load_all_modules() -> None:
 # priority block in registration order — append new names here too when
 # they must be driver-visible.
 _PRIORITY: tuple[str, ...] = (
-    # -- never driver-swept in r2: all must land in the window ----------
+    # -- r4 rotation: the 8 r3-new entries that had never seen a driver
+    # row (VERDICT r3 gap 1) now open the window; the 8 slots they took
+    # came from same-family duplicates that are already driver-green in
+    # r2+r3 (named in the tail comment). Goal: every catalog entry has at
+    # least one green driver row across r2-r4.
     "ingest_covid_states",          # S1-P5/W3 ingest spine (the reference)
     "table_catalog_roundtrip",      # D1 managed tables
     "fn_string_surface",
     "fn_date_surface",
-    "fn_math_surface",              # r1-flagged fix: needs a green driver row
+    "fn_math_surface",              # r3 red row; ceil/floor type fix in r4
     "fn_json_extract",
-    "fn_json_struct",
+    "fn_regexp_surface",            # r4-rotated in (never driver-swept)
+    "fn_higher_order_surface",      # r4-rotated in
+    "fn_variant_json",              # r4-rotated in
     "fn_array_surface",
-    "fn_map_surface",
     "fn_conditional_null",
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
-    "udf_grouped_map_zscore",
     "stream_tumbling_daily",        # O3/O4: the reference's execution model
-    "stream_sliding_3d_1d",
     "sessionize_gap_30min",
     "mm_binary_metadata",
-    "mm_resize_thumbs",
-    "mm_frame_sample",
-    "mm_decode_features",
+    "mm_decode_features",           # rows-only mm representative
     "percentile_exact_and_approx",
     # -- one+ representative per family already green in r2 -------------
     "filter_project_revenue",       # filters/pushdown
-    "filter_like_in_patterns",      # LIKE/ILIKE/IN (un-vacuated this round)
+    "filter_like_in_patterns",      # LIKE/ILIKE/IN
     "join_broadcast_star",          # joins: broadcast
     "join_left_anti",               # joins: anti (W3 semantics)
-    "join_left_outer_null_ext",     # joins: outer
     "udtf_tokenize_positions",      # true Python UDTF (new in r3)
     "join_interval_window",         # joins: range/interval
     "join_skew_salted",             # joins: skew handling
@@ -123,39 +123,43 @@ _PRIORITY: tuple[str, ...] = (
     "agg_distinct_counts",
     "agg_grouping_sets",            # generalizes rollup/cube/pivot shapes
     "agg_stats_surface",            # statistical moments (new in r3)
+    "agg_time_rollup",              # r4-rotated in (+ GROUPING() sentinel fix)
+    "agg_incremental_merge",        # r4-rotated in
+    "agg_skew_salted_sum",          # r4-rotated in
     "q3_shipping_priority",         # integration: 3-way join + top-k (r3)
     "window_rank_topk_per_group",   # windows: ranking
     "window_lag_daily_delta",       # windows: analytic (flagship semantic)
     "window_ignore_nulls_ffill",    # windows: IGNORE NULLS fill (r3)
-    "join_asof_forward_activation", # as-of forward twin (new in r3)
     "setops_customer_cohorts",      # set ops
+    "setops_multiset_all",          # r4-rotated in
     "spine_gap_fill_daily",         # calendar spine
     "dedup_exact_union",            # L2 dedup: exact
     "dedup_first_write_wins",
     "pipeline_curate_corpus",       # L2 showcase: score->filter->dedup (r3)
     "dedup_minhash_lsh",
-    "dedup_minhash_cc",             # graph connected components
+    "dedup_minhash_cc",             # CC — now runs the O(log n) star variant
     "dedup_embedding_cosine",
     "sim_cosine_topk_bruteforce",   # L2 similarity
     "sim_ann_lsh_topk",
+    "graph_reachability_rcte",      # r4-rotated in (WITH RECURSIVE)
     "text_tokens_topk",             # L2 text (one of four; rest in tail)
-    # -- tail: redundant variants of window-covered families — all either
-    # driver-green in r2 (join_left_semi, join_right_outer_never_matched,
-    # join_full_outer_reconcile, join_theta_range, join_null_safe_eq,
-    # join_cross_grid, pivot_status_by_flag, agg_rollup, agg_cube,
-    # agg_min_max_by, agg_string_agg_sorted, sort_global_topk — its
-    # TakeOrderedAndProject shape also runs inside q3_shipping_priority —
-    # sort_nulls_ordering, unpivot_measures_long, window_running_total,
+    # -- tail: redundant variants of window-covered families — all
+    # driver-green in r2 or r3 (join_left_semi,
+    # join_right_outer_never_matched, join_full_outer_reconcile,
+    # join_theta_range, join_null_safe_eq, join_cross_grid,
+    # pivot_status_by_flag, agg_rollup, agg_cube, agg_min_max_by,
+    # agg_string_agg_sorted, sort_global_topk — its TakeOrderedAndProject
+    # shape also runs inside q3_shipping_priority — sort_nulls_ordering,
+    # unpivot_measures_long, window_running_total,
     # window_ntile_first_last, window_rank_extras, window_pct_of_total,
     # window_range_rolling_7d, dedup_ngram_jaccard — still the pytest
     # oracle for the MinHash recall gates — dedup_minhash_resolve,
-    # dedup_simhash,
-    # sim_ann_ivf_topk, text_quality_score, text_langid_heuristic,
-    # text_fingerprint, approx_count_distinct_bounds) or new-in-r3
-    # entries verified by the local parity sweep but not (yet) swapped
-    # into the window (agg_time_rollup, agg_incremental_merge,
-    # agg_skew_salted_sum, fn_regexp_surface, fn_higher_order_surface,
-    # fn_variant_json, setops_multiset_all, graph_reachability_rcte).
+    # dedup_simhash, sim_ann_ivf_topk, text_quality_score,
+    # text_langid_heuristic, text_fingerprint,
+    # approx_count_distinct_bounds) or r4-rotated OUT after going green
+    # in r3 (fn_json_struct, fn_map_surface, udf_grouped_map_zscore,
+    # stream_sliding_3d_1d, mm_resize_thumbs, mm_frame_sample,
+    # join_left_outer_null_ext, join_asof_forward_activation).
 )
 
 

@@ -166,12 +166,18 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs `dedup_minhash_resolve` (greedy): CC keeps exactly one doc per
     transitive near-dup cluster — chains collapse to one survivor
     instead of zero-or-more.
+
+    Runs the O(log n) large-star/small-star CC — the same algorithm the
+    100 TB story depends on, so the driver sweep executes the scale path,
+    not just the O(diameter) min-label loop (that variant stays as
+    `connected_components` for the shallow-graph case and the property
+    tests cover both against one union-find oracle).
     """
     from .dedup import dedup_minhash_lsh
 
     t = load_tables(spark, sf_dir, "documents")
     pairs = dedup_minhash_lsh(spark, sf_dir)
-    comp = connected_components(pairs)
+    comp = connected_components_star(pairs)
     # Drop every clustered doc that is not its component's representative.
     dupes = comp.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")

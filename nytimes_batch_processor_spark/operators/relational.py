@@ -954,8 +954,10 @@ def agg_stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_time_rollup",
     tables=("orders",),
     oracle="""
-SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS INT), -1)  AS yr,
-       COALESCE(CAST(EXTRACT(month FROM o_orderdate) AS INT), -1) AS mo,
+SELECT CASE WHEN GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) = 1 THEN -1
+            ELSE CAST(EXTRACT(year FROM o_orderdate) AS INT) END  AS yr,
+       CASE WHEN GROUPING(CAST(EXTRACT(month FROM o_orderdate) AS INT)) = 1 THEN -1
+            ELSE CAST(EXTRACT(month FROM o_orderdate) AS INT) END AS mo,
        CAST(COUNT(*) AS BIGINT)                                   AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM orders
@@ -966,19 +968,32 @@ GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT),
 def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-hierarchy ROLLUP (year -> year+month -> grand total) —
     the time-series drill-down the reference's cumulative tables feed
-    ("cases by month, by year, total"). One Expand + hash agg pass;
-    sentinel -1 for the rolled-up levels keeps the compare null-safe
-    (year/month are ints, so 'ALL' can't be the label)."""
+    ("cases by month, by year, total"). One Expand + hash agg pass.
+
+    The -1 sentinel marks ONLY rolled-up levels, derived from GROUPING()
+    (not from coalescing the value column): a NULL o_orderdate detail
+    group stays (NULL, NULL), distinguishable from the (-1, -1) grand
+    total — 'unknown date' vs 'all dates' never collide."""
     t = load_tables(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
+    # Pre-project: F.grouping() only resolves real input columns, not
+    # aliases minted inside the rollup() call itself.
+    base = t.orders.select(
+        F.year(d).cast("int").alias("yr"),
+        F.month(d).cast("int").alias("mo"),
+        "o_totalprice",
+    )
     return (
-        t.orders.rollup(
-            F.year(d).cast("int").alias("yr"), F.month(d).cast("int").alias("mo")
+        base.rollup("yr", "mo")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice").alias("revenue"),
+            F.grouping("yr").alias("g_yr"),
+            F.grouping("mo").alias("g_mo"),
         )
-        .agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice").alias("revenue"))
         .select(
-            F.coalesce("yr", F.lit(-1)).alias("yr"),
-            F.coalesce("mo", F.lit(-1)).alias("mo"),
+            F.when(F.col("g_yr") == 1, F.lit(-1)).otherwise(F.col("yr")).alias("yr"),
+            F.when(F.col("g_mo") == 1, F.lit(-1)).otherwise(F.col("mo")).alias("mo"),
             "n_orders",
             "revenue",
         )
