@@ -42,6 +42,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",  # probe-only: ivf_build_index runs once in warmup
     "text_quality_score",
     "fn_json_extract",
 ]

@@ -234,41 +234,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16  # coarse-quantizer cells
 _IVF_NPROBE = 4  # cells probed per query
+_IVF_SAMPLE_CAP = 100_000  # k-means never trains on more rows than this
 
 
-@query("sim_ann_ivf_topk", tables=("embeddings",))
-def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via IVF (inverted-file index with a k-means coarse
-    quantizer) — the second ANN family next to hyperplane LSH, same
-    bucket-equi-join shape with centroid id as the bucket key:
-
-    1. TRAIN: MLlib KMeans (fixed seed) fits _IVF_K centroids — at
-       corpus scale this runs once on a sample and the centroids persist
-       as the index definition, not per query;
-    2. INDEX: each corpus vector is assigned its nearest centroid
-       JVM-side (squared distances against centroid array literals —
-       no MLlib UDT in the hot path, no Python);
-    3. PROBE: each query expands to its _IVF_NPROBE nearest cells
-       (sorted (distance, cell) structs, slice, explode);
-    4. candidates = corpus x probes equi-join on `cell` -> exact cosine
-       rerank -> top-k.
-
-    Measured on the random-vector fixture (worst case): recall@10 0.58
-    (sf0.001) / 0.76 (sf0.01) scoring ~30% of the corpus; clustered real
-    embeddings concentrate neighbors in fewer cells, so production gets
-    sharper selectivity at higher recall (raise _IVF_K, keep
-    nprobe/K ratio).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    t = load_tables(spark, sf_dir, "embeddings")
-    v = t.embeddings.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
-    ).withColumn("nrm", _norm(F.col("e")))
-    km = KMeans(k=_IVF_K, seed=42, maxIter=10, featuresCol="fv", predictionCol="cell")
-    model = km.fit(v.select(array_to_vector("e").alias("fv")))
-    centers = [c.tolist() for c in model.clusterCenters()]
+def _centroid_sq_dists(centers: list[list[float]]) -> Column:
+    """Array of squared distances from `e` to each centroid, JVM-side
+    (each centroid ships as ONE array literal — same py4j rule as the
+    hyperplanes)."""
 
     def sq_dist(center: list[float]):
         return F.aggregate(
@@ -277,21 +249,114 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
 
-    dists = F.array(*[sq_dist(c) for c in centers])
-    # Checkpointed once: probe and corpus sides both read the cell
-    # assignment (the persisted IVF index at cluster scale).
+    return F.array(*[sq_dist(c) for c in centers])
+
+
+class IvfIndex:
+    """A built IVF index: the centroid table (the index *definition*,
+    tiny — k x dim plain floats) plus the materialized cell assignment
+    of the corpus (the inverted file). At cluster scale both persist as
+    tables; here the assignment is a localCheckpoint and the whole
+    object is cached per (session, corpus) by `ivf_index_for`."""
+
+    __slots__ = ("centers", "assigned")
+
+    def __init__(self, centers: list[list[float]], assigned: DataFrame):
+        self.centers = centers
+        self.assigned = assigned
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    k: int = _IVF_K,
+    seed: int = 42,
+    sample_cap: int = _IVF_SAMPLE_CAP,
+) -> IvfIndex:
+    """TRAIN + INDEX, run ONCE per corpus (never in the query path):
+
+    1. TRAIN: MLlib KMeans (fixed seed) fits `k` centroids on a
+       deterministic hash-sample of at most `sample_cap` rows — at
+       100 TB the quantizer trains on ~1e5 vectors regardless of corpus
+       size (a k-means job over the full corpus would be a full-scan
+       MLlib job before the first probe);
+    2. INDEX: every corpus vector is assigned its nearest centroid
+       JVM-side (squared distances against centroid array literals — no
+       MLlib UDT in the hot path, no Python) and materialized.
+
+    `corpus` must have columns (vec_id, e: array<double>, nrm).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus
+    n = corpus.count()
+    if n > sample_cap:
+        # Deterministic pseudo-random subset: hash the key, keep ~cap.
+        keep = int(1_000_000 * sample_cap / n)
+        train = corpus.filter(
+            F.pmod(F.abs(F.xxhash64("vec_id")), F.lit(1_000_000)) < keep
+        )
+    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="fv", predictionCol="cell")
+    model = km.fit(train.select(array_to_vector("e").alias("fv")))
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    dists = _centroid_sq_dists(centers)
     assigned = (
-        v.withColumn("_d", dists)
+        corpus.withColumn("_d", dists)
         .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
         .drop("_d")
         .localCheckpoint(eager=True)
     )
+    return IvfIndex(centers, assigned)
+
+
+# (applicationId, sf_dir, k) -> IvfIndex. Keyed by session so a stale
+# checkpoint from a stopped SparkContext is never served.
+_IVF_CACHE: dict[tuple[str, str, int], IvfIndex] = {}
+
+
+def ivf_index_for(spark: SparkSession, sf_dir: str, k: int = _IVF_K) -> IvfIndex:
+    key = (spark.sparkContext.applicationId, sf_dir, k)
+    idx = _IVF_CACHE.get(key)
+    if idx is None:
+        t = load_tables(spark, sf_dir, "embeddings")
+        corpus = t.embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("e")
+        ).withColumn("nrm", _norm(F.col("e")))
+        idx = _IVF_CACHE[key] = ivf_build_index(corpus, k=k)
+    return idx
+
+
+@query("sim_ann_ivf_topk", tables=("embeddings",))
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file index with a k-means coarse
+    quantizer) — the second ANN family next to hyperplane LSH, same
+    bucket-equi-join shape with centroid id as the bucket key.
+
+    PROBE-ONLY: the quantizer training and cell assignment live in
+    `ivf_build_index` (cached per session/corpus by `ivf_index_for`,
+    persisted tables at cluster scale) — no KMeans.fit in this call
+    path. The query:
+
+    1. expands each query vector to its _IVF_NPROBE nearest cells
+       (sorted (distance, cell) structs, slice, explode);
+    2. candidates = corpus x probes equi-join on `cell` -> exact cosine
+       rerank -> top-k.
+
+    Measured on the random-vector fixture (worst case): recall@10 0.58
+    (sf0.001) / 0.76 (sf0.01) scoring ~30% of the corpus; clustered real
+    embeddings concentrate neighbors in fewer cells, so production gets
+    sharper selectivity at higher recall (raise _IVF_K, keep
+    nprobe/K ratio).
+    """
+    idx = ivf_index_for(spark, sf_dir)
+    assigned = idx.assigned
+    dists = _centroid_sq_dists(idx.centers)
     # (distance, cell) structs sorted -> nearest _IVF_NPROBE cell ids.
     ranked_cells = F.transform(
         F.array_sort(
             F.zip_with(
                 dists,
-                F.sequence(F.lit(0), F.lit(_IVF_K - 1)),
+                F.sequence(F.lit(0), F.lit(len(idx.centers) - 1)),
                 lambda d, i: F.struct(d.alias("d"), i.alias("i")),
             )
         ),

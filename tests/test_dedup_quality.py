@@ -99,6 +99,22 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@10 vs brute force: {recall:.2f}"
 
 
+def test_ann_ivf_query_is_probe_only(spark, sf_dir):
+    """The IVF query path must never retrain the quantizer: repeated
+    calls in one session reuse the SAME built index (KMeans.fit lives in
+    ivf_build_index only — at 100 TB training-per-query would be a full
+    MLlib job before the first probe)."""
+    from nytimes_batch_processor_spark.operators import similarity as S
+
+    idx1 = S.ivf_index_for(spark, sf_dir)
+    idx2 = S.ivf_index_for(spark, sf_dir)
+    assert idx1 is idx2
+    # and the query itself resolves through the cache, not a rebuild
+    before = dict(S._IVF_CACHE)
+    S.sim_ann_ivf_topk(spark, sf_dir).count()
+    assert dict(S._IVF_CACHE) == before
+
+
 def test_ann_lsh_is_bucket_equijoin(spark, sf_dir):
     """The ANN candidate generation must plan as a hash equi-join on the
     bucket key — a BroadcastNestedLoopJoin would mean the 'index' still
