@@ -117,8 +117,19 @@ WITH purchases AS (
     SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'purchase'
 ),
 clicks AS (
+    -- DuckDB's ASOF JOIN leaves the winner among right rows tied on
+    -- (key, ts) unspecified; pre-dedupe to the max event_id per
+    -- (user_id, ts) so the oracle pins the same tie policy as
+    -- asof_join's tie_breaker (largest wins) instead of relying on
+    -- tie-free fixtures.
     SELECT user_id, ts AS click_ts, event_id AS click_event_id
-    FROM events WHERE event_type = 'click'
+    FROM (
+        SELECT user_id, ts, event_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'click'
+    ) WHERE rn = 1
 )
 SELECT p.event_id,
        p.user_id,
@@ -170,9 +181,17 @@ WITH signups AS (
     SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
 ),
 purchases AS (
+    -- same explicit tie policy as the backward oracle: max event_id
+    -- wins among purchases tied on (user_id, ts)
     SELECT user_id, ts AS p_ts, event_id AS p_event_id,
            ROUND(value, 2) AS p_value
-    FROM events WHERE event_type = 'purchase'
+    FROM (
+        SELECT user_id, ts, event_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id, ts ORDER BY event_id DESC
+               ) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
 )
 SELECT s.event_id,
        s.user_id,

@@ -175,6 +175,22 @@ def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> i
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
     old = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
+    # Crash recovery: a previously killed run can leave the temp dirs
+    # behind, and FileSystem.rename to an existing destination returns
+    # false — every later compaction of this path would then fail at the
+    # first swap. Both suffixes are reserved for this utility, so:
+    #  - path missing + ._precompact present = the run died BETWEEN the
+    #    two swap renames; the precompact dir IS the live data — restore
+    #    it first (never delete it);
+    #  - otherwise ._precompact is a leftover pre-compaction copy of a
+    #    completed swap, and ._compacting is a partial/orphaned rewrite
+    #    — both safe to remove.
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(f"crash recovery failed: could not restore {old} to {path}")
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
     part_cols, leaf_dir = _detect_partitions_with_leaf(spark, path)
     if part_cols:
         # Read partition values as VERBATIM strings for the roundtrip:

@@ -133,6 +133,35 @@ def test_compact_parquet_preserves_data(spark, tmp_path):
     assert not os.path.exists(path + "._compacting")
 
 
+def test_compact_parquet_recovers_from_crashed_run(spark, tmp_path):
+    """Stale '._compacting'/'._precompact' leftovers from a killed run
+    must not wedge every later compaction (rename-to-existing returns
+    false); and a crash BETWEEN the two swap renames (live data sitting
+    at ._precompact, nothing at path) must be restored, not deleted."""
+    import os
+    import shutil
+
+    from nytimes_batch_processor_spark.tables import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(1_000).selectExpr("id").repartition(10).write.parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    # Case 1: both temp dirs left behind alongside intact live data.
+    os.makedirs(path + "._compacting/junk")
+    shutil.copytree(path, path + "._precompact")
+    compact_parquet(spark, path, target_partitions=2)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "._precompact")
+    assert not os.path.exists(path + "._compacting")
+
+    # Case 2: crash between the renames — data only at ._precompact.
+    os.rename(path, path + "._precompact")
+    compact_parquet(spark, path, target_partitions=2)
+    assert sorted(r["id"] for r in spark.read.parquet(path).collect()) == before
+    assert not os.path.exists(path + "._precompact")
+
+
 def test_save_as_managed_table_roundtrip(spark):
     from nytimes_batch_processor_spark.tables import save_as_managed_table
 
