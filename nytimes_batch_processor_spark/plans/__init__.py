@@ -48,3 +48,31 @@ def read_schema(df: DataFrame) -> str:
     """ReadSchema lines — verifies column pruning reached the scan."""
     plan = physical_plan(df)
     return "\n".join(line.strip() for line in plan.splitlines() if "ReadSchema" in line)
+
+
+def _iter_logical_nodes(node):
+    yield node
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_logical_nodes(children.apply(i))
+
+
+def unpartitioned_window_violations(df: DataFrame) -> list[str]:
+    """Single-partition windows are only acceptable POST-AGGREGATION:
+    an unpartitioned Window over raw data funnels the whole input
+    through one task — fine over |days| or |nations| rows, a cluster
+    killer over a fact table. Walks the optimized logical plan and
+    returns a description of every Window node with an empty
+    partitionSpec that does NOT have an Aggregate somewhere beneath it
+    (empty list = contract holds)."""
+    plan = df._jdf.queryExecution().optimizedPlan()  # type: ignore[attr-defined]
+    bad: list[str] = []
+    for node in _iter_logical_nodes(plan):
+        if node.nodeName() != "Window":
+            continue
+        if node.partitionSpec().size() > 0:
+            continue
+        descendants = list(_iter_logical_nodes(node))[1:]
+        if not any(d.nodeName() == "Aggregate" for d in descendants):
+            bad.append(node.simpleStringWithNodeId())
+    return bad

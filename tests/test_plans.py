@@ -186,3 +186,33 @@ def test_range_partitioned_layout_skips_files(spark, tmp_path, sf_dir):
     n_ranged, n_scattered = files_touched(ranged), files_touched(scattered)
     assert n_scattered >= 8, f"scattered layout unexpectedly localized: {n_scattered}"
     assert n_ranged <= 3, f"range layout did not localize the scan: {n_ranged} files"
+
+
+def test_unpartitioned_windows_only_post_aggregation(spark, sf_dir):
+    """Pin the contract that every single-partition window in the
+    catalog runs over AGGREGATED rows (|days|, |nations|), never raw
+    data: a refactor that slides one onto a fact table would funnel the
+    whole input through one task at cluster scale. Also prove the
+    checker itself catches a violation."""
+    from pyspark.sql import Window as W, functions as F
+
+    from nytimes_batch_processor_spark.flagship import flagship
+    from nytimes_batch_processor_spark.operators.relational import window_pct_of_total
+    from nytimes_batch_processor_spark.operators.windows import (
+        window_lag_daily_delta,
+        window_range_rolling_7d,
+    )
+    from nytimes_batch_processor_spark.plans import unpartitioned_window_violations
+
+    for fn in (flagship, window_lag_daily_delta, window_range_rolling_7d,
+               window_pct_of_total):
+        bad = unpartitioned_window_violations(fn(spark, sf_dir))
+        assert not bad, f"{fn.__name__}: unpartitioned window over raw data: {bad}"
+
+    # negative control: an unpartitioned window directly over a scan
+    raw = spark.range(100).withColumn(
+        "rt", F.sum("id").over(W.orderBy("id").rowsBetween(W.unboundedPreceding, 0))
+    )
+    assert unpartitioned_window_violations(raw), (
+        "checker failed to flag an unpartitioned window over raw data"
+    )
