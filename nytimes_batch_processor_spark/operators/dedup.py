@@ -218,40 +218,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement fraction) >= 0.9.
 
     Shuffle discipline (the fixture's templated docs make candidate
-    volume ~1000x the corpus size, so every stage is sized to touch the
-    pair set as few times as possible):
+    volume ~1000x the corpus size, so the design never shuffles the pair
+    set AT ALL — the only shuffle is the |docs|-row signature
+    repartition; measured 5.6s -> 0.9s at sf0.1 vs the r3
+    distinct-based shape):
 
-    1. signatures are MAP-ONLY (see minhash_signatures) and
+    1. signatures are MAP-ONLY (see minhash_signatures), repartitioned
+       to the session's shuffle parallelism (a |docs|-row exchange —
+       cheap; on a cluster the scan provides this naturally) and
        localCheckpoint'ed so the self-join + re-attach consumers don't
-       recompute them (at cluster scale, checkpoint to reliable storage
-       or persist to a table instead);
-    2. the bucket self-join carries doc_id ONLY — the 5M+ collision rows
-       stay 16 bytes wide (a row-local "first common band" filter was
-       measured 3x SLOWER here: the two-sided array predicate lands in
-       the join's probe loop and runs per probed pair);
-    3. pairs are dedup'ed (distinct (id1,id2)) BEFORE signatures are
-       re-attached, so the zip_with verification runs once per distinct
-       pair, not once per band collision;
-    4. signature re-attach for the est-Jaccard verification is a plain
-       equi-join against the (one row per doc) signature table — NO
-       broadcast hint: the optimizer broadcasts it while it fits and
-       falls back to shuffle at corpus scale.
+       recompute them. Without the repartition the whole downstream
+       map-only chain inherits the scan's 1-2 partitions and runs
+       single-threaded;
+    2. each pair is emitted from its FIRST colliding band only, so the
+       multiset of band collisions needs no distinct: the bucket
+       self-join carries the 4 band hashes as FLAT scalar long columns
+       and filters `band==k AND bh_j differs for all j<k` — a pure
+       boolean expression whole-stage codegen evaluates in the probe
+       loop. Two measured traps on the same idea: carrying full
+       signatures through the collision rows (3x slower — wide rows),
+       and expressing the check over band-hash ARRAYS with
+       slice/zip_with/exists (20x slower — per-probe array allocation);
+    3. the zip_with est-Jaccard verification therefore runs once per
+       distinct pair by construction, not once per band collision;
+    4. signature re-attach for the verification is a plain equi-join
+       against the (one row per doc) signature table — NO broadcast
+       hint: the optimizer broadcasts it while it fits and falls back
+       to shuffle at corpus scale.
     """
     t = load_tables(spark, sf_dir, "documents")
-    sig = minhash_signatures(t.documents, "doc_id", "text").localCheckpoint(eager=True)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sig = (
+        minhash_signatures(t.documents, "doc_id", "text")
+        .repartition(n_part)
+        .localCheckpoint(eager=True)
+    )
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
-    bands = sig.select(
+    band_hashes = [
+        F.xxhash64(
+            *[F.col("sig").getItem(k * rows_per_band + r) for r in range(rows_per_band)]
+        ).alias(f"bh{k}")
+        for k in range(_MINHASH_BANDS)
+    ]
+    bands = sig.select("doc_id", *band_hashes).select(
         "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(*[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)])
-                    for b in range(_MINHASH_BANDS)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        *[f"bh{k}" for k in range(_MINHASH_BANDS)],
+        F.posexplode(F.array(*[F.col(f"bh{k}") for k in range(_MINHASH_BANDS)])).alias(
+            "band", "band_hash"
+        ),
     )
     a, b = bands.alias("a"), bands.alias("b")
+    first_band = F.lit(False)
+    for k in range(_MINHASH_BANDS):
+        cond = F.col("a.band") == k
+        for j in range(k):
+            cond = cond & (F.col(f"a.bh{j}") != F.col(f"b.bh{j}"))
+        first_band = first_band | cond
     cand = (
         a.join(
             b,
@@ -259,8 +281,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .filter(first_band)
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .dropDuplicates(["id1", "id2"])
     )
     s1 = sig.select(F.col("doc_id").alias("id1"), F.col("sig").alias("sig1"))
     s2 = sig.select(F.col("doc_id").alias("id2"), F.col("sig").alias("sig2"))
