@@ -159,9 +159,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_token_hash(tk: F.Column) -> F.Column:
+    """Engine-portable token hash: first 15 hex chars of md5 parsed as a
+    60-bit non-negative BIGINT, reduced mod the Mersenne prime. Chosen
+    over xxhash64 (which DuckDB cannot reproduce) so the WHOLE MinHash
+    pipeline is oracle-checkable: DuckDB computes the identical value as
+    CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % p. md5 is
+    marginally slower than xxhash64 per token but runs once per token in
+    the materialized hash array, so it is off the per-permutation path."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(tk), 1, 15), 16, 10).cast("bigint"),
+        F.lit(_MINHASH_PRIME),
+    )
+
+
 def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-doc MinHash signature: array of _MINHASH_PERMS minima of
-    ((a_i * xxhash64(token) + b_i) mod p).
+    ((a_i * portable_hash(token) + b_i) mod p).
 
     MAP-ONLY by construction: the token array never explodes — each
     permutation minimum is an ``array_min(transform(...))`` over the
@@ -175,7 +189,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     - the token-hash array is MATERIALIZED in its own projection before
       the 32 per-perm transforms: codegen does NOT common-subexpression
       the tokenize+hash across array elements, so inlining it re-runs
-      split/lower/xxhash64 once per permutation — measured 9x slower
+      split/lower/md5 once per permutation — measured 9x slower
       (5.7s -> 0.6s for 5k docs at sf0.1);
     - token-less docs (NULL / empty / whitespace-only text) are dropped
       here: ``split('', '\\s+')`` yields ``['']`` so every empty doc
@@ -186,7 +200,7 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
       them through exact dedup instead."""
     toks_h = F.transform(
         F.array_remove(_tokens(F.col(text_col)), ""),
-        lambda tk: F.pmod(F.xxhash64(tk), F.lit(_MINHASH_PRIME)),
+        _portable_token_hash,
     )
     base = docs.select(F.col(id_col).alias("doc_id"), toks_h.alias("_th")).filter(
         F.size("_th") > 0
@@ -206,11 +220,63 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return base.select("doc_id", sig.alias("sig"))
 
 
-@query("dedup_minhash_lsh", tables=("documents",))
+def _minhash_lsh_oracle() -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline, made possible by the
+    portable token hash above. The oracle replays every stage: tokenize ->
+    md5-based token hash -> 32 permutation minima -> 4 band slices ->
+    band-slice equi-join (list equality replaces the Spark side's
+    engine-internal xxhash64 band bucketing — equal slices iff equal
+    band hash, modulo a ~2^-64 hash collision) -> DISTINCT pairs (the
+    Spark side's first-colliding-band emission produces the same set
+    without a distinct) -> 32-term signature-agreement est-Jaccard."""
+    p = _MINHASH_PRIME
+    rpb = _MINHASH_PERMS // _MINHASH_BANDS
+    sig_exprs = ",\n           ".join(
+        f"list_min(list_transform(th, h -> ({2 * i + 1} * h + {7919 * i + 13}) % {p}))"
+        for i in range(_MINHASH_PERMS)
+    )
+    agree = " + ".join(
+        f"CASE WHEN s1.sig[{i + 1}] = s2.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_PERMS)
+    )
+    return f"""
+WITH docs AS (
+    SELECT doc_id,
+           list_transform(
+               list_filter(list_distinct(string_split_regex(lower(text), '\\s+')),
+                           t -> t <> ''),
+               t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}
+           ) AS th
+    FROM documents
+),
+sigs AS (
+    SELECT doc_id, [{sig_exprs}] AS sig
+    FROM docs WHERE len(th) > 0
+),
+bands AS (
+    SELECT doc_id, band, list_slice(sig, band * {rpb} + 1, band * {rpb} + {rpb}) AS bsig
+    FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)
+SELECT c.id1, c.id2,
+       ROUND(({agree}) / {_MINHASH_PERMS}.0, 6) AS est_jaccard
+FROM cand c
+JOIN sigs s1 ON s1.doc_id = c.id1
+JOIN sigs s2 ON s2.doc_id = c.id2
+WHERE ({agree}) / {_MINHASH_PERMS}.0 >= 0.9
+"""
+
+
+@query("dedup_minhash_lsh", tables=("documents",), oracle=_minhash_lsh_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH near-dup at scale (rows-only check; the exact
-    Jaccard query above is its correctness oracle in
-    tests/test_dedup_quality.py).
+    """MinHash + LSH near-dup at scale — ORACLE-CHECKED end to end: the
+    portable md5-based token hash lets DuckDB replay the exact pipeline
+    (see _minhash_lsh_oracle); tests/test_dedup_quality.py additionally
+    gates est-Jaccard against exact token-set Jaccard.
 
     Pipeline: token shingles -> 32-perm MinHash signature -> 4 LSH bands
     (8 rows each; collides pairs with J >~ 0.85) -> band-hash bucket
