@@ -220,15 +220,17 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return base.select("doc_id", sig.alias("sig"))
 
 
-def _minhash_lsh_oracle() -> str:
-    """DuckDB twin of the full MinHash+LSH pipeline, made possible by the
-    portable token hash above. The oracle replays every stage: tokenize ->
+def _minhash_pairs_ctes() -> str:
+    """The WITH-clause body (docs/sigs/bands/cand/pairs CTEs) of the
+    DuckDB twin of the full MinHash+LSH pipeline, made possible by the
+    portable token hash above. Replays every stage: tokenize ->
     md5-based token hash -> 32 permutation minima -> 4 band slices ->
     band-slice equi-join (list equality replaces the Spark side's
     engine-internal xxhash64 band bucketing — equal slices iff equal
     band hash, modulo a ~2^-64 hash collision) -> DISTINCT pairs (the
     Spark side's first-colliding-band emission produces the same set
-    without a distinct) -> 32-term signature-agreement est-Jaccard."""
+    without a distinct) -> 32-term signature-agreement est-Jaccard.
+    Shared by the dedup_minhash_lsh / _resolve / _cc oracles."""
     p = _MINHASH_PRIME
     rpb = _MINHASH_PERMS // _MINHASH_BANDS
     sig_exprs = ",\n           ".join(
@@ -239,8 +241,7 @@ def _minhash_lsh_oracle() -> str:
         f"CASE WHEN s1.sig[{i + 1}] = s2.sig[{i + 1}] THEN 1 ELSE 0 END"
         for i in range(_MINHASH_PERMS)
     )
-    return f"""
-WITH docs AS (
+    return f"""docs AS (
     SELECT doc_id,
            list_transform(
                list_filter(list_distinct(string_split_regex(lower(text), '\\s+')),
@@ -261,14 +262,19 @@ cand AS (
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM bands a
     JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-)
-SELECT c.id1, c.id2,
-       ROUND(({agree}) / {_MINHASH_PERMS}.0, 6) AS est_jaccard
-FROM cand c
-JOIN sigs s1 ON s1.doc_id = c.id1
-JOIN sigs s2 ON s2.doc_id = c.id2
-WHERE ({agree}) / {_MINHASH_PERMS}.0 >= 0.9
-"""
+),
+pairs AS (
+    SELECT c.id1, c.id2,
+           ROUND(({agree}) / {_MINHASH_PERMS}.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN sigs s1 ON s1.doc_id = c.id1
+    JOIN sigs s2 ON s2.doc_id = c.id2
+    WHERE ({agree}) / {_MINHASH_PERMS}.0 >= 0.9
+)"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return f"WITH {_minhash_pairs_ctes()}\nSELECT id1, id2, est_jaccard FROM pairs"
 
 
 @query("dedup_minhash_lsh", tables=("documents",), oracle=_minhash_lsh_oracle())
@@ -364,7 +370,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_resolve", tables=("documents",))
+def _minhash_resolve_oracle() -> str:
+    """Greedy resolve = the pairs CTE + one NOT EXISTS anti-join."""
+    return f"""WITH {_minhash_pairs_ctes()},
+dupes AS (SELECT DISTINCT id2 AS doc_id FROM pairs)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)"""
+
+
+@query(
+    "dedup_minhash_resolve",
+    tables=("documents",),
+    oracle=_minhash_resolve_oracle(),
+)
 def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup OUTPUT (not just candidate pairs): the surviving
     corpus after greedy min-id resolution — every document that near-dups
@@ -375,7 +394,8 @@ def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering (a doc whose only surviving near-dup was itself dropped
     still goes — standard greedy behavior for corpus dedup; full CC needs
     an iterative min-id propagation, O(log n) joins, same join shape).
-    Rows-only check; pair quality is gated by the Jaccard oracle tests.
+    ORACLE-CHECKED: the portable-hash pairs CTE (_minhash_pairs_ctes)
+    plus a NOT EXISTS anti-join replays the whole thing in DuckDB.
     """
     t = load_tables(spark, sf_dir, "documents")
     dupes = (
@@ -393,11 +413,52 @@ _SIMHASH_BANDS = 4  # 4 x 12-bit bands: candidates need one equal band
 _SIMHASH_MAX_HAMMING = 3
 
 
-@query("dedup_simhash", tables=("documents",))
+def _simhash_oracle() -> str:
+    """DuckDB twin of the 48-bit SimHash pipeline (portable token hash
+    again): per-bit +/-1 sums over distinct-token hashes -> sign bits ->
+    4 x 12-bit band equi-join -> Hamming <= 3 via bit_count(xor)."""
+    p = _MINHASH_PRIME
+    s_cols = ",\n           ".join(
+        f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS s_{i}"
+        for i in range(_SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    bw = _SIMHASH_BITS // _SIMHASH_BANDS
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) % {p} AS h
+    FROM documents,
+         unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t(tok)
+),
+bits AS (
+    SELECT doc_id,
+           {s_cols}
+    FROM toks GROUP BY doc_id
+),
+sims AS (
+    SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM bits
+),
+bands AS (
+    SELECT doc_id, simhash, band, (simhash >> (band * {bw})) % {1 << bw} AS band_val
+    FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
+
+
+@query("dedup_simhash", tables=("documents",), oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (rows-only check): 48-bit deterministic simhash
-    from token hashes; candidates share one of 4 12-bit bands (LSH), and
-    survive if Hamming distance <= 3 over all 48 bits.
+    """SimHash near-dup — ORACLE-CHECKED: 48-bit deterministic simhash
+    from portable (md5-based) token hashes, so DuckDB replays the exact
+    pipeline (_simhash_oracle); candidates share one of 4 12-bit bands
+    (LSH), and survive if Hamming distance <= 3 over all 48 bits.
 
     Per-doc cost is O(tokens); the candidate join is keyed on
     (band, band_val) so it scales like a hash join whose bucket sizes
@@ -407,7 +468,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "documents")
     tok = t.documents.select(
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", _portable_token_hash(F.col("tok")))
     # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
     bit_cols = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")

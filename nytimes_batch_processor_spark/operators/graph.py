@@ -6,8 +6,10 @@ chains (a~b, b~c, NOT a~c) can leave different survivors than true
 clustering. This module computes exact connected components over the
 candidate-pair graph with iterative minimum-label propagation — the
 standard MapReduce/Pregel formulation, expressed as a driver-side loop
-of DataFrame joins (the engine's example of a genuinely iterative,
-non-SQL-expressible operator).
+of DataFrame joins — the engine's example of a genuinely iterative
+operator (in Spark the iteration count is data-dependent; at fixture
+scale DuckDB's recursive reachability CTE replays the result exactly,
+so the driver entry is hash-checked despite that).
 
 Scale notes: `connected_components` (min-label propagation) needs one
 shuffle join per iteration and O(diameter) iterations — right for
@@ -27,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import query
 from ..sources import load_tables
+from .dedup import _minhash_pairs_ctes
 
 
 def connected_components(
@@ -156,12 +159,42 @@ def connected_components_star(
     )
 
 
-@query("dedup_minhash_cc", tables=("documents",))
+def _minhash_cc_oracle() -> str:
+    """DuckDB replays the WHOLE cc-dedup pipeline: the portable-hash
+    pairs CTEs (dedup.py) + a recursive min-label reachability CTE.
+    `reach` keeps (node, lbl) only when lbl <= node: the component
+    minimum m satisfies m <= x for every member x, so its propagation
+    path is never pruned, while larger labels (irrelevant to MIN) are
+    dropped early — the fixture-scale analogue of the same pruning
+    argument that makes large-star/small-star correct at scale."""
+    return f"""WITH RECURSIVE {_minhash_pairs_ctes()},
+und AS (
+    SELECT id1 AS s, id2 AS d FROM pairs
+    UNION ALL
+    SELECT id2, id1 FROM pairs
+),
+reach(node, lbl) AS (
+    SELECT s, s FROM (SELECT DISTINCT s FROM und)
+    UNION
+    SELECT u.d, r.lbl FROM reach r JOIN und u ON u.s = r.node
+    WHERE r.lbl <= u.d
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+dupes AS (SELECT node AS doc_id FROM comp WHERE component <> node)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)"""
+
+
+@query("dedup_minhash_cc", tables=("documents",), oracle=_minhash_cc_oracle())
 def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end dedup with EXACT clustering (rows-only check; the
-    Python union-find oracle lives in tests/test_graph.py): MinHash+LSH
-    candidate pairs -> connected components -> keep each component's
-    min-id representative; unpaired docs survive untouched.
+    """End-to-end dedup with EXACT clustering: MinHash+LSH candidate
+    pairs -> connected components -> keep each component's min-id
+    representative; unpaired docs survive untouched. ORACLE-CHECKED:
+    DuckDB's recursive reachability CTE (_minhash_cc_oracle) computes
+    the identical min-label components over the identical portable-hash
+    pair set; the Python union-find oracle in tests/test_graph.py
+    additionally property-tests both CC variants.
 
     vs `dedup_minhash_resolve` (greedy): CC keeps exactly one doc per
     transitive near-dup cluster — chains collapse to one survivor
