@@ -158,11 +158,33 @@ def fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("mm_resize_thumbs", tables=("documents",))
+@query(
+    "mm_resize_thumbs",
+    tables=("documents",),
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST({_THUMB_W} AS INT) AS thumb_w,
+       CAST({_THUMB_H} AS INT) AS thumb_h,
+       CAST(CASE WHEN n > 0 THEN {_THUMB_W * _THUMB_H} ELSE 0 END AS INT) AS thumb_bytes,
+       md5(CASE WHEN n > 0 THEN list_aggregate(
+           list_transform(range(0, {_THUMB_W * _THUMB_H}),
+                          i -> substr(h, CAST(2 * ((i * n) // {_THUMB_W * _THUMB_H}) + 1 AS INT), 2)),
+           'string_agg', '') ELSE '' END) AS thumb_digest
+FROM b
+""",
+)
 def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize step of the multimodal pipeline (rows-only check): fixed
+    """Resize step of the multimodal pipeline — ORACLE-CHECKED: fixed
     _THUMB_W x _THUMB_H 'thumbnail' per payload via Arrow-batched
-    mapInPandas — the decode+PIL.resize slot with the codec stubbed."""
+    mapInPandas (the decode+PIL.resize slot with the codec stubbed).
+    The digest is md5-of-hex (not md5-of-bytes) because the sampled
+    bytes can split UTF-8 sequences and DuckDB's md5 only takes VARCHAR;
+    hex round-trips byte-exactly in both engines, so the checksum still
+    pins every sampled byte."""
     t = load_tables(spark, sf_dir, "documents")
     mm = attach_binary_payload(t.documents)
     thumbs = mm.select("doc_id", "payload").mapInPandas(fake_resize, THUMB_SCHEMA)
@@ -171,7 +193,7 @@ def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb_w",
         "thumb_h",
         F.octet_length("thumb").alias("thumb_bytes"),
-        F.md5("thumb").alias("thumb_md5"),
+        F.md5(F.hex("thumb")).alias("thumb_digest"),
     )
 
 
@@ -203,11 +225,33 @@ def fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
 
-@query("mm_frame_sample", tables=("documents",))
+@query(
+    "mm_frame_sample",
+    tables=("documents",),
+    oracle=f"""
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+    FROM documents
+),
+f AS (
+    SELECT doc_id, CAST(fi.i AS INT) AS frame_idx,
+           (fi.i * n) // {_N_FRAMES} AS lo,
+           ((fi.i + 1) * n) // {_N_FRAMES} AS hi,
+           h
+    FROM b CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) fi
+)
+SELECT doc_id, frame_idx,
+       CAST(hi - lo AS INT) AS frame_bytes,
+       md5(substr(h, CAST(2 * lo + 1 AS INT), CAST(2 * (hi - lo) AS INT))) AS frame_digest
+FROM f
+""",
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling step (rows-only check): _N_FRAMES rows per payload
+    """Frame-sampling step — ORACLE-CHECKED: _N_FRAMES rows per payload
     out of one row in — the row-expanding (flatMap/UDTF) multimodal
-    shape; partitioning survives because mapInPandas is map-side only."""
+    shape; partitioning survives because mapInPandas is map-side only.
+    Digest is md5-of-hex for the same engine-portability reason as
+    mm_resize_thumbs (frame boundaries split UTF-8 sequences)."""
     t = load_tables(spark, sf_dir, "documents")
     mm = attach_binary_payload(t.documents)
     frames = mm.select("doc_id", "payload").mapInPandas(fake_frame_sample, FRAME_SCHEMA)
@@ -215,16 +259,39 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "frame_idx",
         F.octet_length("frame").alias("frame_bytes"),
-        F.md5("frame").alias("frame_md5"),
+        F.md5(F.hex("frame")).alias("frame_digest"),
     )
 
 
-@query("mm_decode_features", tables=("documents",))
+@query(
+    "mm_decode_features",
+    tables=("documents",),
+    oracle="""
+WITH b AS (
+    SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_bytes,
+       ROUND(CAST(n AS DOUBLE)
+             + len(list_distinct(list_transform(range(1, n + 1),
+                   i -> substr(h, CAST(2 * i - 1 AS INT), 2))))
+             + CASE WHEN n > 0 THEN CAST(concat('0x', substr(h, 1, 2)) AS INT) ELSE 0 END
+             + CASE WHEN n > 0 THEN CAST(concat('0x', substr(h, 2 * n - 1, 2)) AS INT) ELSE 0 END,
+             6) AS feat_sum,
+       CAST(4 AS INT) AS feat_dim
+FROM b
+""",
+)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
-    mapInPandas (rows-only check: the fake decoder is not SQL). This is
-    the engine's multimodal hot path shape — decode/resize/frame-sample
-    plug in here unchanged."""
+    mapInPandas — ORACLE-CHECKED: the fake decoder's 4-dim feature
+    ([len, n_distinct_bytes, first_byte, last_byte]) is replayed in
+    DuckDB over the hex encoding of the payload, so even the stubbed
+    multimodal path gets a value-hash gate. This is the engine's
+    multimodal hot path shape — decode/resize/frame-sample plug in here
+    unchanged (a real codec would drop the oracle back to rows-only +
+    pytest invariants)."""
     t = load_tables(spark, sf_dir, "documents")
     mm = attach_binary_payload(t.documents)
     feats = mm.select("doc_id", "payload").mapInPandas(fake_features, FEATURE_SCHEMA)

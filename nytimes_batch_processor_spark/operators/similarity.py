@@ -7,11 +7,12 @@ Three tiers, as a 100 TB training-data pipeline needs:
   zip_with/aggregate dot product — no Python in the loop, no shuffle of
   the corpus; the rank window shuffles only (queries x corpus) scored
   rows keyed by query.
-- **LSH-bucketed ANN** (rows-only check; recall vs the exact baseline is
-  asserted in tests/test_dedup_quality.py): deterministic multi-table
-  random-hyperplane signatures; candidate generation is a bucket
-  equi-join, so corpus-side cost scales with bucket occupancy, not
-  corpus size.
+- **LSH-bucketed ANN** (oracle-checked — the deterministic hyperplanes
+  inline into a DuckDB twin, see _ann_lsh_oracle; recall vs the exact
+  baseline is additionally asserted in tests/test_dedup_quality.py):
+  deterministic multi-table random-hyperplane signatures; candidate
+  generation is a bucket equi-join, so corpus-side cost scales with
+  bucket occupancy, not corpus size.
 - **IVF ANN** (rows-only; recall-gated): k-means coarse quantizer, cell
   assignment JVM-side, nprobe nearest cells per query, same bucket
   equi-join shape with centroid id as the key.
@@ -152,7 +153,73 @@ def hyperplane_signature(
 _PROBE_MASKS = [m for m in range(1 << _N_PLANES) if bin(m).count("1") <= _PROBE_RADIUS]
 
 
-@query("sim_ann_lsh_topk", tables=("embeddings",))
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the multi-table multi-probe hyperplane-LSH ANN.
+
+    The hyperplanes are deterministic driver-side floats
+    (plane_components), so the oracle inlines them as literals. Each
+    projection is written as an explicit left-to-right sum
+    (e[1]*c1 + e[2]*c2 + ...), which is the same IEEE evaluation order
+    as the Spark side's sequential F.aggregate fold — the sign test
+    (proj > 0) is therefore bit-identical, not merely close. Repr'd
+    float literals round-trip exactly in both parsers."""
+    dim = 64
+    table_sigs = []
+    for t in range(_N_TABLES):
+        plane_bits = []
+        for p_i in range(_N_PLANES):
+            comps = plane_components(dim, p_i, t, _N_PLANES)
+            proj = " + ".join(f"e[{i + 1}] * {c!r}" for i, c in enumerate(comps))
+            plane_bits.append(
+                f"(CASE WHEN ({proj}) > 0 THEN {1 << p_i} ELSE 0 END)"
+            )
+        table_sigs.append("CAST(" + " + ".join(plane_bits) + " AS BIGINT)")
+    sig_list = ",\n        ".join(table_sigs)
+    masks = ", ".join(str(m) for m in _PROBE_MASKS)
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+sigs AS (
+    SELECT vec_id, e, nrm,
+        [{sig_list}] AS sigv
+    FROM v
+),
+bands AS (
+    SELECT vec_id, tbl, sigv[tbl + 1] AS sig
+    FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2]) AS tbl) t
+),
+probes AS (
+    SELECT b.vec_id AS query_id, b.tbl, xor(b.sig, CAST(m.mask AS BIGINT)) AS sig
+    FROM bands b CROSS JOIN (SELECT unnest([{masks}]) AS mask) m
+    WHERE b.vec_id < {N_QUERIES}
+),
+cand AS (
+    SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+    FROM bands b JOIN probes p ON b.tbl = p.tbl AND b.sig = p.sig
+    WHERE b.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_inner_product(q.e, n.e) / (q.nrm * n.nrm) AS cos_raw
+    FROM cand c
+    JOIN v q ON q.vec_id = c.query_id
+    JOIN v n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_raw,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+           ) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}"""
+
+
+@query("sim_ann_lsh_topk", tables=("embeddings",), oracle=_ann_lsh_oracle())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH with a true
     bucket EQUI-join: the corpus carries one signature per hash table
