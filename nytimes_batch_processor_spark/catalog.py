@@ -92,27 +92,34 @@ _PRIORITY: tuple[str, ...] = (
     # came from same-family duplicates that are already driver-green in
     # r2+r3 (named in the tail comment). Goal: every catalog entry has at
     # least one green driver row across r2-r4.
+    # -- r4 second rotation: dedup_simhash / dedup_minhash_resolve /
+    # mm_resize_thumbs / mm_frame_sample gained full DuckDB oracles in r4
+    # (portable-hash + md5-of-hex techniques), so their only driver rows
+    # to date (rows-only) under-verify them — they take the slots of four
+    # fn_*/filter entries hash-checked green in BOTH r2 and r3
+    # (fn_json_extract, fn_array_surface, fn_conditional_null,
+    # filter_like_in_patterns).
     "ingest_covid_states",          # S1-P5/W3 ingest spine (the reference)
     "table_catalog_roundtrip",      # D1 managed tables
     "fn_string_surface",
     "fn_date_surface",
     "fn_math_surface",              # r3 red row; ceil/floor type fix in r4
-    "fn_json_extract",
     "fn_regexp_surface",            # r4-rotated in (never driver-swept)
     "fn_higher_order_surface",      # r4-rotated in
     "fn_variant_json",              # r4-rotated in
-    "fn_array_surface",
-    "fn_conditional_null",
+    "dedup_simhash",                # r4: newly oracle-backed (portable hash)
+    "dedup_minhash_resolve",        # r4: newly oracle-backed (pairs CTE)
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
     "stream_tumbling_daily",        # O3/O4: the reference's execution model
     "sessionize_gap_30min",
     "mm_binary_metadata",
-    "mm_decode_features",           # rows-only mm representative
+    "mm_decode_features",           # r4: newly oracle-backed (hex replay)
+    "mm_resize_thumbs",             # r4: newly oracle-backed (md5-of-hex)
+    "mm_frame_sample",              # r4: newly oracle-backed (md5-of-hex)
     "percentile_exact_and_approx",
     # -- one+ representative per family already green in r2 -------------
     "filter_project_revenue",       # filters/pushdown
-    "filter_like_in_patterns",      # LIKE/ILIKE/IN
     "join_broadcast_star",          # joins: broadcast
     "join_left_anti",               # joins: anti (W3 semantics)
     "udtf_tokenize_positions",      # true Python UDTF (new in r3)
@@ -153,13 +160,14 @@ _PRIORITY: tuple[str, ...] = (
     # unpivot_measures_long, window_running_total,
     # window_ntile_first_last, window_rank_extras, window_pct_of_total,
     # window_range_rolling_7d, dedup_ngram_jaccard — still the pytest
-    # oracle for the MinHash recall gates — dedup_minhash_resolve,
-    # dedup_simhash, sim_ann_ivf_topk, text_quality_score,
-    # text_langid_heuristic, text_fingerprint,
-    # approx_count_distinct_bounds) or r4-rotated OUT after going green
-    # in r3 (fn_json_struct, fn_map_surface, udf_grouped_map_zscore,
-    # stream_sliding_3d_1d, mm_resize_thumbs, mm_frame_sample,
-    # join_left_outer_null_ext, join_asof_forward_activation).
+    # oracle for the MinHash recall gates — sim_ann_ivf_topk,
+    # text_quality_score, text_langid_heuristic, text_fingerprint,
+    # approx_count_distinct_bounds) or rotated OUT after going
+    # hash-checked green in earlier rounds (fn_json_struct,
+    # fn_map_surface, udf_grouped_map_zscore, stream_sliding_3d_1d,
+    # join_left_outer_null_ext, join_asof_forward_activation,
+    # fn_json_extract, fn_array_surface, fn_conditional_null,
+    # filter_like_in_patterns — the last four green in BOTH r2 and r3).
 )
 
 
