@@ -148,6 +148,53 @@ def hyperplane_signature(
     return out.cast("long")
 
 
+def hyperplane_signatures_all(
+    vec_col: Column, dim: int, n_planes: int = _N_PLANES, n_tables: int = _N_TABLES
+) -> Column:
+    """All tables' signatures at once: array<long> of length n_tables.
+
+    Same values as n_tables x hyperplane_signature (identical per-plane
+    fold order, so the DuckDB oracle's explicit sums still match
+    bit-for-bit), but expressed as ONE nested higher-order expression
+    over a single 3x10x64 plane-tensor literal instead of 30 unrolled
+    aggregate expressions. The unrolled form generated ~30x the codegen
+    and cost ~3s of fixed plan-compile time per run on a 2000-row
+    corpus; this form is loop-shaped in the generated code."""
+    # ONE F.expr parse instead of a nested F.lit: PySpark decomposes a
+    # nested list literal into ~2000 py4j calls (measured 1.2s of pure
+    # driver time); the SQL string parses JVM-side in ~6ms. repr'd
+    # doubles with the `d` suffix round-trip exactly.
+    tensor_sql = "array(" + ", ".join(
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{x!r}d" for x in plane_components(dim, p, t, n_planes)) + ")"
+            for p in range(n_planes)
+        ) + ")"
+        for t in range(n_tables)
+    ) + ")"
+    planes = F.expr(tensor_sql)
+    return F.transform(
+        planes,
+        lambda tbl_planes: F.aggregate(
+            F.transform(
+                tbl_planes,
+                lambda pl, i: F.when(
+                    F.aggregate(
+                        F.zip_with(vec_col, pl, lambda x, c: x * c),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                    > 0,
+                    # 2^i as a long (F.shiftleft needs a literal count;
+                    # pow is exact far past i=10)
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long"),
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ),
+    )
+
+
 # All XOR masks with popcount <= _PROBE_RADIUS: the Hamming ball the
 # multi-probe enumerates per table (176 probes for 10 planes, radius 3).
 _PROBE_MASKS = [m for m in range(1 << _N_PLANES) if bin(m).count("1") <= _PROBE_RADIUS]
@@ -239,58 +286,69 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = load_tables(spark, sf_dir, "embeddings")
     dim = 64
-    # Signatures are checkpointed once: the corpus side and the probe
-    # side both read them, and without the checkpoint the 30-projection
-    # signature expression is evaluated twice (measured 3x slower cold).
-    # At cluster scale this is the persisted ANN index table.
-    v = (
+    # SLIM signature index, checkpointed once: (vec_id, tbl, sig) only —
+    # ~24 bytes/row. The r3 shape carried the 64-double embedding (plus
+    # nrm) through the checkpoint, the probe join, and the candidate
+    # dedup shuffle — ~1 KB per candidate row; embeddings re-attach BY ID
+    # after the dedup instead, so the shuffled rows are 16-byte id pairs
+    # (same discipline as dedup_minhash_lsh's id-only pair set). At
+    # cluster scale this is the persisted ANN index table. Without the
+    # checkpoint the 30-projection signature expression is evaluated
+    # twice (measured 3x slower cold).
+    v_sig = (
         t.embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn("nrm", _norm(F.col("e")))
         .select(
             "vec_id",
-            "e",
-            "nrm",
-            F.posexplode(
-                F.array(
-                    *[
-                        hyperplane_signature(F.col("e"), dim, table=ti)
-                        for ti in range(_N_TABLES)
-                    ]
-                )
-            ).alias("tbl", "sig"),
+            F.posexplode(hyperplane_signatures_all(F.col("e"), dim)).alias(
+                "tbl", "sig"
+            ),
         )
         .localCheckpoint(eager=True)
     )
     # Query side: tiny (N_QUERIES x tables x 176 probe rows) — broadcast.
     probes = (
-        v.filter(F.col("vec_id") < N_QUERIES)
+        v_sig.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("e").alias("qe"),
-            F.col("nrm").alias("qn"),
             "tbl",
             F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
             F.col("sig").alias("qsig"),
         )
         .select(
             "query_id",
-            "qe",
-            "qn",
             "tbl",
             F.col("qsig").bitwiseXOR(F.col("mask")).alias("sig"),
         )
     )
     # Within one table the probe sigs are distinct (distinct XOR masks);
     # across tables the same (query, vector) pair can collide twice, so
-    # dedup before the (expensive) exact rerank.
+    # dedup (16-byte id pairs) before the expensive exact rerank.
     cand = (
-        v.join(F.broadcast(probes), ["tbl", "sig"])
+        v_sig.join(F.broadcast(probes), ["tbl", "sig"])
         .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.withColumn(
-        "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    # Re-attach embeddings by id: the query side is N_QUERIES rows
+    # (broadcast); the corpus side joins the parquet scan on vec_id.
+    vec = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    qvec = F.broadcast(
+        vec.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    scored = (
+        cand.join(vec, "vec_id")
+        .join(qvec, "query_id")
+        .withColumn(
+            "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
