@@ -363,18 +363,24 @@ _IVF_SAMPLE_CAP = 100_000  # k-means never trains on more rows than this
 
 
 def _centroid_sq_dists(centers: list[list[float]]) -> Column:
-    """Array of squared distances from `e` to each centroid, JVM-side
-    (each centroid ships as ONE array literal — same py4j rule as the
-    hyperplanes)."""
+    """Array of squared distances from `e` to each centroid, JVM-side.
 
-    def sq_dist(center: list[float]):
-        return F.aggregate(
-            F.zip_with(F.col("e"), F.lit(center), lambda x, y: (x - y) * (x - y)),
+    The centroid matrix ships as ONE F.expr-parsed literal and the
+    distances compute via a single transform lambda — the k unrolled
+    per-centroid aggregates + k F.lit array calls of the first version
+    cost measurable py4j/codegen time per invocation (same lesson as
+    hyperplane_signatures_all)."""
+    tensor_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x!r}d" for x in c) + ")" for c in centers
+    ) + ")"
+    return F.transform(
+        F.expr(tensor_sql),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        )
-
-    return F.array(*[sq_dist(c) for c in centers])
+        ),
+    )
 
 
 class IvfIndex:
