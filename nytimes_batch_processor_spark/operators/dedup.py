@@ -205,6 +205,13 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     base = docs.select(F.col(id_col).alias("doc_id"), toks_h.alias("_th")).filter(
         F.size("_th") > 0
     )
+    # NOTE (measured, r4): rewriting these 32 unrolled transforms as one
+    # nested transform over a struct-array of (a, b) coefficients — the
+    # trick that won 2-3x in similarity.py — is 3x SLOWER here (sig
+    # build 1.9s -> 6.3s at sf0.1): a lambda that references an OUTER
+    # lambda's variable falls out of whole-stage codegen. The unrolled
+    # form stays; its py4j cost is negligible (scalar coefficients, no
+    # array literals).
     sig = F.array(
         *[
             F.array_min(
