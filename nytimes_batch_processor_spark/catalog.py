@@ -101,8 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     # filter_like_in_patterns).
     "ingest_covid_states",          # S1-P5/W3 ingest spine (the reference)
     "table_catalog_roundtrip",      # D1 managed tables
-    "fn_string_surface",
-    "fn_date_surface",
+    "join_bucketed_colocated",      # r4-new: shuffle-free bucketed join
+    "scan_partition_pruned",        # r4-new: partition-pruned managed scan
     "fn_math_surface",              # r3 red row; ceil/floor type fix in r4
     "fn_regexp_surface",            # r4-rotated in (never driver-swept)
     "fn_higher_order_surface",      # r4-rotated in
@@ -167,7 +167,10 @@ _PRIORITY: tuple[str, ...] = (
     # fn_map_surface, udf_grouped_map_zscore, stream_sliding_3d_1d,
     # join_left_outer_null_ext, join_asof_forward_activation,
     # fn_json_extract, fn_array_surface, fn_conditional_null,
-    # filter_like_in_patterns — the last four green in BOTH r2 and r3).
+    # filter_like_in_patterns, fn_string_surface, fn_date_surface — the
+    # last six hash-checked green in BOTH r2 and r3; the r4-new
+    # join_bucketed_colocated / scan_partition_pruned layout entries
+    # took the final two slots).
 )
 
 

@@ -22,6 +22,7 @@ import logging
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .catalog import query
+from .functions import msum
 from .sources import load_tables
 
 _LOG = logging.getLogger(__name__)
@@ -73,6 +74,17 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
     remove it first. A shared metastore deployment never hits this
     branch (tableExists is true and overwrite handles it)."""
     spark = df.sparkSession
+    _clean_orphaned_table_dir(spark, name)
+    writer = df.write.mode("overwrite")
+    if partition_by is not None:
+        writer = writer.partitionBy(partition_by)
+    writer.saveAsTable(name)
+
+
+def _clean_orphaned_table_dir(spark: SparkSession, name: str) -> None:
+    """Remove a dead session's orphaned warehouse directory for ``name``
+    (shared by every saveAsTable-based writer here — see
+    save_as_managed_table's docstring for why this exists)."""
     parts = name.lower().split(".")
     if len(parts) > 3 or any(not p for p in parts):
         raise ValueError(f"unsupported table identifier: {name}")
@@ -111,10 +123,6 @@ def save_as_managed_table(df: DataFrame, name: str, *, partition_by: str | None 
                 )
             _LOG.warning("save_as_managed_table: removing orphaned table dir %s", loc_path)
             fs.delete(p, True)
-    writer = df.write.mode("overwrite")
-    if partition_by is not None:
-        writer = writer.partitionBy(partition_by)
-    writer.saveAsTable(name)
 
 
 def detect_partition_columns(spark: SparkSession, path: str) -> list[str]:
@@ -282,10 +290,97 @@ def write_bucketed(
     spark = df.sparkSession
     if spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE {name}")
+    _clean_orphaned_table_dir(spark, name)  # dead-session leftovers
     writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort:
         writer = writer.sortBy(key)
     writer.saveAsTable(name)
+
+
+@query(
+    "join_bucketed_colocated",
+    tables=("orders", "customer"),
+    oracle="""
+SELECT c.c_mktsegment AS mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (shuffle-free) fact-fact join through BUCKETED tables,
+    under the driver's gate: both sides persist bucketed on the join key
+    with the same bucket count, then join + aggregate. In the fact-fact
+    regime (auto-broadcast off — the 100 TB case where neither side
+    fits a broadcast) the join over these tables runs with NO Exchange
+    on either side (asserted in tests/test_plans.py); at fixture scale
+    Catalyst correctly prefers broadcasting the small side instead, and
+    both plans produce the same rows. The bucket layout is the
+    persisted shuffle, paid once at write time. The oracle computes the
+    same join over the raw parquet, so a bucket-routing bug (rows
+    landing in the wrong bucket and silently dropping from the join)
+    surfaces as a value mismatch."""
+    t = load_tables(spark, sf_dir, "orders", "customer")
+    write_bucketed(
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "engine_orders_bucketed", "o_custkey", 8,
+    )
+    write_bucketed(
+        t.customer.select("c_custkey", "c_mktsegment"),
+        "engine_customer_bucketed", "c_custkey", 8,
+    )
+    o = spark.table("engine_orders_bucketed")
+    c = spark.table("engine_customer_bucketed")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice").alias("sum_total"),
+        )
+    )
+
+
+@query(
+    "scan_partition_pruned",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_total
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1997-03'
+GROUP BY o_orderpriority
+""",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan under the driver's gate: orders persist as
+    a month-partitioned managed table, and the query filters on the
+    partition column — the scan reads ONE month's directory, not the
+    table (PartitionFilters asserted in tests/test_plans.py). At 100 TB
+    a date-partitioned fact is the canonical layout and partition
+    pruning is the first 100-1000x: a month predicate over 7 years of
+    data touches ~1.2% of the files. The oracle derives the month from
+    the raw timestamps, so a row misfiled into the wrong partition at
+    write time surfaces as a value mismatch."""
+    t = load_tables(spark, sf_dir, "orders")
+    save_as_managed_table(
+        t.orders.withColumn(
+            "o_month", F.date_format("o_orderdate", "yyyy-MM")
+        ),
+        "engine_orders_by_month",
+        partition_by="o_month",
+    )
+    return (
+        spark.table("engine_orders_by_month")
+        .filter(F.col("o_month") == "1997-03")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            msum("o_totalprice").alias("sum_total"),
+        )
+    )
 
 
 def write_range_partitioned(

@@ -216,3 +216,41 @@ def test_unpartitioned_windows_only_post_aggregation(spark, sf_dir):
     assert unpartitioned_window_violations(raw), (
         "checker failed to flag an unpartitioned window over raw data"
     )
+
+
+def test_catalog_bucketed_entry_join_is_colocated(spark, sf_dir):
+    """The driver-visible entry (join_bucketed_colocated) writes real
+    bucketed tables; under the fact-fact regime (auto-broadcast off, as
+    at 100 TB where neither side broadcasts) the join over those tables
+    must run with NO Exchange on either side."""
+    from nytimes_batch_processor_spark.tables import join_bucketed_colocated
+
+    # materialize the entry's bucketed tables (and check it runs)
+    assert join_bucketed_colocated(spark, sf_dir).count() > 0
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = spark.table("engine_orders_bucketed")
+        c = spark.table("engine_customer_bucketed")
+        joined = o.join(c, o.o_custkey == c.c_custkey)
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, f"entry's bucketed join shuffles:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_catalog_pruned_scan_entry_prunes_partitions(spark, sf_dir):
+    """scan_partition_pruned's month predicate must reach the scan as a
+    PartitionFilter (directory-level pruning), not a row-level filter
+    over a full-table read."""
+    from nytimes_batch_processor_spark.tables import scan_partition_pruned
+
+    df = scan_partition_pruned(spark, sf_dir)
+    assert df.count() > 0
+    plan = physical_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*o_month[^\]]*1997-03[^\]]*\]", plan)
+    assert m, f"month predicate did not become a partition filter:\n{plan}"
