@@ -236,3 +236,46 @@ def test_asof_null_timestamps_match_nothing():
         }
         assert got[0] == (None, None), (direction, got)  # NULL left ts
         assert got[1] == expected, (direction, got)      # never rid=0 (NULL rts)
+
+
+# Arbitrary unicode (no surrogates — unencodable as UTF-8) including the
+# empty string: the portable hash must agree across Spark, DuckDB, and
+# the Python md5 ground truth, or five oracles (minhash lsh/resolve/cc,
+# simhash, and their CTE reuse) silently diverge on non-ASCII corpora.
+_tokens_strat = st.lists(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=20),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_tokens_strat)
+def test_portable_token_hash_parity_spark_duckdb_python(tokens):
+    import duckdb
+    import hashlib
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _MINHASH_PRIME,
+        _portable_token_hash,
+    )
+
+    spark = _spark()
+    sdf = spark.createDataFrame([(t,) for t in tokens], "tok string").select(
+        _portable_token_hash(F.col("tok")).alias("h")
+    )
+    spark_h = [r["h"] for r in sdf.collect()]
+    con = duckdb.connect()
+    duck_h = [
+        con.execute(
+            f"SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)"
+            f" % {_MINHASH_PRIME}",
+            [t],
+        ).fetchone()[0]
+        for t in tokens
+    ]
+    py_h = [
+        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % _MINHASH_PRIME
+        for t in tokens
+    ]
+    assert spark_h == duck_h == py_h
