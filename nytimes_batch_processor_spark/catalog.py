@@ -141,7 +141,7 @@ _PRIORITY: tuple[str, ...] = (
     "setops_multiset_all",          # r4-rotated in
     "spine_gap_fill_daily",         # calendar spine
     "dedup_exact_union",            # L2 dedup: exact
-    "dedup_first_write_wins",
+    "sample_hash_split",            # r4-new: deterministic train/val/test
     "pipeline_curate_corpus",       # L2 showcase: score->filter->dedup (r3)
     "dedup_minhash_lsh",
     "dedup_minhash_cc",             # CC — now runs the O(log n) star variant
@@ -170,7 +170,9 @@ _PRIORITY: tuple[str, ...] = (
     # filter_like_in_patterns, fn_string_surface, fn_date_surface — the
     # last six hash-checked green in BOTH r2 and r3; the r4-new
     # join_bucketed_colocated / scan_partition_pruned layout entries
-    # took the final two slots).
+    # took the final two slots; dedup_first_write_wins — green r2+r3,
+    # W3 semantics still in-window via ingest_covid_states and
+    # join_left_anti — yielded its slot to the r4-new sample_hash_split).
 )
 
 

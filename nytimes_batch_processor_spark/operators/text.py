@@ -278,3 +278,53 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
     )
+
+
+@query(
+    "sample_hash_split",
+    tables=("documents",),
+    oracle="""
+WITH t AS (
+    SELECT n_chars,
+           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 2147483647) % 100 AS bucket
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END               AS split,
+       CAST(COUNT(*) AS BIGINT)          AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)      AS total_chars,
+       ROUND(AVG(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM t GROUP BY 1
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by key hash — the
+    sampling primitive every training pipeline needs: membership is a
+    pure function of doc_id (stable across runs, executors, and
+    re-partitioning; new data lands in splits without reshuffling old
+    rows), unlike rng-based df.sample whose output depends on partition
+    layout. Map-only + one 3-group aggregate; at 100 TB the split
+    assignment pipelines straight out of the scan. Uses the engine's
+    portable 60-bit md5 hash so DuckDB replays membership exactly (the
+    same trick that oracle-checks the MinHash family)."""
+    from .dedup import _portable_token_hash
+
+    t = load_tables(spark, sf_dir, "documents")
+    bucket = _portable_token_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        t.documents.select(
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            ratio(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
+        )
+    )
