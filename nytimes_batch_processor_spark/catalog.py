@@ -135,7 +135,7 @@ _PRIORITY: tuple[str, ...] = (
     "agg_skew_salted_sum",          # r4-rotated in
     "q3_shipping_priority",         # integration: 3-way join + top-k (r3)
     "window_rank_topk_per_group",   # windows: ranking
-    "window_lag_daily_delta",       # windows: analytic (flagship semantic)
+    "events_funnel_conversion",     # r4-new: windowed sequential funnel
     "window_ignore_nulls_ffill",    # windows: IGNORE NULLS fill (r3)
     "setops_customer_cohorts",      # set ops
     "setops_multiset_all",          # r4-rotated in
@@ -172,7 +172,10 @@ _PRIORITY: tuple[str, ...] = (
     # join_bucketed_colocated / scan_partition_pruned layout entries
     # took the final two slots; dedup_first_write_wins — green r2+r3,
     # W3 semantics still in-window via ingest_covid_states and
-    # join_left_anti — yielded its slot to the r4-new sample_hash_split).
+    # join_left_anti — yielded its slot to the r4-new sample_hash_split;
+    # window_lag_daily_delta — green r2+r3, the windows family keeps
+    # rank_topk + ignore_nulls in-window and the lag shape also runs
+    # inside flagship — yielded its slot to events_funnel_conversion).
 )
 
 

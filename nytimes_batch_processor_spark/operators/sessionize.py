@@ -157,3 +157,107 @@ def sessionize_gap_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "events_funnel_conversion",
+    tables=("events",),
+    oracle="""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS v_ts
+    FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS c_ts, MIN(v.v_ts) AS v_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.v_ts
+      AND e.ts <= v.v_ts + INTERVAL 4 HOUR
+    GROUP BY e.user_id
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS p_ts, MIN(c.v_ts) AS v_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+      AND e.ts <= c.c_ts + INTERVAL 1 DAY
+    GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_click_users,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchase_users,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM c)
+             / (SELECT COUNT(*) FROM v), 6)     AS view_to_click_rate,
+       ROUND((SELECT CAST(COUNT(*) AS DOUBLE) FROM p)
+             / (SELECT COUNT(*) FROM c), 6)     AS click_to_purchase_rate,
+       (SELECT ROUND(CAST(SUM(epoch_us(p_ts) - epoch_us(v_ts)) AS DOUBLE)
+                     / COUNT(*), 6)
+        FROM p)                                 AS avg_view_to_purchase_us
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel with conversion windows (first view -> first
+    click within 4 HOURS -> first purchase within 1 DAY, strictly
+    ordered per user): each stage is the MIN event time inside the
+    window after the previous stage's time, so a click before any view
+    (or outside its window) does not count. The canonical
+    event-analytics operator next to sessionization.
+
+    Scale shape: one filtered keyed aggregate per stage plus an
+    equi-join against the (|users|-row) previous stage — the
+    event_type filters push to the parquet scan, every shuffle is
+    bounded by |users| (not |events|), and stage outputs are the small
+    side of each subsequent join. Time deltas aggregate as exact
+    epoch-microsecond BIGINTs on both engines (float summation never
+    enters), divided once at the end."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t.events
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 4 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 1 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"), F.min("v_ts").alias("v_ts"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_users"))
+    np_ = p.agg(
+        F.count(F.lit(1)).alias("n_purchase_users"),
+        F.sum(
+            F.unix_micros("p_ts") - F.unix_micros("v_ts")
+        ).alias("_delta_us"),
+    )
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            F.round(
+                F.col("n_click_users").cast("double") / F.col("n_view_users"), 6
+            ).alias("view_to_click_rate"),
+            F.round(
+                F.col("n_purchase_users").cast("double") / F.col("n_click_users"), 6
+            ).alias("click_to_purchase_rate"),
+            F.round(
+                F.col("_delta_us").cast("double") / F.col("n_purchase_users"), 6
+            ).alias("avg_view_to_purchase_us"),
+        )
+    )
