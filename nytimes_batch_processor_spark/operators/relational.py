@@ -13,7 +13,7 @@ the join key and rely on AQE skew splitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import query
 from ..functions import dec2, dec_rate, mavg6, money, msum, ratio
@@ -816,6 +816,104 @@ def spine_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_orders"),
         F.coalesce("rev", F.lit(0.0)).alias("revenue"),
         F.col("n").isNull().alias("is_gap"),
+    )
+
+
+@query(
+    "spine_linear_interpolate",
+    tables=("events",),
+    oracle="""
+WITH obs AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           ROUND(SUM(value), 6) AS v
+    FROM events WHERE user_id < 3
+    GROUP BY user_id, CAST(ts AS DATE)
+),
+bounds AS (
+    SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY user_id
+),
+spine AS (
+    SELECT user_id, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+    FROM bounds
+),
+joined AS (
+    SELECT s.user_id, s.day, o.v FROM spine s
+    LEFT JOIN obs o ON o.user_id = s.user_id AND o.day = s.day
+),
+bracketed AS (
+    SELECT user_id, day, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+           first_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+    FROM joined
+)
+SELECT user_id, day,
+       ROUND(CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                                         / date_diff('day', pd, nd))
+             END, 6) AS v_filled,
+       v IS NULL AS is_interpolated
+FROM bracketed
+""",
+)
+def spine_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over time-series gaps: per-entity calendar
+    spine (min..max observed day), then every missing day gets
+    pv + (nv - pv) * elapsed/gap_width from its bracketing observed
+    days (IGNORE NULLS last_value/first_value windows — the same
+    mechanism as forward-fill, run in both directions). Spine edges are
+    observed by construction, so no extrapolation case exists. The
+    time-series twin of spine_gap_fill_daily's zero-fill and the third
+    member of the fill family next to window_ignore_nulls_ffill.
+
+    Scale: two sorted windows per entity partition — one shuffle by
+    entity, frames O(row) via running state; the spine join is the
+    broadcast-spine shape. Observed sums round to 6dp BEFORE
+    interpolation so both engines interpolate identical inputs."""
+    t = load_tables(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    obs = (
+        t.events.filter(F.col("user_id") < 3)
+        .groupBy("user_id", d.alias("day"))
+        .agg(ratio(F.sum("value")).alias("v"))
+    )
+    bounds = obs.groupBy("user_id").agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select("user_id", F.explode(F.sequence("lo", "hi")).alias("day"))
+    joined = spine.join(obs, ["user_id", "day"], "left")
+    back = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("v").isNotNull(), F.col("day"))
+    pv = F.last("v", ignorenulls=True).over(back)
+    pd_ = F.last(obs_day, ignorenulls=True).over(back)
+    nv = F.first("v", ignorenulls=True).over(fwd)
+    nd = F.first(obs_day, ignorenulls=True).over(fwd)
+    frac = F.datediff(F.col("day"), F.col("pd")).cast("double") / F.datediff(
+        F.col("nd"), F.col("pd")
+    )
+    return (
+        joined.select(
+            "user_id", "day", "v",
+            pv.alias("pv"), pd_.alias("pd"), nv.alias("nv"), nd.alias("nd"),
+        )
+        .select(
+            "user_id",
+            "day",
+            ratio(
+                F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+                    F.col("pv") + (F.col("nv") - F.col("pv")) * frac
+                )
+            ).alias("v_filled"),
+            F.col("v").isNull().alias("is_interpolated"),
+        )
     )
 
 
