@@ -820,6 +820,39 @@ def spine_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_histogram_fixed_bins",
+    tables=("orders",),
+    oracle="""
+SELECT CAST(LEAST(FLOOR(o_totalprice / 60000), 9) AS INT) AS bin,
+       CAST(LEAST(FLOOR(o_totalprice / 60000), 9) * 60000 AS DOUBLE) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 6) AS pct
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (10 x 60k bins over order totals,
+    top bin open-ended): floor-divide bucketing + one aggregate + a
+    pct-of-total window over the 10-row result. Bin assignment is
+    exact integer arithmetic, so the oracle needs no rounding slack on
+    the keys. Scale: the shuffle carries one row per (bin, partition)
+    thanks to partial aggregation — histogram cost is scan-bound at any
+    corpus size; the window runs over |bins| rows post-agg."""
+    t = load_tables(spark, sf_dir, "orders")
+    bin_ = F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9)).cast("int")
+    agged = t.orders.groupBy(
+        bin_.alias("bin"), (bin_ * 60000).cast("double").alias("bin_lo")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return agged.select(
+        "bin",
+        "bin_lo",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(W.partitionBy()), 6).alias("pct"),
+    )
+
+
+@query(
     "spine_linear_interpolate",
     tables=("events",),
     oracle="""
