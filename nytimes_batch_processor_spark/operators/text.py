@@ -328,3 +328,105 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.avg(F.col("n_chars").cast("double"))).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "text_bm25_rank",
+    tables=("documents",),
+    oracle="""
+WITH tok AS (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token
+    FROM documents
+),
+dl AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+    FROM tok WHERE token <> '' GROUP BY doc_id
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+    FROM dl
+),
+tf AS (
+    SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE token IN ('join', 'hash', 'scan')
+    GROUP BY doc_id, token
+),
+idf AS (
+    SELECT token, ln((stats.n_docs - COUNT(*) + 0.5) / (COUNT(*) + 0.5) + 1.0) AS idf
+    FROM tf, stats
+    GROUP BY token, stats.n_docs
+),
+scored AS (
+    SELECT tf.doc_id,
+           SUM(idf.idf * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))) AS score
+    FROM tf
+    JOIN idf ON tf.token = idf.token
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored
+ORDER BY bm25 DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (k1=1.2, b=0.75) for the fixed query
+    {join, hash, scan}: the classic sparse-retrieval ranker a training
+    pipeline uses to mine topical documents from a crawl. Shape at
+    100 TB: tokenize+filter is map-only and keeps only query-term hits
+    (|tf| ~ #query_terms x #matching_docs, not corpus size); doc
+    lengths are a map-only projection aggregated per doc; the
+    corpus-level (N, avgdl) scalar and the per-term idf table (3 rows)
+    broadcast; the only data-sized shuffles are the two doc-keyed
+    groupBys. Constants are folded into the expression (k1+1 = 2.2,
+    1-b = 0.25) identically in both engines so the doubles replay
+    bit-for-bit before the 6dp round."""
+    t = load_tables(spark, sf_dir, "documents")
+    terms = ("join", "hash", "scan")
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+                "idf"
+            ),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.col("idf")
+                * F.col("tf")
+                * 2.2
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("score")
+        )
+    )
+    return (
+        scored.select("doc_id", ratio("score").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
