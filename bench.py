@@ -57,11 +57,22 @@ def main() -> None:
     specs = all_specs()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    def run(name: str) -> float:
+    errors: dict[str, str] = {}
+
+    def run(name: str) -> float | None:
+        # One broken query must not kill the whole bench (the r4 lesson:
+        # a warmup-pass AnalysisException shipped zero numbers). Record
+        # the error once, report None for the timing, keep going.
+        if name in errors:
+            return None
         # KeyError on a stale HEADLINE entry = fail loudly, never mislabel
         fn = flagship if name == "flagship" else specs[name].fn
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
         return round(time.perf_counter() - t0, 3)
 
     all_names = [*HEADLINE, "flagship"]
@@ -69,22 +80,28 @@ def main() -> None:
         run(name)
     pass1 = {name: run(name) for name in all_names}
     pass2 = {name: run(name) for name in all_names}
-    timings: dict[str, float] = {
-        name: min(pass1[name], pass2[name]) for name in all_names
+    timings: dict[str, float | None] = {
+        name: (
+            min(t for t in (pass1[name], pass2[name]) if t is not None)
+            if not (pass1[name] is None and pass2[name] is None)
+            else None
+        )
+        for name in all_names
     }
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    ok = {k: v for k, v in timings.items() if v is not None}
+    total = round(sum(ok.values()), 3)
+    out = {
+        "metric": "headline_queries_wall_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+        out["failed_count"] = len(errors)
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -128,7 +128,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_asof_purchase_click",     # joins: as-of
     "agg_pricing_summary",          # aggs: hash partial+final
     "agg_distinct_counts",
-    "agg_grouping_sets",            # generalizes rollup/cube/pivot shapes
+    "agg_histogram_fixed_bins",     # r5-rotated in (never driver-swept)
     "agg_stats_surface",            # statistical moments (new in r3)
     "agg_time_rollup",              # r4-rotated in (+ GROUPING() sentinel fix)
     "agg_incremental_merge",        # r4-rotated in
@@ -139,7 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "window_ignore_nulls_ffill",    # windows: IGNORE NULLS fill (r3)
     "setops_customer_cohorts",      # set ops
     "setops_multiset_all",          # r4-rotated in
-    "spine_gap_fill_daily",         # calendar spine
+    "spine_linear_interpolate",     # r5-rotated in (never driver-swept)
     "dedup_exact_union",            # L2 dedup: exact
     "sample_hash_split",            # r4-new: deterministic train/val/test
     "pipeline_curate_corpus",       # L2 showcase: score->filter->dedup (r3)
@@ -149,7 +149,14 @@ _PRIORITY: tuple[str, ...] = (
     "sim_cosine_topk_bruteforce",   # L2 similarity
     "sim_ann_lsh_topk",
     "graph_reachability_rcte",      # r4-rotated in (WITH RECURSIVE)
-    "text_tokens_topk",             # L2 text (one of four; rest in tail)
+    "text_bm25_rank",               # r5-rotated in (never driver-swept)
+    # -- r5 rotation: the three late-r4 entries that never had a driver
+    # row (VERDICT r4 gap 1) enter the window via same-family swaps with
+    # entries hash-green in BOTH r3 and r4: agg_grouping_sets ->
+    # agg_histogram_fixed_bins (agg family keeps 6 in-window reps incl.
+    # time_rollup's GROUPING()), spine_gap_fill_daily ->
+    # spine_linear_interpolate (same spine family), text_tokens_topk ->
+    # text_bm25_rank (text family; tokens shape also runs inside bm25).
     # -- tail: redundant variants of window-covered families — all
     # driver-green in r2 or r3 (join_left_semi,
     # join_right_outer_never_matched, join_full_outer_reconcile,

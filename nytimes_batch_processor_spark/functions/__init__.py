@@ -58,3 +58,17 @@ def money(col: Column | str) -> Column:
 def ratio(col: Column | str) -> Column:
     """Round a continuous-valued average/ratio to 6dp."""
     return F.round(_c(col), 6)
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since epoch of a timestamp-like column.
+
+    PySpark 4.1's ANSI rules make ``F.unix_micros`` reject
+    ``TIMESTAMP_NTZ`` (which is what inferTimestampNTZ makes parquet
+    timestamp columns) instead of implicitly casting it. With the
+    session pinned to UTC the NTZ->TZ cast is value-preserving, so this
+    helper is the one place allowed to call ``unix_micros`` — everything
+    else goes through it (enforced by a grep-test in tests/test_style.py).
+    Oracle twin: DuckDB's ``epoch_us(ts)``.
+    """
+    return F.unix_micros(_c(col).cast("timestamp"))

@@ -339,8 +339,8 @@ SELECT vec_id,
        CAST(len(list_filter(embedding, x -> CAST(x AS DOUBLE) > 0.1)) AS INT) AS n_above,
        list_bool_or(list_transform(embedding, x -> CAST(x AS DOUBLE) < -0.5)) AS any_strong_neg,
        list_bool_and(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)) < 10)) AS all_bounded,
-       ROUND(list_sum(list_transform(embedding,
-                      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))), 6) AS sum_sq
+       CAST(ROUND(list_sum(list_transform(embedding,
+                      x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12)))), 6) AS DOUBLE) AS sum_sq
 FROM embeddings
 WHERE vec_id < 300
 """,
@@ -367,7 +367,7 @@ def fn_higher_order_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda acc, x: (acc + x).cast("decimal(38,12)"),
             ),
             6,
-        ).alias("sum_sq"),
+        ).cast("double").alias("sum_sq"),
     )
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import query
+from ..functions import epoch_us
 from ..sources import load_tables
 
 
@@ -166,9 +167,9 @@ def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_epoch_us"),
+        epoch_us("ts").alias("purchase_epoch_us"),
         F.round("value", 2).alias("purchase_value"),
-        F.unix_micros("asof_click_ts").alias("last_click_epoch_us"),
+        epoch_us("asof_click_ts").alias("last_click_epoch_us"),
         F.col("asof_click_event_id").alias("last_click_event_id"),
     )
 
@@ -233,8 +234,8 @@ def join_asof_forward_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("signup_epoch_us"),
-        F.unix_micros("asof_p_ts").alias("next_purchase_epoch_us"),
+        epoch_us("ts").alias("signup_epoch_us"),
+        epoch_us("asof_p_ts").alias("next_purchase_epoch_us"),
         F.col("asof_p_event_id").alias("next_purchase_event_id"),
         F.col("asof_p_value").alias("next_purchase_value"),
     )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import query
-from ..functions import dec2, msum
+from ..functions import dec2, epoch_us, msum
 from ..sources import load_tables
 
 
@@ -128,12 +128,12 @@ def sessionize_gap_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, "events")
     w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
     ev = t.events.select("user_id", "ts", "event_id", "value").withColumn(
-        "prev_us", F.unix_micros(F.lag("ts").over(w_ord))
+        "prev_us", epoch_us(F.lag("ts").over(w_ord))
     )
     ev = ev.withColumn(
         "new_session",
         F.when(F.col("prev_us").isNull(), 1)
-        .when(F.unix_micros("ts") - F.col("prev_us") > 30 * 60 * 1_000_000, 1)
+        .when(epoch_us("ts") - F.col("prev_us") > 30 * 60 * 1_000_000, 1)
         .otherwise(0),
     )
     ev = ev.withColumn(
@@ -144,8 +144,8 @@ def sessionize_gap_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", "session_no")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.min(F.unix_micros("ts")).alias("session_start_us"),
-            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+            F.min(epoch_us("ts")).alias("session_start_us"),
+            (F.max(epoch_us("ts")) - F.min(epoch_us("ts"))).alias("duration_us"),
             msum("value").alias("session_value"),
         )
         .select(
@@ -240,7 +240,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     np_ = p.agg(
         F.count(F.lit(1)).alias("n_purchase_users"),
         F.sum(
-            F.unix_micros("p_ts") - F.unix_micros("v_ts")
+            epoch_us("p_ts") - epoch_us("v_ts")
         ).alias("_delta_us"),
     )
     return (
