@@ -109,11 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "fn_variant_json",              # r4-rotated in
     "dedup_simhash",                # r4: newly oracle-backed (portable hash)
     "dedup_minhash_resolve",        # r4: newly oracle-backed (pairs CTE)
-    "udf_pandas_scalar",
+    "sessionize_native_session_window",  # r5-new: F.session_window in batch
     "udf_pandas_grouped_agg",
     "stream_tumbling_daily",        # O3/O4: the reference's execution model
     "sessionize_gap_30min",
-    "mm_binary_metadata",
+    "sim_ann_ivf_fixed_topk",       # r5-new: hash-checked IVF (92/92 goal)
     "mm_decode_features",           # r4: newly oracle-backed (hex replay)
     "mm_resize_thumbs",             # r4: newly oracle-backed (md5-of-hex)
     "mm_frame_sample",              # r4: newly oracle-backed (md5-of-hex)
@@ -157,6 +157,12 @@ _PRIORITY: tuple[str, ...] = (
     # time_rollup's GROUPING()), spine_gap_fill_daily ->
     # spine_linear_interpolate (same spine family), text_tokens_topk ->
     # text_bm25_rank (text family; tokens shape also runs inside bm25).
+    # -- r5 second rotation: the two r5-new entries enter immediately
+    # (don't repeat the r4 lesson of letting new entries wait a round):
+    # udf_pandas_scalar -> sessionize_native_session_window (udf family
+    # keeps grouped_agg + udtf in-window; scalar green r3+r4),
+    # mm_binary_metadata -> sim_ann_ivf_fixed_topk (mm family keeps 3
+    # reps in-window; binary_metadata green r2+r3+r4).
     # -- tail: redundant variants of window-covered families — all
     # driver-green in r2 or r3 (join_left_semi,
     # join_right_outer_never_matched, join_full_outer_reconcile,

@@ -261,3 +261,68 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_view_to_purchase_us"),
         )
     )
+
+
+@query(
+    "sessionize_native_session_window",
+    tables=("events",),
+    oracle="""
+WITH ordered AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                )) > 30 * 60 * 1000000 THEN 1
+                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
+                ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM ordered
+)
+SELECT user_id,
+       MIN(epoch_us(ts))                                 AS session_start_us,
+       MAX(epoch_us(ts)) + 30 * 60 * 1000000             AS session_end_us,
+       CAST(COUNT(*) AS BIGINT)                          AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def sessionize_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-native ``F.session_window`` in BATCH mode — the second,
+    engine-provided implementation of 30-minute-gap sessionization,
+    oracle-checked against the same gaps-and-islands decomposition that
+    ``sessionize_gap_30min`` hand-builds (its window end is defined as
+    last event ts + gap, hence the ``+ 30min`` in the oracle).
+
+    Why both exist: the hand-built variant exposes session_no (stable
+    ordinal per user) and pins tie order with event_id; the native one is
+    the exact operator Structured Streaming's state store runs, so
+    checking it in batch proves the streaming path's semantics with a
+    hash oracle the streaming sweep (rows-only) can't provide.
+
+    Scale shape: identical to the hand-built form — one shuffle on
+    user_id, per-partition session merge, no cross-row explosion. Since
+    ties within one microsecond collapse into the same session, the
+    (ts-only) ordering needs no tie-breaker here."""
+    t = load_tables(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        t.events.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            msum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("sw.start")).alias("session_start_us"),
+            epoch_us(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )

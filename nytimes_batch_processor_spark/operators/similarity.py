@@ -511,3 +511,145 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", ratio(F.col("cos_raw")).alias("cosine"))
     )
+
+
+_IVF_FIXED_NPROBE = 6  # untrained centroids partition less sharply than
+# k-means on the no-cluster random fixture; 6/16 cells probed restores
+# recall@10 to ~0.5-0.6 (vs 0.42 at nprobe=4) while still skipping ~2/3
+# of the corpus. Trained-centroid deployments keep _IVF_NPROBE.
+
+
+def ivf_fixed_centers(k: int = _IVF_K, dim: int = 64) -> list[list[float]]:
+    """Deterministic unit-norm centroids for the oracle-checkable IVF
+    variant: splitmix64-uniform components (seed space disjoint from the
+    LSH planes), normalized DRIVER-SIDE in plain Python floats so the
+    exact same literals inline into both the Spark plan and the DuckDB
+    oracle. Unit norm makes squared-distance argmin equivalent to
+    dot-product argmax — a spherical Voronoi partition with no
+    occupancy bias from centroid-norm variance."""
+    out = []
+    for c in range(k):
+        comps = plane_components(dim, 0, 1000 + c, 1)
+        nrm = sum(x * x for x in comps) ** 0.5
+        out.append([x / nrm for x in comps])
+    return out
+
+
+def _ann_ivf_fixed_oracle(k: int = _IVF_K, nprobe: int = _IVF_FIXED_NPROBE) -> str:
+    """DuckDB twin of the fixed-centroid IVF ANN. Each squared distance
+    is an explicit left-to-right sum — the same IEEE evaluation order as
+    Spark's sequential F.aggregate fold in _centroid_sq_dists — so the
+    argmin cell assignment and the probe-cell ranking are bit-identical,
+    not merely close (the _ann_lsh_oracle technique)."""
+    dim = 64
+    centers = ivf_fixed_centers(k, dim)
+    dist_exprs = []
+    for c in centers:
+        terms = " + ".join(
+            f"(e[{i + 1}] - {x!r}) * (e[{i + 1}] - {x!r})" for i, x in enumerate(c)
+        )
+        dist_exprs.append(f"({terms})")
+    ds = ",\n        ".join(dist_exprs)
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, e, nrm,
+        [{ds}] AS ds
+    FROM v
+),
+assigned AS (
+    SELECT vec_id, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+    FROM d
+),
+probe_cells AS (
+    SELECT query_id, cell FROM (
+        SELECT d.vec_id AS query_id, i.i - 1 AS cell, ds[i.i] AS dist,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id ORDER BY ds[i.i] ASC, i.i ASC
+               ) AS rnk_c
+        FROM d CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS i) i
+        WHERE d.vec_id < {N_QUERIES}
+    ) WHERE rnk_c <= {nprobe}
+),
+cand AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM assigned a JOIN probe_cells p ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+),
+scored AS (
+    SELECT c.query_id, c.neighbor_id,
+           list_inner_product(q.e, n.e) / (q.nrm * n.nrm) AS cos_raw
+    FROM cand c
+    JOIN v q ON q.vec_id = c.query_id
+    JOIN v n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos_raw,
+           ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC
+           ) AS rnk
+    FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rnk <= {TOP_K}"""
+
+
+@query("sim_ann_ivf_fixed_topk", tables=("embeddings",), oracle=_ann_ivf_fixed_oracle())
+def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with FIXED deterministic centroids — the hash-checkable
+    twin of `sim_ann_ivf_topk` (whose k-means training forces rows-only
+    verification). Identical probe path: cell assignment is a JVM-side
+    squared-distance argmin against a centroid tensor literal, each
+    query probes its _IVF_NPROBE nearest cells, candidates come from a
+    broadcast bucket equi-join on `cell`, exact cosine rerank, top-k.
+
+    What this proves that sim_ann_ivf_topk can't: the entire inverted-
+    file query path (assignment argmin, probe-cell ranking with
+    tie-break, bucket join, rerank) is value-exact against an
+    independent engine. What it doesn't: quantizer quality — that stays
+    with the k-means variant's recall gates. At cluster scale the
+    trained centroids persist as a table and this exact plan runs
+    against them; fixed centroids here = the persisted-index case."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    centers = ivf_fixed_centers()
+    corpus = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    dists = _centroid_sq_dists(centers)
+    assigned = (
+        corpus.withColumn("_d", dists)
+        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .drop("_d")
+    )
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    probes = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = cand.withColumn(
+        "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "rnk", ratio(F.col("cos_raw")).alias("cosine"))
+    )

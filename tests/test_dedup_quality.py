@@ -99,6 +99,29 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall@10 vs brute force: {recall:.2f}"
 
 
+def test_ann_ivf_fixed_recall_vs_bruteforce(spark, sf_dir):
+    """The fixed-centroid (oracle-checked) IVF variant still has to be a
+    real ANN, not just hash-reproducible: nprobe=6 of 16 untrained
+    unit-norm cells recovers >= 0.4 of the exact top-10 on the random
+    fixture (measured mean 0.56 at sf0.01; untrained centroids are the
+    floor — the k-means variant holds the 0.5 gate)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        sim_ann_ivf_fixed_topk,
+        sim_cosine_topk_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_cosine_topk_bruteforce(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf_fixed_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"fixed-IVF recall@10 vs brute force: {recall:.2f}"
+
+
 def test_ann_ivf_query_is_probe_only(spark, sf_dir):
     """The IVF query path must never retrain the quantizer: repeated
     calls in one session reuse the SAME built index (KMeans.fit lives in
