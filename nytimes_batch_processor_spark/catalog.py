@@ -142,10 +142,10 @@ _PRIORITY: tuple[str, ...] = (
     "spine_linear_interpolate",     # r5-rotated in (never driver-swept)
     "dedup_exact_union",            # L2 dedup: exact
     "sample_hash_split",            # r4-new: deterministic train/val/test
-    "pipeline_curate_corpus",       # L2 showcase: score->filter->dedup (r3)
+    "pack_sequences_offsets",       # r5-new: two-level prefix-sum packing
     "dedup_minhash_lsh",
     "dedup_minhash_cc",             # CC — now runs the O(log n) star variant
-    "dedup_embedding_cosine",
+    "sample_mixture_weighted",      # r5-new: per-source hash mixture
     "sim_cosine_topk_bruteforce",   # L2 similarity
     "sim_ann_lsh_topk",
     "graph_reachability_rcte",      # r4-rotated in (WITH RECURSIVE)
@@ -163,6 +163,11 @@ _PRIORITY: tuple[str, ...] = (
     # keeps grouped_agg + udtf in-window; scalar green r3+r4),
     # mm_binary_metadata -> sim_ann_ivf_fixed_topk (mm family keeps 3
     # reps in-window; binary_metadata green r2+r3+r4).
+    # -- r5 third rotation: pack_sequences_offsets and
+    # sample_mixture_weighted (new L2 training-pipeline ops) take the
+    # slots of pipeline_curate_corpus and dedup_embedding_cosine (both
+    # hash-green r3+r4; curation's score/filter/dedup pieces all remain
+    # in-window individually, dedup family keeps 5 reps).
     # -- tail: redundant variants of window-covered families — all
     # driver-green in r2 or r3 (join_left_semi,
     # join_right_outer_never_matched, join_full_outer_reconcile,

@@ -430,3 +430,145 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+_PACK_CAPACITY = 2048  # tokens per packed training sequence
+_PACK_BUCKET = 200  # docs per prefix-sum bucket (see scale note)
+
+
+@query(
+    "pack_sequences_offsets",
+    tables=("documents",),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+),
+o AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS start_offset
+    FROM t
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST(start_offset % {_PACK_CAPACITY} AS BIGINT)  AS bin_offset
+FROM o
+""",
+)
+def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: lay every document out on one
+    global token axis (doc_id order) and assign each its packed-bin id
+    and within-bin offset — the offset table a dataloader uses to pack
+    documents into fixed-capacity (2048-token) training sequences
+    without padding waste (documents straddling a boundary continue in
+    the next bin, the standard concat-then-chunk packing).
+
+    The interesting part is the GLOBAL prefix sum, which a naive
+    unpartitioned running-total window serializes onto one task. This
+    implements the textbook two-level scan instead: (1) range-bucket
+    doc_ids, (2) aggregate per-bucket token sums (|docs|/bucket rows),
+    (3) exclusive-prefix those few sums with a post-aggregation window,
+    (4) broadcast the bucket offsets back and finish with a per-bucket
+    cumulative window whose partitions are bounded by the bucket width.
+    At 100 TB pick the bucket width so step (3) sees ~1e5 rows (still a
+    single-task triviality); every other step is a bounded-partition
+    window or a broadcast join. Oracle: the same offsets from DuckDB's
+    single global window — the decomposition must be value-identical."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    docs = t.documents.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_tokens"),
+        (F.floor(F.col("doc_id") / _PACK_BUCKET)).cast("long").alias("bucket"),
+    )
+    bucket_sums = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
+    bucket_offsets = bucket_sums.select(
+        "bucket",
+        F.coalesce(F.sum("bucket_tokens").over(w_b), F.lit(0)).alias("bucket_offset"),
+    )
+    w_d = W.partitionBy("bucket").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    return (
+        docs.join(F.broadcast(bucket_offsets), "bucket")
+        .withColumn(
+            "start_offset",
+            F.col("bucket_offset") + F.coalesce(F.sum("n_tokens").over(w_d), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "start_offset",
+            (F.col("start_offset") / _PACK_CAPACITY).cast("long").alias("bin_id"),
+            F.pmod("start_offset", F.lit(_PACK_CAPACITY)).cast("long").alias("bin_offset"),
+        )
+    )
+
+
+@query(
+    "sample_mixture_weighted",
+    tables=("documents",),
+    oracle="""
+WITH t AS (
+    SELECT source,
+           CASE CAST(regexp_extract(source, '(\\d+)', 1) AS INT) % 4
+                WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                WHEN 2 THEN 0.25 ELSE 0.125 END AS target_rate,
+           (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':mix')), 1, 15))
+                 AS BIGINT) % 2147483647) % 1000000 AS h
+    FROM documents
+)
+SELECT source,
+       CAST(MIN(target_rate) AS DOUBLE)                            AS target_rate,
+       CAST(COUNT(*) AS BIGINT)                                    AS n_total,
+       CAST(COUNT(CASE WHEN h < target_rate * 1000000 THEN 1 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(COUNT(CASE WHEN h < target_rate * 1000000 THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6)                                        AS achieved_rate
+FROM t GROUP BY source
+""",
+)
+def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data-mixture sampling: each source keeps a different
+    deterministic fraction of its documents (here rates 1/0.5/0.25/0.125
+    cycling by source number — in production a per-corpus mixture
+    weight table). Membership is a pure hash of (doc_id, salt), so the
+    mixture is stable under re-partitioning and re-runs, composes with
+    sample_hash_split's train/val/test buckets (different salt =>
+    independent sampling), and needs no rng state. Map-only filter +
+    one aggregate; the per-source report is the mixture manifest a
+    training run logs. Uses the engine's portable 60-bit md5 hash so
+    DuckDB replays membership exactly."""
+    from .dedup import _portable_token_hash
+
+    t = load_tables(spark, sf_dir, "documents")
+    src_num = F.regexp_extract("source", r"(\d+)", 1).cast("int")
+    target_rate = (
+        F.when(F.pmod(src_num, F.lit(4)) == 0, 1.0)
+        .when(F.pmod(src_num, F.lit(4)) == 1, 0.5)
+        .when(F.pmod(src_num, F.lit(4)) == 2, 0.25)
+        .otherwise(0.125)
+    )
+    h = _portable_token_hash(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ) % 1_000_000
+    return (
+        t.documents.select("source", target_rate.alias("target_rate"), h.alias("h"))
+        .groupBy("source")
+        .agg(
+            F.min("target_rate").cast("double").alias("target_rate"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("h") < F.col("target_rate") * 1_000_000, 1)).alias(
+                "n_kept"
+            ),
+            F.round(
+                F.count(F.when(F.col("h") < F.col("target_rate") * 1_000_000, 1)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("achieved_rate"),
+        )
+    )

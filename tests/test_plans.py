@@ -198,14 +198,18 @@ def test_unpartitioned_windows_only_post_aggregation(spark, sf_dir):
 
     from nytimes_batch_processor_spark.flagship import flagship
     from nytimes_batch_processor_spark.operators.relational import window_pct_of_total
+    from nytimes_batch_processor_spark.operators.text import pack_sequences_offsets
     from nytimes_batch_processor_spark.operators.windows import (
         window_lag_daily_delta,
         window_range_rolling_7d,
     )
     from nytimes_batch_processor_spark.plans import unpartitioned_window_violations
 
+    # pack_sequences_offsets is the load-bearing case: its global prefix
+    # sum is exactly the op that WOULD be an unpartitioned window over
+    # raw docs if not decomposed into the two-level scan.
     for fn in (flagship, window_lag_daily_delta, window_range_rolling_7d,
-               window_pct_of_total):
+               window_pct_of_total, pack_sequences_offsets):
         bad = unpartitioned_window_violations(fn(spark, sf_dir))
         assert not bad, f"{fn.__name__}: unpartitioned window over raw data: {bad}"
 
