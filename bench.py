@@ -45,6 +45,10 @@ HEADLINE = [
     "sim_ann_ivf_topk",  # probe-only: ivf_build_index runs once in warmup
     "text_quality_score",
     "fn_json_extract",
+    # r5 additions (r3/r4 comparisons stay per-query; total covers +3)
+    "sessionize_native_session_window",
+    "sim_ann_ivf_fixed_topk",
+    "pack_sequences_offsets",
 ]
 
 

@@ -117,19 +117,19 @@ _PRIORITY: tuple[str, ...] = (
     "mm_decode_features",           # r4: newly oracle-backed (hex replay)
     "mm_resize_thumbs",             # r4: newly oracle-backed (md5-of-hex)
     "mm_frame_sample",              # r4: newly oracle-backed (md5-of-hex)
-    "percentile_exact_and_approx",
+    "fn_sql_udf_surface",           # r5-new: Spark 4 SQL UDFs
     # -- one+ representative per family already green in r2 -------------
     "filter_project_revenue",       # filters/pushdown
     "join_broadcast_star",          # joins: broadcast
     "join_left_anti",               # joins: anti (W3 semantics)
     "udtf_tokenize_positions",      # true Python UDTF (new in r3)
-    "join_interval_window",         # joins: range/interval
+    "subquery_correlated_scalar",   # r5-new: Catalyst decorrelation
     "join_skew_salted",             # joins: skew handling
     "join_asof_purchase_click",     # joins: as-of
     "agg_pricing_summary",          # aggs: hash partial+final
     "agg_distinct_counts",
     "agg_histogram_fixed_bins",     # r5-rotated in (never driver-swept)
-    "agg_stats_surface",            # statistical moments (new in r3)
+    "scan_jsonl_roundtrip",         # r5-new: JSONL source, explicit schema
     "agg_time_rollup",              # r4-rotated in (+ GROUPING() sentinel fix)
     "agg_incremental_merge",        # r4-rotated in
     "agg_skew_salted_sum",          # r4-rotated in
@@ -168,6 +168,16 @@ _PRIORITY: tuple[str, ...] = (
     # slots of pipeline_curate_corpus and dedup_embedding_cosine (both
     # hash-green r3+r4; curation's score/filter/dedup pieces all remain
     # in-window individually, dedup family keeps 5 reps).
+    # -- r5 fourth rotation: fn_sql_udf_surface (Spark 4 native SQL
+    # UDFs) takes percentile_exact_and_approx's slot and
+    # scan_jsonl_roundtrip (JSONL source path) takes agg_stats_surface's
+    # (both displaced entries hash-green r3+r4; percentile's approx
+    # family keeps approx_count_distinct_bounds' r2 green + pytest, agg
+    # family keeps six in-window reps).
+    # -- r5 fifth rotation: subquery_correlated_scalar (decorrelated
+    # scalar subqueries, a previously uncovered query surface) takes
+    # join_interval_window's slot (green r3+r4; the range-join shape
+    # stays covered by join_theta_range's r2/r3 greens + pytest).
     # -- tail: redundant variants of window-covered families — all
     # driver-green in r2 or r3 (join_left_semi,
     # join_right_outer_never_matched, join_full_outer_reconcile,

@@ -403,3 +403,61 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").alias("n_distinct_k"),
         )
     )
+
+
+@query(
+    "fn_sql_udf_surface",
+    tables=("lineitem",),
+    oracle="""
+WITH r AS (
+    SELECT CASE WHEN l_discount >= 0.07 THEN 'deep'
+                WHEN l_discount >= 0.03 THEN 'mid'
+                ELSE 'shallow' END AS discount_class,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue,
+           l_quantity
+    FROM lineitem
+)
+SELECT discount_class,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(ROUND(SUM(CAST(revenue AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+       ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
+FROM r GROUP BY discount_class
+""",
+)
+def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL UDFs (CREATE TEMPORARY FUNCTION ... RETURN expr) —
+    reusable scalar logic defined IN SQL, resolved by Catalyst by
+    inlining the body into the plan: unlike any Python UDF path these
+    stay inside whole-stage codegen with working predicate pushdown, so
+    a shared business rule (revenue net of discount, discount banding)
+    costs nothing at 100 TB. The oracle inlines the same bodies, which
+    is exactly what Catalyst does under the hood.
+
+    Determinism: the revenue UDF quantizes per-row to exact 2dp via the
+    engine's money-decimal policy (functions/__init__), and the
+    aggregate re-enters decimal before summation (msum shape) so
+    parallel order can't flip cents."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    t.lineitem.createOrReplaceTempView("lineitem_sqludf")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION eng_revenue(price DOUBLE, disc DOUBLE) "
+        "RETURNS DOUBLE RETURN CAST(ROUND(CAST(price AS DECIMAL(18,2)) "
+        "* (1 - CAST(disc AS DECIMAL(4,2))), 2) AS DOUBLE)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION eng_discount_class(disc DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN disc >= 0.07 THEN 'deep' "
+        "WHEN disc >= 0.03 THEN 'mid' ELSE 'shallow' END"
+    )
+    return spark.sql(
+        """
+        SELECT eng_discount_class(l_discount) AS discount_class,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(eng_revenue(l_extendedprice, l_discount)
+                                   AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
+               ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
+        FROM lineitem_sqludf
+        GROUP BY eng_discount_class(l_discount)
+        """
+    )

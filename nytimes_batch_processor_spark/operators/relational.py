@@ -1247,3 +1247,48 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("_max", 2).alias("max_price"),
         F.round(F.col("_sum").cast("double") / F.col("n_orders"), 6).alias("avg_price"),
     )
+
+
+@query(
+    "subquery_correlated_scalar",
+    tables=("customer",),
+    oracle="""
+SELECT c_custkey,
+       CAST(c_nationkey AS INT)   AS nationkey,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+FROM customer c
+WHERE CAST(c_acctbal AS DECIMAL(18,2))
+      * (SELECT COUNT(*) FROM customer c2
+         WHERE c2.c_nationkey = c.c_nationkey)
+      > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+         WHERE c3.c_nationkey = c.c_nationkey)
+""",
+)
+def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subqueries ("customers above their nation's
+    average balance") — the query surface Catalyst DECORRELATES into an
+    aggregate + join instead of executing per-row (check .explain: no
+    per-row subplan, one hash aggregate on c_nationkey joined back).
+    Declared in SQL because that is the decorrelation path users hit.
+
+    Determinism: the predicate is the cross-multiplied exact-decimal
+    form ``bal * n > sum`` — comparing against a floating AVG would let
+    a last-ulp parallel-summation difference flip membership for a
+    boundary row between engines; decimal sums are order-independent
+    and identical in both. Scale shape after decorrelation: one
+    |nations|-row aggregate, broadcast back over the fact — map-side
+    predicate, no per-row subquery execution."""
+    load_tables(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               CAST(c_nationkey AS INT) AS nationkey,
+               CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS acctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2))
+              * (SELECT COUNT(*) FROM customer c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,2))) FROM customer c3
+                 WHERE c3.c_nationkey = c.c_nationkey)
+        """
+    )

@@ -20,6 +20,7 @@ from __future__ import annotations
 import logging
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from .catalog import query
 from .functions import msum
@@ -515,3 +516,58 @@ def drop_partitions_older_than(
                 fs.delete(st.getPath(), True)
                 dropped.append(value)
     return dropped
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    tables=("documents",),
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)             AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT)   AS n_sources,
+       CAST(MAX(n_chars) AS BIGINT)             AS max_chars
+FROM documents
+GROUP BY lang
+""",
+)
+def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL (newline-delimited JSON) source path under the driver's
+    gate — the interchange format most LLM text corpora arrive in.
+    Documents round-trip through a JSONL stage (overwrite-idempotent,
+    under the session warehouse dir) and are read back with an EXPLICIT
+    schema + FAILFAST — never schema inference, which at 100 TB is a
+    full extra pass over the data before the first real scan, and
+    silently unions drifting schemas instead of failing loudly. A field
+    dropped, renamed, or re-typed by the writer surfaces as an oracle
+    mismatch (or a FAILFAST parse error), not a silent null column.
+
+    Scale notes: JSON scans split by line across executors like CSV;
+    unlike parquet there is no column pruning or predicate pushdown —
+    the docstring-level advice this entry encodes is "land JSONL, scan
+    once, persist parquet/bucketed for every later query" (the
+    ingest.py chain's pattern)."""
+    t = load_tables(spark, sf_dir, "documents")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    path = f"{warehouse}/engine_documents_jsonl"
+    t.documents.write.mode("overwrite").json(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = spark.read.schema(schema).option("mode", "FAILFAST").json(path)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.max("n_chars").alias("max_chars"),
+    )
