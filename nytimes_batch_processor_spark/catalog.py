@@ -124,7 +124,7 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_anti",               # joins: anti (W3 semantics)
     "udtf_tokenize_positions",      # true Python UDTF (new in r3)
     "subquery_correlated_scalar",   # r5-new: Catalyst decorrelation
-    "join_skew_salted",             # joins: skew handling
+    "decon_train_test_overlap",     # r5-new: shingle decontamination
     "join_asof_purchase_click",     # joins: as-of
     "agg_pricing_summary",          # aggs: hash partial+final
     "agg_distinct_counts",
@@ -136,7 +136,7 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",         # integration: 3-way join + top-k (r3)
     "window_rank_topk_per_group",   # windows: ranking
     "events_funnel_conversion",     # r4-new: windowed sequential funnel
-    "window_ignore_nulls_ffill",    # windows: IGNORE NULLS fill (r3)
+    "text_repetition_ratio",        # r5-new: dup-trigram quality rule
     "setops_customer_cohorts",      # set ops
     "setops_multiset_all",          # r4-rotated in
     "spine_linear_interpolate",     # r5-rotated in (never driver-swept)
@@ -178,6 +178,12 @@ _PRIORITY: tuple[str, ...] = (
     # scalar subqueries, a previously uncovered query surface) takes
     # join_interval_window's slot (green r3+r4; the range-join shape
     # stays covered by join_theta_range's r2/r3 greens + pytest).
+    # -- r5 sixth rotation: text_repetition_ratio and
+    # decon_train_test_overlap (Gopher-style repetition rule; n-gram
+    # benchmark decontamination) displace window_ignore_nulls_ffill
+    # (green r3+r4; windows family keeps rank_topk in-window) and
+    # join_skew_salted (green r2+r3+r4; skew stays covered by
+    # agg_skew_salted_sum in-window).
     # -- tail: redundant variants of window-covered families — all
     # driver-green in r2 or r3 (join_left_semi,
     # join_right_outer_never_matched, join_full_outer_reconcile,

@@ -572,3 +572,140 @@ def sample_mixture_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("achieved_rate"),
         )
     )
+
+
+@query(
+    "text_repetition_ratio",
+    tables=("documents",),
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_transform(range(0, len(toks) - 2),
+                     i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+                ELSE [] END AS grams
+    FROM t
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT)                AS n_trigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+            ELSE 0.0 END                          AS rep_ratio
+FROM g
+""",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (duplicate-trigram ratio) — the
+    MassiveText/Gopher quality rule that catches boilerplate, keyboard
+    mash, and crawler loops that per-token stats miss. rep_ratio =
+    1 - distinct_trigrams/total_trigrams, computed entirely JVM-side:
+    trigrams via a transform over an index sequence (no explode — the
+    per-doc arrays never leave the row), so the operator is map-only
+    and pipelines out of the scan at any scale. Degenerate docs
+    (<3 tokens) score 0 by definition on both engines."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return t.documents.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.when(
+            F.size(grams) > 0,
+            F.round(
+                1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+            ),
+        )
+        .otherwise(0.0)
+        .alias("rep_ratio"),
+    )
+
+
+_DECON_SHINGLE = 8  # tokens per contamination shingle (industry default)
+
+
+@query(
+    "decon_train_test_overlap",
+    tables=("documents",),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % 2147483647) % 100 AS bucket,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+sh AS (
+    SELECT doc_id, bucket, unnest(
+        CASE WHEN len(toks) >= {_DECON_SHINGLE}
+             THEN list_transform(range(0, len(toks) - {_DECON_SHINGLE} + 1),
+                  i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3], toks[i + 4],
+                                 toks[i + 5], toks[i + 6], toks[i + 7], toks[i + 8]))
+             ELSE [] END) AS shingle
+    FROM t
+),
+train AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 80),
+test AS (SELECT doc_id, shingle FROM sh WHERE bucket >= 90)
+SELECT test.doc_id,
+       CAST(COUNT(DISTINCT test.shingle) AS BIGINT) AS n_shared_shingles
+FROM test JOIN train ON test.shingle = train.shingle
+GROUP BY test.doc_id
+""",
+)
+def decon_train_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: test-split documents sharing any
+    8-token shingle with the train split (the standard n-gram-overlap
+    contamination check run before every evaluation). Splits come from
+    the same deterministic hash as `sample_hash_split` so the three
+    operators compose into one pipeline; returns each contaminated test
+    doc with its count of leaked shingles.
+
+    Scale shape: shingles are built in-row (transform over an index
+    sequence), the train side collapses to DISTINCT shingles before the
+    join — the join key set is |unique train shingles|, aggregated
+    map-side — and the equi-join shuffles only (shingle, doc_id) pairs,
+    never document text. On the near-dup-rich fixture this is
+    guaranteed non-empty; at 100 TB swap the raw-string shingle key for
+    its portable 60-bit hash to shrink the shuffle 5-10x (kept as the
+    string here so the oracle is self-evidently the same computation)."""
+    t = load_tables(spark, sf_dir, "documents")
+    from .dedup import _portable_token_hash
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    shingles = F.when(
+        F.size(toks) >= _DECON_SHINGLE,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _DECON_SHINGLE),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k) for k in range(1, _DECON_SHINGLE + 1)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = _portable_token_hash(F.col("doc_id").cast("string")) % 100
+    sh = t.documents.select(
+        "doc_id", bucket.alias("bucket"), F.explode(shingles).alias("shingle")
+    )
+    train = sh.filter(F.col("bucket") < 80).select("shingle").distinct()
+    test = sh.filter(F.col("bucket") >= 90).select("doc_id", "shingle")
+    return (
+        test.join(train, "shingle")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
