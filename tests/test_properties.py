@@ -279,3 +279,31 @@ def test_portable_token_hash_parity_spark_duckdb_python(tokens):
         for t in tokens
     ]
     assert spark_h == duck_h == py_h
+
+
+def test_pack_offsets_tile_token_axis(spark, sf_dir):
+    """Structural invariant of the two-level prefix scan: sorted by
+    doc_id, every document's start_offset equals the previous doc's
+    start + tokens (no gap, no overlap — the packed corpus is one
+    contiguous token axis), and bin bookkeeping is consistent with the
+    offsets. A bucket-boundary bug (off-by-one in the exclusive prefix,
+    a missed bucket in the broadcast join) breaks contiguity
+    immediately; the DuckDB oracle would catch values, this pins the
+    algebra independent of any oracle."""
+    from nytimes_batch_processor_spark.operators.text import (
+        _PACK_CAPACITY,
+        pack_sequences_offsets,
+    )
+
+    rows = sorted(
+        pack_sequences_offsets(spark, sf_dir).collect(), key=lambda r: r.doc_id
+    )
+    assert rows, "empty packing result"
+    expected = 0
+    for r in rows:
+        assert r.start_offset == expected, (
+            f"doc {r.doc_id}: start {r.start_offset} != running total {expected}"
+        )
+        assert r.bin_id == r.start_offset // _PACK_CAPACITY
+        assert r.bin_offset == r.start_offset % _PACK_CAPACITY
+        expected += r.n_tokens
