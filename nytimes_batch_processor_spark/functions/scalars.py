@@ -438,8 +438,7 @@ def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine's money-decimal policy (functions/__init__), and the
     aggregate re-enters decimal before summation (msum shape) so
     parallel order can't flip cents."""
-    t = load_tables(spark, sf_dir, "lineitem")
-    t.lineitem.createOrReplaceTempView("lineitem_sqludf")
+    load_tables(spark, sf_dir, "lineitem")  # registers the lineitem view
     spark.sql(
         "CREATE OR REPLACE TEMPORARY FUNCTION eng_revenue(price DOUBLE, disc DOUBLE) "
         "RETURNS DOUBLE RETURN CAST(ROUND(CAST(price AS DECIMAL(18,2)) "
@@ -457,7 +456,7 @@ def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(ROUND(SUM(CAST(eng_revenue(l_extendedprice, l_discount)
                                    AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_revenue,
                ROUND(AVG(CAST(l_quantity AS DOUBLE)), 6) AS avg_qty
-        FROM lineitem_sqludf
+        FROM lineitem
         GROUP BY eng_discount_class(l_discount)
         """
     )
