@@ -604,8 +604,9 @@ def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of `sim_ann_ivf_topk` (whose k-means training forces rows-only
     verification). Identical probe path: cell assignment is a JVM-side
     squared-distance argmin against a centroid tensor literal, each
-    query probes its _IVF_NPROBE nearest cells, candidates come from a
-    broadcast bucket equi-join on `cell`, exact cosine rerank, top-k.
+    query probes its _IVF_FIXED_NPROBE (=6) nearest cells, candidates
+    come from a broadcast bucket equi-join on `cell`, exact cosine
+    rerank, top-k.
 
     What this proves that sim_ann_ivf_topk can't: the entire inverted-
     file query path (assignment argmin, probe-cell ranking with
