@@ -137,8 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_rank_topk_per_group",   # windows: ranking
     "events_funnel_conversion",     # r4-new: windowed sequential funnel
     "text_repetition_ratio",        # r5-new: dup-trigram quality rule
-    "setops_customer_cohorts",      # set ops
-    "setops_multiset_all",          # r4-rotated in
+    "embed_quantize_int8",          # r5-new: int8 embedding quantization
+    "setops_multiset_all",          # r4-rotated in (set-ops family rep)
     "spine_linear_interpolate",     # r5-rotated in (never driver-swept)
     "dedup_exact_union",            # L2 dedup: exact
     "sample_hash_split",            # r4-new: deterministic train/val/test
@@ -184,6 +184,10 @@ _PRIORITY: tuple[str, ...] = (
     # (green r3+r4; windows family keeps rank_topk in-window) and
     # join_skew_salted (green r2+r3+r4; skew stays covered by
     # agg_skew_salted_sum in-window).
+    # -- r5 seventh rotation: embed_quantize_int8 (integer-exact
+    # checksummed int8 quantization) takes setops_customer_cohorts'
+    # slot (green r2/r3/r4; setops stays covered by setops_multiset_all
+    # in-window).
     # -- tail: redundant variants of window-covered families — all
     # driver-green in r2 or r3 (join_left_semi,
     # join_right_outer_never_matched, join_full_outer_reconcile,

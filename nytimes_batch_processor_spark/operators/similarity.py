@@ -654,3 +654,66 @@ def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", ratio(F.col("cos_raw")).alias("cosine"))
     )
+
+
+@query(
+    "embed_quantize_int8",
+    tables=("embeddings",),
+    oracle="""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, e,
+           list_max(list_transform(e, x -> abs(x))) AS max_abs
+    FROM v
+),
+q AS (
+    SELECT vec_id, max_abs,
+           list_transform(e, x -> CAST(round(x * 127.0 / max_abs) AS BIGINT)) AS qv
+    FROM s
+    WHERE max_abs > 0
+)
+SELECT vec_id,
+       ROUND(127.0 / max_abs, 6)                                   AS scale,
+       CAST(list_sum(qv) AS BIGINT)                                AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)   AS q_abs_sum,
+       CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT)     AS n_saturated
+FROM q
+""",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage/bandwidth
+    step between embedding generation and ANN serving (4x smaller
+    vectors, which at 100 TB is the difference between an index that
+    fits hot storage and one that doesn't). scale = 127/max|x| per
+    vector, q_i = round(x_i * scale); all JVM-side array transforms,
+    map-only, pipelines straight out of the scan.
+
+    Verification note: the checksums are INTEGER (sum, abs-sum,
+    saturation count of the quantized values), so the oracle compare is
+    exact — no float-summation tolerance anywhere; the only float
+    output is the per-vector scale, deterministic as a single IEEE
+    division. Zero vectors (max_abs = 0) are excluded on both sides
+    rather than given a sentinel scale."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    e = _as_double(F.col("embedding"))
+    base = t.embeddings.select("vec_id", e.alias("e")).withColumn(
+        "max_abs", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+    ).filter(F.col("max_abs") > 0)
+    qv = F.transform(
+        F.col("e"), lambda x: F.round(x * 127.0 / F.col("max_abs")).cast("bigint")
+    )
+    quant = base.withColumn("qv", qv)
+    return quant.select(
+        "vec_id",
+        F.round(127.0 / F.col("max_abs"), 6).alias("scale"),
+        F.aggregate("qv", F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            "qv", F.lit(0).cast("bigint"), lambda a, x: a + F.abs(x)
+        ).alias("q_abs_sum"),
+        F.size(F.filter("qv", lambda x: F.abs(x) == 127)).cast("bigint").alias(
+            "n_saturated"
+        ),
+    )
