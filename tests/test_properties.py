@@ -307,3 +307,40 @@ def test_pack_offsets_tile_token_axis(spark, sf_dir):
         assert r.bin_id == r.start_offset // _PACK_CAPACITY
         assert r.bin_offset == r.start_offset % _PACK_CAPACITY
         expected += r.n_tokens
+
+
+def test_shuffle_partition_count_invariance(spark, sf_dir):
+    """The cluster-scale determinism claim, tested directly: a catalog
+    query's RESULT may not depend on how many shuffle partitions (i.e.
+    how many executors' worth of parallelism) the plan ran with. Runs
+    order-sensitive representatives — global prefix scan, rank window,
+    minhash banding, native session windows, salted skew agg — at 32
+    and at 7 shuffle partitions and requires identical multisets. Any
+    operator leaking partition layout into values (a non-deterministic
+    tie-break, an accidental first()/limit dependence, float summation
+    at the output boundary) fails here without needing the oracle."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    specs = all_specs()
+    names = [
+        "pack_sequences_offsets",
+        "window_rank_topk_per_group",
+        "dedup_minhash_lsh",
+        "sessionize_native_session_window",
+        "agg_skew_salted_sum",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n_part in ("32", "7"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            results[n_part] = {
+                name: sorted(map(repr, specs[name].fn(spark, sf_dir).collect()))
+                for name in names
+            }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name in names:
+        assert results["32"][name] == results["7"][name], (
+            f"{name}: result depends on shuffle partition count"
+        )
