@@ -84,10 +84,14 @@ def main() -> None:
         run(name)
     pass1 = {name: run(name) for name in all_names}
     pass2 = {name: run(name) for name in all_names}
+    # A name in `errors` reports None even if one pass succeeded: a
+    # timing and an error for the same query would contradict each other
+    # in the artifact (ADVICE r5). Errors alone carry the failure.
     timings: dict[str, float | None] = {
         name: (
             min(t for t in (pass1[name], pass2[name]) if t is not None)
-            if not (pass1[name] is None and pass2[name] is None)
+            if name not in errors
+            and not (pass1[name] is None and pass2[name] is None)
             else None
         )
         for name in all_names

@@ -43,6 +43,16 @@ def _as_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _bounded_broadcast(df: DataFrame, n_rows: int, bound: int = 100_000) -> DataFrame:
+    """Broadcast-hint a build side only when its row count is provably
+    bounded (here: exploded probe sets of N_QUERIES * nprobe rows).
+    Forcing the hint on an unbounded online query batch would pin an
+    arbitrarily large build side in every executor; past the bound the
+    optimizer decides (AQE still converts to broadcast at runtime when
+    observed stats allow). VERDICT r5 watch item 1."""
+    return F.broadcast(df) if n_rows <= bound else df
+
+
 def _dot(a, b) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
@@ -499,9 +509,9 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
         F.explode(F.slice(ranked_cells, 1, _IVF_NPROBE)).alias("cell"),
     )
-    cand = assigned.join(F.broadcast(probes), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    cand = assigned.join(
+        _bounded_broadcast(probes, N_QUERIES * _IVF_NPROBE), "cell"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.withColumn(
         "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
@@ -642,9 +652,9 @@ def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("qn"),
         F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
     )
-    cand = assigned.join(F.broadcast(probes), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
-    )
+    cand = assigned.join(
+        _bounded_broadcast(probes, N_QUERIES * _IVF_FIXED_NPROBE), "cell"
+    ).filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.withColumn(
         "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")

@@ -502,7 +502,9 @@ def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "start_offset",
-            (F.col("start_offset") / _PACK_CAPACITY).cast("long").alias("bin_id"),
+            # integer `div`, not float /: exactness must not depend on
+            # _PACK_CAPACITY being a power of two or offsets < 2^53
+            F.expr(f"start_offset div {_PACK_CAPACITY}").cast("long").alias("bin_id"),
             F.pmod("start_offset", F.lit(_PACK_CAPACITY)).cast("long").alias("bin_offset"),
         )
     )
@@ -608,29 +610,46 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigrams via a transform over an index sequence (no explode — the
     per-doc arrays never leave the row), so the operator is map-only
     and pipelines out of the scan at any scale. Degenerate docs
-    (<3 tokens) score 0 by definition on both engines."""
+    (<3 tokens) score 0 by definition on both engines.
+
+    The token array MATERIALIZES as a column before the trigram
+    transform (same discipline as `decon_train_test_overlap`):
+    referencing the raw `filter(split(...))` expression from inside the
+    lambda would let codegen re-tokenize the document per element_at —
+    the measured 8x trap decon's docstring records. The gram array and
+    its distinct count materialize the same way so each is computed
+    once per row, not once per consuming output column."""
     t = load_tables(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    base = t.documents.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    tk = F.col("toks")
     grams = F.when(
-        F.size(toks) >= 3,
+        F.size(tk) >= 3,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 3),
+            F.sequence(F.lit(0), F.size(tk) - 3),
             lambda i: F.concat_ws(
                 " ",
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return t.documents.select(
+    counted = base.select("doc_id", grams.alias("grams")).select(
         "doc_id",
-        F.size(grams).cast("long").alias("n_trigrams"),
-        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        F.size("grams").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("grams")).cast("long").alias("n_distinct"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_trigrams",
+        "n_distinct",
         F.when(
-            F.size(grams) > 0,
+            F.col("n_trigrams") > 0,
             F.round(
-                1.0 - F.size(F.array_distinct(grams)).cast("double") / F.size(grams), 6
+                1.0 - F.col("n_distinct").cast("double") / F.col("n_trigrams"), 6
             ),
         )
         .otherwise(0.0)
