@@ -49,6 +49,9 @@ HEADLINE = [
     "sessionize_native_session_window",
     "sim_ann_ivf_fixed_topk",
     "pack_sequences_offsets",
+    # r6 additions
+    "sim_ann_ivf_q8_serve",
+    "stateful_running_totals_twin",
 ]
 
 

@@ -87,133 +87,76 @@ def _load_all_modules() -> None:
 # priority block in registration order — append new names here too when
 # they must be driver-visible.
 _PRIORITY: tuple[str, ...] = (
-    # -- r4 rotation: the 8 r3-new entries that had never seen a driver
-    # row (VERDICT r3 gap 1) now open the window; the 8 slots they took
-    # came from same-family duplicates that are already driver-green in
-    # r2+r3 (named in the tail comment). Goal: every catalog entry has at
-    # least one green driver row across r2-r4.
-    # -- r4 second rotation: dedup_simhash / dedup_minhash_resolve /
-    # mm_resize_thumbs / mm_frame_sample gained full DuckDB oracles in r4
-    # (portable-hash + md5-of-hex techniques), so their only driver rows
-    # to date (rows-only) under-verify them — they take the slots of four
-    # fn_*/filter entries hash-checked green in BOTH r2 and r3
-    # (fn_json_extract, fn_array_surface, fn_conditional_null,
-    # filter_like_in_patterns).
+    # ================= r6 window =================
+    # r5 swept 50/50 hash-green, which leaves driver-recency as the only
+    # debt: 24 entries' latest hash row is r2 and 14 more are r3 (the
+    # driver's DuckDB has diverged from local duckdb twice — r3
+    # fn_math_surface, r4 fn_higher_order_surface — so only driver
+    # recency catches that class). The r6 window therefore holds: the
+    # ingest anchor, all 38 r2/r3-stale entries, the 2 r6-new entries,
+    # and 9 of the 13 entries last green in r4. Everything hash-green in
+    # r5 rotates out (each already has its fresh row); the 4 remaining
+    # r4-green entries (pipeline_curate_corpus,
+    # percentile_exact_and_approx, udf_pandas_scalar, mm_binary_metadata)
+    # sit exactly 2 rounds old after r6 and rotate back in r7.
+    # tests/test_rotation.py machine-enforces this policy from now on:
+    # every oracle-backed entry must be in-window or hash-green within
+    # the last 2 recorded rounds. (Pre-r6 rotation history lives in git;
+    # see this file at tag/commit for round 5.)
     "ingest_covid_states",          # S1-P5/W3 ingest spine (the reference)
-    "table_catalog_roundtrip",      # D1 managed tables
-    "join_bucketed_colocated",      # r4-new: shuffle-free bucketed join
-    "scan_partition_pruned",        # r4-new: partition-pruned managed scan
-    "fn_math_surface",              # r3 red row; ceil/floor type fix in r4
-    "fn_regexp_surface",            # r4-rotated in (never driver-swept)
-    "fn_higher_order_surface",      # r4-rotated in
-    "fn_variant_json",              # r4-rotated in
-    "dedup_simhash",                # r4: newly oracle-backed (portable hash)
-    "dedup_minhash_resolve",        # r4: newly oracle-backed (pairs CTE)
-    "sessionize_native_session_window",  # r5-new: F.session_window in batch
-    "udf_pandas_grouped_agg",
-    "stream_tumbling_daily",        # O3/O4: the reference's execution model
-    "sessionize_gap_30min",
-    "sim_ann_ivf_fixed_topk",       # r5-new: hash-checked IVF (92/92 goal)
-    "mm_decode_features",           # r4: newly oracle-backed (hex replay)
-    "mm_resize_thumbs",             # r4: newly oracle-backed (md5-of-hex)
-    "mm_frame_sample",              # r4: newly oracle-backed (md5-of-hex)
-    "fn_sql_udf_surface",           # r5-new: Spark 4 SQL UDFs
-    # -- one+ representative per family already green in r2 -------------
-    "filter_project_revenue",       # filters/pushdown
-    "join_broadcast_star",          # joins: broadcast
-    "join_left_anti",               # joins: anti (W3 semantics)
-    "udtf_tokenize_positions",      # true Python UDTF (new in r3)
-    "subquery_correlated_scalar",   # r5-new: Catalyst decorrelation
-    "decon_train_test_overlap",     # r5-new: shingle decontamination
-    "join_asof_purchase_click",     # joins: as-of
-    "agg_pricing_summary",          # aggs: hash partial+final
-    "agg_distinct_counts",
-    "agg_histogram_fixed_bins",     # r5-rotated in (never driver-swept)
-    "scan_jsonl_roundtrip",         # r5-new: JSONL source, explicit schema
-    "agg_time_rollup",              # r4-rotated in (+ GROUPING() sentinel fix)
-    "agg_incremental_merge",        # r4-rotated in
-    "agg_skew_salted_sum",          # r4-rotated in
-    "q3_shipping_priority",         # integration: 3-way join + top-k (r3)
-    "window_rank_topk_per_group",   # windows: ranking
-    "events_funnel_conversion",     # r4-new: windowed sequential funnel
-    "text_repetition_ratio",        # r5-new: dup-trigram quality rule
-    "embed_quantize_int8",          # r5-new: int8 embedding quantization
-    "setops_multiset_all",          # r4-rotated in (set-ops family rep)
-    "spine_linear_interpolate",     # r5-rotated in (never driver-swept)
-    "dedup_exact_union",            # L2 dedup: exact
-    "sample_hash_split",            # r4-new: deterministic train/val/test
-    "pack_sequences_offsets",       # r5-new: two-level prefix-sum packing
-    "dedup_minhash_lsh",
-    "dedup_minhash_cc",             # CC — now runs the O(log n) star variant
-    "sample_mixture_weighted",      # r5-new: per-source hash mixture
-    "sim_cosine_topk_bruteforce",   # L2 similarity
-    "sim_ann_lsh_topk",
-    "graph_reachability_rcte",      # r4-rotated in (WITH RECURSIVE)
-    "text_bm25_rank",               # r5-rotated in (never driver-swept)
-    # -- r5 rotation: the three late-r4 entries that never had a driver
-    # row (VERDICT r4 gap 1) enter the window via same-family swaps with
-    # entries hash-green in BOTH r3 and r4: agg_grouping_sets ->
-    # agg_histogram_fixed_bins (agg family keeps 6 in-window reps incl.
-    # time_rollup's GROUPING()), spine_gap_fill_daily ->
-    # spine_linear_interpolate (same spine family), text_tokens_topk ->
-    # text_bm25_rank (text family; tokens shape also runs inside bm25).
-    # -- r5 second rotation: the two r5-new entries enter immediately
-    # (don't repeat the r4 lesson of letting new entries wait a round):
-    # udf_pandas_scalar -> sessionize_native_session_window (udf family
-    # keeps grouped_agg + udtf in-window; scalar green r3+r4),
-    # mm_binary_metadata -> sim_ann_ivf_fixed_topk (mm family keeps 3
-    # reps in-window; binary_metadata green r2+r3+r4).
-    # -- r5 third rotation: pack_sequences_offsets and
-    # sample_mixture_weighted (new L2 training-pipeline ops) take the
-    # slots of pipeline_curate_corpus and dedup_embedding_cosine (both
-    # hash-green r3+r4; curation's score/filter/dedup pieces all remain
-    # in-window individually, dedup family keeps 5 reps).
-    # -- r5 fourth rotation: fn_sql_udf_surface (Spark 4 native SQL
-    # UDFs) takes percentile_exact_and_approx's slot and
-    # scan_jsonl_roundtrip (JSONL source path) takes agg_stats_surface's
-    # (both displaced entries hash-green r3+r4; percentile's approx
-    # family keeps approx_count_distinct_bounds' r2 green + pytest, agg
-    # family keeps six in-window reps).
-    # -- r5 fifth rotation: subquery_correlated_scalar (decorrelated
-    # scalar subqueries, a previously uncovered query surface) takes
-    # join_interval_window's slot (green r3+r4; the range-join shape
-    # stays covered by join_theta_range's r2/r3 greens + pytest).
-    # -- r5 sixth rotation: text_repetition_ratio and
-    # decon_train_test_overlap (Gopher-style repetition rule; n-gram
-    # benchmark decontamination) displace window_ignore_nulls_ffill
-    # (green r3+r4; windows family keeps rank_topk in-window) and
-    # join_skew_salted (green r2+r3+r4; skew stays covered by
-    # agg_skew_salted_sum in-window).
-    # -- r5 seventh rotation: embed_quantize_int8 (integer-exact
-    # checksummed int8 quantization) takes setops_customer_cohorts'
-    # slot (green r2/r3/r4; setops stays covered by setops_multiset_all
-    # in-window).
-    # -- tail: redundant variants of window-covered families — all
-    # driver-green in r2 or r3 (join_left_semi,
-    # join_right_outer_never_matched, join_full_outer_reconcile,
-    # join_theta_range, join_null_safe_eq, join_cross_grid,
-    # pivot_status_by_flag, agg_rollup, agg_cube, agg_min_max_by,
-    # agg_string_agg_sorted, sort_global_topk — its TakeOrderedAndProject
-    # shape also runs inside q3_shipping_priority — sort_nulls_ordering,
-    # unpivot_measures_long, window_running_total,
-    # window_ntile_first_last, window_rank_extras, window_pct_of_total,
-    # window_range_rolling_7d, dedup_ngram_jaccard — still the pytest
-    # oracle for the MinHash recall gates — sim_ann_ivf_topk,
-    # text_quality_score, text_langid_heuristic, text_fingerprint,
-    # approx_count_distinct_bounds) or rotated OUT after going
-    # hash-checked green in earlier rounds (fn_json_struct,
-    # fn_map_surface, udf_grouped_map_zscore, stream_sliding_3d_1d,
-    # join_left_outer_null_ext, join_asof_forward_activation,
-    # fn_json_extract, fn_array_surface, fn_conditional_null,
-    # filter_like_in_patterns, fn_string_surface, fn_date_surface — the
-    # last six hash-checked green in BOTH r2 and r3; the r4-new
-    # join_bucketed_colocated / scan_partition_pruned layout entries
-    # took the final two slots; dedup_first_write_wins — green r2+r3,
-    # W3 semantics still in-window via ingest_covid_states and
-    # join_left_anti — yielded its slot to the r4-new sample_hash_split;
-    # window_lag_daily_delta — green r2+r3, the windows family keeps
-    # rank_topk + ignore_nulls in-window and the lag shape also runs
-    # inside flagship — yielded its slot to events_funnel_conversion).
+    # -- last hash-green r2 (24) --
+    "join_left_semi",
+    "join_right_outer_never_matched",
+    "join_full_outer_reconcile",
+    "join_theta_range",
+    "agg_rollup",
+    "agg_cube",
+    "pivot_status_by_flag",
+    "join_null_safe_eq",
+    "join_cross_grid",
+    "agg_min_max_by",
+    "sort_nulls_ordering",
+    "unpivot_measures_long",
+    "agg_string_agg_sorted",
+    "window_pct_of_total",
+    "sort_global_topk",
+    "window_rank_extras",
+    "window_running_total",
+    "window_ntile_first_last",
+    "window_range_rolling_7d",
+    "dedup_ngram_jaccard",
+    "text_quality_score",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "approx_count_distinct_bounds",
+    # -- last hash-green r3 (14) --
+    "join_left_outer_null_ext",
+    "filter_like_in_patterns",
+    "window_lag_daily_delta",
+    "join_asof_forward_activation",
+    "dedup_first_write_wins",
+    "stream_sliding_3d_1d",
+    "fn_string_surface",
+    "fn_date_surface",
+    "fn_json_extract",
+    "fn_json_struct",
+    "fn_array_surface",
+    "fn_map_surface",
+    "fn_conditional_null",
+    "udf_grouped_map_zscore",
+    # -- r6-new (2): enter immediately (the r4 lesson) --
+    "sim_ann_ivf_q8_serve",         # quantized IVF serving: int8 + rerank
+    "stateful_running_totals_twin", # batch replay of the state machine
+    # -- last hash-green r4 (9 of 13) --
+    "agg_grouping_sets",
+    "join_interval_window",
+    "spine_gap_fill_daily",
+    "agg_stats_surface",
+    "window_ignore_nulls_ffill",
+    "setops_customer_cohorts",
+    "dedup_embedding_cosine",
+    "join_skew_salted",
+    "text_tokens_topk",
 )
 
 

@@ -326,3 +326,86 @@ def sessionize_native_session_window(spark: SparkSession, sf_dir: str) -> DataFr
             "session_value",
         )
     )
+
+
+_TWIN_BATCH = 16  # simulated micro-batch size (rows per trigger per user)
+
+
+def _twin_replay(pdf):
+    """Replay one user's events through the streaming state machine's
+    transition function, one simulated micro-batch at a time, emitting
+    the update-mode row after each batch (what the memory sink of
+    `streaming.running_user_totals` accumulates)."""
+    import pandas as pd
+
+    from ..streaming.stateful import fold_totals
+
+    pdf = pdf.sort_values("event_id").reset_index(drop=True)
+    uid = int(pdf["user_id"].iloc[0])
+    n, total = 0, 0.0
+    out = []
+    for start in range(0, len(pdf), _TWIN_BATCH):
+        n, total = fold_totals(n, total, pdf["cents"].iloc[start : start + _TWIN_BATCH])
+        out.append((uid, start // _TWIN_BATCH, n, int(total)))
+    return pd.DataFrame(
+        out, columns=["user_id", "batch_no", "n_events", "total_cents"]
+    )
+
+
+@query(
+    "stateful_running_totals_twin",
+    tables=("events",),
+    oracle=f"""
+WITH ordered AS (
+    SELECT user_id, event_id,
+           CAST(floor(value * 100) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS rn
+    FROM events
+),
+per_batch AS (
+    SELECT user_id, rn // {_TWIN_BATCH} AS batch_no,
+           COUNT(*) AS bn, SUM(cents) AS bc
+    FROM ordered GROUP BY user_id, batch_no
+)
+SELECT user_id,
+       CAST(batch_no AS BIGINT) AS batch_no,
+       CAST(SUM(bn) OVER w AS BIGINT) AS n_events,
+       CAST(SUM(bc) OVER w AS BIGINT) AS total_cents
+FROM per_batch
+WINDOW w AS (PARTITION BY user_id ORDER BY batch_no
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def stateful_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence twin of the stateful streaming operator
+    `streaming.running_user_totals` (applyInPandasWithState): each
+    user's events are replayed through the SAME `fold_totals` state
+    transition in simulated 16-row micro-batches, and every update-mode
+    emission (the running totals after each batch) is a result row —
+    so the oracle hash-checks the state machine's intermediate states,
+    not just its final fold (VERDICT r5 stretch item 7; the technique
+    `sessionize_native_session_window` used for the session-window
+    state op).
+
+    Exactness: totals fold in integer CENTS — floor(value*100) is the
+    same IEEE double op on both engines per row, and integer sums are
+    order-independent — so no float-summation tolerance exists anywhere
+    (the embed_quantize_int8 technique). The streaming operator's own
+    across-real-micro-batches behavior is asserted in
+    tests/test_streaming.py; this entry gives the transition logic the
+    hash-grade oracle a rows-only streaming sweep can't.
+
+    Scale shape: one shuffle on user_id (identical to the state store's
+    key partitioning), Arrow-batched grouped-map, per-group work linear
+    in that user's events; emission count is |events|/batch per user,
+    bounded by the same update-mode output the stream produces."""
+    t = load_tables(spark, sf_dir, "events")
+    base = t.events.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return base.groupBy("user_id").applyInPandas(
+        _twin_replay,
+        "user_id long, batch_no long, n_events long, total_cents long",
+    )

@@ -32,6 +32,15 @@ STATE_SCHEMA = "n LONG, total DOUBLE"
 OUTPUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
 
 
+def fold_totals(n: int, total: float, values: "pd.Series") -> tuple[int, float]:
+    """ONE micro-batch state transition of the running-totals machine:
+    (n, total) x batch -> (n', total'). Shared by the streaming operator
+    below and its batch twin (`stateful_running_totals_twin` in
+    operators/sessionize.py), so the hash-checked batch replay exercises
+    the exact transition code the state store runs."""
+    return n + len(values), total + float(values.sum())
+
+
 def _update_running_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -39,8 +48,7 @@ def _update_running_totals(
     and emit the updated running totals once per batch."""
     n, total = state.get if state.exists else (0, 0.0)
     for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
+        n, total = fold_totals(n, total, pdf["value"])
     state.update((n, total))
     yield pd.DataFrame(
         {"user_id": [key[0]], "n_events": [n], "total_value": [total]}

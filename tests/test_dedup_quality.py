@@ -184,3 +184,26 @@ def test_minhash_signatures_drop_tokenless_docs(spark):
     assert set(rows) == {1, 5}, "token-less docs must be dropped"
     assert rows[1] == rows[5]
     assert all(v is not None for v in rows[1])
+
+
+def test_q8_serve_agrees_with_full_precision_ivf(spark, sf_dir):
+    """The quantized serving path (int8 shortlist + exact rerank of the
+    top-2k) must land nearly the same top-k as the full-precision
+    fixed-IVF probe over the same candidate cells: int8 on 64 dims
+    loses ~0.4% relative dot-product accuracy, and the 2x-overfetch
+    rerank absorbs shortlist rank noise."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        sim_ann_ivf_fixed_topk,
+        sim_ann_ivf_q8_serve,
+    )
+
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf_fixed_topk(spark, sf_dir).collect()
+    }
+    q8 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim_ann_ivf_q8_serve(spark, sf_dir).collect()
+    }
+    overlap = len(full & q8) / len(full)
+    assert overlap >= 0.8, f"q8 serving vs full-precision IVF overlap {overlap:.2f}"

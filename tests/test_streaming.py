@@ -355,3 +355,36 @@ def test_update_mode_emits_revised_aggregates(spark, tmp_path):
     # emitted once and never re-emitted — update mode's contract
     assert max(per_key["a"]) == 3 and len(per_key["a"]) <= 2, per_key
     assert per_key["b"] == [10], per_key
+
+
+def test_stateful_twin_final_state_equals_batch_groupby(spark):
+    """The batch twin replays the SAME fold_totals transition the
+    streaming state machine runs (streaming/stateful.py); its last
+    emission per user must equal the plain batch aggregate — closing
+    the loop: stream == batch groupBy (test above) == twin's final row
+    (here) == DuckDB oracle (test_oracle_parity)."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    sf = "/root/testdata/sf0.001"
+    twin = all_specs()["stateful_running_totals_twin"].fn(spark, sf).collect()
+    final = {}
+    for r in twin:
+        if r["user_id"] not in final or r["batch_no"] > final[r["user_id"]][0]:
+            final[r["user_id"]] = (r["batch_no"], r["n_events"], r["total_cents"])
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    agg = (
+        load_tables(spark, sf, "events")
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+        .collect()
+    )
+    assert final and len(final) == len(agg)
+    for r in agg:
+        _, n, cents = final[r["user_id"]]
+        assert (n, cents) == (r["n"], r["cents"]), r["user_id"]
