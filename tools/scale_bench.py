@@ -1,0 +1,272 @@
+#!/usr/bin/env python
+"""Scale-growth proof for the three long-pole operator families
+(VERDICT r5 item 4): dedup_minhash_lsh, the ANN probes
+(sim_ann_lsh_topk / sim_ann_ivf_fixed_topk), and
+decon_train_test_overlap.
+
+The risk being measured: each of these builds a CANDIDATE SET via
+bucketing (LSH bands, hash tables, IVF cells, shingle equi-join). The
+docstrings claim the candidate set grows ~linearly with the corpus —
+bucketed, never all-pairs — but that claim is exactly the thing a
+fixture change could silently break (a degenerate bucket goes
+quadratic). So: replicate the sf0.1 corpus x2 and x10 with
+PERTURBED replicas, measure wall time AND candidate-set cardinality at
+each scale, and assert the growth exponent stays near 1.
+
+Perturbation design (replication must not manufacture duplicates):
+
+- documents: every token in replica i>0 gets an `x{i}` suffix
+  (regexp_replace, a bijection on the token space). Token counts and
+  intra-replica Jaccard structure are preserved exactly, but replicas
+  share ZERO shingles with the base corpus — so true near-dup pairs
+  scale linearly by construction, and any super-linear candidate
+  growth is the operator's fault, which is the point.
+- embeddings: replica i>0 circularly rotates each vector by i slots
+  (norm-preserving; rotations of i.i.d.-component vectors are
+  near-orthogonal to their base). Only replica 0 keeps vec_id <
+  N_QUERIES, so the ANN query set stays fixed while the corpus grows —
+  the serving-scale shape.
+
+The x10 corpus (50k docs / 20k vectors) is the documents/embeddings
+row count of the sf1.0 class (6M-row lineitem). Scaled parquet lives
+under .scaledata/ (gitignored); the committed artifact is
+BENCH_sf1.json. Run: `python tools/scale_bench.py` from the repo root
+(~2-4 min on local[32]).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F
+
+from nytimes_batch_processor_spark.catalog import all_specs
+from nytimes_batch_processor_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_ROOT = os.path.join(REPO, ".scaledata")
+SCALES = (1, 2, 10)
+_ID_STRIDE = 10_000_000  # replica id offset: keeps ids disjoint
+
+
+def build_scale(spark, k: int) -> str:
+    if k == 1:
+        return BASE
+    out = os.path.join(SCALE_ROOT, f"x{k}")
+    done = os.path.join(out, "_OK")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    dim = 64
+    doc_reps, emb_reps = [], []
+    for i in range(k):
+        if i == 0:
+            doc_reps.append(docs)
+            emb_reps.append(emb)
+            continue
+        doc_reps.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(i * _ID_STRIDE)).alias("doc_id"),
+                # token-bijective perturbation: zero shingle overlap
+                # with other replicas, intra-replica structure intact
+                F.regexp_replace("text", r"(\S+)", f"$1x{i}").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+        shift = (i % (dim - 1)) + 1
+        emb_reps.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(i * _ID_STRIDE)).alias("vec_id"),
+                F.concat(
+                    F.slice("embedding", shift + 1, dim - shift),
+                    F.slice("embedding", 1, shift),
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d = doc_reps[0]
+    for r in doc_reps[1:]:
+        d = d.unionByName(r)
+    e = emb_reps[0]
+    for r in emb_reps[1:]:
+        e = e.unionByName(r)
+    d.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    e.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    open(done, "w").write("ok\n")
+    return out
+
+
+def timed(fn, *args) -> float:
+    t0 = time.perf_counter()
+    fn(*args)
+    return round(time.perf_counter() - t0, 3)
+
+
+def ann_lsh_candidates(spark, sf_dir: str) -> int:
+    """Candidate-set cardinality of sim_ann_lsh_topk: the distinct
+    (query, vector) pairs surviving the bucket equi-join — the exact
+    `cand` subplan of operators/similarity.py::sim_ann_lsh_topk."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _PROBE_MASKS,
+        N_QUERIES,
+        _as_double,
+        hyperplane_signatures_all,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v_sig = emb.select(
+        "vec_id",
+        F.posexplode(
+            hyperplane_signatures_all(_as_double(F.col("embedding")), 64)
+        ).alias("tbl", "sig"),
+    ).localCheckpoint(eager=True)
+    probes = (
+        v_sig.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "tbl",
+            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+            F.col("sig").alias("qsig"),
+        )
+        .select("query_id", "tbl", F.col("qsig").bitwiseXOR(F.col("mask")).alias("sig"))
+    )
+    return (
+        v_sig.join(F.broadcast(probes), ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .dropDuplicates(["query_id", "vec_id"])
+        .count()
+    )
+
+
+def ivf_candidates(spark, sf_dir: str) -> int:
+    """Candidate cardinality of the fixed-IVF probe: corpus rows in the
+    nprobe cells of each query (pre-rerank join output)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _IVF_FIXED_NPROBE,
+        N_QUERIES,
+        _as_double,
+        _centroid_sq_dists,
+        ivf_fixed_centers,
+    )
+
+    centers = ivf_fixed_centers()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    dists = _centroid_sq_dists(centers)
+    assigned = (
+        emb.withColumn("_d", dists)
+        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .select("vec_id", "cell")
+    )
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+
+
+def main() -> None:
+    spark = get_spark("scale-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    specs = all_specs()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    results: dict[str, dict] = {}
+    for k in SCALES:
+        sf_dir = build_scale(spark, k)
+        row: dict[str, float | int] = {
+            "docs": spark.read.parquet(f"{sf_dir}/documents.parquet").count(),
+            "vecs": spark.read.parquet(f"{sf_dir}/embeddings.parquet").count(),
+        }
+
+        def run_noop(name: str) -> float:
+            fn = specs[name].fn
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+            return min(
+                timed(lambda: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+                for _ in range(2)
+            )
+
+        row["minhash_wall_sec"] = run_noop("dedup_minhash_lsh")
+        row["minhash_pairs"] = specs["dedup_minhash_lsh"].fn(spark, sf_dir).count()
+        row["ann_lsh_wall_sec"] = run_noop("sim_ann_lsh_topk")
+        row["ann_lsh_candidates"] = ann_lsh_candidates(spark, sf_dir)
+        row["ivf_wall_sec"] = run_noop("sim_ann_ivf_fixed_topk")
+        row["ivf_candidates"] = ivf_candidates(spark, sf_dir)
+        row["decon_wall_sec"] = run_noop("decon_train_test_overlap")
+        decon = specs["decon_train_test_overlap"].fn(spark, sf_dir)
+        agg = decon.agg(
+            F.count(F.lit(1)).alias("docs"), F.sum("n_shared_shingles").alias("pairs")
+        ).collect()[0]
+        row["decon_contaminated_docs"] = int(agg["docs"])
+        row["decon_shared_shingle_pairs"] = int(agg["pairs"])
+        results[f"x{k}"] = row
+        print(f"x{k}: {row}", file=sys.stderr)
+
+    hi, lo = results[f"x{SCALES[-1]}"], results["x1"]
+    factor = SCALES[-1]
+    ratios = {
+        key: round(hi[key] / max(lo[key], 1), 2)
+        for key in (
+            "minhash_pairs",
+            "ann_lsh_candidates",
+            "ivf_candidates",
+            "decon_shared_shingle_pairs",
+            "minhash_wall_sec",
+            "ann_lsh_wall_sec",
+            "ivf_wall_sec",
+            "decon_wall_sec",
+        )
+    }
+    # Linear candidate growth = ratio ~ factor; quadratic = ~ factor^2.
+    # Gate at 2x slack over linear — far below the quadratic failure.
+    count_keys = [
+        "minhash_pairs",
+        "ann_lsh_candidates",
+        "ivf_candidates",
+        "decon_shared_shingle_pairs",
+    ]
+    linear_ok = all(ratios[key] <= 2.0 * factor for key in count_keys)
+    out = {
+        "metric": "scale_growth_x%d_vs_x1" % factor,
+        "value": max(ratios[key] for key in count_keys),
+        "unit": "ratio",
+        "sf_base": BASE,
+        "scales": results,
+        "ratios_x%d_over_x1" % factor: ratios,
+        "linear_ok": linear_ok,
+    }
+    print(json.dumps(out))
+    with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    spark.stop()
+    sys.exit(0 if linear_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
