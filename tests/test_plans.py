@@ -258,3 +258,30 @@ def test_catalog_pruned_scan_entry_prunes_partitions(spark, sf_dir):
 
     m = re.search(r"PartitionFilters: \[[^\]]*o_month[^\]]*1997-03[^\]]*\]", plan)
     assert m, f"month predicate did not become a partition filter:\n{plan}"
+
+
+def test_q8_serve_is_equijoin_with_exact_int_scoring(spark, sf_dir):
+    """The quantized serving path must keep the fixed-IVF plan shape:
+    candidates from a hash EQUI-join on the cell key (a nested-loop
+    join would mean the quantized 'index' still scans the corpus per
+    query), and no Python anywhere — the int8 scoring is a JVM
+    higher-order aggregate."""
+    from nytimes_batch_processor_spark.operators.similarity import sim_ann_ivf_q8_serve
+
+    plan = physical_plan(sim_ann_ivf_q8_serve(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_stateful_twin_single_shuffle_on_user(spark, sf_dir):
+    """The twin's only shuffle is the groupBy(user_id) feeding the
+    Arrow grouped-map — the same key partitioning the streaming state
+    store uses. A second exchange would mean the replay re-shuffles
+    its own output."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    plan = physical_plan(all_specs()["stateful_running_totals_twin"].fn(spark, sf_dir))
+    # count tree nodes ("Exchange (n)"), not the repeated detail headers
+    assert plan.count("Exchange (") == 1, plan
+    assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
