@@ -95,10 +95,11 @@ _PRIORITY: tuple[str, ...] = (
     # recency catches that class). The r6 window therefore holds: the
     # ingest anchor, all 38 r2/r3-stale entries, the 2 r6-new entries,
     # and 9 of the 13 entries last green in r4. Everything hash-green in
-    # r5 rotates out (each already has its fresh row); the 4 remaining
+    # r5 rotates out (each already has its fresh row); the 5 remaining
     # r4-green entries (pipeline_curate_corpus,
-    # percentile_exact_and_approx, udf_pandas_scalar, mm_binary_metadata)
-    # sit exactly 2 rounds old after r6 and rotate back in r7.
+    # percentile_exact_and_approx, udf_pandas_scalar, mm_binary_metadata,
+    # text_tokens_topk — displaced late-r6 by the new ORC entry) sit
+    # exactly 2 rounds old after r6 and rotate back in r7.
     # tests/test_rotation.py machine-enforces this policy from now on:
     # every oracle-backed entry must be in-window or hash-green within
     # the last 2 recorded rounds. (Pre-r6 rotation history lives in git;
@@ -144,10 +145,11 @@ _PRIORITY: tuple[str, ...] = (
     "fn_map_surface",
     "fn_conditional_null",
     "udf_grouped_map_zscore",
-    # -- r6-new (2): enter immediately (the r4 lesson) --
+    # -- r6-new (3): enter immediately (the r4 lesson) --
     "sim_ann_ivf_q8_serve",         # quantized IVF serving: int8 + rerank
     "stateful_running_totals_twin", # batch replay of the state machine
-    # -- last hash-green r4 (9 of 13) --
+    "scan_orc_roundtrip",           # ORC source path + pushdown
+    # -- last hash-green r4 (8 of 13) --
     "agg_grouping_sets",
     "join_interval_window",
     "spine_gap_fill_daily",
@@ -156,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "setops_customer_cohorts",
     "dedup_embedding_cosine",
     "join_skew_salted",
-    "text_tokens_topk",
 )
 
 

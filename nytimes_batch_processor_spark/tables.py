@@ -571,3 +571,59 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "scan_orc_roundtrip",
+    tables=("documents",),
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT)               AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)           AS total_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT)   AS n_langs
+FROM documents
+WHERE n_chars >= 200
+GROUP BY source
+""",
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink path under the driver's gate — the other major
+    columnar lake format next to parquet (Hive-heritage warehouses).
+    Documents round-trip through an ORC stage (overwrite-idempotent,
+    session warehouse dir) and are read back with an explicit schema;
+    the n_chars predicate exercises ORC's predicate pushdown + column
+    statistics path, which — unlike the JSONL entry's line-splittable
+    but pushdown-less scans — makes ORC a format you can query in
+    place at 100 TB (min/max stripe stats skip whole stripes;
+    `tests/test_plans.py` asserts pushdown reaches the parquet scan
+    for the sibling entries, and the same `PushedFilters` mechanism
+    serves the ORC reader). DuckDB cannot read ORC, so the oracle runs
+    the identical query on the parquet original — a writer that drops,
+    re-types, or corrupts a column surfaces as a value mismatch."""
+    t = load_tables(spark, sf_dir, "documents")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    path = f"{warehouse}/engine_documents_orc"
+    t.documents.write.mode("overwrite").orc(path)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    docs = spark.read.schema(schema).orc(path)
+    return (
+        docs.filter(F.col("n_chars") >= 200)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
