@@ -344,3 +344,28 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         assert results["32"][name] == results["7"][name], (
             f"{name}: result depends on shuffle partition count"
         )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-(10**6), max_value=10**6), max_size=200),
+    st.integers(min_value=1, max_value=50),
+)
+def test_stateful_fold_is_batch_boundary_invariant(cents, batch):
+    """The streaming state machine's transition (streaming/stateful.py
+    `fold_totals`, replayed by `stateful_running_totals_twin`) must
+    reach the same final state however the stream is chopped into
+    micro-batches — trigger size is an operational knob, never a
+    semantic one. Integer payloads keep float summation exact, so the
+    equality is ==, not approx."""
+    import pandas as pd
+
+    from nytimes_batch_processor_spark.streaming.stateful import fold_totals
+
+    n, total = 0, 0.0
+    for start in range(0, len(cents), batch):
+        n, total = fold_totals(
+            n, total, pd.Series(cents[start : start + batch], dtype="int64")
+        )
+    assert n == len(cents)
+    assert total == float(sum(cents))
