@@ -98,7 +98,8 @@ _PRIORITY: tuple[str, ...] = (
     # r5 rotates out (each already has its fresh row); the 5 remaining
     # r4-green entries (pipeline_curate_corpus,
     # percentile_exact_and_approx, udf_pandas_scalar, mm_binary_metadata,
-    # text_tokens_topk — displaced late-r6 by the new ORC entry) sit
+    # text_tokens_topk and dedup_embedding_cosine — the last two
+    # displaced late-r6 by the new ORC and bigram-lift entries) sit
     # exactly 2 rounds old after r6 and rotate back in r7.
     # tests/test_rotation.py machine-enforces this policy from now on:
     # every oracle-backed entry must be in-window or hash-green within
@@ -145,18 +146,18 @@ _PRIORITY: tuple[str, ...] = (
     "fn_map_surface",
     "fn_conditional_null",
     "udf_grouped_map_zscore",
-    # -- r6-new (3): enter immediately (the r4 lesson) --
+    # -- r6-new (4): enter immediately (the r4 lesson) --
     "sim_ann_ivf_q8_serve",         # quantized IVF serving: int8 + rerank
     "stateful_running_totals_twin", # batch replay of the state machine
     "scan_orc_roundtrip",           # ORC source path + pushdown
-    # -- last hash-green r4 (8 of 13) --
+    "text_bigram_lift",             # co-occurrence stats for vocab/merges
+    # -- last hash-green r4 (7 of 13) --
     "agg_grouping_sets",
     "join_interval_window",
     "spine_gap_fill_daily",
     "agg_stats_surface",
     "window_ignore_nulls_ffill",
     "setops_customer_cohorts",
-    "dedup_embedding_cosine",
     "join_skew_salted",
 )
 

@@ -749,3 +749,133 @@ def decon_train_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
     )
+
+
+_LIFT_MIN_COUNT = 5  # bigram support floor (kills one-off noise pairs)
+_LIFT_TOP_K = 100
+
+
+@query(
+    "text_bigram_lift",
+    tables=("documents",),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents
+),
+uni AS (
+    SELECT unnest(toks) AS w FROM t
+),
+uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+bi AS (
+    SELECT unnest(list_transform(range(0, len(toks) - 1),
+                  i -> [toks[i + 1], toks[i + 2]])) AS pair
+    FROM t WHERE len(toks) >= 2
+),
+bc AS (
+    SELECT pair[1] AS w1, pair[2] AS w2, COUNT(*) AS c_xy
+    FROM bi GROUP BY w1, w2
+),
+nb AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n FROM bc),
+scored AS (
+    SELECT bc.w1, bc.w2,
+           CAST(bc.c_xy AS BIGINT) AS c_xy,
+           CAST(u1.c AS BIGINT)    AS c_w1,
+           CAST(u2.c AS BIGINT)    AS c_w2,
+           (CAST(bc.c_xy AS DOUBLE) / nb.n)
+               / ((CAST(u1.c AS DOUBLE) / nu.n) * (CAST(u2.c AS DOUBLE) / nu.n))
+               AS lift_raw
+    FROM bc
+    JOIN uc u1 ON u1.w = bc.w1
+    JOIN uc u2 ON u2.w = bc.w2
+    CROSS JOIN nu CROSS JOIN nb
+    WHERE bc.c_xy >= {_LIFT_MIN_COUNT}
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        ORDER BY lift_raw DESC, w1 ASC, w2 ASC
+    ) AS rnk
+    FROM scored
+)
+SELECT w1, w2, c_xy, c_w1, c_w2, CAST(rnk AS INT) AS rnk,
+       ROUND(lift_raw, 6) AS lift
+FROM ranked WHERE rnk <= {_LIFT_TOP_K}
+""",
+)
+def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram co-occurrence lift (PMI without the log): the corpus
+    statistic behind tokenizer-merge selection and collocation-aware
+    vocab construction — lift(x,y) = P(xy) / (P(x)P(y)), the factor by
+    which adjacent co-occurrence beats independence. Returns the
+    top-{K} pairs above a support floor with their raw counts.
+
+    Determinism: lift is computed as the SAME parenthesized chain of
+    IEEE divisions on both engines from integer counts — no log/libm
+    call anywhere, so the ranking and the 6dp-rounded value cannot
+    drift even in the last ulp (the exactness discipline of
+    `sim_ann_ivf_q8_serve`'s proxy). The integer counts (c_xy, c_w1,
+    c_w2) travel as hash-strong BIGINT columns.
+
+    Scale shape: bigrams are built IN-ROW from the materialized token
+    array (transform over an index sequence), then explode feeds two
+    vocabulary-bounded aggregates (pair counts, unigram counts) — the
+    shuffles carry one row per observed n-gram TYPE per partition
+    after partial aggregation, not per token instance. The scalar
+    totals broadcast (1-row cross joins), the unigram re-attach joins
+    on the vocab key, and the final top-k is a bounded
+    TakeOrderedAndProject, never a global sort of the pair space."""
+    t = load_tables(spark, sf_dir, "documents")
+    base = t.documents.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
+    )
+    tk = F.col("toks")
+    uni = base.select(F.explode(tk).alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nu = uc.agg(F.sum("c").cast("long").alias("n_uni"))
+    pairs = base.filter(F.size(tk) >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 2),
+                lambda i: F.struct(
+                    F.element_at(tk, i + 1).alias("w1"),
+                    F.element_at(tk, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    )
+    bc = pairs.select("p.w1", "p.w2").groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c_xy")
+    )
+    nb = bc.agg(F.sum("c_xy").cast("long").alias("n_bi"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_w1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_w2"))
+    scored = (
+        bc.filter(F.col("c_xy") >= _LIFT_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_w1").cast("long").alias("c_w1"),
+            F.col("c_w2").cast("long").alias("c_w2"),
+            (
+                (F.col("c_xy").cast("double") / F.col("n_bi"))
+                / (
+                    (F.col("c_w1").cast("double") / F.col("n_uni"))
+                    * (F.col("c_w2").cast("double") / F.col("n_uni"))
+                )
+            ).alias("lift_raw"),
+        )
+    )
+    w = W.orderBy(F.col("lift_raw").desc(), F.col("w1").asc(), F.col("w2").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LIFT_TOP_K)
+        .select("w1", "w2", "c_xy", "c_w1", "c_w2", "rnk", ratio(F.col("lift_raw")).alias("lift"))
+    )
