@@ -96,18 +96,27 @@ GROUP BY lang
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality metrics per language: token counts (whitespace +
     BPE-ish regex), chars/token, punctuation ratio, stopword ratio —
-    the standard corpus-quality filter features."""
+    the standard corpus-quality filter features.
+
+    The token array materializes as a column first so the split runs
+    once per row, not once per consuming metric (the codegen
+    re-evaluation trap measured in decon_train_test_overlap)."""
     t = load_tables(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), r"\s+")
-    scored = t.documents.select(
+    base = t.documents.select(
+        "lang",
+        "text",
+        F.split(F.lower("text"), r"\s+").alias("toks"),
+    )
+    tk = F.col("toks")
+    scored = base.select(
         "lang",
         F.length("text").cast("long").alias("n_chars_actual"),
-        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(tk).cast("long").alias("n_tokens"),
         F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]"), 0)).cast(
             "long"
         ).alias("n_bpe_ish"),
         F.length(F.regexp_replace("text", r"[^.!?,;]", "")).cast("long").alias("n_punct"),
-        F.size(F.filter(toks, lambda x: x.isin("the", "and", "of", "to", "a"))).cast(
+        F.size(F.filter(tk, lambda x: x.isin("the", "and", "of", "to", "a"))).cast(
             "long"
         ).alias("n_stop"),
     )
@@ -169,12 +178,18 @@ def text_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture text is synthetic, so the confusion matrix *is* the result).
     """
     t = load_tables(spark, sf_dir, "documents")
-    toks = F.split(F.lower("text"), r"\s+")
+    # materialize the split once; five marker scores consume it
+    base = t.documents.select(
+        "doc_id", "lang", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+
     def marker_count(lg: str):
         markers = _LANG_MARKERS[lg]
-        return F.size(F.filter(toks, lambda x: x.isin(*markers))).alias(f"s_{lg}")
+        return F.size(
+            F.filter(F.col("toks"), lambda x: x.isin(*markers))
+        ).alias(f"s_{lg}")
 
-    scores = t.documents.select(
+    scores = base.select(
         "doc_id", "lang", *[marker_count(lg) for lg in _LANG_MARKERS]
     )
     s = {lg: F.col(f"s_{lg}") for lg in _LANG_MARKERS}
