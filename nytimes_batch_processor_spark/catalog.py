@@ -98,9 +98,11 @@ _PRIORITY: tuple[str, ...] = (
     # r5 rotates out (each already has its fresh row); the 5 remaining
     # r4-green entries (pipeline_curate_corpus,
     # percentile_exact_and_approx, udf_pandas_scalar, mm_binary_metadata,
-    # text_tokens_topk and dedup_embedding_cosine — the last two
-    # displaced late-r6 by the new ORC and bigram-lift entries) sit
-    # exactly 2 rounds old after r6 and rotate back in r7.
+    # plus text_tokens_topk, dedup_embedding_cosine,
+    # setops_customer_cohorts, window_ignore_nulls_ffill — displaced
+    # late-r6 by the four late-r6 entries ORC / bigram-lift /
+    # dynamic-gap / lateral) sit exactly 2 rounds old after r6 and
+    # rotate back in r7.
     # tests/test_rotation.py machine-enforces this policy from now on:
     # every oracle-backed entry must be in-window or hash-green within
     # the last 2 recorded rounds. (Pre-r6 rotation history lives in git;
@@ -146,18 +148,18 @@ _PRIORITY: tuple[str, ...] = (
     "fn_map_surface",
     "fn_conditional_null",
     "udf_grouped_map_zscore",
-    # -- r6-new (4): enter immediately (the r4 lesson) --
+    # -- r6-new (6): enter immediately (the r4 lesson) --
     "sim_ann_ivf_q8_serve",         # quantized IVF serving: int8 + rerank
     "stateful_running_totals_twin", # batch replay of the state machine
     "scan_orc_roundtrip",           # ORC source path + pushdown
     "text_bigram_lift",             # co-occurrence stats for vocab/merges
-    # -- last hash-green r4 (7 of 13) --
+    "sessionize_dynamic_gap",       # per-event-timeout session windows
+    "join_lateral_topk_per_key",    # correlated LATERAL, decorrelated
+    # -- last hash-green r4 (5 of 13) --
     "agg_grouping_sets",
     "join_interval_window",
     "spine_gap_fill_daily",
     "agg_stats_surface",
-    "window_ignore_nulls_ffill",
-    "setops_customer_cohorts",
     "join_skew_salted",
 )
 

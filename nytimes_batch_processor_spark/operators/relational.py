@@ -1292,3 +1292,41 @@ def subquery_correlated_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE c3.c_nationkey = c.c_nationkey)
         """
     )
+
+
+@query(
+    "join_lateral_topk_per_key",
+    tables=("customer", "orders"),
+    oracle="""
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+         WHERE o.o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+""",
+)
+def join_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's top-2 orders by
+    price — the per-key-top-k idiom written the way an analyst writes
+    it (a dependent subquery in the FROM clause) rather than the
+    window-function decomposition `window_rank_topk_per_group` uses.
+    Both forms exist in the catalog because they exercise DIFFERENT
+    planner paths: Catalyst decorrelates the lateral into a
+    rank-window over the join (no per-row re-execution of the inner
+    query), which is exactly what must happen at scale — a naive
+    nested-loop evaluation would re-sort the orders table once per
+    customer. Tie-break by o_orderkey makes the LIMIT deterministic;
+    o_totalprice passes through bit-identical from the shared parquet
+    fixture, so no rounding is needed."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    t.customer.createOrReplaceTempView("lateral_customer")
+    t.orders.createOrReplaceTempView("lateral_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM lateral_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lateral_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )

@@ -435,3 +435,85 @@ def stateful_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         _twin_replay,
         "user_id long, batch_no long, n_events long, total_cents long",
     )
+
+
+@query(
+    "sessionize_dynamic_gap",
+    tables=("events",),
+    oracle="""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS ts_us, value,
+           CASE event_type WHEN 'view' THEN 600000000
+                WHEN 'click' THEN 1800000000
+                ELSE 1200000000 END AS gap_us
+    FROM events
+),
+o AS (
+    SELECT user_id, ts_us, gap_us, value,
+           MAX(ts_us + gap_us) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max_end
+    FROM e
+),
+s AS (
+    SELECT user_id, ts_us, gap_us, value,
+           SUM(CASE WHEN prev_max_end IS NULL OR ts_us >= prev_max_end
+                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_no
+    FROM o
+)
+SELECT user_id,
+       MIN(ts_us)                           AS session_start_us,
+       MAX(ts_us + gap_us)                  AS session_end_us,
+       CAST(COUNT(*) AS BIGINT)             AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+FROM s GROUP BY user_id, session_no
+""",
+)
+def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap sessionization: each EVENT defines its own timeout
+    (views cool off in 10 minutes, clicks hold a session open for 30,
+    everything else 20) — `F.session_window` with a per-row
+    CalendarInterval gap, the Spark-native form of engagement-weighted
+    session semantics (a static gap either fragments engaged sessions
+    or glues idle ones).
+
+    Semantics being verified: each event spans [ts, ts+gap); sessions
+    are the merged overlap components, so session_end is max(ts+gap)
+    over the MERGED component — not last_ts + a constant. The oracle
+    decomposes that as gaps-and-islands over a running max-end (a
+    prefix MAX window, the interval-union technique), all in integer
+    microseconds, so the boundary rule (an event exactly at the
+    running end starts a NEW session — half-open intervals) is exact
+    on both engines.
+
+    Scale shape: identical to the static native entry — one shuffle on
+    the session key, state-store merge semantics in streaming; the gap
+    expression is a row-local CASE, free at any scale. The gap must be
+    CalendarIntervalType: under ANSI mode `INTERVAL 10 MINUTES`
+    literals parse as DayTimeIntervalType, which session_window
+    rejects — hence make_interval()."""
+    t = load_tables(spark, sf_dir, "events")
+    gap = F.expr(
+        "CASE event_type WHEN 'view' THEN make_interval(0,0,0,0,0,10,0) "
+        "WHEN 'click' THEN make_interval(0,0,0,0,0,30,0) "
+        "ELSE make_interval(0,0,0,0,0,20,0) END"
+    )
+    sw = F.session_window(F.col("ts").cast("timestamp"), gap)
+    return (
+        t.events.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            msum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            epoch_us(F.col("sw.start")).alias("session_start_us"),
+            epoch_us(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
