@@ -102,9 +102,21 @@ def ingest_covid_csv(
     target_path: str,
     *,
     has_county: bool,
+    metrics_out: dict | None = None,
 ) -> DataFrame:
     """EP1/EP2 collapsed into one declarative pipeline: scan -> type ->
-    sentinel -> in-batch dedup -> cross-batch anti-join append."""
+    sentinel -> in-batch dedup -> cross-batch anti-join append.
+
+    Pass ``metrics_out={}`` to collect batch data-quality counters via
+    ``df.observe`` — row count, sentinel'd null-fips count, null-date
+    count — measured DURING the append's single pass over the batch
+    (an accumulator-style side channel, not a second scan: at 100 TB a
+    separate QC count would double the read). The observed node sits
+    after dedup and before the anti-join, so the numbers describe the
+    batch as written on first ingest and the whole candidate batch on
+    re-runs."""
+    from pyspark.sql import Observation
+
     schema = schemas.COVID_COUNTIES_CSV if has_county else schemas.COVID_STATES_CSV
     keys = schemas.COVID_COUNTIES_KEYS if has_county else schemas.COVID_STATES_KEYS
     raw = read_csv(spark, src_path, schema).withColumn(
@@ -115,7 +127,18 @@ def ingest_covid_csv(
     # (Postgres unique indexes treat NULLs as distinct; …kt:133,171).
     typed = typed.withColumn("fips", F.coalesce("fips", F.lit(-1)))
     deduped = first_write_wins(typed, keys, "_arrival").drop("_arrival")
+    obs = None
+    if metrics_out is not None:
+        obs = Observation("ingest_quality")
+        deduped = deduped.observe(
+            obs,
+            F.count(F.lit(1)).alias("batch_rows"),
+            F.sum((F.col("fips") == -1).cast("long")).alias("null_fips_rows"),
+            F.sum(F.col("date").isNull().cast("long")).alias("null_date_rows"),
+        )
     upsert_append(deduped, target_path, keys)
+    if obs is not None:
+        metrics_out.update(obs.get)
     return spark.read.parquet(target_path)
 
 

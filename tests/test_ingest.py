@@ -180,3 +180,27 @@ def test_failfast_raises_on_malformed_row(spark, staging):
     # record (raw Py4J error, not a converted PySparkException subclass)
     with _pytest.raises(Exception, match="FAILED_READ_FILE|Malformed|MALFORMED"):
         read_csv(spark, bad, schemas.COVID_STATES_CSV).collect()
+
+
+def test_ingest_observe_metrics_collected_during_write(spark, tmp_path, staging):
+    """df.observe data-quality counters must be measured by the append
+    pass itself (no second scan) and describe the post-dedup batch:
+    STATES_CSV has 6 raw rows, 4 after first-write-wins, of which 1 is
+    the sentinel'd null-fips Guam row; dates all parse."""
+    from nytimes_batch_processor_spark.ingest import ingest_covid_csv
+
+    target = str(tmp_path / "covid_obs")
+    src = _write(staging, "obs.csv", STATES_CSV)
+    metrics: dict = {}
+    ingest_covid_csv(spark, src, target, has_county=False, metrics_out=metrics)
+    assert metrics == {
+        "batch_rows": 4,
+        "null_fips_rows": 1,
+        "null_date_rows": 0,
+    }
+
+    # re-run: metrics describe the candidate batch, table doesn't grow
+    metrics2: dict = {}
+    out = ingest_covid_csv(spark, src, target, has_county=False, metrics_out=metrics2)
+    assert metrics2["batch_rows"] == 4
+    assert out.count() == 4
