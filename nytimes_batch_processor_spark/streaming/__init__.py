@@ -1,4 +1,5 @@
 from .pipeline import (
+    deduped_stream,
     foreach_batch_upsert,
     sessionized_stream,
     stream_covid_ingest,
@@ -7,6 +8,7 @@ from .pipeline import (
 from .stateful import running_user_totals
 
 __all__ = [
+    "deduped_stream",
     "foreach_batch_upsert",
     "running_user_totals",
     "sessionized_stream",

@@ -107,3 +107,20 @@ def sessionized_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "session_value",
         )
     )
+
+
+def deduped_stream(
+    events: DataFrame, keys: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """At-least-once -> effectively-once per key within the watermark
+    horizon: ``dropDuplicatesWithinWatermark`` drops any record whose
+    key was already seen less than `watermark` of event-time ago, even
+    when the duplicate carries a slightly different timestamp (retries
+    and replays usually do). This is the streaming counterpart of the
+    batch `dedup_exact_union` / W3 upsert pair.
+
+    Why not plain dropDuplicates: on a stream it must keep EVERY key
+    ever seen (unbounded state). WithinWatermark evicts state older
+    than the horizon, so the state store is bounded by (keys arriving
+    per horizon), which is what survives an unbounded run at scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)

@@ -388,3 +388,45 @@ def test_stateful_twin_final_state_equals_batch_groupby(spark):
     for r in agg:
         _, n, cents = final[r["user_id"]]
         assert (n, cents) == (r["n"], r["cents"]), r["user_id"]
+
+
+def test_watermarked_dedup_across_batches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark must drop a replayed event_id that
+    arrives in a LATER micro-batch with a slightly different timestamp
+    (the retry/replay shape plain dropDuplicates-on-(id,ts) would let
+    through), while keeping genuinely distinct ids."""
+    from nytimes_batch_processor_spark.streaming import deduped_stream
+
+    src = tmp_path / "dup_ev"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "event_id,ts,user_id,value\n"
+        "1,2024-01-01 10:00:00,7,1.0\n"
+        "2,2024-01-01 10:05:00,7,2.0\n"
+    )
+    (src / "b.csv").write_text(
+        "event_id,ts,user_id,value\n"
+        "1,2024-01-01 10:00:03,7,1.0\n"  # replay of id 1, ts drifted 3s
+        "3,2024-01-01 10:10:00,8,3.0\n"
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+        )
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        deduped_stream(stream, ["event_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    ids = sorted(r["event_id"] for r in rows)
+    assert ids == [1, 2, 3], ids
