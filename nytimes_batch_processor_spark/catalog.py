@@ -87,80 +87,75 @@ def _load_all_modules() -> None:
 # priority block in registration order — append new names here too when
 # they must be driver-visible.
 _PRIORITY: tuple[str, ...] = (
-    # ================= r6 window =================
-    # r5 swept 50/50 hash-green, which leaves driver-recency as the only
-    # debt: 24 entries' latest hash row is r2 and 14 more are r3 (the
-    # driver's DuckDB has diverged from local duckdb twice — r3
-    # fn_math_surface, r4 fn_higher_order_surface — so only driver
-    # recency catches that class). The r6 window therefore holds: the
-    # ingest anchor, all 38 r2/r3-stale entries, the 2 r6-new entries,
-    # and 9 of the 13 entries last green in r4. Everything hash-green in
-    # r5 rotates out (each already has its fresh row); the 5 remaining
-    # r4-green entries (pipeline_curate_corpus,
-    # percentile_exact_and_approx, udf_pandas_scalar, mm_binary_metadata,
-    # plus text_tokens_topk, dedup_embedding_cosine,
-    # setops_customer_cohorts, window_ignore_nulls_ffill — displaced
-    # late-r6 by the four late-r6 entries ORC / bigram-lift /
-    # dynamic-gap / lateral) sit exactly 2 rounds old after r6 and
-    # rotate back in r7.
-    # tests/test_rotation.py machine-enforces this policy from now on:
-    # every oracle-backed entry must be in-window or hash-green within
-    # the last 2 recorded rounds. (Pre-r6 rotation history lives in git;
-    # see this file at tag/commit for round 5.)
-    "ingest_covid_states",          # S1-P5/W3 ingest spine (the reference)
-    # -- last hash-green r2 (24) --
-    "join_left_semi",
-    "join_right_outer_never_matched",
-    "join_full_outer_reconcile",
-    "join_theta_range",
-    "agg_rollup",
-    "agg_cube",
-    "pivot_status_by_flag",
-    "join_null_safe_eq",
-    "join_cross_grid",
-    "agg_min_max_by",
-    "sort_nulls_ordering",
-    "unpivot_measures_long",
-    "agg_string_agg_sorted",
-    "window_pct_of_total",
-    "sort_global_topk",
-    "window_rank_extras",
-    "window_running_total",
-    "window_ntile_first_last",
-    "window_range_rolling_7d",
-    "dedup_ngram_jaccard",
-    "text_quality_score",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "approx_count_distinct_bounds",
-    # -- last hash-green r3 (14) --
-    "join_left_outer_null_ext",
-    "filter_like_in_patterns",
-    "window_lag_daily_delta",
-    "join_asof_forward_activation",
-    "dedup_first_write_wins",
-    "stream_sliding_3d_1d",
-    "fn_string_surface",
-    "fn_date_surface",
-    "fn_json_extract",
-    "fn_json_struct",
-    "fn_array_surface",
-    "fn_map_surface",
-    "fn_conditional_null",
-    "udf_grouped_map_zscore",
-    # -- r6-new (6): enter immediately (the r4 lesson) --
-    "sim_ann_ivf_q8_serve",         # quantized IVF serving: int8 + rerank
-    "stateful_running_totals_twin", # batch replay of the state machine
-    "scan_orc_roundtrip",           # ORC source path + pushdown
-    "text_bigram_lift",             # co-occurrence stats for vocab/merges
-    "sessionize_dynamic_gap",       # per-event-timeout session windows
-    "join_lateral_topk_per_key",    # correlated LATERAL, decorrelated
-    # -- last hash-green r4 (5 of 13) --
-    "agg_grouping_sets",
-    "join_interval_window",
-    "spine_gap_fill_daily",
-    "agg_stats_surface",
-    "join_skew_salted",
+    # ================= r7 window =================
+    # r6 swept 50/50 hash-green. Recency debt entering r7: the 8 entries
+    # last hash-green in r4 hit MAX_AGE now (the rotation gate demands
+    # them), and the 49-entry r5-green cohort hits MAX_AGE at r8 (ALL of
+    # it must be swept by then). The r7 window therefore holds: the 8
+    # r4-green entries + 42 of the 49 r5-green entries. The 7 r5
+    # leftovers (mm_resize_thumbs, mm_frame_sample, mm_decode_features,
+    # table_catalog_roundtrip, join_bucketed_colocated,
+    # scan_partition_pruned, scan_jsonl_roundtrip) are the mandatory
+    # core of the r8 window — they still satisfy the gate today
+    # (age 2 exactly) and r8 has ~43 free slots for them plus r7-new
+    # entries. Any entry added during r7 swaps in here immediately (the
+    # r4 lesson: unswept new entries get no hard check), displacing one
+    # r5 entry into the r8 cohort.
+    # tests/test_rotation.py machine-enforces the policy: every
+    # oracle-backed entry must be in-window or hash-green within the
+    # last 2 recorded rounds. (Earlier rotation history lives in git.)
+    # -- last hash-green r4 (8): forced by the gate --
+    "pipeline_curate_corpus",
+    "percentile_exact_and_approx",
+    "udf_pandas_scalar",
+    "mm_binary_metadata",
+    "text_tokens_topk",
+    "dedup_embedding_cosine",
+    "setops_customer_cohorts",
+    "window_ignore_nulls_ffill",
+    # -- last hash-green r5 (42 of 49) --
+    "agg_pricing_summary",
+    "filter_project_revenue",
+    "join_broadcast_star",
+    "join_left_anti",
+    "agg_distinct_counts",
+    "agg_histogram_fixed_bins",
+    "spine_linear_interpolate",
+    "agg_time_rollup",
+    "q3_shipping_priority",
+    "agg_incremental_merge",
+    "subquery_correlated_scalar",
+    "window_rank_topk_per_group",
+    "setops_multiset_all",
+    "join_asof_purchase_click",
+    "dedup_exact_union",
+    "dedup_minhash_lsh",
+    "dedup_minhash_resolve",
+    "dedup_simhash",
+    "dedup_minhash_cc",
+    "graph_reachability_rcte",
+    "sim_cosine_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_fixed_topk",
+    "embed_quantize_int8",
+    "agg_skew_salted_sum",
+    "sample_hash_split",
+    "text_bm25_rank",
+    "pack_sequences_offsets",
+    "sample_mixture_weighted",
+    "text_repetition_ratio",
+    "decon_train_test_overlap",
+    "stream_tumbling_daily",
+    "sessionize_gap_30min",
+    "events_funnel_conversion",
+    "sessionize_native_session_window",
+    "fn_math_surface",              # caught driver-DuckDB divergence r3
+    "fn_regexp_surface",
+    "fn_higher_order_surface",      # caught driver-DuckDB divergence r4
+    "fn_variant_json",
+    "fn_sql_udf_surface",
+    "udf_pandas_grouped_agg",
+    "udtf_tokenize_positions",
 )
 
 

@@ -133,8 +133,14 @@ def ingest_covid_csv(
         deduped = deduped.observe(
             obs,
             F.count(F.lit(1)).alias("batch_rows"),
-            F.sum((F.col("fips") == -1).cast("long")).alias("null_fips_rows"),
-            F.sum(F.col("date").isNull().cast("long")).alias("null_date_rows"),
+            # coalesce: on an all-filtered/empty batch SUM is NULL, and
+            # downstream arithmetic on the counters must see 0, not None
+            F.coalesce(
+                F.sum((F.col("fips") == -1).cast("long")), F.lit(0)
+            ).alias("null_fips_rows"),
+            F.coalesce(
+                F.sum(F.col("date").isNull().cast("long")), F.lit(0)
+            ).alias("null_date_rows"),
         )
     upsert_append(deduped, target_path, keys)
     if obs is not None:

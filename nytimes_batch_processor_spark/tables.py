@@ -17,6 +17,7 @@ DDL played for the reference).
 
 from __future__ import annotations
 
+import hashlib
 import logging
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -606,7 +607,11 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         if warehouse.startswith(scheme):
             warehouse = warehouse[len(scheme):]
             break
-    path = f"{warehouse}/engine_documents_orc"
+    # Key the stage path by sf_dir so concurrent invocations (parallel
+    # sweeps, pytest-xdist, interleaved scale factors) never race one
+    # shared overwrite-then-read directory.
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{warehouse}/engine_documents_orc_{sf_tag}"
     t.documents.write.mode("overwrite").orc(path)
     schema = T.StructType(
         [
