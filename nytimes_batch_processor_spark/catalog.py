@@ -92,10 +92,11 @@ _PRIORITY: tuple[str, ...] = (
     # last hash-green in r4 hit MAX_AGE now (the rotation gate demands
     # them), and the 49-entry r5-green cohort hits MAX_AGE at r8 (ALL of
     # it must be swept by then). The r7 window therefore holds: the 8
-    # r4-green entries + 42 of the 49 r5-green entries. The 7 r5
-    # leftovers (mm_resize_thumbs, mm_frame_sample, mm_decode_features,
-    # table_catalog_roundtrip, join_bucketed_colocated,
-    # scan_partition_pruned, scan_jsonl_roundtrip) are the mandatory
+    # r4-green entries + r7-new entries + the r5-green cohort as fits.
+    # The r5 leftovers (mm_resize_thumbs, mm_frame_sample,
+    # mm_decode_features, table_catalog_roundtrip,
+    # join_bucketed_colocated, scan_partition_pruned,
+    # scan_jsonl_roundtrip, udtf_tokenize_positions) are the mandatory
     # core of the r8 window — they still satisfy the gate today
     # (age 2 exactly) and r8 has ~43 free slots for them plus r7-new
     # entries. Any entry added during r7 swaps in here immediately (the
@@ -113,7 +114,9 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "setops_customer_cohorts",
     "window_ignore_nulls_ffill",
-    # -- last hash-green r5 (42 of 49) --
+    # -- r7-new: enter immediately (the r4 lesson) --
+    "stream_dedup_watermark_twin",  # replay of dropDuplicatesWithinWatermark
+    # -- last hash-green r5 (41 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
@@ -155,7 +158,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_variant_json",
     "fn_sql_udf_surface",
     "udf_pandas_grouped_agg",
-    "udtf_tokenize_positions",
 )
 
 

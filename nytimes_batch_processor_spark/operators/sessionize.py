@@ -517,3 +517,145 @@ def sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+_DEDUP_DELAY_US = 86_400_000_000  # 24h watermark delay, integer microseconds
+
+
+def _dedup_twin_replay(pdf):
+    """Replay one key's events through the dropDuplicatesWithinWatermark
+    state machine (`streaming.stateful.replay_dedup_within_watermark` —
+    the literal transition code the pytest pins against a real stream),
+    emitting one row per KEPT record plus how many subsequent arrivals
+    that state entry suppressed before its eviction."""
+    import numpy as np
+    import pandas as pd
+
+    from ..streaming.stateful import replay_dedup_within_watermark
+
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    ts = pdf["ts_us"].to_numpy()
+    wm = [None if pd.isna(w) else int(w) for w in pdf["wm_us"]]
+    kept = replay_dedup_within_watermark(ts, wm, _DEDUP_DELAY_US)
+    idx = np.asarray(kept, dtype=np.int64)
+    nxt = np.append(idx[1:], len(ts))
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy()[idx],
+            "event_id": pdf["event_id"].to_numpy()[idx],
+            "kept_ts_us": ts[idx],
+            "n_suppressed": nxt - idx - 1,
+        }
+    )
+
+
+@query(
+    "stream_dedup_watermark_twin",
+    tables=("events",),
+    oracle=f"""
+WITH RECURSIVE
+ev AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS day,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts), event_id) AS pos
+    FROM events
+),
+dm AS (SELECT day, MAX(ts_us) AS mx FROM ev GROUP BY day),
+wm AS (
+    -- eviction watermark seen by batch b = W(b-1) = max event time
+    -- through batch b-2 minus delay (eviction runs at END of each
+    -- batch with that batch's watermark -> visible one batch late)
+    SELECT day,
+           MAX(mx) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+               - {_DEDUP_DELAY_US} AS wm_us
+    FROM dm
+),
+evw AS (SELECT ev.*, wm.wm_us FROM ev JOIN wm USING (day)),
+kept AS (
+    SELECT user_id, event_id, ts_us, pos, ts_us + {_DEDUP_DELAY_US} AS expiry
+    FROM evw WHERE pos = 1
+    UNION ALL
+    SELECT user_id, event_id, ts_us, pos, ts_us + {_DEDUP_DELAY_US}
+    FROM (
+        SELECT e.user_id, e.event_id, e.ts_us, e.pos,
+               ROW_NUMBER() OVER (PARTITION BY e.user_id ORDER BY e.pos) AS rn
+        FROM kept k JOIN evw e
+          ON e.user_id = k.user_id AND e.pos > k.pos
+         AND e.wm_us IS NOT NULL AND e.wm_us > k.expiry
+    ) WHERE rn = 1
+)
+SELECT k.user_id,
+       k.event_id,
+       k.ts_us AS kept_ts_us,
+       CAST(COALESCE(LEAD(k.pos) OVER (PARTITION BY k.user_id ORDER BY k.pos),
+                     u.np + 1) - k.pos - 1 AS BIGINT) AS n_suppressed
+FROM kept k
+JOIN (SELECT user_id, MAX(pos) AS np FROM ev GROUP BY user_id) u USING (user_id)
+""",
+)
+def stream_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence twin of `streaming.deduped_stream`
+    (``dropDuplicatesWithinWatermark`` — the bounded-state W3 upsert,
+    `streaming/pipeline.py:112`): each user's events are replayed
+    through the SAME keep/evict transition code
+    (`streaming.stateful.replay_dedup_within_watermark`) under
+    simulated day-granularity micro-batches, so the oracle hash-checks
+    the state machine's full keep/drop/evict trajectory — which keys
+    re-admit after eviction, when, and how many replays each state
+    entry suppressed (`n_suppressed` makes the drops part of the hash,
+    not just the keeps). VERDICT r6 item 2; the technique of
+    `stateful_running_totals_twin`.
+
+    Simulation contract (both engines, integer microseconds): arrival
+    order is (ts, event_id); micro-batch b = one event-time day; state
+    for a key stores expiry = FIRST-kept ts + 24h delay (duplicates do
+    NOT refresh it); the dedup check consults only state existence;
+    eviction (expiry < watermark) runs at the END of each batch with
+    that batch's watermark W(b) = max(ts over batches < b) - delay, so
+    batch b's records see evictions as of W(b-1) — max(ts) through
+    batch b-2, minus delay. Every clause of that contract was probed
+    per-micro-batch against the real operator and is pinned by
+    tests/test_streaming.py::test_dedup_twin_matches_real_stream
+    (naive readings — watermark-aware drop checks, expiry refresh on
+    duplicates, same-batch eviction — all produce measurably different
+    keep sets). Day batches mean no record is ever late (the lagging
+    wm is always below the day's start), so the twin isolates exactly
+    the dedup/evict semantics. The oracle
+    computes the same greedy kept-chain per user as a DuckDB recursive
+    CTE (each recursion step advances every user's chain to its next
+    kept record — O(max chain length) iterations, the
+    `graph_reachability_rcte` pattern).
+
+    Scale shape: the per-day watermark table is a tiny aggregate
+    (O(#days)) broadcast back onto events — the only prefix-scan window
+    sits above that Aggregate, never over row-scale data; then ONE
+    shuffle on user_id (identical to the streaming state store's key
+    partitioning) into an Arrow-batched grouped-map whose per-group
+    work is linear in that user's events. Per-group Python dispatch
+    (~2ms/key) is the price of replaying the literal transition code —
+    a verification twin, not the production path (production runs the
+    native streaming operator; a batch backfill would use the oracle's
+    own gaps-and-islands plan)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t.events.select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.col("ts").cast("date").alias("day"),
+    )
+    daymax = ev.groupBy("day").agg(F.max("ts_us").alias("mx"))
+    wmb = daymax.select(
+        "day",
+        (
+            F.max("mx").over(
+                W.orderBy("day").rowsBetween(W.unboundedPreceding, -2)
+            )
+            - F.lit(_DEDUP_DELAY_US)
+        ).alias("wm_us"),
+    )
+    evw = ev.join(F.broadcast(wmb), "day")
+    return evw.groupBy("user_id").applyInPandas(
+        _dedup_twin_replay,
+        "user_id long, event_id long, kept_ts_us long, n_suppressed long",
+    )

@@ -41,6 +41,44 @@ def fold_totals(n: int, total: float, values: "pd.Series") -> tuple[int, float]:
     return n + len(values), total + float(values.sum())
 
 
+def replay_dedup_within_watermark(ts_us_seq, wm_us_seq, delay_us: int) -> list[int]:
+    """Replay ONE key's records (arrival order) through the
+    ``dropDuplicatesWithinWatermark`` state machine; returns the indices
+    of the kept records.
+
+    ``wm_us_seq[i]`` is the EVICTION watermark already applied to the
+    state store when record *i* is processed (``None`` while no
+    watermark exists — Spark's initial epoch watermark). Semantics
+    replayed, pinned against the real streaming operator in
+    ``tests/test_streaming.py::test_dedup_twin_matches_real_stream``
+    (empirically probed per micro-batch — the subtleties below are NOT
+    what the docs alone suggest):
+
+    - first occurrence of a key is kept and stores state with
+      ``expiry = event_ts + delay`` (the FIRST record's event time —
+      duplicate arrivals do NOT refresh the expiry);
+    - the per-record dedup check consults ONLY state existence: any
+      record whose key has live state is dropped, even with a drifted
+      timestamp (the retry/replay shape) and even if the current
+      batch's watermark already exceeds the expiry;
+    - state eviction (``expiry < watermark``) runs at the END of each
+      micro-batch using THAT batch's watermark, so it becomes visible
+      one batch late: the caller must pass the PREVIOUS batch's
+      watermark as ``wm_us_seq[i]`` (batch b's records see evictions
+      performed with W(b-1), i.e. max event time through batch b-2
+      minus the delay). This bounded, lagging eviction is what keeps
+      the state store finite at scale.
+    """
+    kept: list[int] = []
+    expiry: int | None = None
+    for i, (ts, wm) in enumerate(zip(ts_us_seq, wm_us_seq)):
+        live = expiry is not None and not (wm is not None and expiry < wm)
+        if not live:
+            kept.append(i)
+            expiry = int(ts) + delay_us
+    return kept
+
+
 def _update_running_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:

@@ -430,3 +430,105 @@ def test_watermarked_dedup_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT event_id FROM dedup_sink").collect()
     ids = sorted(r["event_id"] for r in rows)
     assert ids == [1, 2, 3], ids
+
+
+def test_dedup_twin_matches_real_stream(spark, tmp_path):
+    """Pin `replay_dedup_within_watermark` (the transition code the
+    hash-checked `stream_dedup_watermark_twin` catalog entry replays)
+    against the REAL dropDuplicatesWithinWatermark operator on a
+    micro-batched file source (mtimes force the batch order — the file
+    source orders by modification time, and same-mtime files make the
+    batch sequence nondeterministic). The fixture discriminates every
+    clause of the replayed contract:
+    - id3 (dup while state live): dropped, and must NOT refresh the
+      expiry — if it did, id7 would be suppressed too;
+    - id5 (11:30, batch 2): still dropped even though batch 2's OWN
+      watermark (11:01) already exceeds u7's expiry (11:00) — the
+      dedup check ignores the watermark, and eviction with W(b2) only
+      runs at the END of batch 2;
+    - id7 (11:40, batch 3): KEPT — u7's state was evicted at the end
+      of batch 2 (expiry 11:00 < W(b2)=11:01), proving eviction
+      becomes visible exactly one batch late (and that id3/id5 never
+      refreshed the expiry);
+    - id8 (dup of a live key): dropped; id9 (14:00, batch 4): dropped
+      because id7's fresh state (expiry 12:40) is live under
+      W(b3)=11:01 — a watermark-aware check would have kept it."""
+    import os
+
+    from nytimes_batch_processor_spark.streaming import deduped_stream
+    from nytimes_batch_processor_spark.streaming.stateful import (
+        replay_dedup_within_watermark,
+    )
+
+    src = tmp_path / "twin_ev"
+    src.mkdir()
+    batches = [
+        [(1, "2024-01-01 10:00:00", 7), (2, "2024-01-01 10:30:00", 8)],
+        [(3, "2024-01-01 10:20:00", 7), (4, "2024-01-01 12:01:00", 9)],
+        [(5, "2024-01-01 11:30:00", 7), (6, "2024-01-01 11:20:00", 8)],
+        [(7, "2024-01-01 11:40:00", 7), (8, "2024-01-01 12:02:00", 9)],
+        [(9, "2024-01-01 14:00:00", 7)],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.csv"
+        p.write_text(
+            "event_id,ts,user_id,value\n"
+            + "".join(f"{e},{ts},{u},1.0\n" for e, ts, u in rows)
+        )
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE"
+        )
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    q = (
+        deduped_stream(stream, ["user_id"], watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("twin_dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "twin_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    real_kept = sorted(
+        r["event_id"]
+        for r in spark.sql("SELECT event_id FROM twin_dedup_sink").collect()
+    )
+
+    # replay the same arrival through the shared transition function:
+    # the eviction watermark seen by batch b is W(b-1) = max event time
+    # through batch b-2, minus the delay
+    import datetime as dt
+
+    def us(s):
+        return int(
+            dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    delay = 3_600_000_000
+    batch_max = [max(us(ts) for _, ts, _ in rows) for rows in batches]
+    wm_eff = []  # eviction watermark in force DURING batch b
+    for b in range(len(batches)):
+        prior = batch_max[: b - 1] if b >= 2 else []
+        wm_eff.append(max(prior) - delay if prior else None)
+    per_key = {}
+    for b, rows in enumerate(batches):
+        for e, ts, u in rows:
+            per_key.setdefault(u, []).append((us(ts), wm_eff[b], e))
+    twin_kept = []
+    for u, recs in per_key.items():
+        kept = replay_dedup_within_watermark(
+            [r[0] for r in recs], [r[1] for r in recs], delay
+        )
+        twin_kept += [recs[i][2] for i in kept]
+
+    assert real_kept == sorted(twin_kept), (real_kept, sorted(twin_kept))
+    assert real_kept == [1, 2, 4, 7], real_kept
