@@ -420,11 +420,26 @@ _SIMHASH_BANDS = 4  # 4 x 12-bit bands: candidates need one equal band
 _SIMHASH_MAX_HAMMING = 3
 
 
+def _simhash_token_hash(tk: F.Column) -> F.Column:
+    """Full-width 48-bit portable token hash for SimHash: the first 12
+    hex chars of md5 as a BIGINT — every one of the 48 simhash bit
+    positions gets a live, unbiased bit. SimHash must NOT reuse
+    `_portable_token_hash`: its mod-(2^31-1) reduction (needed for the
+    MinHash permutation universe) zeroes bits 31-47, which silently
+    turned the top 12-bit band into a constant — every doc pair
+    collided in band 3 and the candidate join degenerated to a cross
+    product (caught by tools/scale_bench.py's collision gate at x10,
+    r7; output values were still correct because both engines hashed
+    identically, which is exactly why only a workload-cardinality gate
+    could see it)."""
+    return F.conv(F.substring(F.md5(tk), 1, 12), 16, 10).cast("bigint")
+
+
 def _simhash_oracle() -> str:
-    """DuckDB twin of the 48-bit SimHash pipeline (portable token hash
-    again): per-bit +/-1 sums over distinct-token hashes -> sign bits ->
-    4 x 12-bit band equi-join -> Hamming <= 3 via bit_count(xor)."""
-    p = _MINHASH_PRIME
+    """DuckDB twin of the 48-bit SimHash pipeline (portable full-width
+    token hash): per-bit +/-1 sums over distinct-token hashes -> sign
+    bits -> 4 x 12-bit band equi-join -> Hamming <= 3 via
+    bit_count(xor)."""
     s_cols = ",\n           ".join(
         f"SUM(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END) AS s_{i}"
         for i in range(_SIMHASH_BITS)
@@ -437,7 +452,7 @@ def _simhash_oracle() -> str:
     return f"""
 WITH toks AS (
     SELECT doc_id,
-           CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) % {p} AS h
+           CAST(concat('0x', substr(md5(t.tok), 1, 12)) AS BIGINT) AS h
     FROM documents,
          unnest(list_distinct(string_split_regex(lower(text), '\\s+'))) AS t(tok)
 ),
@@ -460,6 +475,54 @@ JOIN bands b ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAMMING}"""
 
 
+def simhash_frame(documents: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — the 48-bit deterministic simhash used by
+    `dedup_simhash`, split out so the scale gate (tools/scale_bench.py)
+    can re-band the SAME signatures at a corpus-sized band width."""
+    tok = documents.select(
+        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
+    ).withColumn("h", _simhash_token_hash(F.col("tok")))
+    # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
+    bit_cols = [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*bit_cols)
+    return agg.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0)
+                for i in range(_SIMHASH_BITS)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+
+
+def simhash_bands(simhash: DataFrame, band_bits: int) -> DataFrame:
+    """Explode (doc_id, simhash) into (doc_id, simhash, band, band_val)
+    at a given band width. Collision-bucket sizes shrink ~2x per extra
+    bit, so band_bits is THE scale knob: hold recall by keeping
+    total-bits/bands constant while widening bands as the corpus grows
+    (random band collisions go as n^2/2^band_bits — fixed width is
+    quadratic at scale, width ~ 2*log2(n) keeps them linear)."""
+    n_bands = _SIMHASH_BITS // band_bits
+    return simhash.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * band_bits)
+                    % F.lit(1 << band_bits)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+
+
 @query("dedup_simhash", tables=("documents",), oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup — ORACLE-CHECKED: 48-bit deterministic simhash
@@ -473,38 +536,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     growth makes buckets hot.
     """
     t = load_tables(spark, sf_dir, "documents")
-    tok = t.documents.select(
-        "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
-    ).withColumn("h", _portable_token_hash(F.col("tok")))
-    # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
-    bit_cols = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")
-        for i in range(_SIMHASH_BITS)
-    ]
-    agg = tok.groupBy("doc_id").agg(*bit_cols)
-    simhash = agg.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0)
-                for i in range(_SIMHASH_BITS)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
-    )
-    band_width = _SIMHASH_BITS // _SIMHASH_BANDS
-    banded = simhash.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", b * band_width)
-                    % F.lit(1 << band_width)
-                    for b in range(_SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "band_val"),
+    banded = simhash_bands(
+        simhash_frame(t.documents), _SIMHASH_BITS // _SIMHASH_BANDS
     )
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

@@ -1,8 +1,9 @@
 #!/usr/bin/env python
-"""Scale-growth proof for the three long-pole operator families
-(VERDICT r5 item 4): dedup_minhash_lsh, the ANN probes
-(sim_ann_lsh_topk / sim_ann_ivf_fixed_topk), and
-decon_train_test_overlap.
+"""Scale-growth proof for the long-pole operator families (VERDICT r5
+item 4, extended r7 item 3): dedup_minhash_lsh, the ANN probes
+(sim_ann_lsh_topk / sim_ann_ivf_fixed_topk), the quantized serving
+path (sim_ann_ivf_q8_serve), simhash band collisions (width-scaled),
+and decon_train_test_overlap.
 
 The risk being measured: each of these builds a CANDIDATE SET via
 bucketing (LSH bands, hash tables, IVF cells, shingle equi-join). The
@@ -149,6 +150,83 @@ def ann_lsh_candidates(spark, sf_dir: str) -> int:
     )
 
 
+def simhash_collisions(spark, sf_dir: str, band_bits: int) -> int:
+    """Raw band-collision count of dedup_simhash's candidate join (the
+    pre-Hamming-filter workload), re-banded at `band_bits`. Fixed-width
+    banding is inherently quadratic in the RANDOM collision component
+    (~ bands * n^2 / 2^band_bits), so the scale policy measured here is
+    the one the operator docstring prescribes: widen bands as the
+    corpus grows (band_bits ~ 2*log2(n) keeps random collisions flat
+    while true near-dups — whose band values match because the CONTENT
+    matches — still collide). The gate pins that policy's linearity."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        simhash_bands,
+        simhash_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    banded = simhash_bands(simhash_frame(docs), band_bits).localCheckpoint(
+        eager=True
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .count()
+    )
+
+
+def q8_candidates(spark, sf_dir: str) -> int:
+    """Candidate rows per serving query of sim_ann_ivf_q8_serve: the
+    pre-rerank cell-join output (the int8-scored workload)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _IVF_FIXED_NPROBE,
+        N_QUERIES,
+        _as_double,
+        _centroid_sq_dists,
+        ivf_fixed_centers,
+    )
+
+    centers = ivf_fixed_centers()
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn(
+            "max_abs", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+        )
+        .filter(F.col("max_abs") > 0)
+    )
+    dists = _centroid_sq_dists(centers)
+    assigned = (
+        emb.withColumn("_d", dists)
+        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .select("vec_id", "cell")
+    )
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+
+
 def ivf_candidates(spark, sf_dir: str) -> int:
     """Candidate cardinality of the fixed-IVF probe: corpus rows in the
     nprobe cells of each query (pre-rerank join output)."""
@@ -218,6 +296,17 @@ def main() -> None:
         row["ann_lsh_candidates"] = ann_lsh_candidates(spark, sf_dir)
         row["ivf_wall_sec"] = run_noop("sim_ann_ivf_fixed_topk")
         row["ivf_candidates"] = ivf_candidates(spark, sf_dir)
+        row["q8_wall_sec"] = run_noop("sim_ann_ivf_q8_serve")
+        row["q8_candidates"] = q8_candidates(spark, sf_dir)
+        # corpus-sized band width: 12 bits at the 5k-doc base, +1 bit
+        # per corpus doubling (2*log2 growth keeps random collisions
+        # ~flat; the catalog entry itself stays at the fixed 12-bit
+        # width its oracle replays)
+        import math
+
+        band_bits = 12 + max(0, math.ceil(math.log2(k)))
+        row["simhash_band_bits"] = band_bits
+        row["simhash_collisions"] = simhash_collisions(spark, sf_dir, band_bits)
         row["decon_wall_sec"] = run_noop("decon_train_test_overlap")
         decon = specs["decon_train_test_overlap"].fn(spark, sf_dir)
         agg = decon.agg(
@@ -236,10 +325,13 @@ def main() -> None:
             "minhash_pairs",
             "ann_lsh_candidates",
             "ivf_candidates",
+            "q8_candidates",
+            "simhash_collisions",
             "decon_shared_shingle_pairs",
             "minhash_wall_sec",
             "ann_lsh_wall_sec",
             "ivf_wall_sec",
+            "q8_wall_sec",
             "decon_wall_sec",
         )
     }
@@ -249,6 +341,8 @@ def main() -> None:
         "minhash_pairs",
         "ann_lsh_candidates",
         "ivf_candidates",
+        "q8_candidates",
+        "simhash_collisions",
         "decon_shared_shingle_pairs",
     ]
     linear_ok = all(ratios[key] <= 2.0 * factor for key in count_keys)
