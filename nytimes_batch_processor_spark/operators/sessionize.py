@@ -659,3 +659,68 @@ def stream_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dedup_twin_replay,
         "user_id long, event_id long, kept_ts_us long, n_suppressed long",
     )
+
+
+@query(
+    "stream_update_agg_twin",
+    tables=("events",),
+    oracle="""
+WITH perb AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           COUNT(*) AS bn,
+           SUM(CAST(floor(value * 100) AS BIGINT)) AS bc
+    FROM events GROUP BY user_id, day
+)
+SELECT user_id, day,
+       CAST(SUM(bn) OVER w AS BIGINT) AS n_events_cum,
+       CAST(SUM(bc) OVER w AS BIGINT) AS cents_cum
+FROM perb
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+)
+def stream_update_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence twin of a streaming UPDATE-mode aggregate
+    (`groupBy(user).agg(...)` + outputMode("update") — the low-latency
+    dashboard path): under day-granularity micro-batches, each batch
+    emits one row per group whose aggregate CHANGED in that batch,
+    carrying the cumulative value as of the batch. The twin
+    materializes that exact emission set — one row per (user, day)
+    with >=1 arrival, cumulative count/sum to date — so the oracle
+    hash-checks both the update-mode SPARSITY contract (quiet groups
+    re-emit nothing; `stateful_running_totals_twin` by contrast emits
+    every group every simulated batch) and the cumulative values, in
+    integer cents (no float tolerance; the embed_quantize_int8
+    technique).
+    tests/test_streaming.py::test_update_twin_matches_real_stream pins
+    the emission-set semantics against a real update-mode stream over
+    mtime-ordered micro-batch files.
+
+    Scale shape: unlike the applyInPandasWithState twin this one needs
+    NO Python at all — per-batch partial aggregation (map-side combine,
+    one shuffle on (user, day)) then a prefix-sum window partitioned by
+    user over O(active days) rows per user. This is also exactly the
+    backfill plan you'd run to reconstruct a dashboard's update history
+    from an events lake."""
+    t = load_tables(spark, sf_dir, "events")
+    perb = (
+        t.events.select(
+            "user_id",
+            F.col("ts").cast("date").alias("day"),
+            F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("bn"),
+            F.sum("cents").alias("bc"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return perb.select(
+        "user_id",
+        "day",
+        F.sum("bn").over(w).cast("long").alias("n_events_cum"),
+        F.sum("bc").over(w).cast("long").alias("cents_cum"),
+    )

@@ -96,6 +96,9 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
         (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf_topk(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
+    # explicit per-round number (VERDICT r6 item 6): visible under -s /
+    # -rP so the one rows-only catalog entry can never silently degrade
+    print(f"sim_ann_ivf_topk recall@10 vs brute force: {recall:.3f}")
     assert recall >= 0.5, f"IVF recall@10 vs brute force: {recall:.2f}"
 
 

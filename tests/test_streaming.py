@@ -532,3 +532,66 @@ def test_dedup_twin_matches_real_stream(spark, tmp_path):
 
     assert real_kept == sorted(twin_kept), (real_kept, sorted(twin_kept))
     assert real_kept == [1, 2, 4, 7], real_kept
+
+
+def test_update_twin_matches_real_stream(spark, tmp_path):
+    """Pin `stream_update_agg_twin`'s emission model against a REAL
+    update-mode streaming aggregate over mtime-ordered micro-batch
+    files: the sink must accumulate EXACTLY one row per (group, batch
+    with arrivals) carrying the cumulative aggregate as of that batch —
+    quiet groups re-emit nothing (the sparsity contract the twin's
+    per-(user, day) row set materializes)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "updtwin_ev"
+    src.mkdir()
+    batches = [
+        [(7, 5), (8, 10)],   # b0: u7 and u8 arrive
+        [(7, 2)],            # b1: only u7 -> u8 must NOT re-emit
+        [(9, 1), (7, 3)],    # b2: new u9; u7 revised again
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.csv"
+        p.write_text(
+            "user_id,v\n" + "".join(f"{u},{v}\n" for u, v in rows)
+        )
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema("user_id LONG, v LONG")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    emitted = []
+    q = (
+        stream.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_cum"), F.sum("v").alias("v_cum"))
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda bdf, bid: emitted.extend(
+                (bid, r["user_id"], r["n_cum"], r["v_cum"])
+                for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "updtwin_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    real = sorted((u, n, v) for _, u, n, v in emitted)
+
+    # the twin's model: one emission per (group, batch-with-arrivals),
+    # cumulative to date
+    expect, seen = [], {}
+    for rows in batches:
+        touched = {}
+        for u, v in rows:
+            touched.setdefault(u, []).append(v)
+        for u, vs in touched.items():
+            n, tot = seen.get(u, (0, 0))
+            seen[u] = (n + len(vs), tot + sum(vs))
+            expect.append((u, *seen[u]))
+    assert real == sorted(expect), (real, sorted(expect))
