@@ -97,7 +97,7 @@ _PRIORITY: tuple[str, ...] = (
     # mm_decode_features, table_catalog_roundtrip,
     # join_bucketed_colocated, scan_partition_pruned,
     # scan_jsonl_roundtrip, udtf_tokenize_positions,
-    # udf_pandas_grouped_agg) are the mandatory
+    # udf_pandas_grouped_agg, fn_sql_udf_surface) are the mandatory
     # core of the r8 window — they still satisfy the gate today
     # (age 2 exactly) and r8 has ~43 free slots for them plus r7-new
     # entries. Any entry added during r7 swaps in here immediately (the
@@ -118,7 +118,8 @@ _PRIORITY: tuple[str, ...] = (
     # -- r7-new: enter immediately (the r4 lesson) --
     "stream_dedup_watermark_twin",  # replay of dropDuplicatesWithinWatermark
     "stream_update_agg_twin",       # update-mode emission set + cumulatives
-    # -- last hash-green r5 (40 of 49) --
+    "stream_stream_join_twin",      # left-outer join emission schedule
+    # -- last hash-green r5 (39 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
@@ -158,7 +159,6 @@ _PRIORITY: tuple[str, ...] = (
     "fn_regexp_surface",
     "fn_higher_order_surface",      # caught driver-DuckDB divergence r4
     "fn_variant_json",
-    "fn_sql_udf_surface",
 )
 
 

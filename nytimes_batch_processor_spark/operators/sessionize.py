@@ -724,3 +724,176 @@ def stream_update_agg_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bn").over(w).cast("long").alias("n_events_cum"),
         F.sum("bc").over(w).cast("long").alias("cents_cum"),
     )
+
+
+_SSJ_DELAY_US = 7_200_000_000   # 2h watermark delay (both sides)
+_SSJ_UPPER_US = 14_400_000_000  # click must land within 4h after the view
+
+
+@query(
+    "stream_stream_join_twin",
+    tables=("events",),
+    oracle=f"""
+WITH v AS (
+    SELECT event_id AS v_id, user_id, epoch_us(ts) AS v_ts_us,
+           CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'view'
+),
+c AS (
+    SELECT event_id AS c_id, user_id AS c_user, epoch_us(ts) AS c_ts_us,
+           CAST(ts AS DATE) AS day
+    FROM events WHERE event_type = 'click'
+),
+vd AS (SELECT day, MAX(v_ts_us) AS vmx FROM v GROUP BY day),
+cd AS (SELECT day, MAX(c_ts_us) AS cmx FROM c GROUP BY day),
+days AS (SELECT day FROM vd UNION SELECT day FROM cd),
+sp AS (
+    SELECT d.day, vd.vmx, cd.cmx
+    FROM days d LEFT JOIN vd ON vd.day = d.day LEFT JOIN cd ON cd.day = d.day
+),
+wm AS (
+    SELECT day,
+           LEAST(MAX(vmx) OVER w1, MAX(cmx) OVER w1) - {_SSJ_DELAY_US} AS wm_us
+    FROM sp
+    WINDOW w1 AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+m AS (
+    SELECT v.v_id, v.user_id, c.c_id, GREATEST(v.day, c.day) AS emit_day
+    FROM v JOIN c ON c.c_user = v.user_id
+       AND c.c_ts_us >= v.v_ts_us AND c.c_ts_us <= v.v_ts_us + {_SSJ_UPPER_US}
+),
+um AS (
+    SELECT * FROM v WHERE NOT EXISTS (
+        SELECT 1 FROM c WHERE c.c_user = v.user_id
+          AND c.c_ts_us >= v.v_ts_us AND c.c_ts_us <= v.v_ts_us + {_SSJ_UPPER_US})
+),
+fin AS (
+    SELECT LEAST((SELECT MAX(v_ts_us) FROM v),
+                 (SELECT MAX(c_ts_us) FROM c)) - {_SSJ_DELAY_US} AS wf
+),
+ue AS (
+    SELECT um.v_id, um.user_id, um.v_ts_us,
+           (SELECT MIN(w.day) FROM wm w
+            WHERE w.wm_us IS NOT NULL
+              AND w.wm_us > um.v_ts_us + {_SSJ_UPPER_US}) AS emit_day
+    FROM um
+)
+SELECT v_id, user_id, c_id, emit_day FROM m
+UNION ALL
+SELECT ue.v_id, ue.user_id, CAST(NULL AS BIGINT) AS c_id, ue.emit_day
+FROM ue, fin
+WHERE ue.emit_day IS NOT NULL OR fin.wf > ue.v_ts_us + {_SSJ_UPPER_US}
+""",
+)
+def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence twin of a watermarked LEFT OUTER stream-stream
+    join (views LEFT OUTER clicks on user, click within 4h after the
+    view; 2h watermark both sides) under day-granularity micro-batches
+    — the operator `tests/test_streaming.py` previously covered only
+    rows-only. The twin materializes the streaming EMISSION SCHEDULE,
+    which is where stream-stream joins differ from their batch
+    counterpart (`join_interval_window`):
+
+    - a matched pair emits in the batch where the LATER side arrives:
+      emit_day = greatest(view day, click day);
+    - an unmatched view null-extends in the FIRST batch whose in-force
+      watermark passes v_ts + U, where U is the JOIN-CONDITION upper
+      bound (not the watermark delay — pinned by probing with U !=
+      delay: the state eviction threshold derives from the join
+      predicate, the delay only shapes the watermark itself), the
+      watermark is the MIN over both sides' per-batch maxima minus
+      delay (multipleWatermarkPolicy=min), and in-force means computed
+      through the PREVIOUS batch (outer emission showed no extra lag,
+      unlike dropDuplicatesWithinWatermark's end-of-batch eviction);
+    - availableNow runs a final no-data flush batch with the terminal
+      watermark: views it covers emit with emit_day NULL (the flush
+      marker), and tail views whose horizon the terminal watermark
+      never passed are EXCLUDED — the honest difference between this
+      output and the plain batch left join.
+
+    Every clause is pinned against a real maxFilesPerTrigger=1 stream
+    in tests/test_streaming.py::test_ssj_twin_matches_real_stream.
+
+    Scale shape: all-JVM. The two shuffles are the interval equi-join
+    on user_id (bucket-join shape, no cross product — same plan family
+    as join_interval_window) and its left-anti complement; the
+    watermark spine is an O(#days) aggregate whose prefix-max window
+    sits above the Aggregate, broadcast back for the first-qualifying-
+    day lookup (bounded nested-loop over #days rows per unmatched
+    view). No Python anywhere."""
+    t = load_tables(spark, sf_dir, "events")
+    base = t.events.select(
+        "event_id",
+        "user_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+    )
+    views = base.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        "user_id",
+        F.col("ts_us").alias("v_ts_us"),
+        F.col("day").alias("v_day"),
+    )
+    clicks = base.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_us").alias("c_ts_us"),
+        F.col("day").alias("c_day"),
+    )
+    vmax = views.groupBy(F.col("v_day").alias("day")).agg(
+        F.max("v_ts_us").alias("vmx")
+    )
+    cmax = clicks.groupBy(F.col("c_day").alias("day")).agg(
+        F.max("c_ts_us").alias("cmx")
+    )
+    days = vmax.select("day").unionByName(cmax.select("day")).distinct()
+    spine = days.join(vmax, "day", "left").join(cmax, "day", "left")
+    wprev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    wspine = spine.select(
+        "day",
+        (
+            F.least(F.max("vmx").over(wprev), F.max("cmx").over(wprev))
+            - F.lit(_SSJ_DELAY_US)
+        ).alias("wm_us"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts_us") >= F.col("v_ts_us"))
+        & (F.col("c_ts_us") <= F.col("v_ts_us") + F.lit(_SSJ_UPPER_US))
+    )
+    matched = views.join(clicks, cond).select(
+        "v_id",
+        "user_id",
+        "c_id",
+        F.greatest("v_day", "c_day").alias("emit_day"),
+    )
+    unmatched = views.join(clicks, cond, "left_anti")
+    firstq = (
+        unmatched.join(
+            F.broadcast(wspine.filter(F.col("wm_us").isNotNull())),
+            F.col("wm_us") > F.col("v_ts_us") + F.lit(_SSJ_UPPER_US),
+            "left",
+        )
+        .groupBy("v_id", "user_id", "v_ts_us")
+        .agg(F.min("day").alias("emit_day"))
+    )
+    fin = (
+        views.agg(F.max("v_ts_us").alias("vf"))
+        .crossJoin(clicks.agg(F.max("c_ts_us").alias("cf")))
+        .select((F.least("vf", "cf") - F.lit(_SSJ_DELAY_US)).alias("wf"))
+    )
+    ue = (
+        firstq.crossJoin(F.broadcast(fin))
+        .filter(
+            F.col("emit_day").isNotNull()
+            | (F.col("wf") > F.col("v_ts_us") + F.lit(_SSJ_UPPER_US))
+        )
+        .select(
+            "v_id",
+            "user_id",
+            F.lit(None).cast("long").alias("c_id"),
+            "emit_day",
+        )
+    )
+    return matched.unionByName(ue)

@@ -595,3 +595,151 @@ def test_update_twin_matches_real_stream(spark, tmp_path):
             seen[u] = (n + len(vs), tot + sum(vs))
             expect.append((u, *seen[u]))
     assert real == sorted(expect), (real, sorted(expect))
+
+
+def test_ssj_twin_matches_real_stream(spark, tmp_path):
+    """Pin `stream_stream_join_twin`'s emission model against a REAL
+    watermarked left-outer stream-stream join (self-joined micro-batched
+    file source, mtime-ordered). U (10 min, join bound) != delay
+    (5 min, watermark) so the null-extension threshold is unambiguous:
+    - v2 (10:00, no click): expire candidates are 10:05 (+delay),
+      10:10 (+U), 10:15 (+U+delay); the watermark steps 10:07 (b2),
+      10:14 (b3), 10:25 (b4) — emission lands in b3, proving the
+      threshold is v_ts + U with the batch's own in-force watermark;
+    - v1/c1 (same batch) and v3/c3 (click one batch later) pin
+      match-emission = batch of the later arrival;
+    - vB/vC emit in the final flush batch (terminal watermark 11:25
+      passes their horizons only then); vD (13:30) is never emitted —
+      the terminal watermark never passes its horizon."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ssj_ev"
+    src.mkdir()
+    batches = [
+        [("v1", "2024-01-01 10:00:00", 1, "v"), ("c1", "2024-01-01 10:05:00", 1, "c"),
+         ("v2", "2024-01-01 10:00:00", 2, "v"), ("v3", "2024-01-01 10:08:00", 3, "v")],
+        [("c3", "2024-01-01 10:12:00", 3, "c"), ("cA", "2024-01-01 10:12:00", 9, "c")],
+        [("vA", "2024-01-01 10:19:00", 8, "v"), ("cB", "2024-01-01 10:19:00", 9, "c")],
+        [("vB", "2024-01-01 10:30:00", 8, "v"), ("cC", "2024-01-01 10:30:00", 9, "c")],
+        [("vC", "2024-01-01 10:40:00", 8, "v"), ("vD", "2024-01-01 13:30:00", 8, "v"),
+         ("cD", "2024-01-01 11:30:00", 9, "c")],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.csv"
+        p.write_text(
+            "id,ts,user_id,kind\n"
+            + "".join(f"{r},{ts},{u},{k}\n" for r, ts, u, k in rows)
+        )
+        t = 1_700_000_000 + i * 60
+        os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema("id STRING, ts TIMESTAMP, user_id LONG, kind STRING")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    views = (
+        stream.filter(F.col("kind") == "v")
+        .select(
+            F.col("id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "5 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("kind") == "c")
+        .select(
+            F.col("id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    emitted = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: emitted.extend(
+                (bid, r["v_id"], r["c_id"]) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    n_batches = len(batches)
+    # batches 0..4 are the data batches; anything later is the flush
+    real = sorted(
+        (v, c, min(b, n_batches)) for b, v, c in emitted
+    )
+    # expectation computed from the twin's exact rule set:
+    # in-force wm(b) = min(side maxes through b-1) - delay
+    import datetime as dt
+
+    def us(s):
+        return int(
+            dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+            .replace(tzinfo=dt.timezone.utc)
+            .timestamp()
+            * 1_000_000
+        )
+
+    delay, upper = 300_000_000, 600_000_000
+    vmax = cmax = None
+    wm_by_batch = []
+    for rows in batches:
+        wm_by_batch.append(
+            None if vmax is None or cmax is None else min(vmax, cmax) - delay
+        )
+        for _, ts, _, k in rows:
+            if k == "v":
+                vmax = max(vmax or 0, us(ts))
+            else:
+                cmax = max(cmax or 0, us(ts))
+    wm_final = min(vmax, cmax) - delay
+    vrows = [
+        (r, us(ts), u, b)
+        for b, rows in enumerate(batches)
+        for r, ts, u, k in rows
+        if k == "v"
+    ]
+    crows = [
+        (r, us(ts), u, b)
+        for b, rows in enumerate(batches)
+        for r, ts, u, k in rows
+        if k == "c"
+    ]
+    model = []
+    for v_id, v_ts, v_u, v_b in vrows:
+        ms = [
+            (c_id, c_b)
+            for c_id, c_ts, c_u, c_b in crows
+            if c_u == v_u and v_ts <= c_ts <= v_ts + upper
+        ]
+        if ms:
+            model += [(v_id, c_id, max(v_b, c_b)) for c_id, c_b in ms]
+            continue
+        emit = next(
+            (
+                b
+                for b, wm in enumerate(wm_by_batch)
+                if wm is not None and wm > v_ts + upper
+            ),
+            None,
+        )
+        if emit is not None:
+            model.append((v_id, None, emit))
+        elif wm_final > v_ts + upper:
+            model.append((v_id, None, n_batches))  # flush batch
+    assert real == sorted(model), (real, sorted(model))
