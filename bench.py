@@ -58,6 +58,10 @@ HEADLINE = [
     # regression.
     "sim_ann_ivf_q8_serve",
     "stateful_running_totals_twin",
+    # r7 addition: iterative graph workload (6 power-iteration steps,
+    # localCheckpoint-truncated lineage — wall time is 6 join+agg rounds
+    # over the ~600k-edge trade graph at sf0.1).
+    "graph_pagerank_fixed",
 ]
 
 

@@ -97,12 +97,14 @@ _PRIORITY: tuple[str, ...] = (
     # mm_decode_features, table_catalog_roundtrip,
     # join_bucketed_colocated, scan_partition_pruned,
     # scan_jsonl_roundtrip, udtf_tokenize_positions,
-    # udf_pandas_grouped_agg, fn_sql_udf_surface) are the mandatory
-    # core of the r8 window — they still satisfy the gate today
-    # (age 2 exactly) and r8 has ~43 free slots for them plus r7-new
-    # entries. Any entry added during r7 swaps in here immediately (the
-    # r4 lesson: unswept new entries get no hard check), displacing one
-    # r5 entry into the r8 cohort.
+    # udf_pandas_grouped_agg, fn_sql_udf_surface — plus
+    # setops_multiset_all, agg_time_rollup, sample_mixture_weighted,
+    # displaced late in r7 by the three new scan/graph entries) are the
+    # mandatory core of the r8 window — they still satisfy the gate
+    # today (age 2 exactly) and r8 has ~37 free slots for them plus
+    # r8-new entries. Any entry added during r7 swaps in here
+    # immediately (the r4 lesson: unswept new entries get no hard
+    # check), displacing one r5 entry into the r8 cohort.
     # tests/test_rotation.py machine-enforces the policy: every
     # oracle-backed entry must be in-window or hash-green within the
     # last 2 recorded rounds. (Earlier rotation history lives in git.)
@@ -119,7 +121,10 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup_watermark_twin",  # replay of dropDuplicatesWithinWatermark
     "stream_update_agg_twin",       # update-mode emission set + cumulatives
     "stream_stream_join_twin",      # left-outer join emission schedule
-    # -- last hash-green r5 (39 of 49) --
+    "scan_binaryfile_metadata",     # binaryFile source + distributed bin sink
+    "scan_xml_roundtrip",           # Spark 4 built-in XML source/sink
+    "graph_pagerank_fixed",         # fixed-point integer PageRank
+    # -- last hash-green r5 (36 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
@@ -127,12 +132,10 @@ _PRIORITY: tuple[str, ...] = (
     "agg_distinct_counts",
     "agg_histogram_fixed_bins",
     "spine_linear_interpolate",
-    "agg_time_rollup",
     "q3_shipping_priority",
     "agg_incremental_merge",
     "subquery_correlated_scalar",
     "window_rank_topk_per_group",
-    "setops_multiset_all",
     "join_asof_purchase_click",
     "dedup_exact_union",
     "dedup_minhash_lsh",
@@ -148,7 +151,6 @@ _PRIORITY: tuple[str, ...] = (
     "sample_hash_split",
     "text_bm25_rank",
     "pack_sequences_offsets",
-    "sample_mixture_weighted",
     "text_repetition_ratio",
     "decon_train_test_overlap",
     "stream_tumbling_daily",

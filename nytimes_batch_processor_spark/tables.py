@@ -632,3 +632,147 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+@query(
+    "scan_binaryfile_metadata",
+    tables=("documents",),
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text)                                  AS content_md5
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200) t
+""",
+)
+def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source path — the ingestion format for multimodal
+    corpora (images/audio/video land as opaque objects; SURVEY §2.3's
+    multimodal family starts exactly here). The 200 lowest-doc_id
+    documents are exported as individual ``doc_<id>.bin`` objects by a
+    distributed ``foreachPartition`` writer (the binary-sink shape:
+    each task writes its partition's rows to the object store — on a
+    real deployment `open()` becomes the S3/GCS client), then read back
+    with ``format("binaryFile")`` + ``pathGlobFilter``; identity is
+    recovered from the object path and content integrity is proven by
+    md5 against the parquet original in DuckDB.
+
+    Scale notes: binaryFile scans parallelize per-file (one row per
+    object, content as a single binary cell bounded by
+    `spark.sql.sources.binaryFile.maxLength`); metadata columns
+    (path/length/modificationTime) come from the file listing, so a
+    length-only query never reads object bytes. Millions of small
+    objects make the LISTING the bottleneck — the production pattern is
+    this entry's chain run once, then metadata + content persisted to
+    parquet/ORC where scans are stripe-parallel and prunable (the
+    mm_* entries consume exactly that shape)."""
+    t = load_tables(spark, sf_dir, "documents")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{warehouse}/engine_documents_bin_{sf_tag}"
+
+    # Re-runnable stage: drop any prior export so a stale extra object
+    # can't join the glob (same hygiene as the ORC/JSONL stages' mode
+    # "overwrite", which binary export lacks natively).
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+    fs.mkdirs(hpath)
+
+    def _export(rows) -> None:
+        import os
+
+        for r in rows:
+            tmp = os.path.join(path, f".doc_{r['doc_id']}.bin.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+            os.replace(tmp, os.path.join(path, f"doc_{r['doc_id']}.bin"))
+
+    t.documents.orderBy("doc_id").limit(200).select(
+        "doc_id", "text"
+    ).foreachPartition(_export)
+
+    bins = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(path)
+    )
+    return bins.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5(F.col("content")).alias("content_md5"),
+    )
+
+
+@query(
+    "scan_xml_roundtrip",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT)                             AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)            AS n_custs,
+       CAST(SUM(o_orderkey) AS BIGINT)                      AS key_checksum,
+       strftime(MIN(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS min_date,
+       strftime(MAX(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS max_date
+FROM orders
+GROUP BY o_orderstatus
+""",
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink path (built into Spark since 4.0 — previously the
+    spark-xml package): orders round-trip through a ``rowTag``-framed XML
+    stage and are read back with an EXPLICIT schema (inference on XML is
+    a full extra pass, same verdict as the JSONL entry), then aggregated;
+    the oracle runs on the parquet original, so an attribute dropped or
+    re-typed by the writer surfaces as a value mismatch. Dates travel as
+    pre-formatted strings — XML has no date type, and pinning the lexical
+    form keeps the min/max comparisons engine-neutral.
+
+    Scale notes: XML files split by rowTag boundaries across executors,
+    but like JSONL there is no pushdown or column pruning — land it,
+    scan once, persist columnar. The checksum column (SUM of keys) is
+    the cheap whole-corpus integrity probe: any dropped or duplicated
+    row under parallel write/read moves it."""
+    t = load_tables(spark, sf_dir, "orders")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{warehouse}/engine_orders_xml_{sf_tag}"
+
+    t.orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+    ).write.mode("overwrite").format("xml").option("rootTag", "orders").option(
+        "rowTag", "order"
+    ).save(path)
+
+    schema = T.StructType(
+        [
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderstatus", T.StringType()),
+            T.StructField("o_orderdate", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "order").schema(schema).load(path)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
