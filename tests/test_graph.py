@@ -104,3 +104,72 @@ def test_star_cc_converges_on_long_chain(spark):
     df = spark.createDataFrame(edges, "id1 long, id2 long")
     got = {r["node"]: r["component"] for r in connected_components_star(df, max_iter=12).collect()}
     assert got == {n: 0 for n in range(1, 201)} | {0: 0}
+
+
+def _pagerank_python(edges, iters=6, scale=1_000_000_000_000):
+    """Pure-Python fixed-point PageRank: the third, engine-free oracle
+    (DuckDB's unrolled CTEs being the second). Dict-and-int arithmetic,
+    bit-identical to the Spark loop by construction."""
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(deg)
+    base = (15 * scale) // (100 * n)
+    rank = {node: scale // n for node in deg}
+    for _ in range(iters):
+        inflow = {}
+        for s, d in edges:
+            inflow[d] = inflow.get(d, 0) + rank[s] // deg[s]
+        rank = {d: base + (85 * v) // 100 for d, v in inflow.items()}
+    return rank
+
+
+def test_pagerank_matches_python_fixed_point(spark, sf_dir):
+    """graph_pagerank_fixed vs a dict-arithmetic twin on the REAL trade
+    graph: every rank must be integer-exact, not approximately equal."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.operators.graph import graph_pagerank_fixed
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir, "orders", "lineitem")
+    trade = (
+        t.lineitem.join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pairs = [(r["src"], r["dst"]) for r in trade.collect()]
+    edges = pairs + [(d, s) for s, d in pairs]
+    expect = _pagerank_python(edges)
+
+    got = {}
+    for r in graph_pagerank_fixed(spark, sf_dir).collect():
+        node = r["entity_key"] * 2 + (0 if r["node_kind"] == "cust" else 1)
+        got[node] = r["rank_fp"]
+    assert got == expect
+
+
+def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
+    """Structural invariants of the fixed-point scheme: truncating
+    division only ever LOSES rank mass (sum <= SCALE, and by no more
+    than the damped per-step truncation budget), and the teleport term
+    floors every node's rank at base."""
+    from nytimes_batch_processor_spark.operators.graph import (
+        _PR_ITERS,
+        _PR_SCALE,
+        graph_pagerank_fixed,
+    )
+
+    rows = graph_pagerank_fixed(spark, sf_dir).collect()
+    n = len(rows)
+    base = (15 * _PR_SCALE) // (100 * n)
+    total = sum(r["rank_fp"] for r in rows)
+    assert total <= _PR_SCALE
+    # per step: <= 1 unit lost per edge-division + per-node rounding;
+    # a generous linear bound that still catches any mass-creation bug.
+    n_edges_bound = n * n  # complete-graph worst case for the fixture
+    assert total >= _PR_SCALE - _PR_ITERS * (n_edges_bound + 2 * n) - n
+    assert all(r["rank_fp"] >= base for r in rows)
