@@ -1,0 +1,132 @@
+"""Python DataSource (Spark 4): remote CSVs as a first-class table.
+
+The reference's only source is two REMOTE CSVs read line-by-line over an
+open HTTP stream (``NytimesBatchProcessorApplication.kt:98-117`` — S1
+scan, S2 header skip, S3 delimited tokenization). The engine's primary
+answer is stage-then-scan (``sources/staging.py``): keep the download
+out of the query path and let the built-in CSV reader split files
+across executors. This module is the complementary shape for the
+many-medium-remote-files regime, built on Spark 4's Python DataSource
+API: ``spark.read.format("http_csv")`` with one input partition PER
+URL, so a catalog of thousands of remote CSVs scans with full executor
+parallelism and no driver staging hop — each task opens its own URL,
+skips the header, tokenizes, and null-safely types its rows (P1-P3
+INSIDE the source, so downstream sees a typed DataFrame, not strings).
+
+Scale notes: parallelism = |urls| — the right tool when the corpus is
+many files (the common case for scraped/contributed CSV drops). A
+single huge URL cannot be byte-range split here (one task), which is
+exactly when ``fetch_to_staging`` + the built-in splittable CSV scan
+wins; the engine offers both and documents the crossover. Python-side
+row materialization costs ~an Arrow batch per ~row-group — acceptable
+for ingest-once sources, never used in the hot query path. Failures
+follow FAILFAST semantics: a malformed cell raises with file+line
+context instead of silently nulling (the quarantine variant stays with
+the built-in reader, ``sources/readers.py``).
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import io
+import urllib.request
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql import types as T
+
+from .staging import _ALLOWED_SCHEMES
+
+_TIMEOUT = 60.0  # socket connect/read bound; a stalling remote fails fast
+
+
+def _convert(value: str, dtype: T.DataType, *, where: str):
+    """Null-safe typed parse of one CSV cell (P3: '' -> NULL)."""
+    if value == "":
+        return None
+    try:
+        if isinstance(dtype, T.StringType):
+            return value
+        if isinstance(dtype, (T.LongType, T.IntegerType, T.ShortType)):
+            return int(value)
+        if isinstance(dtype, T.DoubleType | T.FloatType):
+            return float(value)
+        if isinstance(dtype, T.DateType):
+            return datetime.date.fromisoformat(value)
+        if isinstance(dtype, T.BooleanType):
+            return value.lower() in ("true", "1", "t", "yes")
+    except ValueError as exc:
+        raise ValueError(f"http_csv: bad cell {value!r} at {where}: {exc}") from exc
+    raise TypeError(f"http_csv: unsupported column type {dtype} at {where}")
+
+
+class _UrlPartition(InputPartition):
+    def __init__(self, url: str) -> None:
+        self.url = url
+
+
+class HttpCsvReader(DataSourceReader):
+    def __init__(self, schema: T.StructType, options: dict) -> None:
+        self.schema = schema
+        self.header = options.get("header", "true").lower() == "true"
+        urls = [u.strip() for u in options.get("urls", "").split(",") if u.strip()]
+        if not urls:
+            raise ValueError("http_csv requires option 'urls' (comma-separated)")
+        for u in urls:
+            if not u.startswith(_ALLOWED_SCHEMES):
+                raise ValueError(f"http_csv: unsupported URL scheme: {u}")
+        self.urls = urls
+
+    def partitions(self) -> Sequence[InputPartition]:
+        return [_UrlPartition(u) for u in self.urls]
+
+    def read(self, partition: _UrlPartition) -> Iterator[tuple]:
+        fields = self.schema.fields
+        with urllib.request.urlopen(partition.url, timeout=_TIMEOUT) as resp:
+            text = io.TextIOWrapper(resp, encoding="utf-8", newline="")
+            rows = csv.reader(text)
+            for lineno, rec in enumerate(rows, start=1):
+                if self.header and lineno == 1:
+                    continue  # S2: skip the header row, like kt:105
+                if not rec:
+                    continue
+                if len(rec) != len(fields):
+                    raise ValueError(
+                        f"http_csv: {partition.url} line {lineno}: "
+                        f"{len(rec)} cells, schema has {len(fields)}"
+                    )
+                yield tuple(
+                    _convert(
+                        cell,
+                        f.dataType,
+                        where=f"{partition.url}:{lineno}:{f.name}",
+                    )
+                    for cell, f in zip(rec, fields)
+                )
+
+
+class HttpCsvDataSource(DataSource):
+    """``spark.read.format("http_csv").schema(...).option("urls", ...)``.
+
+    Schema is REQUIRED (never inferred — inference would re-fetch every
+    URL once per analysis pass; same verdict as the JSONL/XML entries).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "http_csv"
+
+    def schema(self):
+        raise ValueError(
+            "http_csv: an explicit .schema(...) is required; inference "
+            "would re-fetch every remote URL before the first real scan"
+        )
+
+    def reader(self, schema: T.StructType) -> HttpCsvReader:
+        return HttpCsvReader(schema, self.options)
+
+
+def register_http_csv(spark) -> None:
+    """Idempotent registration of the http_csv format on a session."""
+    spark.dataSource.register(HttpCsvDataSource)

@@ -776,3 +776,105 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("min_date"),
         F.max("o_orderdate").alias("max_date"),
     )
+
+
+@query(
+    "scan_python_datasource_httpcsv",
+    tables=("orders",),
+    oracle="""
+WITH derived AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS date,
+           o_orderpriority                                AS state,
+           CASE WHEN o_custkey % 10 = 0 THEN NULL
+                ELSE CAST(o_custkey % 100 AS INT) END     AS fips,
+           SUM(o_orderkey)                                AS cases,
+           COUNT(*)                                       AS deaths
+    FROM orders
+    GROUP BY 1, 2, 3
+)
+SELECT state,
+       CAST(COUNT(*) AS BIGINT)        AS n_rows,
+       CAST(SUM(cases) AS BIGINT)      AS total_cases,
+       CAST(SUM(deaths) AS BIGINT)     AS total_deaths,
+       CAST(COUNT(DISTINCT fips) AS BIGINT) AS n_fips,
+       CAST(SUM(CASE WHEN fips IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                                       AS null_fips_rows
+FROM derived
+GROUP BY state
+""",
+)
+def scan_python_datasource_httpcsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource path: the reference's remote-CSV model
+    (S1-S3) as a registered ``format("http_csv")`` source with one input
+    partition per URL (`sources/httpcsv.py`). The covid-shaped CSV is
+    derived from `orders` exactly like `ingest_covid_states`' fixture,
+    written as 4 part files, and read back through the Python source via
+    ``file://`` URLs — header skip, tokenization, and null-safe typed
+    parse (''->NULL fips) all happen INSIDE the source, so this entry
+    proves the P1-P3 surface at the source boundary; the DuckDB oracle
+    re-derives the same aggregate from the parquet original, so a cell
+    mistyped or a header row leaked by the source is a value mismatch.
+
+    Scale notes: |urls| = parallelism — this is the many-remote-files
+    shape; the single-huge-file shape stays with fetch_to_staging + the
+    splittable built-in CSV scan (see module docstring for the
+    crossover). The driver-side os.listdir here stands in for a catalog
+    of URLs (bounded metadata, never data)."""
+    import os as _os
+
+    from .sources.httpcsv import register_http_csv
+
+    register_http_csv(spark)
+    t = load_tables(spark, sf_dir, "orders")
+    fips = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
+        (F.col("o_custkey") % 100).cast("int")
+    )
+    derived = t.orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("date"),
+        F.col("o_orderpriority").alias("state"),
+        fips.alias("fips"),
+    ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{warehouse}/engine_httpcsv_{sf_tag}"
+    derived.repartition(4).write.mode("overwrite").option("header", True).csv(path)
+
+    urls = ",".join(
+        sorted(
+            f"file://{path}/{name}"
+            for name in _os.listdir(path)
+            if name.startswith("part-") and name.endswith(".csv")
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("date", T.DateType()),
+            T.StructField("state", T.StringType()),
+            T.StructField("fips", T.IntegerType()),
+            T.StructField("cases", T.LongType()),
+            T.StructField("deaths", T.LongType()),
+        ]
+    )
+    back = (
+        spark.read.format("http_csv")
+        .schema(schema)
+        .option("urls", urls)
+        .option("header", "true")
+        .load()
+    )
+    return back.groupBy("state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cases").alias("total_cases"),
+        F.sum("deaths").alias("total_deaths"),
+        F.countDistinct("fips").alias("n_fips"),
+        F.sum(F.when(F.col("fips").isNull(), 1).otherwise(0)).alias(
+            "null_fips_rows"
+        ),
+    )

@@ -204,3 +204,97 @@ def test_ingest_observe_metrics_collected_during_write(spark, tmp_path, staging)
     out = ingest_covid_csv(spark, src, target, has_county=False, metrics_out=metrics2)
     assert metrics2["batch_rows"] == 4
     assert out.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Python DataSource: http_csv (sources/httpcsv.py)
+# ---------------------------------------------------------------------------
+
+
+def _write_csv(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return f"file://{p}"
+
+
+def test_http_csv_partitions_per_url_and_typed_nulls(spark, tmp_path):
+    """One input partition per URL; header skipped per file; '' -> NULL
+    through the typed parse (P2/P3 at the source boundary)."""
+    from nytimes_batch_processor_spark.sources.httpcsv import register_http_csv
+
+    register_http_csv(spark)
+    u1 = _write_csv(
+        tmp_path, "a.csv",
+        ["date,state,fips,cases", "2021-01-02,WA,53,10", "2021-01-03,WA,,11"],
+    )
+    u2 = _write_csv(tmp_path, "b.csv", ["date,state,fips,cases", "2021-01-02,OR,41,7"])
+    df = (
+        spark.read.format("http_csv")
+        .schema("date date, state string, fips int, cases long")
+        .option("urls", f"{u1},{u2}")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # parallelism = |urls|
+    rows = {(str(r["date"]), r["state"], r["fips"], r["cases"]) for r in df.collect()}
+    assert rows == {
+        ("2021-01-02", "WA", 53, 10),
+        ("2021-01-03", "WA", None, 11),
+        ("2021-01-02", "OR", 41, 7),
+    }
+
+
+def test_http_csv_failfast_on_bad_cell_and_width(spark, tmp_path):
+    """FAILFAST semantics: malformed cells and cell-count drift raise
+    with file+line context instead of silently nulling."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from nytimes_batch_processor_spark.sources.httpcsv import register_http_csv
+
+    register_http_csv(spark)
+    bad_cell = _write_csv(
+        tmp_path, "bad.csv", ["date,state,fips,cases", "2021-01-02,WA,notanint,1"]
+    )
+    df = (
+        spark.read.format("http_csv")
+        .schema("date date, state string, fips int, cases long")
+        .option("urls", bad_cell)
+        .load()
+    )
+    with pytest.raises(PythonException, match="bad cell 'notanint'"):
+        df.collect()
+
+    too_wide = _write_csv(
+        tmp_path, "wide.csv", ["date,state,fips,cases", "2021-01-02,WA,53,1,EXTRA"]
+    )
+    df2 = (
+        spark.read.format("http_csv")
+        .schema("date date, state string, fips int, cases long")
+        .option("urls", too_wide)
+        .load()
+    )
+    with pytest.raises(PythonException, match="5 cells, schema has 4"):
+        df2.collect()
+
+
+def test_http_csv_requires_schema_and_known_scheme(spark, tmp_path):
+    """Inference is refused by design (it would re-fetch every URL), and
+    URL schemes are allow-listed."""
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from nytimes_batch_processor_spark.sources.httpcsv import register_http_csv
+
+    register_http_csv(spark)
+    u = _write_csv(tmp_path, "s.csv", ["a,b", "1,2"])
+    with pytest.raises(AnalysisException, match="explicit .schema"):
+        spark.read.format("http_csv").option("urls", u).load()
+
+    df = (
+        spark.read.format("http_csv")
+        .schema("a int, b int")
+        .option("urls", "ftp://example.invalid/x.csv")
+        .load()
+    )
+    with pytest.raises(Exception, match="unsupported URL scheme"):
+        df.collect()
