@@ -743,3 +743,113 @@ def test_ssj_twin_matches_real_stream(spark, tmp_path):
         elif wm_final > v_ts + upper:
             model.append((v_id, None, n_batches))  # flush batch
     assert real == sorted(model), (real, sorted(model))
+
+
+def test_transform_with_state_timer_sessions(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4): sessions close EITHER via a
+    gap-violating newer event (input path) OR via an event-time timer
+    when the watermark passes last_ts + gap — each closed session
+    emitted exactly once, across real micro-batches (one file per
+    trigger). Requires the RocksDB state store provider AND protobuf
+    (Spark's transformWithState driver protocol) — the sandbox ships no
+    protobuf and installs are banned, so this live-stream test skips
+    there; `test_fold_session_transition` pins the transition function
+    engine-free either way."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf for its state "
+        "protocol; not in the sandbox (no-install constraint)",
+    )
+    from nytimes_batch_processor_spark.streaming.stateful import (
+        sessionize_with_timers,
+    )
+
+    src = tmp_path / "tws"
+    src.mkdir()
+    # b1: user 1 two in-gap events, user 2 one event
+    (src / "a.csv").write_text(
+        "ts,user_id,value\n"
+        "2024-01-01T10:00:00,1,1.0\n"
+        "2024-01-01T10:05:00,1,2.0\n"
+        "2024-01-01T10:00:00,2,5.0\n"
+    )
+    # b2: user 1 jumps past the 30-min gap -> closes session via input
+    (src / "b.csv").write_text("ts,user_id,value\n2024-01-01T12:00:00,1,3.0\n")
+    # b3: sentinel pushes the watermark to 12:00 -> user 2's 10:30 timer fires
+    (src / "c.csv").write_text("ts,user_id,value\n2024-01-01T13:00:00,99,0.0\n")
+
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            sessionize_with_timers(stream, gap_seconds=1800)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = {
+        (
+            r["user_id"],
+            r["session_start_us"],
+            r["session_end_us"],
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.read.parquet(out).collect()
+    }
+    h10 = 1704103200000000  # 2024-01-01T10:00:00 UTC in epoch-us
+    m5 = 5 * 60 * 1_000_000
+    assert rows == {
+        (1, h10, h10 + m5, 2, 3.0),  # closed by the 12:00 event (input path)
+        (2, h10, h10, 1, 5.0),       # closed by the event-time timer
+    }
+
+
+def test_fold_session_transition():
+    """Engine-free pin of the session state machine shared by the
+    transformWithState processor: gap closure, out-of-order absorption
+    within a session, and multi-closure in one batch."""
+    from nytimes_batch_processor_spark.streaming.stateful import fold_session
+
+    M = 60 * 1_000_000  # one minute in us
+    gap = 30 * M
+
+    # fresh key, one session
+    st, closed = fold_session(None, [0, 5 * M], [1.0, 2.0], gap)
+    assert closed == [] and st == (0, 5 * M, 2, 3.0)
+
+    # gap violation closes, new session opens
+    st, closed = fold_session(st, [120 * M], [3.0], gap)
+    assert closed == [(0, 5 * M, 2, 3.0)] and st == (120 * M, 120 * M, 1, 3.0)
+
+    # an in-gap event with an EARLIER ts than last extends n, keeps last
+    st, closed = fold_session(st, [110 * M], [1.0], gap)
+    assert closed == [] and st == (120 * M, 120 * M, 2, 4.0)
+
+    # two closures within one batch
+    st, closed = fold_session(None, [0, 60 * M, 120 * M], [1.0, 1.0, 1.0], gap)
+    assert closed == [(0, 0, 1, 1.0), (60 * M, 60 * M, 1, 1.0)]
+    assert st == (120 * M, 120 * M, 1, 1.0)
