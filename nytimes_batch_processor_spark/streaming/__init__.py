@@ -5,13 +5,16 @@ from .pipeline import (
     stream_covid_ingest,
     windowed_event_counts,
 )
+from .state_reader import read_state, state_metadata
 from .stateful import running_user_totals
 
 __all__ = [
     "deduped_stream",
     "foreach_batch_upsert",
+    "read_state",
     "running_user_totals",
     "sessionized_stream",
+    "state_metadata",
     "stream_covid_ingest",
     "windowed_event_counts",
 ]
