@@ -1330,3 +1330,82 @@ def join_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
         """
     )
+
+
+@query(
+    "merge_scd2_dimension",
+    tables=("customer", "orders"),
+    oracle="""
+WITH changes AS (
+    SELECT o_custkey                                   AS c_custkey,
+           CAST(MAX(o_orderdate) AS DATE)              AS change_date,
+           CONCAT('SEG_', CAST(SUM(o_orderkey) % 5 AS VARCHAR)) AS new_segment
+    FROM orders
+    GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       c.c_mktsegment                 AS segment,
+       CAST('1990-01-01' AS DATE)     AS valid_from,
+       ch.change_date                 AS valid_to,
+       ch.c_custkey IS NULL           AS is_current,
+       CAST(1 AS INT)                 AS version
+FROM customer c LEFT JOIN changes ch USING (c_custkey)
+UNION ALL
+SELECT c.c_custkey,
+       ch.new_segment                 AS segment,
+       ch.change_date                 AS valid_from,
+       CAST(NULL AS DATE)             AS valid_to,
+       TRUE                           AS is_current,
+       CAST(2 AS INT)                 AS version
+FROM customer c JOIN changes ch USING (c_custkey)
+""",
+)
+def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension merge — the warehouse pattern behind every
+    versioned dimension: an incoming change per key CLOSES the current
+    row (valid_to = change date, is_current = false) and INSERTS a new
+    version open-ended. Without a MERGE-capable table format in the
+    sandbox (no Delta/Iceberg — SURVEY §2.1 W3), the merge is expressed
+    as the set algebra MERGE compiles to anyway: one left join marking
+    closures + one inner join emitting new versions, unioned. Change
+    events derive from orders (latest order date per customer; the new
+    segment attribute is an integer-exact function of SUM(o_orderkey) so
+    both engines agree bit-for-bit).
+
+    Scale notes: both branches join on c_custkey and Catalyst plans the
+    SAME shuffle hash-partitioning for them — at 100 TB the dim scan is
+    read once per branch from cache/disk with co-partitioned joins, and
+    the output is exactly |dim| + |changed keys| rows, append-computed:
+    nothing rewrites unchanged history, which is what makes SCD2 viable
+    on a billion-row dimension (the alternative — recomputing validity
+    windows over all history — is a window over the full table). With a
+    MERGE-capable format the identical change-set feeds
+    `foreachBatch` + MERGE; the derivation here is the format-neutral
+    core. Reference parity: the reference keeps no history at all
+    (ON CONFLICT DO NOTHING keeps the FIRST version forever,
+    kt:140/177); SCD2 is the general form of that idempotent-write
+    policy with the history retained."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    changes = t.orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("change_date"),
+        F.concat(F.lit("SEG_"), (F.sum("o_orderkey") % 5).cast("string")).alias(
+            "new_segment"
+        ),
+    )
+    closed_or_current = t.customer.join(changes, "c_custkey", "left").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.col("change_date").alias("valid_to"),
+        F.col("change_date").isNull().alias("is_current"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    new_versions = t.customer.join(changes, "c_custkey").select(
+        "c_custkey",
+        F.col("new_segment").alias("segment"),
+        F.col("change_date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    return closed_or_current.unionByName(new_versions)
