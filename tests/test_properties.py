@@ -328,6 +328,13 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "dedup_minhash_lsh",
         "sessionize_native_session_window",
         "agg_skew_salted_sum",
+        # late-r7 additions: iterative integer PageRank (per-iteration
+        # agg order must not leak), SCD2 (two-branch union), and the
+        # Python DataSource (per-URL partitions fixed, but the staged
+        # CSV write fans out over shuffle partitions upstream)
+        "graph_pagerank_fixed",
+        "merge_scd2_dimension",
+        "scan_python_datasource_httpcsv",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
