@@ -99,8 +99,9 @@ _PRIORITY: tuple[str, ...] = (
     # scan_jsonl_roundtrip, udtf_tokenize_positions,
     # udf_pandas_grouped_agg, fn_sql_udf_surface — plus
     # setops_multiset_all, agg_time_rollup, sample_mixture_weighted,
-    # agg_histogram_fixed_bins, spine_linear_interpolate — displaced late
-    # in r7 by the five new scan/graph/merge entries) are the
+    # agg_histogram_fixed_bins, spine_linear_interpolate,
+    # agg_incremental_merge — displaced late in r7 by the six new
+    # scan/graph/merge/fn entries) are the
     # mandatory core of the r8 window — they still satisfy the gate
     # today (age 2 exactly) and r8 has ~37 free slots for them plus
     # r8-new entries. Any entry added during r7 swaps in here
@@ -127,14 +128,14 @@ _PRIORITY: tuple[str, ...] = (
     "graph_pagerank_fixed",         # fixed-point integer PageRank
     "scan_python_datasource_httpcsv",  # Spark 4 Python DataSource, 1 task/URL
     "merge_scd2_dimension",         # SCD Type-2 versioned-dimension merge
-    # -- last hash-green r5 (34 of 49) --
+    "fn_url_surface",               # parse_url components vs regex oracle
+    # -- last hash-green r5 (33 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
     "join_left_anti",
     "agg_distinct_counts",
     "q3_shipping_priority",
-    "agg_incremental_merge",
     "subquery_correlated_scalar",
     "window_rank_topk_per_group",
     "join_asof_purchase_click",

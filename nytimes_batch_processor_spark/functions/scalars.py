@@ -460,3 +460,61 @@ def fn_sql_udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY eng_discount_class(l_discount)
         """
     )
+
+
+@query(
+    "fn_url_surface",
+    tables=("orders",),
+    oracle="""
+WITH u AS (
+    SELECT o_orderkey,
+           CONCAT('https://shop-', CAST(o_custkey % 50 AS VARCHAR),
+                  '.example.com/orders/', CAST(o_orderkey AS VARCHAR),
+                  '?status=', o_orderstatus,
+                  '&page=', CAST(o_orderkey % 7 AS VARCHAR)) AS url
+    FROM orders
+)
+SELECT o_orderkey,
+       url,
+       regexp_extract(url, '^([a-z]+)://', 1)            AS url_proto,
+       regexp_extract(url, '^[a-z]+://([^/]+)', 1)       AS url_host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS url_path,
+       regexp_extract(url, '\\?(.*)$', 1)                 AS url_query,
+       regexp_extract(url, '[?&]status=([^&]*)', 1)      AS url_status
+FROM u
+""",
+)
+def fn_url_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the scraped-corpus staple (domain-level dedup,
+    per-site quality priors, robots/takedown filtering all start with
+    "what host/path/param is this"). Spark side uses the JVM built-in
+    `parse_url` (PROTOCOL/HOST/PATH/QUERY and keyed QUERY extraction —
+    codegen, no UDF); DuckDB has no parse_url, so the oracle re-derives
+    each component with anchored regexes over the same deterministically
+    constructed URLs — a cross-engine check that parse_url's component
+    semantics match their regex definitions.
+
+    Scale notes: pure map-side scalar work over the scan, zero shuffle;
+    at 100 TB this is the same whole-stage-codegen shape as every other
+    fn_* surface. Domain-level rollups downstream group on url_host —
+    the skew case (one mega-domain) is `agg_skew_salted_sum`'s."""
+    t = load_tables(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://shop-"),
+        (F.col("o_custkey") % 50).cast("string"),
+        F.lit(".example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+        F.lit("&page="),
+        (F.col("o_orderkey") % 7).cast("string"),
+    )
+    return t.orders.select(
+        "o_orderkey",
+        url.alias("url"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("status")).alias("url_status"),
+    )
