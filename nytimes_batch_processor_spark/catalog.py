@@ -100,8 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     # udf_pandas_grouped_agg, fn_sql_udf_surface — plus
     # setops_multiset_all, agg_time_rollup, sample_mixture_weighted,
     # agg_histogram_fixed_bins, spine_linear_interpolate,
-    # agg_incremental_merge — displaced late in r7 by the six new
-    # scan/graph/merge/fn entries) are the
+    # agg_incremental_merge, join_asof_purchase_click — displaced late
+    # in r7 by the seven new scan/graph/merge/fn/layout entries) are the
     # mandatory core of the r8 window — they still satisfy the gate
     # today (age 2 exactly) and r8 has ~37 free slots for them plus
     # r8-new entries. Any entry added during r7 swaps in here
@@ -129,7 +129,8 @@ _PRIORITY: tuple[str, ...] = (
     "scan_python_datasource_httpcsv",  # Spark 4 Python DataSource, 1 task/URL
     "merge_scd2_dimension",         # SCD Type-2 versioned-dimension merge
     "fn_url_surface",               # parse_url components vs regex oracle
-    # -- last hash-green r5 (33 of 49) --
+    "table_zorder_roundtrip",       # Z-order multi-dim clustering layout
+    # -- last hash-green r5 (32 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
@@ -138,7 +139,6 @@ _PRIORITY: tuple[str, ...] = (
     "q3_shipping_priority",
     "subquery_correlated_scalar",
     "window_rank_topk_per_group",
-    "join_asof_purchase_click",
     "dedup_exact_union",
     "dedup_minhash_lsh",
     "dedup_minhash_resolve",

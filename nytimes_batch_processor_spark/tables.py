@@ -878,3 +878,132 @@ def scan_python_datasource_httpcsv(spark: SparkSession, sf_dir: str) -> DataFram
             "null_fips_rows"
         ),
     )
+
+
+def zorder_value(col_a, col_b, min_a, max_a, min_b, max_b):
+    """Z-order (Morton) key for two numeric columns: each value is
+    min-max scaled to 16 bits, then the bits are interleaved — points
+    close in (a, b) space get close z keys, so range-sorting by z
+    clusters BOTH dimensions into file/row-group min-max envelopes at
+    once. Pure codegen arithmetic (one expression, no UDF)."""
+    span_a = max(int(max_a) - int(min_a), 1)
+    span_b = max(int(max_b) - int(min_b), 1)
+    bits = " + ".join(
+        f"(((_za >> {i}) & 1) << {2 * i}) + (((_zb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16)
+    )
+    return (
+        F.expr(bits.replace("_za", "__zx").replace("_zb", "__zy")),
+        (
+            (col_a.cast("bigint") - F.lit(int(min_a)))
+            * F.lit(65535)
+            / F.lit(span_a)
+        ).cast("bigint"),
+        (
+            (col_b.cast("bigint") - F.lit(int(min_b)))
+            * F.lit(65535)
+            / F.lit(span_b)
+        ).cast("bigint"),
+    )
+
+
+def write_zordered(
+    df: DataFrame, path: str, col_a: str, col_b: str, n_files: int = 16
+) -> None:
+    """Write ``df`` as parquet laid out in Z-order over (col_a, col_b) —
+    the lakehouse multi-dimensional clustering technique (Delta OPTIMIZE
+    ZORDER BY, Iceberg sort orders) in plain Spark: range-partition by
+    the Morton key, sort within partitions, write. Each file and each
+    parquet row group then covers a small rectangle of (a, b) space, so
+    the engine's ordinary min/max stats pruning skips most of the table
+    for a selective predicate on EITHER column — unlike a linear sort,
+    which prunes only its leading column.
+
+    Scale notes: cost is one range shuffle of the table (sampled range
+    boundaries, balanced output files) — the same price as any
+    sorted-write compaction, paid once per layout period and amortized
+    over every subsequent scan. The min/max scan for scaling is a
+    cheap columnar agg; at 100 TB, derive the bounds from table-level
+    stats instead. Bits per dimension (16) bounds cluster granularity
+    at 65536 cells/dim — far beyond any practical file count."""
+    bounds = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    z, bx, by = zorder_value(
+        F.col(col_a), F.col(col_b), bounds[0], bounds[1], bounds[2], bounds[3]
+    )
+    (
+        df.withColumn("__zx", bx)
+        .withColumn("__zy", by)
+        .withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__zx", "__zy", "__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+@query(
+    "table_zorder_roundtrip",
+    tables=("lineitem",),
+    oracle="""
+WITH b AS (
+    SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+           MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax
+    FROM lineitem
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT)          AS n_rows,
+       CAST(SUM(l_orderkey) AS BIGINT)   AS key_checksum,
+       ROUND(SUM(l_quantity), 2)         AS sum_qty
+FROM lineitem, b
+WHERE l_partkey BETWEEN b.pmin + (b.pmax - b.pmin) // 20
+                    AND b.pmin + (3 * (b.pmax - b.pmin)) // 20
+  AND l_suppkey BETWEEN b.smin + (b.smax - b.smin) // 10
+                    AND b.smin + (4 * (b.smax - b.smin)) // 10
+GROUP BY l_returnflag
+""",
+)
+def table_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout under the driver's gate: lineitem is rewritten
+    Z-ordered over (l_partkey, l_suppkey) via `write_zordered`, then a
+    2-D box predicate scans the new layout and aggregates; the oracle
+    runs the identical query on the unordered original, so any row
+    lost, duplicated, or corrupted by the clustering rewrite is a value
+    mismatch. The pruning benefit itself is pinned separately with
+    parquet-footer arithmetic in `tests/test_sinks_tables.py` (row
+    groups whose min/max envelope intersects the box: Z-layout prunes
+    BOTH dimensions; a linear sort prunes only its leading column)."""
+    t = load_tables(spark, sf_dir, "lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{warehouse}/engine_lineitem_zorder_{sf_tag}"
+    write_zordered(t.lineitem, path, "l_partkey", "l_suppkey")
+    back = spark.read.parquet(path)
+    # Box bounds are integer fractions of the key ranges (5-15% of
+    # partkey, 10-40% of suppkey) so the predicate is selective but
+    # non-empty at EVERY scale factor; the same integer arithmetic runs
+    # in the oracle's CTE, so both engines cut the identical box.
+    b = t.lineitem.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    p_lo = b[0] + (b[1] - b[0]) // 20
+    p_hi = b[0] + (3 * (b[1] - b[0])) // 20
+    s_lo = b[2] + (b[3] - b[2]) // 10
+    s_hi = b[2] + (4 * (b[3] - b[2])) // 10
+    return (
+        back.filter(F.col("l_partkey").between(p_lo, p_hi))
+        .filter(F.col("l_suppkey").between(s_lo, s_hi))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_orderkey").alias("key_checksum"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )

@@ -7,6 +7,7 @@ NOTHING``)."""
 
 from __future__ import annotations
 
+import os
 import sqlite3
 
 SCHEMA = "date string, state string, fips int, cases long, deaths long"
@@ -412,3 +413,82 @@ def test_compact_parquet_preserves_stringy_partition_values(spark, tmp_path):
     assert dirs == ["fips=00123", "fips=451"], dirs
     back = spark.read.option("mergeSchema", "false").parquet(path)
     assert back.filter(F.col("fips") == "00123").count() == 4
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """Parquet-footer arithmetic proof of the Z-order claim: after
+    `write_zordered(lineitem, (l_partkey, l_suppkey))`, the fraction of
+    row groups whose min/max envelope intersects a selective box is
+    small for BOTH dimensions, while a linear sort on l_partkey prunes
+    only its leading column (a suppkey-only predicate must visit ~every
+    row group there). This is exactly the stats the scan's row-group
+    skipping consumes — measured from the written footers, no Spark
+    internals."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.sources import load_tables
+    from nytimes_batch_processor_spark.tables import write_zordered
+
+    t = load_tables(spark, sf_dir, "lineitem")
+    zpath = str(tmp_path / "zorder")
+    lpath = str(tmp_path / "linear")
+    write_zordered(t.lineitem, zpath, "l_partkey", "l_suppkey", n_files=32)
+    (
+        t.lineitem.repartitionByRange(32, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def envelopes(path):
+        out = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                sp = g.column(names["l_partkey"]).statistics
+                ss = g.column(names["l_suppkey"]).statistics
+                out.append(((sp.min, sp.max), (ss.min, ss.max)))
+        return out
+
+    def frac_hit(envs, p_box=None, s_box=None):
+        def hit(lo_hi, box):
+            return box is None or (lo_hi[0] <= box[1] and lo_hi[1] >= box[0])
+
+        n = sum(1 for p, s in envs if hit(p, p_box) and hit(s, s_box))
+        return n / len(envs)
+
+    zenv, lenv = envelopes(zpath), envelopes(lpath)
+    assert len(zenv) >= 16 and len(lenv) >= 16
+
+    # boxes as fractions of the actual key ranges, so the test holds at
+    # any scale factor (sf0.001's suppkey span is 0-9, sf0.01's 0-99)
+    b = t.lineitem.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_suppkey"), F.max("l_suppkey"),
+    ).first()
+    p_span, s_span = b[1] - b[0], b[3] - b[2]
+    p_box = (b[0] + p_span * 0.05, b[0] + p_span * 0.15)
+    s_box = (b[2] + s_span * 0.10, b[2] + s_span * 0.40)
+    # suppkey-only predicate: linear-on-partkey layout cannot prune it
+    lin_s = frac_hit(lenv, s_box=s_box)
+    z_s = frac_hit(zenv, s_box=s_box)
+    assert lin_s >= 0.9, f"linear layout unexpectedly pruned suppkey: {lin_s}"
+    assert z_s <= 0.75 * lin_s, f"zorder suppkey pruning too weak: {z_s} vs {lin_s}"
+    # 2-D box: zorder prunes to a small cell neighborhood
+    z_box = frac_hit(zenv, p_box=p_box, s_box=s_box)
+    assert z_box <= 0.5, f"zorder 2-D box pruning too weak: {z_box}"
+    # content survives the rewrite (multiset checksum)
+    orig = t.lineitem.agg(
+        F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_linenumber")
+    ).first()
+    back = (
+        spark.read.parquet(zpath)
+        .agg(F.count(F.lit(1)), F.sum("l_orderkey"), F.sum("l_linenumber"))
+        .first()
+    )
+    assert tuple(orig) == tuple(back)
