@@ -1,5 +1,6 @@
 from .pipeline import (
     deduped_stream,
+    enriched_stream,
     foreach_batch_upsert,
     sessionized_stream,
     stream_covid_ingest,
@@ -10,6 +11,7 @@ from .stateful import running_user_totals
 
 __all__ = [
     "deduped_stream",
+    "enriched_stream",
     "foreach_batch_upsert",
     "read_state",
     "running_user_totals",

@@ -124,3 +124,23 @@ def deduped_stream(
     than the horizon, so the state store is bounded by (keys arriving
     per horizon), which is what survives an unbounded run at scale."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def enriched_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment: join a streaming frame to a BATCH
+    dimension table. Spark plans the static side as a broadcast (or
+    re-reads it per micro-batch if it's file-backed, picking up dim
+    updates between batches — the "slowly refreshing dim" behavior);
+    unlike stream-stream joins this needs NO watermark and keeps NO
+    join state, because the static side is wholly available every
+    batch.
+
+    Scale notes: the static side must fit the broadcast budget or the
+    join falls back to a per-batch shuffle — for a big dim, pre-bucket
+    it on the key (`write_bucketed`) so each micro-batch co-locates
+    without a full dim shuffle. At 100 TB-of-stream scale the dominant
+    cost is the stream side's scan; the dim side is amortized per
+    micro-batch."""
+    from pyspark.sql import functions as F
+
+    return events.join(F.broadcast(dim), on, "left")

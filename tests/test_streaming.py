@@ -905,3 +905,59 @@ def test_state_store_reader_inspects_and_time_travels(spark, tmp_path):
         for r in read_state(spark, ckpt, batch_id=0).collect()
     }
     assert first == {("A", 4), ("B", 2)}
+
+
+def test_stream_static_join_enriches_and_tracks_dim_updates(spark, tmp_path):
+    """Stream-static join: each micro-batch joins against the CURRENT
+    state of a file-backed dimension — batch 1 sees dim v1, batch 2
+    (a restarted AvailableNow run after the dim is overwritten) sees
+    dim v2 — a file-backed static side resolves its listing at query
+    START, so dim refresh rides query restarts; no watermark, no join
+    state. The final output must equal the per-run batch joins."""
+    from nytimes_batch_processor_spark.streaming import enriched_stream
+
+    dim_path = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.csv").write_text("user_id,v\n1,10\n2,20\n3,30\n")
+    stream = (
+        spark.readStream.schema("user_id LONG, v LONG")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch():
+        # re-resolve the dim frame per run: the static side snapshots
+        # its file listing when the query starts
+        dim = spark.read.parquet(dim_path)
+        q = (
+            enriched_stream(stream, dim, "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch()
+    got1 = {(r["user_id"], r["v"], r["tier"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {(1, 10, "gold"), (2, 20, "silver"), (3, 30, None)}
+
+    # dim update between batches: user 3 appears, user 1 re-tiers
+    spark.createDataFrame(
+        [(1, "platinum"), (2, "silver"), (3, "bronze")],
+        "user_id long, tier string",
+    ).write.mode("overwrite").parquet(dim_path)
+    (src / "b.csv").write_text("user_id,v\n1,11\n3,31\n")
+    run_batch()
+    got2 = {(r["user_id"], r["v"], r["tier"]) for r in spark.read.parquet(out).collect()}
+    assert got2 == got1 | {(1, 11, "platinum"), (3, 31, "bronze")}
