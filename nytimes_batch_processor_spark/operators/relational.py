@@ -1366,16 +1366,17 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (valid_to = change date, is_current = false) and INSERTS a new
     version open-ended. Without a MERGE-capable table format in the
     sandbox (no Delta/Iceberg — SURVEY §2.1 W3), the merge is expressed
-    as the set algebra MERGE compiles to anyway: one left join marking
-    closures + one inner join emitting new versions, unioned. Change
+    as the set algebra MERGE compiles to anyway: one left join against
+    the change-set, each matched key exploding into its closed row and
+    its open-ended successor. Change
     events derive from orders (latest order date per customer; the new
     segment attribute is an integer-exact function of SUM(o_orderkey) so
     both engines agree bit-for-bit).
 
-    Scale notes: both branches join on c_custkey and Catalyst plans the
-    SAME shuffle hash-partitioning for them — at 100 TB the dim scan is
-    read once per branch from cache/disk with co-partitioned joins, and
-    the output is exactly |dim| + |changed keys| rows, append-computed:
+    Scale notes: the whole merge is ONE join on c_custkey (dim scanned
+    once, change-set aggregated once — see the plan note below) plus a
+    per-row explode of 1-or-2 version structs, and the output is
+    exactly |dim| + |changed keys| rows, append-computed:
     nothing rewrites unchanged history, which is what makes SCD2 viable
     on a billion-row dimension (the alternative — recomputing validity
     windows over all history — is a window over the full table). With a
@@ -1392,20 +1393,43 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_segment"
         ),
     )
-    closed_or_current = t.customer.join(changes, "c_custkey", "left").select(
-        "c_custkey",
+    # ONE left join + explode, not a union of two joins: the naive
+    # two-branch form scans customer AND re-aggregates orders twice
+    # (measured: 4 FileScans, 4 HashAggregates, no exchange reuse under
+    # AQE); emitting each key's 1-or-2 version rows as an exploded
+    # array halves both. The closed row and its successor are built
+    # from the same joined row, which is also what guarantees their
+    # validity windows meet exactly at change_date.
+    version_schema = (
+        "segment string, valid_from date, valid_to date, "
+        "is_current boolean, version int"
+    )
+    v_current = F.struct(
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    v_closed = F.struct(
         F.col("c_mktsegment").alias("segment"),
         F.lit("1990-01-01").cast("date").alias("valid_from"),
         F.col("change_date").alias("valid_to"),
-        F.col("change_date").isNull().alias("is_current"),
+        F.lit(False).alias("is_current"),
         F.lit(1).cast("int").alias("version"),
     )
-    new_versions = t.customer.join(changes, "c_custkey").select(
-        "c_custkey",
+    v_new = F.struct(
         F.col("new_segment").alias("segment"),
         F.col("change_date").alias("valid_from"),
         F.lit(None).cast("date").alias("valid_to"),
         F.lit(True).alias("is_current"),
         F.lit(2).cast("int").alias("version"),
     )
-    return closed_or_current.unionByName(new_versions)
+    versions = F.when(
+        F.col("change_date").isNull(), F.array(v_current)
+    ).otherwise(F.array(v_closed, v_new))
+    return (
+        t.customer.join(changes, "c_custkey", "left")
+        .select("c_custkey", F.explode(versions.cast(f"array<struct<{version_schema}>>")).alias("_v"))
+        .select("c_custkey", "_v.*")
+    )
