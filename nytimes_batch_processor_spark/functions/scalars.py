@@ -518,3 +518,63 @@ def fn_url_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("url_query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("status")).alias("url_status"),
     )
+
+
+@query(
+    "fn_mask_redact",
+    tables=("customer",),
+    oracle="""
+WITH p AS (
+    SELECT c_custkey,
+           c_name,
+           CONCAT(c_name, ' <', LOWER(REPLACE(c_name, '#', '')),
+                  '@example.com> tel 555-',
+                  LPAD(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')) AS profile
+    FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                                                          AS masked_name,
+       regexp_replace(regexp_replace(profile,
+           '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '<EMAIL>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g')                AS redacted,
+       regexp_extract(profile, '@([A-Za-z0-9.]+)>', 1)    AS email_domain
+FROM p
+""",
+)
+def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking/redaction — the scrub step every training-data
+    pipeline runs before a corpus ships: `mask()` (Spark 3.4+ built-in:
+    upper->X, lower->x, digit->n, punctuation kept — format-preserving,
+    so downstream length/shape features survive) plus pattern redaction
+    of emails and phone numbers via regexp_replace, and domain
+    extraction for the allow/deny-list join. DuckDB has no mask(), so
+    the oracle derives it from first principles as an ordered
+    regexp_replace chain (upper first — the introduced 'X' must not be
+    re-matched by the later classes) — a cross-engine check that
+    mask()'s character-class semantics are exactly their regex
+    definition.
+
+    Scale notes: map-side scalar work, zero shuffle, whole-stage
+    codegen; at 100 TB redaction cost is the scan itself. Real
+    deployments chain more patterns (SSN, IP, credit card) — same
+    shape, same cost model."""
+    t = load_tables(spark, sf_dir, "customer")
+    profile = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace("c_name", "#", "")),
+        F.lit("@example.com> tel 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+    )
+    return t.customer.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked_name"),
+        F.regexp_replace(
+            F.regexp_replace(profile, r"[A-Za-z0-9.]+@[A-Za-z0-9.]+", "<EMAIL>"),
+            r"555-[0-9]{4}",
+            "<PHONE>",
+        ).alias("redacted"),
+        F.regexp_extract(profile, r"@([A-Za-z0-9.]+)>", 1).alias("email_domain"),
+    )
