@@ -376,3 +376,27 @@ def test_stateful_fold_is_batch_boundary_invariant(cents, batch):
         )
     assert n == len(cents)
     assert total == float(sum(cents))
+
+
+def test_scd2_versions_tile_the_timeline(spark, sf_dir):
+    """Semantic invariants of the SCD2 merge no value-hash can state:
+    per key, exactly one current row; closed rows end exactly where
+    their successor begins; version numbers are dense from 1."""
+    from collections import defaultdict
+
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    rows = all_specs()["merge_scd2_dimension"].fn(spark, sf_dir).collect()
+    by_key = defaultdict(list)
+    for r in rows:
+        by_key[r["c_custkey"]].append(r)
+    assert by_key, "empty SCD2 output"
+    for key, vs in by_key.items():
+        vs.sort(key=lambda r: r["version"])
+        assert [v["version"] for v in vs] == list(range(1, len(vs) + 1)), key
+        assert sum(1 for v in vs if v["is_current"]) == 1, key
+        assert vs[-1]["is_current"] and vs[-1]["valid_to"] is None, key
+        for a, b in zip(vs, vs[1:]):
+            assert not a["is_current"], key
+            assert a["valid_to"] == b["valid_from"], key
+            assert a["valid_from"] <= a["valid_to"], key
