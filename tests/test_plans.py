@@ -5,6 +5,7 @@ top-k never global-sorts — not merely that answers match."""
 from __future__ import annotations
 
 from nytimes_batch_processor_spark.plans import (
+    executed_plan,
     has_broadcast_join,
     physical_plan,
     pushed_filters,
@@ -285,3 +286,20 @@ def test_stateful_twin_single_shuffle_on_user(spark, sf_dir):
     # count tree nodes ("Exchange (n)"), not the repeated detail headers
     assert plan.count("Exchange (") == 1, plan
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_zorder_scan_pushes_box_filters(spark, sf_dir):
+    """The Z-ordered table's box predicate must reach the parquet scan
+    (DataFilters/PushedFilters on BOTH clustered columns) with the
+    ReadSchema pruned to the referenced columns — pruning + pushdown is
+    what converts the clustered layout into skipped row groups."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    df = all_specs()["table_zorder_roundtrip"].fn(spark, sf_dir)
+    plan = executed_plan(df)
+    scan = [l for l in plan.splitlines() if "FileScan" in l and "zorder" in l]
+    assert scan, "no scan of the z-ordered table in the plan"
+    line = scan[0]
+    for frag in ("l_partkey", "l_suppkey", ">=", "<="):
+        assert frag in line, f"missing {frag!r} in pushed scan: {line[:300]}"
+    assert "l_extendedprice" not in line, "ReadSchema not pruned"
