@@ -400,3 +400,53 @@ def test_scd2_versions_tile_the_timeline(spark, sf_dir):
             assert not a["is_current"], key
             assert a["valid_to"] == b["valid_from"], key
             assert a["valid_from"] <= a["valid_to"], key
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=500), st.integers(0, 9)),
+        min_size=1,
+        max_size=40,
+    ),
+    st.lists(st.integers(1, 5), min_size=1, max_size=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_fold_session_equals_gaps_and_islands(events, batch_sizes):
+    """Property: feeding one key's events (event-time order) through
+    fold_session in ANY batch segmentation yields exactly the
+    gaps-and-islands sessionization of the whole sequence — the
+    batch-boundary invariance that makes the streaming processor's
+    output independent of micro-batch framing (timer-path emissions
+    excluded: this is the input-path state machine)."""
+    from nytimes_batch_processor_spark.streaming.stateful import fold_session
+
+    GAP = 30
+    ts = sorted(t for t, _ in events)
+    vs = [float(v) for _, v in sorted(events)]
+
+    # brute force: split whenever the gap strictly exceeds GAP
+    expected = []
+    cur = None
+    for t, v in zip(ts, vs):
+        if cur is not None and t > cur[1] + GAP:
+            expected.append(tuple(cur))
+            cur = None
+        if cur is None:
+            cur = [t, t, 1, v]
+        else:
+            cur[1] = max(cur[1], t)
+            cur[2] += 1
+            cur[3] += v
+    final_expected = tuple(cur)
+
+    # replay through fold_session under an arbitrary batch segmentation
+    state, closed = None, []
+    i, b = 0, 0
+    while i < len(ts):
+        n = batch_sizes[b % len(batch_sizes)]
+        state, c = fold_session(state, ts[i : i + n], vs[i : i + n], GAP)
+        closed.extend(c)
+        i += n
+        b += 1
+    assert [tuple(c) for c in closed] == expected
+    assert tuple(state) == final_expected
