@@ -295,8 +295,15 @@ def test_zorder_scan_pushes_box_filters(spark, sf_dir):
     what converts the clustered layout into skipped row groups."""
     from nytimes_batch_processor_spark.catalog import all_specs
 
-    df = all_specs()["table_zorder_roundtrip"].fn(spark, sf_dir)
-    plan = executed_plan(df)
+    # default maxMetadataStringLength=100 truncates DataFilters when
+    # attribute ids grow long in a shared session — widen for the check
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        df = all_specs()["table_zorder_roundtrip"].fn(spark, sf_dir)
+        plan = executed_plan(df)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     scan = [l for l in plan.splitlines() if "FileScan" in l and "zorder" in l]
     assert scan, "no scan of the z-ordered table in the plan"
     line = scan[0]
