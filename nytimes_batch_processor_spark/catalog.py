@@ -100,8 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     # udf_pandas_grouped_agg, fn_sql_udf_surface — plus
     # setops_multiset_all, agg_time_rollup, sample_mixture_weighted,
     # agg_histogram_fixed_bins, spine_linear_interpolate,
-    # agg_incremental_merge, join_asof_purchase_click, text_bm25_rank —
-    # displaced late in r7 by the eight new entries) are the
+    # agg_incremental_merge, join_asof_purchase_click, text_bm25_rank,
+    # sample_hash_split — displaced late in r7 by the nine new entries) are the
     # mandatory core of the r8 window — they still satisfy the gate
     # today (age 2 exactly) and r8 has ~37 free slots for them plus
     # r8-new entries. Any entry added during r7 swaps in here
@@ -131,7 +131,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_url_surface",               # parse_url components vs regex oracle
     "table_zorder_roundtrip",       # Z-order multi-dim clustering layout
     "fn_mask_redact",               # PII mask()/redaction vs regex oracle
-    # -- last hash-green r5 (31 of 49) --
+    "dedup_shingle_containment",    # asymmetric (doc-in-doc) near-dup
+    # -- last hash-green r5 (30 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
@@ -151,7 +152,6 @@ _PRIORITY: tuple[str, ...] = (
     "sim_ann_ivf_fixed_topk",
     "embed_quantize_int8",
     "agg_skew_salted_sum",
-    "sample_hash_split",
     "pack_sequences_offsets",
     "text_repetition_ratio",
     "decon_train_test_overlap",

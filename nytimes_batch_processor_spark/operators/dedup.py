@@ -606,3 +606,113 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), ratio(F.col("cosine")).alias("cosine"))
     )
+
+
+@query(
+    "dedup_shingle_containment",
+    tables=("documents",),
+    oracle="""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+    FROM documents WHERE doc_id < 500
+),
+sh AS (
+    SELECT doc_id,
+           list_distinct(
+               CASE WHEN len(toks) >= 3
+                    THEN list_transform(range(0, len(toks) - 2),
+                         i -> concat_ws(' ', toks[i + 1], toks[i + 2], toks[i + 3]))
+                    ELSE [] END) AS shingles
+    FROM docs
+),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+sizes AS (SELECT doc_id, len(shingles) AS n FROM sh WHERE len(shingles) > 0),
+common AS (
+    SELECT a.doc_id AS id_src, b.doc_id AS id_dst, CAST(COUNT(*) AS BIGINT) AS c
+    FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_src, id_dst,
+       ROUND(CAST(c AS DOUBLE) / s1.n, 6)              AS containment,
+       ROUND(CAST(c AS DOUBLE) / (s1.n + s2.n - c), 6) AS jaccard
+FROM common
+JOIN sizes s1 ON s1.doc_id = id_src
+JOIN sizes s2 ON s2.doc_id = id_dst
+WHERE CAST(c AS DOUBLE) / s1.n >= 0.7
+""",
+)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: containment C(a->b) = |S(a) ∩ S(b)| / |S(a)|
+    over 3-token shingle sets — "how much of a is inside b". The measure
+    behind quote, boilerplate and partial-copy detection: a 200-token
+    page embedded in a 10k-token page has tiny Jaccard
+    (union-dominated) but containment ~1.0, so resemblance dedup never
+    sees it. Directed pairs, both directions emitted when both clear
+    the bar (C(a->b) != C(b->a) whenever set sizes differ — the jaccard
+    column rides along to make the asymmetry visible in the result).
+    Shingles (not unigram tokens) are what make the measure selective:
+    on this small-vocab fixture unigram containment saturates (~53% of
+    pairs >= 0.8) while 3-gram containment isolates the ~50 true
+    near-dup directions at 0.7.
+
+    Bounded exact slice (doc_id < 500), same framing as
+    `dedup_ngram_jaccard`: this is the correctness oracle; the 100 TB
+    path reuses the MinHash LSH candidate buckets (containment-biased
+    variants band only the SMALLER side's signature) and computes exact
+    containment per candidate pair only — candidate generation is the
+    bucketed, measured-linear machinery of `dedup_minhash_lsh`, and the
+    per-pair cost here is one |∩| groupBy on id-pairs, never all-pairs."""
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    docs = t.documents.filter(F.col("doc_id") < 500).select(
+        "doc_id", toks.alias("toks")
+    )
+    tk = F.col("toks")
+    shingles = F.array_distinct(
+        F.when(
+            F.size(tk) >= 3,
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(tk, i + 1),
+                    F.element_at(tk, i + 2),
+                    F.element_at(tk, i + 3),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    # materialize the shingle ARRAY as a column before explode/size:
+    # referencing the transform expression twice would re-evaluate it
+    # per access under codegen (the decon lesson, text.py)
+    sh = docs.select("doc_id", shingles.alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    tok = sh.select("doc_id", F.explode("shingles").alias("s"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_src"), F.col("b.doc_id").alias("id_dst"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("id_src"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("id_dst"), F.col("n").alias("n2"))
+    cont = F.col("c").cast("double") / F.col("n1")
+    jac = F.col("c").cast("double") / (F.col("n1") + F.col("n2") - F.col("c"))
+    return (
+        common.join(F.broadcast(s1), "id_src")
+        .join(F.broadcast(s2), "id_dst")
+        .filter(cont >= 0.7)
+        .select(
+            "id_src",
+            "id_dst",
+            ratio(cont).alias("containment"),
+            ratio(jac).alias("jaccard"),
+        )
+    )
