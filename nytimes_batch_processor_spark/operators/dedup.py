@@ -507,19 +507,25 @@ def simhash_bands(simhash: DataFrame, band_bits: int) -> DataFrame:
     total-bits/bands constant while widening bands as the corpus grows
     (random band collisions go as n^2/2^band_bits — fixed width is
     quadratic at scale, width ~ 2*log2(n) keeps them linear)."""
-    n_bands = _SIMHASH_BITS // band_bits
+    n_full = _SIMHASH_BITS // band_bits
+    rem = _SIMHASH_BITS - n_full * band_bits
+    slices = [
+        F.shiftrightunsigned("simhash", b * band_bits) % F.lit(1 << band_bits)
+        for b in range(n_full)
+    ]
+    if rem:
+        # cover the top remainder bits with a final narrower band —
+        # silently dropping them would band only n_full*band_bits of
+        # the 48-bit fingerprint when band_bits is not a divisor (the
+        # width-scaling policy hits 13 bits at x2), losing recall on
+        # docs whose only matching slice is the high bits
+        slices.append(
+            F.shiftrightunsigned("simhash", n_full * band_bits) % F.lit(1 << rem)
+        )
     return simhash.select(
         "doc_id",
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", b * band_bits)
-                    % F.lit(1 << band_bits)
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("band", "band_val"),
+        F.posexplode(F.array(*slices)).alias("band", "band_val"),
     )
 
 

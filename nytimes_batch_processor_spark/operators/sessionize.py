@@ -753,7 +753,10 @@ sp AS (
 ),
 wm AS (
     SELECT day,
-           LEAST(MAX(vmx) OVER w1, MAX(cmx) OVER w1) - {_SSJ_DELAY_US} AS wm_us
+           CASE WHEN MAX(vmx) OVER w1 IS NULL OR MAX(cmx) OVER w1 IS NULL
+                THEN NULL
+                ELSE LEAST(MAX(vmx) OVER w1, MAX(cmx) OVER w1) - {_SSJ_DELAY_US}
+           END AS wm_us
     FROM sp
     WINDOW w1 AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
@@ -768,8 +771,12 @@ um AS (
           AND c.c_ts_us >= v.v_ts_us AND c.c_ts_us <= v.v_ts_us + {_SSJ_UPPER_US})
 ),
 fin AS (
-    SELECT LEAST((SELECT MAX(v_ts_us) FROM v),
-                 (SELECT MAX(c_ts_us) FROM c)) - {_SSJ_DELAY_US} AS wf
+    SELECT CASE WHEN (SELECT MAX(v_ts_us) FROM v) IS NULL
+                  OR (SELECT MAX(c_ts_us) FROM c) IS NULL
+                THEN NULL
+                ELSE LEAST((SELECT MAX(v_ts_us) FROM v),
+                           (SELECT MAX(c_ts_us) FROM c)) - {_SSJ_DELAY_US}
+           END AS wf
 ),
 ue AS (
     SELECT um.v_id, um.user_id, um.v_ts_us,
@@ -802,8 +809,11 @@ def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
       delay: the state eviction threshold derives from the join
       predicate, the delay only shapes the watermark itself), the
       watermark is the MIN over both sides' per-batch maxima minus
-      delay (multipleWatermarkPolicy=min), and in-force means computed
-      through the PREVIOUS batch (outer emission showed no extra lag,
+      delay (multipleWatermarkPolicy=min) — NULL, meaning no eviction,
+      while EITHER side has reported no data yet (least/LEAST are
+      null-skipping, so the min is null-propagated explicitly: a
+      views-only prefix must not advance the click watermark) — and
+      in-force means computed through the PREVIOUS batch (outer emission showed no extra lag,
       unlike dropDuplicatesWithinWatermark's end-of-batch eviction);
     - availableNow runs a final no-data flush batch with the terminal
       watermark: views it covers emit with emit_day NULL (the flush
@@ -850,12 +860,18 @@ def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = vmax.select("day").unionByName(cmax.select("day")).distinct()
     spine = days.join(vmax, "day", "left").join(cmax, "day", "left")
     wprev = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    # NULL-PROPAGATING min over the two sides (review r7): Spark's
+    # least() and SQL LEAST skip NULLs, but the streaming global
+    # watermark under multipleWatermarkPolicy=min stays at epoch while
+    # EITHER side has reported no data — a side absent through batch
+    # b-1 must yield "no watermark" (NULL), not the present side's max.
+    _vprev = F.max("vmx").over(wprev)
+    _cprev = F.max("cmx").over(wprev)
     wspine = spine.select(
         "day",
-        (
-            F.least(F.max("vmx").over(wprev), F.max("cmx").over(wprev))
-            - F.lit(_SSJ_DELAY_US)
-        ).alias("wm_us"),
+        F.when(_vprev.isNull() | _cprev.isNull(), F.lit(None).cast("long"))
+        .otherwise(F.least(_vprev, _cprev) - F.lit(_SSJ_DELAY_US))
+        .alias("wm_us"),
     )
     cond = (
         (F.col("user_id") == F.col("c_user"))
@@ -881,7 +897,14 @@ def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = (
         views.agg(F.max("v_ts_us").alias("vf"))
         .crossJoin(clicks.agg(F.max("c_ts_us").alias("cf")))
-        .select((F.least("vf", "cf") - F.lit(_SSJ_DELAY_US)).alias("wf"))
+        .select(
+            F.when(
+                F.col("vf").isNull() | F.col("cf").isNull(),
+                F.lit(None).cast("long"),
+            )
+            .otherwise(F.least("vf", "cf") - F.lit(_SSJ_DELAY_US))
+            .alias("wf")
+        )
     )
     ue = (
         firstq.crossJoin(F.broadcast(fin))

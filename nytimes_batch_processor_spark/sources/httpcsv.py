@@ -55,7 +55,12 @@ def _convert(value: str, dtype: T.DataType, *, where: str):
         if isinstance(dtype, T.DateType):
             return datetime.date.fromisoformat(value)
         if isinstance(dtype, T.BooleanType):
-            return value.lower() in ("true", "1", "t", "yes")
+            low = value.lower()
+            if low in ("true", "1", "t", "yes"):
+                return True
+            if low in ("false", "0", "f", "no"):
+                return False
+            raise ValueError(f"not a boolean: {value!r}")
     except ValueError as exc:
         raise ValueError(f"http_csv: bad cell {value!r} at {where}: {exc}") from exc
     raise TypeError(f"http_csv: unsupported column type {dtype} at {where}")
@@ -86,11 +91,13 @@ class HttpCsvReader(DataSourceReader):
         with urllib.request.urlopen(partition.url, timeout=_TIMEOUT) as resp:
             text = io.TextIOWrapper(resp, encoding="utf-8", newline="")
             rows = csv.reader(text)
+            header_pending = self.header
             for lineno, rec in enumerate(rows, start=1):
-                if self.header and lineno == 1:
-                    continue  # S2: skip the header row, like kt:105
                 if not rec:
-                    continue
+                    continue  # blank lines are never the header or data
+                if header_pending:
+                    header_pending = False
+                    continue  # S2: skip the first non-blank row, like kt:105
                 if len(rec) != len(fields):
                     raise ValueError(
                         f"http_csv: {partition.url} line {lineno}: "

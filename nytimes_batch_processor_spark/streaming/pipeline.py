@@ -126,21 +126,28 @@ def deduped_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def enriched_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+def enriched_stream(
+    events: DataFrame, dim: DataFrame, on: str, *, hint_broadcast: bool = True
+) -> DataFrame:
     """Stream-static enrichment: join a streaming frame to a BATCH
-    dimension table. Spark plans the static side as a broadcast (or
-    re-reads it per micro-batch if it's file-backed, picking up dim
-    updates between batches — the "slowly refreshing dim" behavior);
-    unlike stream-stream joins this needs NO watermark and keeps NO
-    join state, because the static side is wholly available every
-    batch.
+    dimension table — no watermark and no join state, because the
+    static side is wholly available every batch. A file-backed static
+    side resolves its FILE LISTING at query start: an overwritten dim
+    is seen by the next query (re)start, NOT mid-run (pinned in
+    tests/test_streaming.py) — so the Trigger.AvailableNow restart
+    loop gets slowly-refreshing-dim behavior for free, while an
+    always-on query must restart (or read a snapshot-isolated format)
+    to pick up dim updates.
 
-    Scale notes: the static side must fit the broadcast budget or the
-    join falls back to a per-batch shuffle — for a big dim, pre-bucket
-    it on the key (`write_bucketed`) so each micro-batch co-locates
-    without a full dim shuffle. At 100 TB-of-stream scale the dominant
-    cost is the stream side's scan; the dim side is amortized per
-    micro-batch."""
+    Scale notes: ``hint_broadcast=True`` (the default, for the common
+    small-dim case) pins a broadcast join — correct while the dim fits
+    the broadcast budget, a driver-OOM trap past it. For a big dim pass
+    ``hint_broadcast=False`` and let Catalyst pick the per-batch
+    shuffle join; pre-bucket the dim on the key (`write_bucketed`) so
+    each micro-batch co-locates without a full dim shuffle. At
+    100 TB-of-stream scale the dominant cost is the stream side's
+    scan; the dim side is amortized per micro-batch."""
     from pyspark.sql import functions as F
 
-    return events.join(F.broadcast(dim), on, "left")
+    right = F.broadcast(dim) if hint_broadcast else dim
+    return events.join(right, on, "left")

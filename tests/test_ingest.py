@@ -298,3 +298,35 @@ def test_http_csv_requires_schema_and_known_scheme(spark, tmp_path):
     )
     with pytest.raises(Exception, match="unsupported URL scheme"):
         df.collect()
+
+
+def test_http_csv_strict_bool_and_leading_blank_header(spark, tmp_path):
+    """Review fixes pinned: unrecognized boolean cells FAIL (no silent
+    False), and a leading blank line does not eat the real header."""
+    import pytest
+    from pyspark.errors.exceptions.captured import PythonException
+
+    from nytimes_batch_processor_spark.sources.httpcsv import register_http_csv
+
+    register_http_csv(spark)
+    bad_bool = _write_csv(tmp_path, "bb.csv", ["k,flag", "a,tru"])
+    df = (
+        spark.read.format("http_csv")
+        .schema("k string, flag boolean")
+        .option("urls", bad_bool)
+        .load()
+    )
+    with pytest.raises(PythonException, match="not a boolean: 'tru'"):
+        df.collect()
+
+    blank_first = _write_csv(
+        tmp_path, "blank.csv", ["", "date,state,fips,cases", "2021-01-02,WA,53,1"]
+    )
+    df2 = (
+        spark.read.format("http_csv")
+        .schema("date date, state string, fips int, cases long")
+        .option("urls", blank_first)
+        .load()
+    )
+    rows = [(str(r["date"]), r["state"], r["fips"], r["cases"]) for r in df2.collect()]
+    assert rows == [("2021-01-02", "WA", 53, 1)]

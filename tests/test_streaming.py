@@ -961,3 +961,83 @@ def test_stream_static_join_enriches_and_tracks_dim_updates(spark, tmp_path):
     run_batch()
     got2 = {(r["user_id"], r["v"], r["tier"]) for r in spark.read.parquet(out).collect()}
     assert got2 == got1 | {(1, 11, "platinum"), (3, 31, "bronze")}
+
+
+def test_ssj_watermark_stalls_while_one_side_is_absent(spark, tmp_path):
+    """The one-side-absent edge of the stream-stream join watermark
+    (review r7): the global watermark under multipleWatermarkPolicy=min
+    must NOT advance while the click side has reported no data — a
+    null-skipping LEAST over the side maxima would null-extend v1 one
+    batch early (b2, right after two views-only batches); the real
+    operator emits it only in b3, after the first click lets the min
+    advance. Distinguishing fixture: two views-only batches, then the
+    first click."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ssj2_ev"
+    src.mkdir()
+    batches = [
+        [("v1", "2024-01-01 10:00:00", 1, "v"), ("v2", "2024-01-01 10:02:00", 2, "v")],
+        [("v3", "2024-01-01 10:20:00", 3, "v")],
+        [("c9", "2024-01-01 10:21:00", 9, "c")],
+        [("c8", "2024-01-01 11:30:00", 8, "c")],
+    ]
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.csv"
+        p.write_text(
+            "id,ts,user_id,kind\n"
+            + "".join(f"{r},{ts},{u},{k}\n" for r, ts, u, k in rows)
+        )
+        t = 1_700_100_000 + i * 60
+        os.utime(p, (t, t))
+    stream = (
+        spark.readStream.schema("id STRING, ts TIMESTAMP, user_id LONG, kind STRING")
+        .option("header", "true")
+        .option("maxFilesPerTrigger", 1)
+        .csv(str(src))
+    )
+    views = (
+        stream.filter(F.col("kind") == "v")
+        .select(
+            F.col("id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "5 minutes")
+    )
+    clicks = (
+        stream.filter(F.col("kind") == "c")
+        .select(
+            F.col("id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "5 minutes")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    )
+    emitted = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(
+            lambda bdf, bid: emitted.extend(
+                (bid, r["v_id"], r["c_id"]) for r in bdf.collect()
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ssj2_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    real = sorted((v, c, min(b, len(batches))) for b, v, c in emitted)
+    # in-force wm stays None through b2 (click side silent); at b3 it is
+    # min(10:20, 10:21) - 5m = 10:15, past v1 (10:10) and v2 (10:12)
+    # horizons but not v3's (10:30) — which the terminal wm never passes
+    assert real == [("v1", None, 3), ("v2", None, 3)], real

@@ -180,53 +180,6 @@ def simhash_collisions(spark, sf_dir: str, band_bits: int) -> int:
     )
 
 
-def q8_candidates(spark, sf_dir: str) -> int:
-    """Candidate rows per serving query of sim_ann_ivf_q8_serve: the
-    pre-rerank cell-join output (the int8-scored workload)."""
-    from nytimes_batch_processor_spark.operators.similarity import (
-        _IVF_FIXED_NPROBE,
-        N_QUERIES,
-        _as_double,
-        _centroid_sq_dists,
-        ivf_fixed_centers,
-    )
-
-    centers = ivf_fixed_centers()
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn(
-            "max_abs", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
-        )
-        .filter(F.col("max_abs") > 0)
-    )
-    dists = _centroid_sq_dists(centers)
-    assigned = (
-        emb.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .select("vec_id", "cell")
-    )
-    ranked_cells = F.transform(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
-    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
-    )
-    return (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .count()
-    )
-
-
 def ivf_candidates(spark, sf_dir: str) -> int:
     """Candidate cardinality of the fixed-IVF probe: corpus rows in the
     nprobe cells of each query (pre-rerank join output)."""
@@ -297,7 +250,13 @@ def main() -> None:
         row["ivf_wall_sec"] = run_noop("sim_ann_ivf_fixed_topk")
         row["ivf_candidates"] = ivf_candidates(spark, sf_dir)
         row["q8_wall_sec"] = run_noop("sim_ann_ivf_q8_serve")
-        row["q8_candidates"] = q8_candidates(spark, sf_dir)
+        # the q8 serving path probes the same nprobe cells as the fixed
+        # IVF probe (int8 scoring changes the arithmetic, not the cell
+        # join), so its pre-rerank candidate cardinality IS
+        # ivf_candidates — recorded under its own key for the gate,
+        # measured once (review r7: the verbatim re-measurement doubled
+        # the cell-join cost per scale step for an identical number)
+        row["q8_candidates"] = row["ivf_candidates"]
         # corpus-sized band width: 12 bits at the 5k-doc base, +1 bit
         # per corpus doubling (2*log2 growth keeps random collisions
         # ~flat; the catalog entry itself stays at the fixed 12-bit
