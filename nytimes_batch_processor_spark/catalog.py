@@ -101,7 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     # setops_multiset_all, agg_time_rollup, sample_mixture_weighted,
     # agg_histogram_fixed_bins, spine_linear_interpolate,
     # agg_incremental_merge, join_asof_purchase_click, text_bm25_rank,
-    # sample_hash_split — displaced late in r7 by the nine new entries) are the
+    # sample_hash_split, stream_tumbling_daily, text_repetition_ratio —
+    # displaced late in r7 by the eleven new entries) are the
     # mandatory core of the r8 window — they still satisfy the gate
     # today (age 2 exactly) and r8 has ~37 free slots for them plus
     # r8-new entries. Any entry added during r7 swaps in here
@@ -132,7 +133,9 @@ _PRIORITY: tuple[str, ...] = (
     "table_zorder_roundtrip",       # Z-order multi-dim clustering layout
     "fn_mask_redact",               # PII mask()/redaction vs regex oracle
     "dedup_shingle_containment",    # asymmetric (doc-in-doc) near-dup
-    # -- last hash-green r5 (30 of 49) --
+    "join_scd2_temporal_lookup",    # AS-OF date lookup vs versioned dim
+    "fn_try_ansi_surface",          # ANSI try_* safety fns vs CASE oracle
+    # -- last hash-green r5 (28 of 49) --
     "agg_pricing_summary",
     "filter_project_revenue",
     "join_broadcast_star",
@@ -153,9 +156,7 @@ _PRIORITY: tuple[str, ...] = (
     "embed_quantize_int8",
     "agg_skew_salted_sum",
     "pack_sequences_offsets",
-    "text_repetition_ratio",
     "decon_train_test_overlap",
-    "stream_tumbling_daily",
     "sessionize_gap_30min",
     "events_funnel_conversion",
     "sessionize_native_session_window",

@@ -578,3 +578,66 @@ def fn_mask_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("redacted"),
         F.regexp_extract(profile, r"@([A-Za-z0-9.]+)>", 1).alias("email_domain"),
     )
+
+
+@query(
+    "fn_try_ansi_surface",
+    tables=("orders",),
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_custkey % 7 = 0 THEN NULL
+            ELSE CAST(o_orderkey AS DOUBLE) / (o_custkey % 7) END AS td,
+       TRY_CAST(CASE WHEN o_custkey % 3 = 0 THEN CONCAT('x', CAST(o_custkey AS VARCHAR))
+                     ELSE CAST(o_custkey AS VARCHAR) END AS INT)  AS c_int,
+       TRY_CAST(CASE WHEN o_custkey % 5 = 0 THEN '2021-13-40'
+                     ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END
+                AS DATE)                                          AS c_date,
+       (['a','b','c'])[CAST(o_custkey % 4 AS INT) + 1]            AS e_at,
+       CASE WHEN o_custkey % 2 = 1 THEN NULL
+            ELSE 9223372036854775807 END                          AS t_add
+FROM orders
+""",
+)
+def fn_try_ansi_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety surface: Spark 4 runs with
+    `spark.sql.ansi.enabled=true`, where division by zero, bad casts,
+    arithmetic overflow and out-of-range array access are ERRORS — the
+    `try_*` family (`try_divide`, `try_cast`, `try_add`,
+    `try_element_at`) is the production idiom for dirty data: NULL on
+    failure instead of a job-killing exception, composable with
+    null-handling downstream. Each column here manufactures a
+    deterministic failure subset from orders (every 7th key divides by
+    zero, every 3rd carries a non-numeric string, every 5th an invalid
+    date, every odd key an int64 overflow, every key = 3 mod 4 an
+    out-of-range array access; index 0 stays an ERROR even under try —
+    invalid usage, not dirty data). DuckDB expresses the same semantics natively
+    (TRY_CAST, NULL-on-out-of-range list index) or via explicit CASE
+    guards — the oracle is the executable statement of WHICH inputs
+    must null out.
+
+    Scale notes: pure codegen scalar work over the scan, zero shuffle;
+    the point at 100 TB is operational, not computational — one
+    malformed row in a trillion must cost a NULL, not the job."""
+    t = load_tables(spark, sf_dir, "orders")
+    num_str = F.when(
+        F.col("o_custkey") % 3 == 0,
+        F.concat(F.lit("x"), F.col("o_custkey").cast("string")),
+    ).otherwise(F.col("o_custkey").cast("string"))
+    date_str = F.when(F.col("o_custkey") % 5 == 0, F.lit("2021-13-40")).otherwise(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+    )
+    return t.orders.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_orderkey").cast("double"), (F.col("o_custkey") % 7)
+        ).alias("td"),
+        num_str.try_cast("int").alias("c_int"),
+        date_str.try_cast("date").alias("c_date"),
+        F.try_element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            ((F.col("o_custkey") % 4) + 1).cast("int"),
+        ).alias("e_at"),
+        F.try_add(
+            F.lit(9223372036854775806), (F.col("o_custkey") % 2) + F.lit(1)
+        ).alias("t_add"),
+    )

@@ -1433,3 +1433,106 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.explode(versions.cast(f"array<struct<{version_schema}>>")).alias("_v"))
         .select("c_custkey", "_v.*")
     )
+
+
+@query(
+    "join_scd2_temporal_lookup",
+    tables=("customer", "orders"),
+    oracle="""
+WITH changes AS (
+    SELECT o_custkey                                   AS c_custkey,
+           CAST(MAX(o_orderdate) AS DATE)              AS change_date,
+           CONCAT('SEG_', CAST(SUM(o_orderkey) % 5 AS VARCHAR)) AS new_segment
+    FROM orders
+    GROUP BY o_custkey
+),
+dim AS (
+    SELECT c.c_custkey,
+           c.c_mktsegment             AS segment,
+           CAST('1990-01-01' AS DATE) AS valid_from,
+           COALESCE(ch.change_date, CAST('9999-12-31' AS DATE)) AS valid_to,
+           CAST(1 AS INT)             AS version
+    FROM customer c LEFT JOIN changes ch USING (c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, ch.new_segment, ch.change_date,
+           CAST('9999-12-31' AS DATE), CAST(2 AS INT)
+    FROM customer c JOIN changes ch USING (c_custkey)
+)
+SELECT d.segment,
+       d.version,
+       CAST(COUNT(*) AS BIGINT)        AS n_orders,
+       CAST(SUM(o.o_orderkey) AS BIGINT) AS key_checksum
+FROM orders o
+JOIN dim d ON d.c_custkey = o.o_custkey
+          AND CAST(o.o_orderdate AS DATE) >= d.valid_from
+          AND CAST(o.o_orderdate AS DATE) <  d.valid_to
+GROUP BY d.segment, d.version
+""",
+)
+def join_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical consumer of an SCD2 dimension: a temporal (AS-OF
+    date) fact lookup — each order joins the dimension version that was
+    CURRENT on its order date (`valid_from <= d < valid_to`, half-open
+    so a version change on the order's own date resolves to the NEW
+    version, never both). Built on `merge_scd2_dimension`'s exact
+    algebra with open-ended windows closed at a DATE'9999-12-31'
+    sentinel, which turns the NULL-checking interval predicate into a
+    plain range band — the form range-join optimizers and partition
+    pruning actually use.
+
+    Scale notes: the join is an equi-join on c_custkey with a residual
+    date-band predicate — Catalyst plans the same shuffle
+    hash-partitioning as any dim lookup (the band filters post-match
+    rows, never widens the join), so at 100 TB this costs exactly one
+    fact shuffle, or zero with the dim and fact bucketed on the key.
+    Versions per key are bounded (2 here; tens in practice), so the
+    per-key match fan-out is O(1) — the reason SCD2 lookups stay
+    join-shaped instead of needing an interval index."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    changes = t.orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("change_date"),
+        F.concat(F.lit("SEG_"), (F.sum("o_orderkey") % 5).cast("string")).alias(
+            "new_segment"
+        ),
+    )
+    open_end = F.lit("9999-12-31").cast("date")
+    v1 = F.struct(
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        F.coalesce(F.col("change_date"), open_end).alias("valid_to"),
+        F.lit(1).cast("int").alias("version"),
+    )
+    v2 = F.struct(
+        F.col("new_segment").alias("segment"),
+        F.col("change_date").alias("valid_from"),
+        open_end.alias("valid_to"),
+        F.lit(2).cast("int").alias("version"),
+    )
+    dim = (
+        t.customer.join(changes, "c_custkey", "left")
+        .select(
+            "c_custkey",
+            F.explode(
+                F.when(F.col("change_date").isNull(), F.array(v1)).otherwise(
+                    F.array(v1, v2)
+                )
+            ).alias("_v"),
+        )
+        .select("c_custkey", "_v.*")
+    )
+    o = t.orders.select(
+        "o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("o_date")
+    )
+    return (
+        o.join(
+            dim,
+            (o["o_custkey"] == dim["c_custkey"])
+            & (o["o_date"] >= dim["valid_from"])
+            & (o["o_date"] < dim["valid_to"]),
+        )
+        .groupBy("segment", "version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )
