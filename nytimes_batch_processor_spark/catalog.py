@@ -104,7 +104,7 @@ _PRIORITY: tuple[str, ...] = (
     # sample_hash_split, stream_tumbling_daily, text_repetition_ratio —
     # displaced late in r7 by the eleven new entries) are the
     # mandatory core of the r8 window — they still satisfy the gate
-    # today (age 2 exactly) and r8 has ~37 free slots for them plus
+    # today (age 2 exactly) and r8 has ~29 free slots for them plus
     # r8-new entries. Any entry added during r7 swaps in here
     # immediately (the r4 lesson: unswept new entries get no hard
     # check), displacing one r5 entry into the r8 cohort.

@@ -1332,17 +1332,36 @@ def join_lateral_topk_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "merge_scd2_dimension",
-    tables=("customer", "orders"),
-    oracle="""
-WITH changes AS (
+# Shared SCD2 change-set derivation: merge_scd2_dimension (the producer)
+# and join_scd2_temporal_lookup (its canonical consumer) must agree on
+# the change event per key BY CONSTRUCTION — one Spark helper and one
+# SQL CTE constant, referenced by both, so editing the derivation in
+# one place cannot silently desynchronize the pair.
+_SCD2_CHANGES_CTE = """WITH changes AS (
     SELECT o_custkey                                   AS c_custkey,
            CAST(MAX(o_orderdate) AS DATE)              AS change_date,
            CONCAT('SEG_', CAST(SUM(o_orderkey) % 5 AS VARCHAR)) AS new_segment
     FROM orders
     GROUP BY o_custkey
-)
+)"""
+
+
+def _scd2_changes(orders: DataFrame) -> DataFrame:
+    """One change event per customer: latest order date + an
+    integer-exact new segment attribute (engine-portable)."""
+    return orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("change_date"),
+        F.concat(F.lit("SEG_"), (F.sum("o_orderkey") % 5).cast("string")).alias(
+            "new_segment"
+        ),
+    )
+
+
+@query(
+    "merge_scd2_dimension",
+    tables=("customer", "orders"),
+    oracle=f"""
+{_SCD2_CHANGES_CTE}
 SELECT c.c_custkey,
        c.c_mktsegment                 AS segment,
        CAST('1990-01-01' AS DATE)     AS valid_from,
@@ -1387,12 +1406,7 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     kt:140/177); SCD2 is the general form of that idempotent-write
     policy with the history retained."""
     t = load_tables(spark, sf_dir, "customer", "orders")
-    changes = t.orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("change_date"),
-        F.concat(F.lit("SEG_"), (F.sum("o_orderkey") % 5).cast("string")).alias(
-            "new_segment"
-        ),
-    )
+    changes = _scd2_changes(t.orders)
     # ONE left join + explode, not a union of two joins: the naive
     # two-branch form scans customer AND re-aggregates orders twice
     # (measured: 4 FileScans, 4 HashAggregates, no exchange reuse under
@@ -1438,14 +1452,8 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "join_scd2_temporal_lookup",
     tables=("customer", "orders"),
-    oracle="""
-WITH changes AS (
-    SELECT o_custkey                                   AS c_custkey,
-           CAST(MAX(o_orderdate) AS DATE)              AS change_date,
-           CONCAT('SEG_', CAST(SUM(o_orderkey) % 5 AS VARCHAR)) AS new_segment
-    FROM orders
-    GROUP BY o_custkey
-),
+    oracle=f"""
+{_SCD2_CHANGES_CTE},
 dim AS (
     SELECT c.c_custkey,
            c.c_mktsegment             AS segment,
@@ -1489,12 +1497,7 @@ def join_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key match fan-out is O(1) — the reason SCD2 lookups stay
     join-shaped instead of needing an interval index."""
     t = load_tables(spark, sf_dir, "customer", "orders")
-    changes = t.orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
-        F.max(F.col("o_orderdate").cast("date")).alias("change_date"),
-        F.concat(F.lit("SEG_"), (F.sum("o_orderkey") % 5).cast("string")).alias(
-            "new_segment"
-        ),
-    )
+    changes = _scd2_changes(t.orders)
     open_end = F.lit("9999-12-31").cast("date")
     v1 = F.struct(
         F.col("c_mktsegment").alias("segment"),
