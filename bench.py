@@ -46,7 +46,7 @@ HEADLINE = [
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",  # probe-only: ivf_build_index runs once in warmup
     "text_quality_score",
-    "fn_json_extract",
+    "fn_json_surface",
     # r5 additions (r3/r4 comparisons stay per-query; total covers +3)
     "sessionize_native_session_window",
     "sim_ann_ivf_fixed_topk",
@@ -62,6 +62,12 @@ HEADLINE = [
     # localCheckpoint-truncated lineage — wall time is 6 join+agg rounds
     # over the ~600k-edge trade graph at sf0.1).
     "graph_pagerank_fixed",
+    # r8 additions: the prefix-filtered containment join is a NEW
+    # headline capability (df-ranked probe prefix + exact verify); the
+    # timers twin is a grouped-map replay like the stateful twin above —
+    # same per-group Python-dispatch cost model, see its docstring.
+    "dedup_containment_prefix",
+    "sessionize_timers_twin",
 ]
 
 

@@ -87,83 +87,85 @@ def _load_all_modules() -> None:
 # priority block in registration order — append new names here too when
 # they must be driver-visible.
 _PRIORITY: tuple[str, ...] = (
-    # ================= r7 window =================
-    # r6 swept 50/50 hash-green. Recency debt entering r7: the 8 entries
-    # last hash-green in r4 hit MAX_AGE now (the rotation gate demands
-    # them), and the 49-entry r5-green cohort hits MAX_AGE at r8 (ALL of
-    # it must be swept by then). The r7 window therefore holds: the 8
-    # r4-green entries + r7-new entries + the r5-green cohort as fits.
-    # The r5 leftovers (mm_resize_thumbs, mm_frame_sample,
-    # mm_decode_features, table_catalog_roundtrip,
-    # join_bucketed_colocated, scan_partition_pruned,
-    # scan_jsonl_roundtrip, udtf_tokenize_positions,
-    # udf_pandas_grouped_agg, fn_sql_udf_surface — plus
-    # setops_multiset_all, agg_time_rollup, sample_mixture_weighted,
-    # agg_histogram_fixed_bins, spine_linear_interpolate,
-    # agg_incremental_merge, join_asof_purchase_click, text_bm25_rank,
-    # sample_hash_split, stream_tumbling_daily, text_repetition_ratio —
-    # displaced late in r7 by the eleven new entries) are the
-    # mandatory core of the r8 window — they still satisfy the gate
-    # today (age 2 exactly) and r8 has ~29 free slots for them plus
-    # r8-new entries. Any entry added during r7 swaps in here
-    # immediately (the r4 lesson: unswept new entries get no hard
-    # check), displacing one r5 entry into the r8 cohort.
-    # tests/test_rotation.py machine-enforces the policy: every
-    # oracle-backed entry must be in-window or hash-green within the
-    # last 2 recorded rounds. (Earlier rotation history lives in git.)
-    # -- last hash-green r4 (8): forced by the gate --
-    "pipeline_curate_corpus",
-    "percentile_exact_and_approx",
-    "udf_pandas_scalar",
-    "mm_binary_metadata",
-    "text_tokens_topk",
-    "dedup_embedding_cosine",
-    "setops_customer_cohorts",
-    "window_ignore_nulls_ffill",
-    # -- r7-new: enter immediately (the r4 lesson) --
-    "stream_dedup_watermark_twin",  # replay of dropDuplicatesWithinWatermark
-    "stream_update_agg_twin",       # update-mode emission set + cumulatives
-    "stream_stream_join_twin",      # left-outer join emission schedule
-    "scan_binaryfile_metadata",     # binaryFile source + distributed bin sink
-    "scan_xml_roundtrip",           # Spark 4 built-in XML source/sink
-    "graph_pagerank_fixed",         # fixed-point integer PageRank
-    "scan_python_datasource_httpcsv",  # Spark 4 Python DataSource, 1 task/URL
-    "merge_scd2_dimension",         # SCD Type-2 versioned-dimension merge
-    "fn_url_surface",               # parse_url components vs regex oracle
-    "table_zorder_roundtrip",       # Z-order multi-dim clustering layout
-    "fn_mask_redact",               # PII mask()/redaction vs regex oracle
-    "dedup_shingle_containment",    # asymmetric (doc-in-doc) near-dup
-    "join_scd2_temporal_lookup",    # AS-OF date lookup vs versioned dim
-    "fn_try_ansi_surface",          # ANSI try_* safety fns vs CASE oracle
-    # -- last hash-green r5 (28 of 49) --
-    "agg_pricing_summary",
-    "filter_project_revenue",
-    "join_broadcast_star",
-    "join_left_anti",
-    "agg_distinct_counts",
-    "q3_shipping_priority",
-    "subquery_correlated_scalar",
-    "window_rank_topk_per_group",
-    "dedup_exact_union",
-    "dedup_minhash_lsh",
-    "dedup_minhash_resolve",
-    "dedup_simhash",
-    "dedup_minhash_cc",
-    "graph_reachability_rcte",
-    "sim_cosine_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_fixed_topk",
-    "embed_quantize_int8",
-    "agg_skew_salted_sum",
-    "pack_sequences_offsets",
-    "decon_train_test_overlap",
-    "sessionize_gap_30min",
-    "events_funnel_conversion",
-    "sessionize_native_session_window",
-    "fn_math_surface",              # caught driver-DuckDB divergence r3
-    "fn_regexp_surface",
-    "fn_higher_order_surface",      # caught driver-DuckDB divergence r4
-    "fn_variant_json",
+    # ================= r8 window =================
+    # r7 swept 50/50 hash-green. Recency cohorts entering r8 (oracle-
+    # backed): 21 last green r5 (hit MAX_AGE now — the rotation gate
+    # demands all of them), 45 last green r6 (after r8's consolidation
+    # retired agg_rollup/agg_cube/agg_grouping_sets and fn_json_extract/
+    # fn_json_struct — their semantics live on in the r8-new
+    # agg_grouping_multi / fn_json_surface), 50 last green r7. The r8
+    # window = the 21 r5 entries + 4 r8-new entries + 25 of the r6
+    # cohort. The 20 r6 leftovers (join_left_outer_null_ext,
+    # join_right_outer_never_matched, filter_like_in_patterns,
+    # join_cross_grid, sort_nulls_ordering, window_rank_extras,
+    # window_lag_daily_delta, window_ntile_first_last,
+    # text_langid_heuristic, text_fingerprint, text_bigram_lift,
+    # stream_sliding_3d_1d, sessionize_dynamic_gap, fn_string_surface,
+    # fn_date_surface, fn_array_surface, fn_map_surface,
+    # fn_conditional_null, ingest_covid_states, scan_orc_roundtrip) are
+    # the mandatory core of the r9 window — age 2 exactly today, and r9
+    # has 30 slots left for them plus r9-new entries plus the start of
+    # the r7 cohort. Any entry added during r8 swaps in here immediately
+    # (the r4 lesson: unswept new entries get no hard check), displacing
+    # one r6 entry into the r9 cohort. tests/test_rotation.py machine-
+    # enforces both the per-entry recency policy AND the capacity
+    # ceiling via a multi-round forward simulation (50 slots x MAX_AGE+1
+    # rounds caps oracle-backed entries at 150 — VERDICT r7 item 2;
+    # growth policy: plateau + consolidate redundant variants).
+    # (Earlier rotation history lives in git.)
+    # -- last hash-green r5 (21): forced by the gate --
+    "agg_histogram_fixed_bins",
+    "spine_linear_interpolate",
+    "agg_time_rollup",
+    "agg_incremental_merge",
+    "setops_multiset_all",
+    "join_asof_purchase_click",
+    "sample_hash_split",
+    "text_bm25_rank",
+    "sample_mixture_weighted",
+    "text_repetition_ratio",
+    "stream_tumbling_daily",
+    "fn_sql_udf_surface",
+    "udf_pandas_grouped_agg",
+    "udtf_tokenize_positions",
+    "mm_resize_thumbs",
+    "mm_frame_sample",
+    "mm_decode_features",
+    "table_catalog_roundtrip",
+    "join_bucketed_colocated",
+    "scan_partition_pruned",
+    "scan_jsonl_roundtrip",
+    # -- r8-new: enter immediately (the r4 lesson) --
+    "agg_grouping_multi",        # consolidated rollup+cube+grouping-sets
+    "fn_json_surface",           # consolidated get_json_object+from_json
+    "sessionize_timers_twin",    # transformWithState timer-session replay
+    "dedup_containment_prefix",  # prefix-filtered containment scale path
+    # -- last hash-green r6 (25 of 45) --
+    "join_left_semi",
+    "join_full_outer_reconcile",
+    "join_theta_range",
+    "pivot_status_by_flag",
+    "join_null_safe_eq",
+    "join_interval_window",
+    "agg_min_max_by",
+    "unpivot_measures_long",
+    "spine_gap_fill_daily",
+    "agg_string_agg_sorted",
+    "window_pct_of_total",
+    "sort_global_topk",
+    "agg_stats_surface",
+    "join_lateral_topk_per_key",
+    "window_running_total",
+    "window_range_rolling_7d",
+    "join_asof_forward_activation",
+    "dedup_first_write_wins",
+    "dedup_ngram_jaccard",
+    "sim_ann_ivf_q8_serve",
+    "join_skew_salted",
+    "text_quality_score",
+    "approx_count_distinct_bounds",
+    "stateful_running_totals_twin",
+    "udf_grouped_map_zscore",
 )
 
 

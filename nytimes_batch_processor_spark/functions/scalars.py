@@ -149,40 +149,14 @@ def fn_math_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "fn_json_extract",
-    tables=("events",),
-    oracle="""
-SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
-       CAST(COUNT(*) AS BIGINT)   AS n_events,
-       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
-FROM events
-GROUP BY 1
-""",
-)
-def fn_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON field extraction (get_json_object) + typed aggregation over
-    the extracted value. At scale prefer from_json with an explicit schema
-    once per column over repeated path extraction."""
-    t = load_tables(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        t.events.select((k % 10).alias("k_bucket"), k.alias("k"))
-        .groupBy("k_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("k").alias("min_k"),
-            F.max("k").alias("max_k"),
-        )
-    )
-
-
-@query(
-    "fn_json_struct",
+    "fn_json_surface",
     tables=("events",),
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS BIGINT) AS n_k_buckets,
        CAST(COUNT(*) FILTER (WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS BIGINT) AS n_high_k,
        CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.k') IS NULL) AS BIGINT) AS n_missing,
        CAST(COUNT(*) AS BIGINT) AS n_events
@@ -190,18 +164,32 @@ FROM events
 GROUP BY event_type
 """,
 )
-def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema-full ``from_json`` over ``events.props`` — the at-scale JSON
-    path: one parse per row into a typed struct (codegen'd JacksonParser),
-    vs N ``get_json_object`` path walks. Malformed/missing fields become
-    NULL (PERMISSIVE), counted explicitly so the null path is verified."""
+def fn_json_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSON surface in one entry — consolidated ``get_json_object``
+    (path extraction) + ``from_json`` (schema-full typed struct) over
+    ``events.props`` (r8: replaces the separate ``fn_json_extract`` /
+    ``fn_json_struct`` entries to keep the driver-sweep rotation
+    sustainable; see tests/test_rotation.py).
+
+    Both APIs run in the SAME query against the same column: ``from_json``
+    feeds sum/min/max/high-count (the at-scale path — one codegen'd
+    JacksonParser parse per row into a typed struct), while
+    ``get_json_object`` feeds the bucket-distinct and null counts (the
+    ad-hoc path-walk API). Malformed/missing fields become NULL
+    (PERMISSIVE), counted explicitly so the null path is verified; any
+    divergence between the two APIs' reads of the same field breaks the
+    hash."""
     t = load_tables(spark, sf_dir, "events")
     parsed = t.events.withColumn("p", F.from_json("props", "struct<k: bigint>"))
-    k = F.col("p.k")
+    k = F.col("p.k")  # schema-full path
+    k_path = F.get_json_object("props", "$.k").cast("long")  # path-walk API
     return parsed.groupBy("event_type").agg(
         F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.countDistinct(k_path % 10).alias("n_k_buckets"),
         F.count(F.when(k > 50, 1)).alias("n_high_k"),
-        F.count(F.when(k.isNull(), 1)).alias("n_missing"),
+        F.count(F.when(k_path.isNull(), 1)).alias("n_missing"),
         F.count(F.lit(1)).alias("n_events"),
     )
 
@@ -255,7 +243,7 @@ GROUP BY event_type
 def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MAP-typed access: props parsed once to map<string,bigint>, probed
     with element_at / map_keys — the schema-free sibling of
-    fn_json_struct for payloads whose key set isn't fixed."""
+    fn_json_surface for payloads whose key set isn't fixed."""
     t = load_tables(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     parsed = t.events.select("event_type", m.alias("m"))
@@ -390,8 +378,8 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     modern engine path for sparse JSON (binary-encoded, no full struct
     schema, ~order-of-magnitude faster than from_json when queries
     touch few paths of wide documents). Oracle is DuckDB's JSON
-    extraction over the same strings; fn_json_extract /
-    fn_json_struct cover the schema-full alternatives."""
+    extraction over the same strings; fn_json_surface /
+    covers the schema-full alternatives."""
     t = load_tables(spark, sf_dir, "events")
     k = F.variant_get(F.parse_json("props"), "$.k", "int")
     return (

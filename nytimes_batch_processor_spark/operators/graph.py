@@ -81,7 +81,11 @@ def connected_components(
 
 
 def connected_components_star(
-    edges: DataFrame, src: str = "id1", dst: str = "id2", max_iter: int = 50
+    edges: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Exact connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
@@ -95,7 +99,9 @@ def connected_components_star(
       small-star(u): every neighbor v <= u (and u itself) re-points to m.
     Both preserve connectivity; the fixpoint is a union of stars whose
     centers are the component minima. Fixpoint detection compares an
-    order-insensitive edge-set checksum between rounds.
+    order-insensitive edge-set checksum between rounds. When `stats` is
+    given, it receives {"rounds", "input_edges"} — the O(log n)
+    rounds-growth claim tools/scale_bench.py measures at x1/x10.
     """
     e = (
         edges.select(
@@ -139,10 +145,14 @@ def connected_components_star(
         ).collect()[0]
 
     prev = _checksum(e)
-    for _ in range(max_iter):
+    if stats is not None:
+        stats["input_edges"] = int(prev["n"])
+    for rounds in range(1, max_iter + 1):
         e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
         cur = _checksum(e)
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
+            if stats is not None:
+                stats["rounds"] = rounds
             break
         prev = cur
     else:
@@ -370,6 +380,22 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    final = pagerank_fixed_ranks(trade)
+    return final.select(
+        F.when(F.col("node") % 2 == 0, F.lit("cust"))
+        .otherwise(F.lit("supp"))
+        .alias("node_kind"),
+        F.expr("node DIV 2").alias("entity_key"),
+        F.col("rank").alias("rank_fp"),
+    )
+
+
+def pagerank_fixed_ranks(trade: DataFrame) -> DataFrame:
+    """The fixed-point PageRank iteration core over a distinct directed
+    (src, dst) trade frame — factored out of `graph_pagerank_fixed` so
+    tools/scale_bench.py can drive the SAME loop with a replicated
+    graph (the iterative-family x10 gate, VERDICT r7 item 5). Returns
+    the final (node, rank) table after `_PR_ITERS` steps."""
     edges = trade.union(
         trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -424,10 +450,4 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = ranks.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
-    return final.select(
-        F.when(F.col("node") % 2 == 0, F.lit("cust"))
-        .otherwise(F.lit("supp"))
-        .alias("node_kind"),
-        F.expr("node DIV 2").alias("entity_key"),
-        F.col("rank").alias("rank_fp"),
-    )
+    return final

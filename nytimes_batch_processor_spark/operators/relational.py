@@ -409,90 +409,69 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_rollup",
-    tables=("orders",),
-    oracle="""
-SELECT COALESCE(o_orderstatus, 'ALL')    AS status,
-       COALESCE(o_orderpriority, 'ALL')  AS priority,
-       CAST(COUNT(*) AS BIGINT)          AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
-FROM orders
-GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-""",
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (status -> status+priority -> grand total).
-
-    Spark plans rollup as one Expand (3 replicas of each row) + hash agg —
-    one pass over the data, no re-scan per level. NULL group labels are
-    coalesced to 'ALL' so the hash compare is null-safe.
-    """
-    t = load_tables(spark, sf_dir, "orders")
-    return (
-        t.orders.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), msum("o_totalprice").alias("revenue"))
-        .select(
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n_orders",
-            "revenue",
-        )
-    )
-
-
-@query(
-    "agg_cube",
-    tables=("lineitem",),
-    oracle="""
-SELECT COALESCE(l_returnflag, 'ALL')  AS returnflag,
-       COALESCE(l_linestatus, 'ALL')  AS linestatus,
-       CAST(COUNT(*) AS BIGINT)       AS n_lines,
-       ROUND(SUM(l_quantity), 2)      AS sum_qty
-FROM lineitem
-GROUP BY CUBE (l_returnflag, l_linestatus)
-""",
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over (returnflag, linestatus): all 4 grouping combinations in
-    one Expand+aggregate pass."""
-    t = load_tables(spark, sf_dir, "lineitem")
-    return (
-        t.lineitem.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n_lines"), money(F.sum("l_quantity")).alias("sum_qty"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
-            "n_lines",
-            "sum_qty",
-        )
-    )
-
-
-@query(
-    "agg_grouping_sets",
+    "agg_grouping_multi",
     tables=("orders",),
     oracle="""
 SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
-       COALESCE(o_orderstatus, 'ALL')                                   AS status,
-       CAST(COUNT(*) AS BIGINT)                                         AS n_orders,
+       COALESCE(o_orderstatus, 'ALL')   AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 4
+            + GROUPING(o_orderstatus) * 2
+            + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
 FROM orders
-GROUP BY GROUPING SETS ((EXTRACT(year FROM o_orderdate)), (o_orderstatus))
+GROUP BY GROUPING SETS (
+  (o_orderstatus, o_orderpriority),
+  (o_orderstatus),
+  (o_orderpriority),
+  (EXTRACT(year FROM o_orderdate)),
+  ()
+)
 """,
 )
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS: per-year totals and per-status totals in
-    one pass (neither is a rollup of the other)."""
+def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level grouping in one Expand+aggregate pass — the
+    consolidated ROLLUP / CUBE / GROUPING SETS entry (r8: replaces the
+    separate ``agg_rollup`` / ``agg_cube`` / ``agg_grouping_sets``
+    entries to keep the driver-sweep rotation sustainable; see
+    tests/test_rotation.py).
+
+    The explicit GROUPING SETS list covers all three surfaces at once:
+    ``(status, priority), (status), ()`` is exactly
+    ``ROLLUP(status, priority)``; adding ``(priority)`` completes
+    ``CUBE(status, priority)``; and ``(year(o_orderdate))`` is the
+    heterogeneous set neither rollup nor cube can express. The
+    ``GROUPING()`` marker (``gid``) disambiguates grouping-null from
+    data-null, so the 'ALL' coalesce is hash-safe even if a group key is
+    NULL in the data.
+
+    Scale: Catalyst plans this as ONE Expand (5 replicas of each row)
+    feeding a partial+final hash aggregate — a single scan and a shuffle
+    bounded by total group cardinality across all sets, not data size.
+    At 100 TB the 5x Expand inflation happens map-side before the partial
+    aggregate collapses it; no per-level re-scan.
+    """
     t = load_tables(spark, sf_dir, "orders")
     t.orders.createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
-               COALESCE(o_orderstatus, 'ALL')                     AS status,
-               COUNT(*)                                           AS n_orders,
+               COALESCE(o_orderstatus, 'ALL')   AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(grouping(year(o_orderdate)) * 4
+                    + grouping(o_orderstatus) * 2
+                    + grouping(o_orderpriority) AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
                CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
         FROM orders
-        GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderstatus))
+        GROUP BY GROUPING SETS (
+          (o_orderstatus, o_orderpriority),
+          (o_orderstatus),
+          (o_orderpriority),
+          (year(o_orderdate)),
+          ()
+        )
         """
     )
 

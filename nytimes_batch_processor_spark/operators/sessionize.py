@@ -920,3 +920,197 @@ def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return matched.unionByName(ue)
+
+
+_TIMER_GAP_US = 1_800_000_000    # 30 min session gap (same as gap_30min)
+_TIMER_DELAY_US = 3_600_000_000  # 1h watermark delay, integer microseconds
+
+
+def _timers_twin_replay(pdf):
+    """Replay one user's events through the timer-session state machine
+    (`streaming.stateful.fold_session` — the literal transition code
+    `make_session_processor` runs), one simulated event-time-day
+    micro-batch at a time. Before folding a batch, any live event-time
+    timer that the in-force watermark (the PREVIOUS global batch's
+    `wm_prev_us`, monotone) has passed fires: the open session is
+    emitted `timer`-closed. Sessions a newer gap-violating event closes
+    inside `fold_session` emit `event`-closed. After the final batch,
+    the terminal watermark (`wm_final_us`) fires any remaining timer;
+    a session the terminal watermark never reached is NOT emitted —
+    exactly the append-mode tail the real stream would still hold open."""
+    import pandas as pd
+
+    from ..streaming.stateful import fold_session
+
+    pdf = pdf.sort_values(["ts_us", "event_id"])
+    uid = int(pdf["user_id"].iat[0])
+    wm_final = int(pdf["wm_final_us"].iat[0])
+    out_start, out_end, out_n, out_cents, out_why = [], [], [], [], []
+
+    def emit(state, why):
+        out_start.append(state[0])
+        out_end.append(state[1])
+        out_n.append(state[2])
+        out_cents.append(int(state[3]))
+        out_why.append(why)
+
+    state = None
+    for _, batch in pdf.groupby("day", sort=True):
+        wm_prev = batch["wm_prev_us"].iat[0]
+        if (
+            state is not None
+            and not pd.isna(wm_prev)
+            and int(wm_prev) > state[1] + _TIMER_GAP_US
+        ):
+            emit(state, "timer")
+            state = None
+        state, closed = fold_session(
+            state,
+            batch["ts_us"].to_numpy(),
+            batch["cents"].to_numpy(),
+            _TIMER_GAP_US,
+        )
+        for c in closed:
+            emit(c, "event")
+    if state is not None and wm_final > state[1] + _TIMER_GAP_US:
+        emit(state, "timer")
+    return pd.DataFrame(
+        {
+            "user_id": [uid] * len(out_start),
+            "session_start_us": out_start,
+            "session_end_us": out_end,
+            "n_events": out_n,
+            "total_cents": out_cents,
+            "close_reason": out_why,
+        }
+    )
+
+
+@query(
+    "sessionize_timers_twin",
+    tables=("events",),
+    oracle=f"""
+WITH e AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS day,
+           CAST(floor(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+dm AS (SELECT day, MAX(ts_us) AS mx FROM e GROUP BY day),
+wm AS (
+    SELECT day,
+           MAX(mx) OVER (ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               - {_TIMER_DELAY_US} AS wm_prev_us
+    FROM dm
+),
+brk AS (
+    SELECT e.*,
+           CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > {_TIMER_GAP_US}
+                THEN 1 ELSE 0 END AS new_sess
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+isl AS (
+    SELECT *,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                              ) AS sess_no
+    FROM brk
+),
+sess AS (
+    SELECT user_id, sess_no,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           MIN(day) AS start_day
+    FROM isl GROUP BY user_id, sess_no
+),
+nxt AS (
+    SELECT s.*,
+           LEAD(start_day) OVER (PARTITION BY user_id ORDER BY sess_no)
+               AS next_day
+    FROM sess s
+),
+fin AS (SELECT MAX(mx) - {_TIMER_DELAY_US} AS wm_final_us FROM dm)
+SELECT n.user_id, n.session_start_us, n.session_end_us, n.n_events,
+       n.total_cents,
+       CASE WHEN n.next_day IS NOT NULL
+                 AND (w.wm_prev_us IS NULL
+                      OR w.wm_prev_us <= n.session_end_us + {_TIMER_GAP_US})
+            THEN 'event' ELSE 'timer' END AS close_reason
+FROM nxt n
+LEFT JOIN wm w ON w.day = n.next_day
+CROSS JOIN fin f
+WHERE n.next_day IS NOT NULL
+   OR f.wm_final_us > n.session_end_us + {_TIMER_GAP_US}
+""",
+)
+def sessionize_timers_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-equivalence twin of the transformWithStateInPandas
+    timer-session operator (`streaming.stateful.sessionize_with_timers`)
+    — VERDICT r7 item 4: the one stateful operator without a hash-grade
+    catalog entry. Each user's events are replayed through the SAME
+    `fold_session` transition the StatefulProcessor runs, under
+    simulated event-time-day micro-batches, and every emitted session
+    carries HOW it closed: 'event' (a newer gap-violating arrival) or
+    'timer' (the event-time watermark passed last_ts + gap) — so the
+    timer path, the piece `applyInPandasWithState` cannot express, is
+    part of the hash, not just the session set.
+
+    Simulation contract (both engines, integer microseconds; gap 30min,
+    watermark delay 1h): micro-batch b = one event-time day; watermark
+    after batch b is W(b) = max(ts through batch b) - delay; a live
+    timer (armed at last_ts + gap, re-armed on every absorb) fires at
+    the END of the first batch whose W passes it, so a session open
+    when batch b starts is timer-closed iff W(b-1) — `wm_prev_us`, the
+    1-PRECEDING prefix-max — already passed its horizon; otherwise the
+    batch's own gap-violating event closes it inside `fold_session`
+    ('event'). After the final batch the terminal watermark fires
+    remaining timers; tail sessions it never reached are withheld —
+    append-mode honesty. Because event-time days partition time, a
+    timer-closed session can never be reopened by a later event (any
+    later batch's events exceed last+gap by construction), so the
+    emitted session SET equals gaps-and-islands and the oracle computes
+    it that way, deriving close_reason from the same watermark spine:
+    'event' iff a next session exists whose start day's in-force
+    watermark had NOT yet passed this session's horizon. The engine's
+    own batch/timer interleaving is not probeable in this sandbox (the
+    live transformWithState test is protobuf-skipped, documented in
+    `make_session_processor`); this twin pins the transition code and a
+    precisely-stated batch alignment instead. Totals fold in integer
+    cents (floats of integers — exact in IEEE regardless of order; the
+    stateful_running_totals_twin technique).
+
+    Scale shape: the watermark spine is an O(#days) aggregate whose
+    prefix-max window sits above the Aggregate, broadcast onto events;
+    then ONE shuffle on user_id (the state store's own key
+    partitioning) into an Arrow-batched grouped-map linear in each
+    user's events. Per-group Python dispatch is the price of replaying
+    the literal transition code — a verification twin, not the
+    production path (production runs the streaming operator; a batch
+    backfill uses the oracle's gaps-and-islands plan)."""
+    t = load_tables(spark, sf_dir, "events")
+    ev = t.events.select(
+        "user_id",
+        "event_id",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daymax = ev.groupBy("day").agg(F.max("ts_us").alias("mx"))
+    wmb = daymax.select(
+        "day",
+        (
+            F.max("mx").over(W.orderBy("day").rowsBetween(W.unboundedPreceding, -1))
+            - F.lit(_TIMER_DELAY_US)
+        ).alias("wm_prev_us"),
+    )
+    fin = daymax.agg((F.max("mx") - F.lit(_TIMER_DELAY_US)).alias("wm_final_us"))
+    evw = ev.join(F.broadcast(wmb), "day").crossJoin(F.broadcast(fin))
+    return evw.groupBy("user_id").applyInPandas(
+        _timers_twin_replay,
+        "user_id long, session_start_us long, session_end_us long, "
+        "n_events long, total_cents long, close_reason string",
+    )

@@ -39,6 +39,39 @@ from pyspark.sql import types as T
 from .staging import _ALLOWED_SCHEMES
 
 _TIMEOUT = 60.0  # socket connect/read bound; a stalling remote fails fast
+_RETRY_BACKOFF = 2.0  # seconds before the (single, by default) re-open
+
+
+def _open_with_retry(url: str, retries: int):
+    """Open the URL, retrying TRANSIENT failures (connection errors,
+    HTTP 5xx/429, timeouts) up to `retries` times with a fixed backoff,
+    then FAILFAST (VERDICT r7 stretch 8: the reference's cron loop gets
+    retries for free; without this a 1000-URL scan dies on one flaky
+    fetch). Only the OPEN is retried — once rows have been yielded to
+    the consumer, an in-source re-fetch would duplicate them, so
+    mid-stream failures propagate and Spark's task retry (which
+    discards the partial output) is the correct recovery there.
+    Non-transient errors (4xx other than 429, bad scheme) raise
+    immediately: retrying a 404 is wasted latency on every URL of a
+    dead catalog."""
+    import time
+    import urllib.error
+
+    last: Exception | None = None
+    for attempt in range(retries + 1):
+        if attempt:
+            time.sleep(_RETRY_BACKOFF)
+        try:
+            return urllib.request.urlopen(url, timeout=_TIMEOUT)  # noqa: S310 — scheme pre-validated
+        except urllib.error.HTTPError as exc:
+            if exc.code not in (429, 500, 502, 503, 504):
+                raise
+            last = exc
+        except (urllib.error.URLError, TimeoutError, OSError) as exc:
+            last = exc
+    raise RuntimeError(
+        f"http_csv: {url} failed after {retries + 1} attempts: {last}"
+    ) from last
 
 
 def _convert(value: str, dtype: T.DataType, *, where: str):
@@ -82,13 +115,14 @@ class HttpCsvReader(DataSourceReader):
             if not u.startswith(_ALLOWED_SCHEMES):
                 raise ValueError(f"http_csv: unsupported URL scheme: {u}")
         self.urls = urls
+        self.retries = int(options.get("retries", "1"))
 
     def partitions(self) -> Sequence[InputPartition]:
         return [_UrlPartition(u) for u in self.urls]
 
     def read(self, partition: _UrlPartition) -> Iterator[tuple]:
         fields = self.schema.fields
-        with urllib.request.urlopen(partition.url, timeout=_TIMEOUT) as resp:
+        with _open_with_retry(partition.url, self.retries) as resp:
             text = io.TextIOWrapper(resp, encoding="utf-8", newline="")
             rows = csv.reader(text)
             header_pending = self.header

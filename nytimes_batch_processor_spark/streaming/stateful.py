@@ -123,7 +123,19 @@ def fold_session(state, ts_us_seq, value_seq, gap_us: int):
     session machine: returns (new_state, closed_sessions). State is
     (start_us, last_us, n, total) or None. Shared by the streaming
     processor and its replay tests — same transition-code-reuse pattern
-    as `fold_totals`."""
+    as `fold_totals`.
+
+    Late-event semantics (ADVICE r7): an in-gap event whose ts is
+    EARLIER than the stored session start (possible only across
+    micro-batches under a nonzero watermark delay — within a batch the
+    caller feeds event-time order) extends the session start downward
+    via min(start, ts); last/timer-horizon are unaffected (max). If the
+    late event is even earlier than start - gap, it is still absorbed
+    into the open session rather than opening a retroactive one — the
+    state machine cannot split an already-merged session; that boundary
+    is unreachable while the watermark delay is <= the session gap, and
+    is pinned by tests/test_streaming.py::
+    test_fold_session_unsorted_across_batches."""
     closed = []
     for ts, v in zip(ts_us_seq, value_seq):
         ts = int(ts)
@@ -134,7 +146,7 @@ def fold_session(state, ts_us_seq, value_seq, gap_us: int):
             state = (ts, ts, 1, float(v))
         else:
             start, last, n, total = state
-            state = (start, max(last, ts), n + 1, total + float(v))
+            state = (min(start, ts), max(last, ts), n + 1, total + float(v))
     return state, closed
 
 

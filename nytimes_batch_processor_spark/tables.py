@@ -684,6 +684,21 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs.delete(hpath, True)
     fs.mkdirs(hpath)
 
+    # The exporter writes with plain open() to a driver-derived local
+    # path, which is only correct when executors share the driver
+    # filesystem — i.e. local mode. On a real cluster each task would
+    # silently scatter objects across executor-local disks and the
+    # read-back would see a partial directory (ADVICE r7), so fail loud
+    # instead: the cluster deployment swaps open() for the object-store
+    # client (S3/GCS), which needs no shared filesystem.
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise NotImplementedError(
+            "binary export via executor-local open() requires local mode "
+            f"(spark.master={master!r}); deploy with an object-store "
+            "client in _export instead"
+        )
+
     def _export(rows) -> None:
         import os
 

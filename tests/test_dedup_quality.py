@@ -210,3 +210,75 @@ def test_q8_serve_agrees_with_full_precision_ivf(spark, sf_dir):
     }
     overlap = len(full & q8) / len(full)
     assert overlap >= 0.8, f"q8 serving vs full-precision IVF overlap {overlap:.2f}"
+
+
+def test_containment_prefix_equals_all_pairs(spark, sf_dir):
+    """The prefix-filtered containment scale path must reproduce the
+    all-pairs exact answer EXACTLY on the shared bounded slice — the
+    no-false-negative guarantee of the prefix filter is deterministic,
+    not probabilistic, so this is set equality, not recall."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        dedup_containment_prefix,
+        dedup_shingle_containment,
+    )
+
+    exact = {
+        tuple(r)
+        for r in dedup_shingle_containment(spark, sf_dir).collect()
+    }
+    fast = {
+        tuple(r) for r in dedup_containment_prefix(spark, sf_dir).collect()
+    }
+    assert exact, "bounded slice produced no containment pairs (vacuity)"
+    assert fast == exact
+
+
+def test_simhash_band_widths_balanced():
+    """ADVICE r7: non-divisor band_bits must yield near-equal band
+    widths covering all 48 bits — never a narrow remainder tail whose
+    random-collision rate dominates."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _SIMHASH_BITS,
+        simhash_band_widths,
+    )
+
+    for bits in range(8, 25):
+        widths = simhash_band_widths(bits)
+        assert sum(widths) == _SIMHASH_BITS
+        assert len(widths) == -(-_SIMHASH_BITS // bits)
+        assert max(widths) - min(widths) <= 1, (bits, widths)
+    # the divisor case is unchanged from r7 (the catalog entry's oracle
+    # replays 4 x 12 exactly)
+    assert simhash_band_widths(12) == [12, 12, 12, 12]
+    # the r7 regression case: 13 bits balanced to 4 x 12, not 3 x 13 + 9
+    assert simhash_band_widths(13) == [12, 12, 12, 12]
+    assert simhash_band_widths(10) == [10, 10, 10, 9, 9]
+
+
+def test_simhash_bands_cover_all_bits_nondivisor(spark):
+    """The banded slices at a NON-divisor width must reconstruct the
+    full 48-bit fingerprint (no bit silently unbanded — the recall-loss
+    failure the r7 remainder band existed to prevent)."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        simhash_band_widths,
+        simhash_bands,
+    )
+
+    fp = (0x5A5A_F0F0_3C3C, 0x0123_4567_89AB, (1 << 48) - 1, 0)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(fp)], "doc_id long, simhash long"
+    )
+    for bits in (10, 13):
+        widths = simhash_band_widths(bits)
+        rows = simhash_bands(df, bits).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], {})[r["band"]] = r["band_val"]
+        offsets = [sum(widths[:i]) for i in range(len(widths))]
+        for i, v in enumerate(fp):
+            bands = by_doc[i]
+            assert len(bands) == len(widths)
+            rebuilt = sum(bands[b] << offsets[b] for b in range(len(widths)))
+            assert rebuilt == v, (bits, v, bands)

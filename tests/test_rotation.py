@@ -74,6 +74,68 @@ def test_no_oracle_entry_ages_past_two_rounds():
     )
 
 
+def test_rotation_capacity_sustainable():
+    """VERDICT r7 item 2: the recency policy (every oracle-backed entry
+    swept >= once per MAX_AGE+1 rounds, 50 slots/round) caps the catalog
+    at WINDOW * (MAX_AGE + 1) = 150 oracle-backed entries — and near the
+    cap, cohort imbalance can make the gate unsatisfiable even below it.
+    The adopted growth policy is (a) plateau + consolidate: r8 retired 5
+    redundant variants into 2 consolidated entries (rollup/cube/
+    grouping-sets -> agg_grouping_multi; json extract/struct ->
+    fn_json_surface) and budgets at most GROWTH_BUDGET net-new
+    oracle-backed entries per round from here on.
+
+    This test proves the policy stays satisfiable by simulating the
+    sweep HORIZON rounds forward with earliest-deadline-first
+    scheduling (EDF is exact for this feasibility problem): each round
+    must fit every entry whose hash-green age would otherwise exceed
+    MAX_AGE, plus GROWTH_BUDGET new entries (new entries enter the
+    window immediately — the r4 lesson). If this fails, consolidate
+    more variants or stop adding oracle-backed entries BEFORE the
+    driver gate becomes unsatisfiable, not after."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    GROWTH_BUDGET = 5  # max net-new oracle-backed entries per round
+    HORIZON = 6
+
+    latest, last_green = _correctness_history()
+    specs = all_specs()
+    names = list(specs)
+    window = set(names[:WINDOW])
+
+    # state: deadline round (last possible window appearance) per entry
+    deadlines: list[int] = []
+    for name, spec in specs.items():
+        if spec.oracle is None:
+            continue
+        lg = latest + 1 if name in window else last_green.get(name, 0)
+        deadlines.append(lg + MAX_AGE + 1)
+
+    total = len(deadlines)
+    assert total + GROWTH_BUDGET * HORIZON <= WINDOW * (MAX_AGE + 1), (
+        f"{total} oracle-backed entries + {GROWTH_BUDGET}/round growth "
+        f"exceeds the {WINDOW * (MAX_AGE + 1)}-entry hard cap within "
+        f"{HORIZON} rounds — consolidate variants or stop growing"
+    )
+
+    for rnd in range(latest + 2, latest + 2 + HORIZON):
+        deadlines.sort()
+        due = sum(1 for d in deadlines if d <= rnd)
+        free = WINDOW - GROWTH_BUDGET
+        assert due <= free, (
+            f"round r{rnd}: {due} entries hit MAX_AGE but only {free} "
+            f"slots remain beside the {GROWTH_BUDGET}-entry growth "
+            "budget — the rotation treadmill is oversubscribed; "
+            "consolidate oracle-backed variants now"
+        )
+        # EDF: sweep the due entries, then the nearest future deadlines
+        swept = deadlines[:free]
+        kept = deadlines[free:]
+        deadlines = [rnd + MAX_AGE + 1] * len(swept) + kept
+        # growth: new entries enter this round's window
+        deadlines += [rnd + MAX_AGE + 1] * GROWTH_BUDGET
+
+
 def test_window_has_no_duplicates_and_is_full():
     from nytimes_batch_processor_spark.catalog import _PRIORITY, all_specs
 

@@ -845,14 +845,44 @@ def test_fold_session_transition():
     st, closed = fold_session(st, [120 * M], [3.0], gap)
     assert closed == [(0, 5 * M, 2, 3.0)] and st == (120 * M, 120 * M, 1, 3.0)
 
-    # an in-gap event with an EARLIER ts than last extends n, keeps last
+    # an in-gap event with an EARLIER ts than last extends the session
+    # start DOWNWARD (min-start, ADVICE r7) and keeps last unchanged
     st, closed = fold_session(st, [110 * M], [1.0], gap)
-    assert closed == [] and st == (120 * M, 120 * M, 2, 4.0)
+    assert closed == [] and st == (110 * M, 120 * M, 2, 4.0)
 
     # two closures within one batch
     st, closed = fold_session(None, [0, 60 * M, 120 * M], [1.0, 1.0, 1.0], gap)
     assert closed == [(0, 0, 1, 1.0), (60 * M, 60 * M, 1, 1.0)]
     assert st == (120 * M, 120 * M, 1, 1.0)
+
+
+def test_fold_session_unsorted_across_batches():
+    """ADVICE r7: a late in-gap event arriving in a LATER micro-batch
+    with ts before the stored session start must extend session_start_us
+    downward (min-start), matching the batch gaps-and-islands result
+    while the watermark delay stays <= the gap; and the boundary beyond
+    that — a late event older than start - gap — is absorbed (never a
+    retroactive session), which is the documented, pinned divergence."""
+    from nytimes_batch_processor_spark.streaming.stateful import fold_session
+
+    M = 60 * 1_000_000
+    gap = 30 * M
+
+    # batch 1 opens a session at [100min, 110min]
+    st, closed = fold_session(None, [100 * M, 110 * M], [1.0, 1.0], gap)
+    assert closed == [] and st == (100 * M, 110 * M, 2, 2.0)
+
+    # batch 2 delivers a late event at 95min (< stored start, within
+    # gap of it): start extends down, last/timer horizon unchanged —
+    # the batch gaps-and-islands answer for the union of both batches
+    st, closed = fold_session(st, [95 * M], [1.0], gap)
+    assert closed == [] and st == (95 * M, 110 * M, 3, 3.0)
+
+    # pinned boundary: an event older than start - gap is still
+    # absorbed into the open session (the machine cannot split a
+    # merged session); unreachable while watermark delay <= gap
+    st, closed = fold_session(st, [40 * M], [1.0], gap)
+    assert closed == [] and st == (40 * M, 110 * M, 4, 4.0)
 
 
 def test_state_store_reader_inspects_and_time_travels(spark, tmp_path):

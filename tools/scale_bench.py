@@ -1,9 +1,13 @@
 #!/usr/bin/env python
 """Scale-growth proof for the long-pole operator families (VERDICT r5
-item 4, extended r7 item 3): dedup_minhash_lsh, the ANN probes
+item 4, extended r7 item 3 and r8): dedup_minhash_lsh, the ANN probes
 (sim_ann_lsh_topk / sim_ann_ivf_fixed_topk), the quantized serving
 path (sim_ann_ivf_q8_serve), simhash band collisions (width-scaled),
-and decon_train_test_overlap.
+decon_train_test_overlap, the prefix-filtered containment join
+(candidate growth), and the ITERATIVE families (VERDICT r7 item 5):
+PageRank wall/edge growth over a k-replicated trade graph and
+large-star/small-star connected components, whose rounds must grow
+O(log n), never O(n).
 
 The risk being measured: each of these builds a CANDIDATE SET via
 bucketing (LSH bands, hash tables, IVF cells, shingle equi-join). The
@@ -32,7 +36,7 @@ The x10 corpus (50k docs / 20k vectors) is the documents/embeddings
 row count of the sf1.0 class (6M-row lineitem). Scaled parquet lives
 under .scaledata/ (gitignored); the committed artifact is
 BENCH_sf1.json. Run: `python tools/scale_bench.py` from the repo root
-(~2-4 min on local[32]).
+(~5-8 min on local[32]).
 """
 
 from __future__ import annotations
@@ -180,6 +184,59 @@ def simhash_collisions(spark, sf_dir: str, band_bits: int) -> int:
     )
 
 
+def q8_candidates_measured(spark, sf_dir: str) -> int:
+    """Pre-rerank candidate cardinality of the q8 serving path, measured
+    through its OWN corpus definition (which additionally drops all-zero
+    vectors — unquantizable). Run once at x1 to assert it still equals
+    `ivf_candidates` (both probe the same _IVF_FIXED_NPROBE cells of the
+    same fixed centers); larger scales alias to the fixed-IVF number
+    (review r7: a verbatim per-scale re-measurement doubled the
+    cell-join cost for an identical number — but ADVICE r7: the
+    equality must be asserted, not commented)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _IVF_FIXED_NPROBE,
+        N_QUERIES,
+        _as_double,
+        _centroid_sq_dists,
+        ivf_fixed_centers,
+    )
+
+    centers = ivf_fixed_centers()
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn(
+            "max_abs", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+        )
+        .filter(F.col("max_abs") > 0)
+    )
+    dists = _centroid_sq_dists(centers)
+    assigned = (
+        emb.withColumn("_d", dists)
+        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .select("vec_id", "cell")
+    )
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+    )
+    return (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .count()
+    )
+
+
 def ivf_candidates(spark, sf_dir: str) -> int:
     """Candidate cardinality of the fixed-IVF probe: corpus rows in the
     nprobe cells of each query (pre-rerank join output)."""
@@ -222,6 +279,36 @@ def ivf_candidates(spark, sf_dir: str) -> int:
     )
 
 
+def _trade_graph(spark, k: int):
+    """k disjoint replicas of the BASE customer<->supplier trade graph
+    (the exact edge derivation of graph_pagerank_fixed), node ids offset
+    by replica so parity (cust-even / supp-odd) survives."""
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    o = spark.read.parquet(f"{BASE}/orders.parquet")
+    base_trade = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    reps = [base_trade]
+    for i in range(1, k):
+        off = 2 * i * _ID_STRIDE
+        reps.append(
+            base_trade.select(
+                (F.col("src") + F.lit(off)).alias("src"),
+                (F.col("dst") + F.lit(off)).alias("dst"),
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def main() -> None:
     spark = get_spark("scale-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     specs = all_specs()
@@ -253,9 +340,17 @@ def main() -> None:
         # the q8 serving path probes the same nprobe cells as the fixed
         # IVF probe (int8 scoring changes the arithmetic, not the cell
         # join), so its pre-rerank candidate cardinality IS
-        # ivf_candidates — recorded under its own key for the gate,
-        # measured once (review r7: the verbatim re-measurement doubled
-        # the cell-join cost per scale step for an identical number)
+        # ivf_candidates. ADVICE r7: assert that equality through the
+        # q8 path's own corpus definition at the base scale, THEN alias
+        # (a verbatim per-scale re-measurement doubles the cell-join
+        # cost for an identical number).
+        if k == SCALES[0]:
+            q8c = q8_candidates_measured(spark, sf_dir)
+            assert q8c == row["ivf_candidates"], (
+                f"q8 probe diverged from fixed-IVF probe: {q8c} vs "
+                f"{row['ivf_candidates']} candidates at x1 — stop "
+                "aliasing q8_candidates and measure it per scale"
+            )
         row["q8_candidates"] = row["ivf_candidates"]
         # corpus-sized band width: 12 bits at the 5k-doc base, +1 bit
         # per corpus doubling (2*log2 growth keeps random collisions
@@ -273,6 +368,55 @@ def main() -> None:
         ).collect()[0]
         row["decon_contaminated_docs"] = int(agg["docs"])
         row["decon_shared_shingle_pairs"] = int(agg["pairs"])
+
+        # prefix-filtered containment join (r8): candidate cardinality
+        # of the EXACT subplan the operator verifies, over the full
+        # (unbounded) scaled corpus — the part the bounded catalog
+        # entry cannot show
+        from nytimes_batch_processor_spark.operators.dedup import (
+            containment_prefix_candidates,
+            containment_prefix_pairs,
+            shingle_arrays,
+        )
+
+        docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        sh = shingle_arrays(docs_df).localCheckpoint(eager=True)
+        t0 = time.perf_counter()
+        row["containment_candidates"] = containment_prefix_candidates(sh).count()
+        row["containment_pairs"] = containment_prefix_pairs(sh).count()
+        row["containment_wall_sec"] = round(time.perf_counter() - t0, 3)
+
+        # iterative families (VERDICT r7 item 5)
+        # PageRank: k disjoint replicas of the BASE trade graph drive
+        # the SAME pagerank_fixed_ranks loop the catalog entry runs —
+        # per-iteration work is one rank-broadcast join over O(edges),
+        # so wall growth must track edge growth, never edges^2
+        from nytimes_batch_processor_spark.operators.graph import (
+            connected_components_star,
+            pagerank_fixed_ranks,
+        )
+
+        trade = _trade_graph(spark, k)
+        row["pagerank_edges"] = trade.count()
+        t0 = time.perf_counter()
+        final = pagerank_fixed_ranks(trade)
+        row["pagerank_nodes"] = final.count()
+        row["pagerank_wall_sec"] = round(time.perf_counter() - t0, 3)
+
+        # Connected components over THIS scale's minhash near-dup pairs:
+        # rounds must grow O(log n) with the corpus (the large-star/
+        # small-star claim), edge volume linearly
+        pairs = specs["dedup_minhash_lsh"].fn(spark, sf_dir).localCheckpoint(
+            eager=True
+        )
+        cc_stats: dict = {}
+        t0 = time.perf_counter()
+        comp = connected_components_star(pairs, stats=cc_stats)
+        row["cc_components"] = comp.select("component").distinct().count()
+        row["cc_wall_sec"] = round(time.perf_counter() - t0, 3)
+        row["cc_rounds"] = cc_stats["rounds"]
+        row["cc_input_edges"] = cc_stats["input_edges"]
+
         results[f"x{k}"] = row
         print(f"x{k}: {row}", file=sys.stderr)
 
@@ -287,11 +431,19 @@ def main() -> None:
             "q8_candidates",
             "simhash_collisions",
             "decon_shared_shingle_pairs",
+            "containment_candidates",
+            "containment_pairs",
+            "pagerank_edges",
+            "pagerank_nodes",
+            "cc_input_edges",
             "minhash_wall_sec",
             "ann_lsh_wall_sec",
             "ivf_wall_sec",
             "q8_wall_sec",
             "decon_wall_sec",
+            "containment_wall_sec",
+            "pagerank_wall_sec",
+            "cc_wall_sec",
         )
     }
     # Linear candidate growth = ratio ~ factor; quadratic = ~ factor^2.
@@ -303,8 +455,19 @@ def main() -> None:
         "q8_candidates",
         "simhash_collisions",
         "decon_shared_shingle_pairs",
+        "containment_candidates",
+        "containment_pairs",
+        "pagerank_edges",
+        "pagerank_nodes",
+        "cc_input_edges",
     ]
     linear_ok = all(ratios[key] <= 2.0 * factor for key in count_keys)
+    # Iterative-rounds gate: large-star/small-star converges in O(log n)
+    # rounds — x10 data may add ~log2(10)=3.3 rounds at the theoretical
+    # worst, so anything past +4 means the rounds claim broke (O(n)
+    # diameter-walking would add thousands).
+    rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
+    linear_ok = linear_ok and rounds_ok
     out = {
         "metric": "scale_growth_x%d_vs_x1" % factor,
         "value": max(ratios[key] for key in count_keys),
@@ -312,6 +475,8 @@ def main() -> None:
         "sf_base": BASE,
         "scales": results,
         "ratios_x%d_over_x1" % factor: ratios,
+        "cc_rounds_x1_x%d" % factor: [lo["cc_rounds"], hi["cc_rounds"]],
+        "rounds_ok": rounds_ok,
         "linear_ok": linear_ok,
     }
     print(json.dumps(out))
