@@ -937,14 +937,29 @@ def _timers_twin_replay(pdf):
     inside `fold_session` emit `event`-closed. After the final batch,
     the terminal watermark (`wm_final_us`) fires any remaining timer;
     a session the terminal watermark never reached is NOT emitted —
-    exactly the append-mode tail the real stream would still hold open."""
+    exactly the append-mode tail the real stream would still hold open.
+
+    Batches are sliced with numpy day-boundary arithmetic over the
+    lexsorted arrays rather than a pandas groupby — at ~1500 groups the
+    per-group pandas machinery (sort_values + object-keyed groupby) was
+    ~60% of the replay's cost on top of the ~2.6s irreducible
+    grouped-map dispatch floor (measured at sf0.1, r8)."""
+    import numpy as np
     import pandas as pd
 
     from ..streaming.stateful import fold_session
 
-    pdf = pdf.sort_values(["ts_us", "event_id"])
+    ts = pdf["ts_us"].to_numpy()
+    order = np.lexsort((pdf["event_id"].to_numpy(), ts))
+    ts = ts[order]
+    cents = pdf["cents"].to_numpy()[order]
+    day = pdf["day_no"].to_numpy()[order]  # ascending along ts by construction
+    wm_prev = pdf["wm_prev_us"].to_numpy(dtype="float64")[order]  # NaN = none yet
     uid = int(pdf["user_id"].iat[0])
     wm_final = int(pdf["wm_final_us"].iat[0])
+    # batch b = rows [starts[b], starts[b+1]) — one event-time day
+    starts = np.flatnonzero(np.diff(day, prepend=day[0] - 1))
+    bounds = np.append(starts, len(ts))
     out_start, out_end, out_n, out_cents, out_why = [], [], [], [], []
 
     def emit(state, why):
@@ -955,20 +970,14 @@ def _timers_twin_replay(pdf):
         out_why.append(why)
 
     state = None
-    for _, batch in pdf.groupby("day", sort=True):
-        wm_prev = batch["wm_prev_us"].iat[0]
-        if (
-            state is not None
-            and not pd.isna(wm_prev)
-            and int(wm_prev) > state[1] + _TIMER_GAP_US
-        ):
+    for b in range(len(starts)):
+        lo, hi = bounds[b], bounds[b + 1]
+        wp = wm_prev[lo]
+        if state is not None and wp == wp and int(wp) > state[1] + _TIMER_GAP_US:
             emit(state, "timer")
             state = None
         state, closed = fold_session(
-            state,
-            batch["ts_us"].to_numpy(),
-            batch["cents"].to_numpy(),
-            _TIMER_GAP_US,
+            state, ts[lo:hi], cents[lo:hi], _TIMER_GAP_US
         )
         for c in closed:
             emit(c, "event")
@@ -976,11 +985,11 @@ def _timers_twin_replay(pdf):
         emit(state, "timer")
     return pd.DataFrame(
         {
-            "user_id": [uid] * len(out_start),
-            "session_start_us": out_start,
-            "session_end_us": out_end,
-            "n_events": out_n,
-            "total_cents": out_cents,
+            "user_id": np.full(len(out_start), uid, dtype=np.int64),
+            "session_start_us": np.asarray(out_start, dtype=np.int64),
+            "session_end_us": np.asarray(out_end, dtype=np.int64),
+            "n_events": np.asarray(out_n, dtype=np.int64),
+            "total_cents": np.asarray(out_cents, dtype=np.int64),
             "close_reason": out_why,
         }
     )
@@ -1096,19 +1105,22 @@ def sessionize_timers_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         epoch_us(F.col("ts")).alias("ts_us"),
-        F.col("ts").cast("date").alias("day"),
+        # integer batch key: days-since-epoch (int dtypes keep the
+        # Arrow payload and the numpy slicing in the replay cheap)
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .alias("day_no"),
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    daymax = ev.groupBy("day").agg(F.max("ts_us").alias("mx"))
+    daymax = ev.groupBy("day_no").agg(F.max("ts_us").alias("mx"))
     wmb = daymax.select(
-        "day",
+        "day_no",
         (
-            F.max("mx").over(W.orderBy("day").rowsBetween(W.unboundedPreceding, -1))
+            F.max("mx").over(W.orderBy("day_no").rowsBetween(W.unboundedPreceding, -1))
             - F.lit(_TIMER_DELAY_US)
         ).alias("wm_prev_us"),
     )
     fin = daymax.agg((F.max("mx") - F.lit(_TIMER_DELAY_US)).alias("wm_final_us"))
-    evw = ev.join(F.broadcast(wmb), "day").crossJoin(F.broadcast(fin))
+    evw = ev.join(F.broadcast(wmb), "day_no").crossJoin(F.broadcast(fin))
     return evw.groupBy("user_id").applyInPandas(
         _timers_twin_replay,
         "user_id long, session_start_us long, session_end_us long, "

@@ -310,3 +310,50 @@ def test_zorder_scan_pushes_box_filters(spark, sf_dir):
     for frag in ("l_partkey", "l_suppkey", ">=", "<="):
         assert frag in line, f"missing {frag!r} in pushed scan: {line[:300]}"
     assert "l_extendedprice" not in line, "ReadSchema not pruned"
+
+
+def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
+    """VERDICT r7 stretch 7: the bench tail's `WindowExec: No Partition
+    Defined` warnings are only safe while every such window sits over
+    AGGREGATED rows — and warning NOISE is exactly where a new raw-data
+    one would hide. So pin the census: the exact set of catalog entries
+    carrying unpartitioned windows (all post-aggregation, asserted per
+    entry) must match this list. A new entry adding one must update the
+    pin consciously; a raw-data one fails the violations assert no
+    matter what the pin says."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+    from nytimes_batch_processor_spark.plans import (
+        _iter_logical_nodes,
+        unpartitioned_window_violations,
+    )
+
+    EXPECTED = {
+        "agg_histogram_fixed_bins": 1,   # bin spine over an O(bins) agg
+        "sessionize_timers_twin": 1,     # watermark spine over O(days)
+        "window_pct_of_total": 1,        # grand-total denominator
+        "window_range_rolling_7d": 1,    # daily spine over O(days)
+        "window_lag_daily_delta": 1,     # daily spine over O(days)
+        "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)
+        "text_bigram_lift": 1,           # corpus-total denominator
+        "stream_sliding_3d_1d": 1,       # window spine over O(windows)
+        "stream_dedup_watermark_twin": 1,  # watermark spine over O(days)
+        "stream_stream_join_twin": 1,    # watermark spine over O(days)
+    }
+    counts: dict[str, int] = {}
+    for name, spec in all_specs().items():
+        df = spec.fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().optimizedPlan()
+        n = sum(
+            1
+            for nd in _iter_logical_nodes(plan)
+            if nd.nodeName() == "Window" and nd.partitionSpec().size() == 0
+        )
+        if n:
+            counts[name] = n
+            bad = unpartitioned_window_violations(df)
+            assert not bad, f"{name}: unpartitioned window over raw data: {bad}"
+    assert counts == EXPECTED, (
+        "unpartitioned-window census drifted — if the new window is "
+        "post-aggregation and intended, update EXPECTED with a comment "
+        f"naming its O(small) row bound: {counts}"
+    )
