@@ -68,6 +68,10 @@ HEADLINE = [
     # same per-group Python-dispatch cost model, see its docstring.
     "dedup_containment_prefix",
     "sessionize_timers_twin",
+    # r8: integer-Lloyd IVF training — two map-only assign passes + two
+    # k*dim-row centroid updates with a driver-side divide, so its wall
+    # is mostly fixed job overhead at sf0.1 (2k vectors).
+    "ivf_kmeans_int_train",
 ]
 
 

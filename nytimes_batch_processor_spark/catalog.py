@@ -94,18 +94,19 @@ _PRIORITY: tuple[str, ...] = (
     # retired agg_rollup/agg_cube/agg_grouping_sets and fn_json_extract/
     # fn_json_struct — their semantics live on in the r8-new
     # agg_grouping_multi / fn_json_surface), 50 last green r7. The r8
-    # window = the 21 r5 entries + 4 r8-new entries + 25 of the r6
-    # cohort. The 20 r6 leftovers (join_left_outer_null_ext,
+    # window = the 21 r5 entries + 5 r8-new entries + 24 of the r6
+    # cohort. The 21 r6 leftovers (join_left_outer_null_ext,
     # join_right_outer_never_matched, filter_like_in_patterns,
     # join_cross_grid, sort_nulls_ordering, window_rank_extras,
     # window_lag_daily_delta, window_ntile_first_last,
     # text_langid_heuristic, text_fingerprint, text_bigram_lift,
     # stream_sliding_3d_1d, sessionize_dynamic_gap, fn_string_surface,
     # fn_date_surface, fn_array_surface, fn_map_surface,
-    # fn_conditional_null, ingest_covid_states, scan_orc_roundtrip) are
-    # the mandatory core of the r9 window — age 2 exactly today, and r9
-    # has 30 slots left for them plus r9-new entries plus the start of
-    # the r7 cohort. Any entry added during r8 swaps in here immediately
+    # fn_conditional_null, ingest_covid_states, scan_orc_roundtrip,
+    # udf_grouped_map_zscore — the last displaced late-r8 by the fifth
+    # new entry) are the mandatory core of the r9 window — age 2
+    # exactly today, and r9 has 29 slots left for them plus r9-new
+    # entries plus the start of the r7 cohort. Any entry added during r8 swaps in here immediately
     # (the r4 lesson: unswept new entries get no hard check), displacing
     # one r6 entry into the r9 cohort. tests/test_rotation.py machine-
     # enforces both the per-entry recency policy AND the capacity
@@ -140,7 +141,8 @@ _PRIORITY: tuple[str, ...] = (
     "fn_json_surface",           # consolidated get_json_object+from_json
     "sessionize_timers_twin",    # transformWithState timer-session replay
     "dedup_containment_prefix",  # prefix-filtered containment scale path
-    # -- last hash-green r6 (25 of 45) --
+    "ivf_kmeans_int_train",      # hash-checked integer k-means training
+    # -- last hash-green r6 (24 of 45) --
     "join_left_semi",
     "join_full_outer_reconcile",
     "join_theta_range",
@@ -165,7 +167,6 @@ _PRIORITY: tuple[str, ...] = (
     "text_quality_score",
     "approx_count_distinct_bounds",
     "stateful_running_totals_twin",
-    "udf_grouped_map_zscore",
 )
 
 

@@ -910,3 +910,168 @@ def sim_ann_ivf_q8_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.col("cos_raw")).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer fixed-point k-means: hash-checkable IVF TRAINING (r8)
+# ---------------------------------------------------------------------------
+
+_IKM_SCALE = 10_000  # component quantization: floor(x * 1e4) as BIGINT
+_IKM_ITERS = 2       # fixed Lloyd update steps (determinism, not convergence)
+_IKM_DIM = 64
+
+
+def _ikm_tdiv(a: int, b: int) -> int:
+    """TRUNCATING integer division (toward zero) — DuckDB's `//`
+    truncates (-7 // 2 = -3) while Python's floors (-4), so the Python
+    side of the centroid update must truncate explicitly or negative
+    component sums diverge between the engines."""
+    q = a // b
+    return q + 1 if q < 0 and q * b != a else q
+
+
+def _ikm_oracle(k: int = _IVF_K, iters: int = _IKM_ITERS, dim: int = _IKM_DIM) -> str:
+    """Unrolled-iteration DuckDB twin of the integer k-means: seed with
+    the k lowest-vec_id quantized vectors, then `iters` Lloyd steps
+    (integer squared distances, ROW_NUMBER tie-break on (dist, k),
+    truncating-division centroid update, empty cells carrying the
+    previous centroid), then a final assignment — the same chained-CTE
+    unrolling as the PageRank oracle, sidestepping recursive-term
+    aggregate bans while keeping each step's algebra readable."""
+
+    def dist(qt: str, ct: str) -> str:
+        return " + ".join(
+            f"({qt}.qe[{i}]-{ct}.c[{i}])*({qt}.qe[{i}]-{ct}.c[{i}])"
+            for i in range(1, dim + 1)
+        )
+
+    def assign(name: str, cents: str) -> str:
+        return f"""{name} AS (
+    SELECT vec_id, qe, k, dist FROM (
+        SELECT q.vec_id, q.qe, cen.k, {dist('q', 'cen')} AS dist
+        FROM q CROSS JOIN {cents} cen)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, k) = 1
+)"""
+
+    def update(uname: str, cname: str, aname: str, prev: str) -> str:
+        sums = ", ".join(f"SUM(qe[{i}]) AS s{i}" for i in range(1, dim + 1))
+        newc = ", ".join(f"CAST(u.s{i} // u.n AS BIGINT)" for i in range(1, dim + 1))
+        return f"""{uname} AS (
+    SELECT k, COUNT(*) AS n, {sums} FROM {aname} GROUP BY k
+),
+{cname} AS (
+    SELECT p.k, CASE WHEN u.n IS NULL THEN p.c ELSE [{newc}] END AS c
+    FROM {prev} p LEFT JOIN {uname} u ON u.k = p.k
+)"""
+
+    parts = [
+        f"""q AS (
+    SELECT vec_id,
+           list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {_IKM_SCALE}) AS BIGINT)) AS qe
+    FROM embeddings
+),
+c0 AS (
+    SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, qe AS c
+    FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT {k})
+)"""
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(assign(f"a{i}", prev))
+        parts.append(update(f"u{i}", f"c{i}", f"a{i}", prev))
+        prev = f"c{i}"
+    parts.append(assign("afin", prev))
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT vec_id, CAST(k AS INT) AS cell, CAST(dist AS BIGINT) AS dist
+FROM afin"""
+    )
+
+
+def _ikm_assign(qdf: DataFrame, centers: list[list[int]]) -> DataFrame:
+    """(vec_id, qe, cell, dist) under integer centroid literals: the
+    matrix ships as ONE F.expr array(array(...)) literal (the
+    _centroid_sq_dists lesson — per-component F.lit calls cost seconds
+    of py4j), distances fold JVM-side in whole-stage codegen, and
+    array_position(min) picks the LOWEST cell on ties — the same
+    (dist, k) order the oracle's ROW_NUMBER uses."""
+    tensor_sql = "array(" + ", ".join(
+        "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in centers
+    ) + ")"
+    dists = F.transform(
+        F.expr(tensor_sql),
+        lambda c: F.aggregate(
+            F.zip_with(F.col("qe"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    return (
+        qdf.withColumn("_d", dists)
+        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .withColumn("dist", F.array_min("_d"))
+        .drop("_d")
+    )
+
+
+@query("ivf_kmeans_int_train", tables=("embeddings",), oracle=_ikm_oracle())
+def ivf_kmeans_int_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer TRAINING, hash-checked end to end — the gap
+    the rows-only `sim_ann_ivf_topk` could never close (k-means on
+    floats is order-sensitive): quantize every vector to integer
+    10^-4 units (floor(x*1e4), one IEEE op both engines), seed with the
+    k lowest-vec_id vectors, run _IKM_ITERS Lloyd steps entirely in
+    int64 — squared distances, lowest-cell tie-break, TRUNCATING
+    centroid division (pinned to DuckDB's `//`; Python floors, see
+    _ikm_tdiv), empty cells carrying their previous centroid — and emit
+    the final (vec_id, cell, dist) assignment. Every training decision
+    is bit-reproducible, so the driver hash checks the LEARNED
+    partition itself, not a fixed stand-in (`sim_ann_ivf_fixed_topk`
+    stays as the serving-path twin; the float MLlib trainer stays as
+    the production `ivf_build_index`).
+
+    Scale shape: each Lloyd step is (1) a map-only assignment — the
+    k x dim centroid matrix is a plan literal, distances fold in
+    codegen, no shuffle; (2) a centroid update via posexplode ->
+    groupBy(cell, pos) — dim rows per vector map-side, partial-agg
+    collapsed to k*dim rows before the shuffle; (3) a driver-side
+    divide over k*dim integers (same O(1) role as PageRank's N).
+    At 100 TB: train on the deterministic hash-sample
+    (`ivf_build_index`'s cap) — Lloyd cost is per-step linear in the
+    sample, and the final full-corpus assignment is the same map-only
+    expression the serving entries already run."""
+    t = load_tables(spark, sf_dir, "embeddings")
+    qdf = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.floor(x * _IKM_SCALE).cast("long"),
+        ).alias("qe"),
+    ).localCheckpoint(eager=True)  # 3 assigns + 2 updates re-read it
+
+    centers = [
+        list(r["qe"]) for r in qdf.orderBy("vec_id").limit(_IVF_K).collect()
+    ]
+    for _ in range(_IKM_ITERS):
+        assigned = _ikm_assign(qdf, centers)
+        sums = (
+            assigned.select("cell", F.posexplode("qe").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = (int(r["s"]), int(r["n"]))
+        centers = [
+            [
+                _ikm_tdiv(*by_cell[ci][p]) for p in range(_IKM_DIM)
+            ]
+            if ci in by_cell
+            else centers[ci]
+            for ci in range(_IVF_K)
+        ]
+    return _ikm_assign(qdf, centers).select("vec_id", "cell", "dist")

@@ -111,29 +111,35 @@ def test_rotation_capacity_sustainable():
         lg = latest + 1 if name in window else last_green.get(name, 0)
         deadlines.append(lg + MAX_AGE + 1)
 
+    CAP = WINDOW * (MAX_AGE + 1)
     total = len(deadlines)
-    assert total + GROWTH_BUDGET * HORIZON <= WINDOW * (MAX_AGE + 1), (
-        f"{total} oracle-backed entries + {GROWTH_BUDGET}/round growth "
-        f"exceeds the {WINDOW * (MAX_AGE + 1)}-entry hard cap within "
-        f"{HORIZON} rounds — consolidate variants or stop growing"
+    assert total <= CAP, (
+        f"{total} oracle-backed entries exceed the {CAP}-entry hard cap "
+        "— consolidate variants NOW; the driver cannot sweep them all"
     )
 
+    # Growth is a budget, not a commitment: the plateau policy grows
+    # until the cap binds, then stops — so each simulated round's new
+    # entries are capped by remaining headroom, and the gate fails only
+    # when the treadmill itself (aging cohorts vs window slots) becomes
+    # oversubscribed.
     for rnd in range(latest + 2, latest + 2 + HORIZON):
+        growth = min(GROWTH_BUDGET, CAP - len(deadlines))
         deadlines.sort()
         due = sum(1 for d in deadlines if d <= rnd)
-        free = WINDOW - GROWTH_BUDGET
+        free = WINDOW - growth
         assert due <= free, (
             f"round r{rnd}: {due} entries hit MAX_AGE but only {free} "
-            f"slots remain beside the {GROWTH_BUDGET}-entry growth "
-            "budget — the rotation treadmill is oversubscribed; "
-            "consolidate oracle-backed variants now"
+            f"slots remain beside the {growth}-entry growth budget — "
+            "the rotation treadmill is oversubscribed; consolidate "
+            "oracle-backed variants now"
         )
         # EDF: sweep the due entries, then the nearest future deadlines
         swept = deadlines[:free]
         kept = deadlines[free:]
         deadlines = [rnd + MAX_AGE + 1] * len(swept) + kept
         # growth: new entries enter this round's window
-        deadlines += [rnd + MAX_AGE + 1] * GROWTH_BUDGET
+        deadlines += [rnd + MAX_AGE + 1] * growth
 
 
 def test_window_has_no_duplicates_and_is_full():
