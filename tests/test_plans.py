@@ -357,3 +357,42 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
         "post-aggregation and intended, update EXPECTED with a comment "
         f"naming its O(small) row bound: {counts}"
     )
+
+
+def test_containment_prefix_plan_is_bucketed_equijoins(spark, sf_dir):
+    """The prefix-filter containment plan must stay all-equi-join: the
+    probe-index candidate join keys on the shingle, the verify joins key
+    on doc ids, and nothing degenerates to a cartesian/nested-loop (the
+    all-pairs shape the operator exists to avoid). No broadcast HINTS in
+    the operator — the optimizer broadcasts while sides fit and falls
+    back to shuffle joins at corpus scale."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        dedup_containment_prefix,
+    )
+
+    plan = physical_plan(dedup_containment_prefix(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_timers_twin_plan_single_key_shuffle(spark, sf_dir):
+    """sessionize_timers_twin's only non-spine join work: one broadcast
+    of the O(#days) watermark table onto events, one 1-row scalar cross
+    join (wm_final), then the user_id shuffle into the grouped map —
+    the state store's own partitioning. A second nested-loop join or a
+    cartesian against anything wider than the 1-row scalar frame is a
+    regression."""
+    from nytimes_batch_processor_spark.operators.sessionize import (
+        sessionize_timers_twin,
+    )
+
+    import re
+
+    plan = physical_plan(sessionize_timers_twin(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # exactly one nested-loop join NODE (formatted plans repeat the node
+    # name in the detail section — count node ids, not substrings): the
+    # deliberate 1-row wm_final attach
+    bnlj = re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan)
+    assert len(set(bnlj)) == 1, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
