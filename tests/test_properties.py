@@ -450,3 +450,62 @@ def test_fold_session_equals_gaps_and_islands(events, batch_sizes):
         b += 1
     assert [tuple(c) for c in closed] == expected
     assert tuple(state) == final_expected
+
+
+# -- prefix-filtered containment: deterministic-recall property (r8) --
+
+_doc_words = st.lists(
+    st.sampled_from("aa bb cc dd ee ff gg hh".split()), min_size=0, max_size=12
+)
+_corpora = st.lists(_doc_words, min_size=2, max_size=12)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_corpora)
+def test_containment_prefix_matches_bruteforce(corpus):
+    """The prefix filter's no-false-negative guarantee is DETERMINISTIC
+    (derived from the overlap bound, not from hashing luck), so on
+    arbitrary small corpora — tiny vocab maximizes shingle collisions,
+    the prefix filter's hardest regime — the scalable path must equal a
+    brute-force Python containment join exactly: same pairs, same
+    containment and jaccard values."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        containment_prefix_pairs,
+        shingle_arrays,
+    )
+
+    spark = _spark()
+    rows = [(i, " ".join(words)) for i, words in enumerate(corpus)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_src"], r["id_dst"]): (r["containment"], r["jaccard"])
+        for r in containment_prefix_pairs(shingle_arrays(docs)).collect()
+    }
+
+    def shingles(words):
+        toks = [w for w in words if w]
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    sets = {i: shingles(w) for i, w in enumerate(corpus)}
+    expected = {}
+    for a, sa in sets.items():
+        if not sa:
+            continue
+        for b, sb in sets.items():
+            if a == b or not sb:
+                continue
+            c = len(sa & sb)
+            cont = c / len(sa)
+            if cont >= 0.7:
+                jac = c / (len(sa) + len(sb) - c)
+                expected[(a, b)] = (round(cont, 6), round(jac, 6))
+    assert set(got) == set(expected), (
+        f"pair sets differ: extra={set(got) - set(expected)} "
+        f"missing={set(expected) - set(got)}"
+    )
+    for k, (cont, jac) in expected.items():
+        assert abs(got[k][0] - cont) < 1e-9 and abs(got[k][1] - jac) < 1e-9, (
+            k, got[k], (cont, jac)
+        )
