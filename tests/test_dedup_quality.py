@@ -282,3 +282,41 @@ def test_simhash_bands_cover_all_bits_nondivisor(spark):
             assert len(bands) == len(widths)
             rebuilt = sum(bands[b] << offsets[b] for b in range(len(widths)))
             assert rebuilt == v, (bits, v, bands)
+
+
+def test_ikm_training_improves_quantizer(spark, sf_dir):
+    """The integer Lloyd steps must actually LEARN: total squared
+    distance under the trained centroids is lower than under the raw
+    seed assignment (float Lloyd is monotone; integer truncation can
+    nibble at that, so the gate is strict improvement of the total, not
+    per-step monotonicity), and the partition is non-trivial (more than
+    one populated cell). The hash oracle proves reproducibility; this
+    proves the reproduced thing is a real quantizer."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _IKM_SCALE,
+        _IVF_K,
+        _as_double,
+        _ikm_assign,
+        ivf_kmeans_int_train,
+    )
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    qdf = t.embeddings.select(
+        "vec_id",
+        F.transform(
+            _as_double(F.col("embedding")),
+            lambda x: F.floor(x * _IKM_SCALE).cast("long"),
+        ).alias("qe"),
+    )
+    seeds = [list(r["qe"]) for r in qdf.orderBy("vec_id").limit(_IVF_K).collect()]
+    seed_total = _ikm_assign(qdf, seeds).agg(F.sum("dist")).collect()[0][0]
+
+    trained = ivf_kmeans_int_train(spark, sf_dir)
+    trained_total = trained.agg(F.sum("dist")).collect()[0][0]
+    n_cells = trained.select("cell").distinct().count()
+
+    assert trained_total < seed_total, (trained_total, seed_total)
+    assert n_cells > 1, "training collapsed to a single cell"
