@@ -1101,7 +1101,16 @@ def sessionize_timers_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path (production runs the streaming operator; a batch
     backfill uses the oracle's gaps-and-islands plan)."""
     t = load_tables(spark, sf_dir, "events")
-    ev = t.events.select(
+    return timers_twin_frame(t.events)
+
+
+def timers_twin_frame(events: DataFrame) -> DataFrame:
+    """The twin over any (user_id, event_id, ts, value) frame — split
+    from the catalog entry so the hypothesis differential test
+    (tests/test_properties.py) can drive it with synthetic streams and
+    compare against a LITERAL end-of-batch timer simulation, validating
+    the per-user deferred-firing equivalence the replay relies on."""
+    ev = events.select(
         "user_id",
         "event_id",
         epoch_us(F.col("ts")).alias("ts_us"),

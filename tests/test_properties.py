@@ -509,3 +509,89 @@ def test_containment_prefix_matches_bruteforce(corpus):
         assert abs(got[k][0] - cont) < 1e-9 and abs(got[k][1] - jac) < 1e-9, (
             k, got[k], (cont, jac)
         )
+
+
+# -- timers twin vs a LITERAL end-of-batch timer simulation (r8) --
+
+_tt_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # user
+        st.integers(min_value=0, max_value=7200),   # minute offset over ~5 days
+        st.integers(min_value=0, max_value=5),      # integer value
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_tt_events)
+def test_timers_twin_matches_literal_batch_simulation(raw):
+    """`sessionize_timers_twin` replays per USER, firing a pending timer
+    lazily (before that user's next batch, or at end-of-stream) — an
+    optimization whose correctness rests on a derivation: because
+    event-time days partition time, deferred firing emits exactly the
+    same sessions as the contract's literal semantics (every timer fires
+    at the END of the first GLOBAL batch whose watermark passes it).
+    This test checks that equivalence mechanically: a straightforward
+    Python simulation of the literal contract — iterate global day
+    batches, fold each user's day rows, then fire every expired timer
+    with that batch's watermark — must produce the identical session
+    multiset."""
+    import datetime
+
+    from nytimes_batch_processor_spark.operators.sessionize import (
+        _TIMER_DELAY_US,
+        _TIMER_GAP_US,
+        timers_twin_frame,
+    )
+    from nytimes_batch_processor_spark.streaming.stateful import fold_session
+
+    base = datetime.datetime(2021, 3, 1, tzinfo=datetime.timezone.utc)
+    rows = [
+        (u, i, base + datetime.timedelta(minutes=m), float(v))
+        for i, (u, m, v) in enumerate(raw)
+    ]
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, value double"
+    )
+    got = sorted(
+        (r["user_id"], r["session_start_us"], r["session_end_us"],
+         r["n_events"], r["total_cents"], r["close_reason"])
+        for r in timers_twin_frame(df).collect()
+    )
+
+    # literal simulation, integer microseconds
+    evs = sorted(
+        (int((ts - datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc))
+             .total_seconds() * 1_000_000), eid, u, int(v * 100))
+        for (u, eid, ts, v) in rows
+    )
+    days = sorted({ts // 86_400_000_000 for ts, *_ in evs})
+    state: dict[int, tuple] = {}
+    out = []
+    wm = None
+    max_ts = None
+    for d in days:
+        batch = [(ts, eid, u, c) for (ts, eid, u, c) in evs
+                 if ts // 86_400_000_000 == d]
+        for u in sorted({uu for (_ts, _eid, uu, _c) in batch}):
+            urows = sorted((ts, eid, c) for (ts, eid, uu, c) in batch if uu == u)
+            st_u, closed = fold_session(
+                state.get(u), [r[0] for r in urows], [r[2] for r in urows],
+                _TIMER_GAP_US,
+            )
+            state[u] = st_u
+            out.extend((u, c[0], c[1], c[2], int(c[3]), "event") for c in closed)
+        max_ts = max([ts for ts, *_ in batch] + ([max_ts] if max_ts else []))
+        wm = max_ts - _TIMER_DELAY_US
+        # end of batch: fire every expired timer with THIS batch's watermark
+        for u in list(state):
+            s = state[u]
+            if s is not None and wm > s[1] + _TIMER_GAP_US:
+                out.append((u, s[0], s[1], s[2], int(s[3]), "timer"))
+                del state[u]
+    expected = sorted(out)
+    assert got == expected, f"\ngot      {got}\nexpected {expected}"
