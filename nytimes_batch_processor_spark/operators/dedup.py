@@ -502,14 +502,23 @@ def simhash_frame(documents: DataFrame) -> DataFrame:
 
 def simhash_band_widths(band_bits: int) -> list[int]:
     """Near-equal partition of the 48 fingerprint bits into
-    ceil(48/band_bits) bands. Balanced widths (ADVICE r7) replace the
-    r7 full-bands-plus-narrow-tail split: a remainder band 2^(band_bits
-    - rem) times narrower than its siblings dominates the RANDOM
-    collision count (measured +37% total simhash collisions at x2 from
-    the lone 9-bit tail when band_bits=13), while balancing keeps every
-    band within 1 bit of the others — the collision budget the width
-    policy actually prices."""
-    n_bands = -(-_SIMHASH_BITS // band_bits)  # ceil
+    floor(48/band_bits) bands — every band AT LEAST band_bits wide.
+
+    Two failure modes this shape closes (ADVICE r7 + r8 review): the r7
+    full-bands-plus-narrow-tail split, where a remainder band
+    2^(band_bits - rem) times narrower than its siblings dominates the
+    RANDOM collision count (measured +37% total collisions at x2 from
+    the lone 9-bit tail at band_bits=13); and the ceil-based balanced
+    split, which silently returned bands NARROWER than requested at
+    non-divisor widths (band_bits=14 -> four 12-bit bands), under-
+    pricing the 2^band_bits collision budget the width policy promises.
+    floor-based balancing guarantees min(width) >= band_bits (the
+    collision bound holds) with all widths within 1 bit of each other;
+    the cost is fewer bands at non-divisor widths (13 -> 3x16 instead
+    of 4x12), i.e. the policy rounds width UP to the next divisor-ish
+    split — strictly safer on collisions, slightly fewer collision
+    chances per true near-dup pair."""
+    n_bands = max(1, _SIMHASH_BITS // band_bits)
     base, rem = divmod(_SIMHASH_BITS, n_bands)
     return [base + 1] * rem + [base] * (n_bands - rem)
 
@@ -521,9 +530,9 @@ def simhash_bands(simhash: DataFrame, band_bits: int) -> DataFrame:
     total-bits/bands constant while widening bands as the corpus grows
     (random band collisions go as n^2/2^band_bits — fixed width is
     quadratic at scale, width ~ 2*log2(n) keeps them linear). All 48
-    bits are always covered, in near-equal widths
-    (`simhash_band_widths`); a non-divisor band_bits therefore yields
-    bands of band_bits-or-one-less bits, never a narrow tail."""
+    bits are always covered, in near-equal widths of AT LEAST
+    band_bits each (`simhash_band_widths`) — never a narrow tail,
+    never a band narrower than requested."""
     widths = simhash_band_widths(band_bits)
     slices, off = [], 0
     for w_bits in widths:

@@ -674,6 +674,23 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{warehouse}/engine_documents_bin_{sf_tag}"
 
+    # The exporter writes with plain open() to a driver-derived local
+    # path, which is only correct when executors share the driver
+    # filesystem — i.e. local mode. On a real cluster each task would
+    # silently scatter objects across executor-local disks and the
+    # read-back would see a partial directory (ADVICE r7), so fail loud
+    # instead: the cluster deployment swaps open() for the object-store
+    # client (S3/GCS), which needs no shared filesystem. The guard runs
+    # BEFORE the re-runnable delete below (r8 review): failing loud
+    # must not first destroy the previous successful export.
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise NotImplementedError(
+            "binary export via executor-local open() requires local mode "
+            f"(spark.master={master!r}); deploy with an object-store "
+            "client in _export instead"
+        )
+
     # Re-runnable stage: drop any prior export so a stale extra object
     # can't join the glob (same hygiene as the ORC/JSONL stages' mode
     # "overwrite", which binary export lacks natively).
@@ -683,21 +700,6 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     if fs.exists(hpath):
         fs.delete(hpath, True)
     fs.mkdirs(hpath)
-
-    # The exporter writes with plain open() to a driver-derived local
-    # path, which is only correct when executors share the driver
-    # filesystem — i.e. local mode. On a real cluster each task would
-    # silently scatter objects across executor-local disks and the
-    # read-back would see a partial directory (ADVICE r7), so fail loud
-    # instead: the cluster deployment swaps open() for the object-store
-    # client (S3/GCS), which needs no shared filesystem.
-    master = spark.conf.get("spark.master", "")
-    if not master.startswith("local"):
-        raise NotImplementedError(
-            "binary export via executor-local open() requires local mode "
-            f"(spark.master={master!r}); deploy with an object-store "
-            "client in _export instead"
-        )
 
     def _export(rows) -> None:
         import os

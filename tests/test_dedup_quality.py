@@ -234,9 +234,13 @@ def test_containment_prefix_equals_all_pairs(spark, sf_dir):
 
 
 def test_simhash_band_widths_balanced():
-    """ADVICE r7: non-divisor band_bits must yield near-equal band
-    widths covering all 48 bits — never a narrow remainder tail whose
-    random-collision rate dominates."""
+    """ADVICE r7 + r8 review: non-divisor band_bits must yield
+    near-equal band widths covering all 48 bits, with EVERY band at
+    least band_bits wide — never a narrow remainder tail (the r7 bug:
+    its random-collision rate dominates) and never a band narrower
+    than requested (the first balanced fix's bug: ceil-based splitting
+    turned band_bits=14 into four 12-bit bands, silently under-pricing
+    the 2^band_bits collision budget)."""
     from nytimes_batch_processor_spark.operators.dedup import (
         _SIMHASH_BITS,
         simhash_band_widths,
@@ -245,14 +249,16 @@ def test_simhash_band_widths_balanced():
     for bits in range(8, 25):
         widths = simhash_band_widths(bits)
         assert sum(widths) == _SIMHASH_BITS
-        assert len(widths) == -(-_SIMHASH_BITS // bits)
+        assert len(widths) == _SIMHASH_BITS // bits
         assert max(widths) - min(widths) <= 1, (bits, widths)
+        assert min(widths) >= bits, (bits, widths)  # the collision bound
     # the divisor case is unchanged from r7 (the catalog entry's oracle
     # replays 4 x 12 exactly)
     assert simhash_band_widths(12) == [12, 12, 12, 12]
-    # the r7 regression case: 13 bits balanced to 4 x 12, not 3 x 13 + 9
-    assert simhash_band_widths(13) == [12, 12, 12, 12]
-    assert simhash_band_widths(10) == [10, 10, 10, 9, 9]
+    # non-divisor widths round UP to the next feasible split
+    assert simhash_band_widths(13) == [16, 16, 16]
+    assert simhash_band_widths(14) == [16, 16, 16]
+    assert simhash_band_widths(10) == [12, 12, 12, 12]
 
 
 def test_simhash_bands_cover_all_bits_nondivisor(spark):

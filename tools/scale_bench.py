@@ -184,62 +184,14 @@ def simhash_collisions(spark, sf_dir: str, band_bits: int) -> int:
     )
 
 
-def q8_candidates_measured(spark, sf_dir: str) -> int:
-    """Pre-rerank candidate cardinality of the q8 serving path, measured
-    through its OWN corpus definition (which additionally drops all-zero
-    vectors — unquantizable). Run once at x1 to assert it still equals
-    `ivf_candidates` (both probe the same _IVF_FIXED_NPROBE cells of the
-    same fixed centers); larger scales alias to the fixed-IVF number
-    (review r7: a verbatim per-scale re-measurement doubled the
-    cell-join cost for an identical number — but ADVICE r7: the
-    equality must be asserted, not commented)."""
-    from nytimes_batch_processor_spark.operators.similarity import (
-        _IVF_FIXED_NPROBE,
-        N_QUERIES,
-        _as_double,
-        _centroid_sq_dists,
-        ivf_fixed_centers,
-    )
-
-    centers = ivf_fixed_centers()
-    emb = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .withColumn(
-            "max_abs", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
-        )
-        .filter(F.col("max_abs") > 0)
-    )
-    dists = _centroid_sq_dists(centers)
-    assigned = (
-        emb.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .select("vec_id", "cell")
-    )
-    ranked_cells = F.transform(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
-    probes = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
-    )
-    return (
-        assigned.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .count()
-    )
-
-
-def ivf_candidates(spark, sf_dir: str) -> int:
+def ivf_candidates(spark, sf_dir: str, drop_zero_vectors: bool = False) -> int:
     """Candidate cardinality of the fixed-IVF probe: corpus rows in the
-    nprobe cells of each query (pre-rerank join output)."""
+    nprobe cells of each query (pre-rerank join output). With
+    `drop_zero_vectors` the corpus definition is the q8 serving path's
+    (all-zero vectors are unquantizable and filtered there) — ONE
+    parameterized body for both measurements (r8 review: two verbatim
+    copies would let a future probe change desynchronize the x1
+    equality assert from the real workload)."""
     from nytimes_batch_processor_spark.operators.similarity import (
         _IVF_FIXED_NPROBE,
         N_QUERIES,
@@ -252,6 +204,10 @@ def ivf_candidates(spark, sf_dir: str) -> int:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
+    if drop_zero_vectors:
+        emb = emb.withColumn(
+            "max_abs", F.array_max(F.transform(F.col("e"), lambda x: F.abs(x)))
+        ).filter(F.col("max_abs") > 0)
     dists = _centroid_sq_dists(centers)
     assigned = (
         emb.withColumn("_d", dists)
@@ -345,7 +301,7 @@ def main() -> None:
         # (a verbatim per-scale re-measurement doubles the cell-join
         # cost for an identical number).
         if k == SCALES[0]:
-            q8c = q8_candidates_measured(spark, sf_dir)
+            q8c = ivf_candidates(spark, sf_dir, drop_zero_vectors=True)
             assert q8c == row["ivf_candidates"], (
                 f"q8 probe diverged from fixed-IVF probe: {q8c} vs "
                 f"{row['ivf_candidates']} candidates at x1 — stop "
