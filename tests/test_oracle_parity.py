@@ -167,3 +167,51 @@ def test_rows_only_queries_run(name, spark, sf_dir):
     n = sdf.count()
     assert n > 0, f"{name}: rows-only entry returned 0 rows (vacuity gate)"
     assert sdf.columns  # stable schema
+
+
+def test_grouping_multi_gid_disambiguates_data_null(spark, duck):
+    """agg_grouping_multi's docstring claims the GROUPING()-derived gid
+    makes the 'ALL' coalesce hash-safe even when a group key is NULL in
+    the DATA — but the orders fixture has no NULL keys, so the driver
+    hash never exercises that claim. Pin it on synthetic rows in BOTH
+    engines: a data-NULL status coalesces to the same 'ALL' string as
+    the rollup total, and only gid separates the two rows."""
+    from pyspark.sql import functions as F
+
+    rows = [("F", "1-URGENT", 10.0), (None, "1-URGENT", 20.0), ("F", None, 30.0)]
+    sdf = spark.createDataFrame(rows, "st string, pr string, price double")
+    sdf.createOrReplaceTempView("_gm_null_probe")
+    got = spark.sql(
+        """
+        SELECT COALESCE(st, 'ALL') AS status,
+               COALESCE(pr, 'ALL') AS priority,
+               CAST(grouping(st) * 2 + grouping(pr) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM _gm_null_probe
+        GROUP BY GROUPING SETS ((st, pr), (st), (pr), ())
+        """
+    ).collect()
+    duck.execute(
+        "CREATE OR REPLACE TABLE _gm_null_probe(st VARCHAR, pr VARCHAR, price DOUBLE)"
+    )
+    duck.executemany("INSERT INTO _gm_null_probe VALUES (?, ?, ?)", rows)
+    exp = duck.execute(
+        """
+        SELECT COALESCE(st, 'ALL') AS status,
+               COALESCE(pr, 'ALL') AS priority,
+               CAST(GROUPING(st) * 2 + GROUPING(pr) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM _gm_null_probe
+        GROUP BY GROUPING SETS ((st, pr), (st), (pr), ())
+        """
+    ).fetchall()
+    got_set = sorted((r[0], r[1], r[2], r[3], r[4]) for r in got)
+    exp_set = sorted(exp)
+    assert got_set == exp_set, f"\nspark {got_set}\nduck  {exp_set}"
+    # the claim itself: ('ALL', '1-URGENT') appears BOTH as a data-null
+    # detail row (gid=0 for the (st,pr) set) and as a st-aggregated row
+    # (gid=2) — distinguishable only by gid
+    amb = [r for r in got_set if (r[0], r[1]) == ("ALL", "1-URGENT")]
+    assert {r[2] for r in amb} >= {0, 2}, amb
