@@ -758,21 +758,25 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CONTAIN_NUM, _CONTAIN_DEN = 7, 10
 
 
-def containment_prefix_candidates(sh: DataFrame) -> DataFrame:
+def containment_prefix_candidates(
+    sh: DataFrame, num: int = _CONTAIN_NUM, den: int = _CONTAIN_DEN
+) -> DataFrame:
     """The candidate subplan of `containment_prefix_pairs`: distinct
-    directed (id_src, id_dst) pairs sharing >= 1 probe-prefix shingle.
-    Factored out so tools/scale_bench.py counts the EXACT candidate set
-    the operator joins (no copy to drift)."""
+    directed (id_src, id_dst) pairs sharing >= 1 probe-prefix shingle
+    at containment threshold num/den (a RATIONAL — the integer prefix
+    bound must never pass through a float). Factored out so
+    tools/scale_bench.py counts the EXACT candidate set the operator
+    joins (no copy to drift)."""
     tok = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(dfreq, "s")
     rn = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s"))
-    # required overlap req = ceil(7n/10) in pure integers; prefix keeps
-    # n - req + 1 rarest shingles
+    # required overlap req = ceil(num*n/den) in pure integers; prefix
+    # keeps n - req + 1 rarest shingles
     prefix_len = F.col("n") - F.expr(
-        f"({_CONTAIN_NUM} * n + {_CONTAIN_DEN} - 1) div {_CONTAIN_DEN}"
+        f"({num} * n + {den} - 1) div {den}"
     ) + 1
     probe = (
         ranked.withColumn("rn", rn)
@@ -788,7 +792,9 @@ def containment_prefix_candidates(sh: DataFrame) -> DataFrame:
     )
 
 
-def containment_prefix_pairs(sh: DataFrame) -> DataFrame:
+def containment_prefix_pairs(
+    sh: DataFrame, num: int = _CONTAIN_NUM, den: int = _CONTAIN_DEN
+) -> DataFrame:
     """Prefix-filtered containment join over (doc_id, shingles) — the
     bucketed 100 TB path for asymmetric (doc-in-doc) near-dup, with
     EXACT recall (unlike LSH banding, no probabilistic misses):
@@ -812,10 +818,11 @@ def containment_prefix_pairs(sh: DataFrame) -> DataFrame:
        second explode, per-pair cost O(|S_src| + |S_dst|).
 
     Returns directed (id_src, id_dst, containment, jaccard) pairs with
-    containment >= 7/10 — identical semantics (and identical DuckDB
-    oracle) to the all-pairs `dedup_shingle_containment`.
+    containment >= num/den (default 7/10) — at the default threshold,
+    identical semantics (and identical DuckDB oracle) to the all-pairs
+    `dedup_shingle_containment`.
     """
-    cand = containment_prefix_candidates(sh)
+    cand = containment_prefix_candidates(sh, num, den)
     s1 = sh.select(F.col("doc_id").alias("id_src"), F.col("shingles").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("id_dst"), F.col("shingles").alias("sh2"))
     c = F.size(F.array_intersect("sh1", "sh2"))
@@ -826,7 +833,7 @@ def containment_prefix_pairs(sh: DataFrame) -> DataFrame:
     return (
         cand.join(s1, "id_src")
         .join(s2, "id_dst")
-        .filter(cont >= _CONTAIN_NUM / _CONTAIN_DEN)
+        .filter(cont >= num / den)
         .select(
             "id_src",
             "id_dst",

@@ -461,25 +461,30 @@ _corpora = st.lists(_doc_words, min_size=2, max_size=12)
 
 
 @settings(max_examples=8, deadline=None)
-@given(_corpora)
-def test_containment_prefix_matches_bruteforce(corpus):
+@given(_corpora, st.sampled_from([(1, 2), (3, 5), (7, 10), (9, 10), (1, 1)]))
+def test_containment_prefix_matches_bruteforce(corpus, threshold):
     """The prefix filter's no-false-negative guarantee is DETERMINISTIC
     (derived from the overlap bound, not from hashing luck), so on
     arbitrary small corpora — tiny vocab maximizes shingle collisions,
-    the prefix filter's hardest regime — the scalable path must equal a
-    brute-force Python containment join exactly: same pairs, same
-    containment and jaccard values."""
+    the prefix filter's hardest regime — and across THRESHOLDS (the
+    integer prefix bound must hold for any rational num/den, including
+    the degenerate 1/1 = exact-subset case), the scalable path must
+    equal a brute-force Python containment join exactly: same pairs,
+    same containment and jaccard values."""
     from nytimes_batch_processor_spark.operators.dedup import (
         containment_prefix_pairs,
         shingle_arrays,
     )
 
+    num, den = threshold
     spark = _spark()
     rows = [(i, " ".join(words)) for i, words in enumerate(corpus)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {
         (r["id_src"], r["id_dst"]): (r["containment"], r["jaccard"])
-        for r in containment_prefix_pairs(shingle_arrays(docs)).collect()
+        for r in containment_prefix_pairs(
+            shingle_arrays(docs), num, den
+        ).collect()
     }
 
     def shingles(words):
@@ -498,7 +503,7 @@ def test_containment_prefix_matches_bruteforce(corpus):
                 continue
             c = len(sa & sb)
             cont = c / len(sa)
-            if cont >= 0.7:
+            if cont >= num / den:
                 jac = c / (len(sa) + len(sb) - c)
                 expected[(a, b)] = (round(cont, 6), round(jac, 6))
     assert set(got) == set(expected), (
