@@ -173,3 +173,55 @@ def test_pagerank_mass_and_floor_invariants(spark, sf_dir):
     n_edges_bound = n * n  # complete-graph worst case for the fixture
     assert total >= _PR_SCALE - _PR_ITERS * (n_edges_bound + 2 * n) - n
     assert all(r["rank_fp"] >= base for r in rows)
+
+
+def _pagerank_python_model(edges, iters, scale):
+    """Direct integer power iteration over a symmetrized edge list —
+    an independent third implementation of the fixed-point PageRank
+    contract (the DuckDB oracle proves Spark<->SQL agreement; this
+    proves both agree with the plainly-written algorithm)."""
+    sym = list(edges) + [(b, a) for (a, b) in edges]
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    nodes = sorted(deg)
+    n = len(nodes)
+    base = (15 * scale) // (100 * n)
+    rank = {u: scale // n for u in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for a, b in sym:
+            contrib[b] = contrib.get(b, 0) + rank[a] // deg[a]
+        rank = {u: base + (85 * contrib[u]) // 100 for u in contrib}
+    return rank
+
+
+def test_pagerank_core_matches_python_model(spark):
+    """`pagerank_fixed_ranks` on arbitrary small graphs (hub, chain,
+    disconnected pair, self-parallel trades deduped upstream) must be
+    integer-identical to the Python model above."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nytimes_batch_processor_spark.operators.graph import (
+        _PR_ITERS,
+        _PR_SCALE,
+        pagerank_fixed_ranks,
+    )
+
+    cases = [
+        # hub: one customer trades with 4 suppliers
+        [(0, 1), (0, 3), (0, 5), (0, 7)],
+        # chain across alternating roles
+        [(0, 1), (2, 1), (2, 3), (4, 3)],
+        # two disconnected components
+        [(0, 1), (2, 3)],
+        # dense bipartite 3x3
+        [(2 * c, 2 * s + 1) for c in range(3) for s in range(3)],
+    ]
+    for edges in cases:
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"] for r in pagerank_fixed_ranks(df).collect()
+        }
+        expected = _pagerank_python_model(edges, _PR_ITERS, _PR_SCALE)
+        assert got == expected, f"edges={edges}\ngot {got}\nexp {expected}"
