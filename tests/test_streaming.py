@@ -1071,3 +1071,27 @@ def test_ssj_watermark_stalls_while_one_side_is_absent(spark, tmp_path):
     # min(10:20, 10:21) - 5m = 10:15, past v1 (10:10) and v2 (10:12)
     # horizons but not v3's (10:30) — which the terminal wm never passes
     assert real == [("v1", None, 3), ("v2", None, 3)], real
+
+
+def test_fold_session_batch_split_invariance():
+    """The foundation every streaming twin rests on: folding a SORTED
+    event sequence through fold_session in arbitrarily split batches
+    (state carried across) must equal folding it in one batch — state
+    transition composition is associative over batch boundaries."""
+    import itertools
+
+    from nytimes_batch_processor_spark.streaming.stateful import fold_session
+
+    M = 60 * 1_000_000
+    gap = 30 * M
+    ts = [0, 5 * M, 20 * M, 70 * M, 75 * M, 200 * M, 205 * M, 290 * M]
+    vals = [1.0] * len(ts)
+
+    ref_state, ref_closed = fold_session(None, ts, vals, gap)
+
+    for cut1, cut2 in itertools.combinations(range(len(ts) + 1), 2):
+        state, closed = None, []
+        for lo, hi in ((0, cut1), (cut1, cut2), (cut2, len(ts))):
+            state, c = fold_session(state, ts[lo:hi], vals[lo:hi], gap)
+            closed.extend(c)
+        assert (state, closed) == (ref_state, ref_closed), (cut1, cut2)
