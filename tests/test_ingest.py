@@ -381,3 +381,19 @@ def test_http_csv_open_retries_transient_then_failfast(monkeypatch):
     with pytest.raises(urllib.error.HTTPError):
         httpcsv._open_with_retry("https://x/a.csv", retries=3)
     assert calls["n"] == 1
+
+
+def test_http_csv_retries_option_plumbed():
+    """The `retries` option reaches the reader (executor-side retry
+    count); default 1, overridable, and '0' disables retry."""
+    from pyspark.sql import types as T
+
+    from nytimes_batch_processor_spark.sources.httpcsv import HttpCsvReader
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    r = HttpCsvReader(schema, {"urls": "https://x/a.csv"})
+    assert r.retries == 1
+    r = HttpCsvReader(schema, {"urls": "https://x/a.csv", "retries": "3"})
+    assert r.retries == 3
+    r = HttpCsvReader(schema, {"urls": "https://x/a.csv", "retries": "0"})
+    assert r.retries == 0
