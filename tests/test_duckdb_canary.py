@@ -144,3 +144,46 @@ def test_strict_window_frame_defaults(con):
         """
     ).fetchall()
     assert rows == [(1, None, None), (2, 1, 1), (3, 2, 2)]
+
+
+def test_series_bounds_and_subscripts(con):
+    """range() is EXCLUSIVE of the upper bound, generate_series
+    INCLUSIVE, generate_subscripts 1-based — the shingle/spine/packing
+    oracles mix all three and a flipped bound shifts every window."""
+    assert q(con, "SELECT range(0, 3)") == ([0, 1, 2],)
+    assert q(con, "SELECT generate_series(0, 3)") == ([0, 1, 2, 3],)
+    assert con.execute("SELECT generate_subscripts([10, 20], 1)").fetchall() == [
+        (1,),
+        (2,),
+    ]
+
+
+def test_date_diff_sign_and_strftime(con):
+    """date_diff('day', a, b) = b - a (the spine/rollup oracles), and
+    strftime's ISO day format."""
+    assert q(
+        con, "SELECT date_diff('day', DATE '2021-01-01', DATE '2021-01-04')"
+    ) == (3,)
+    assert q(con, "SELECT strftime(DATE '2021-01-05', '%Y-%m-%d')") == (
+        "2021-01-05",
+    )
+
+
+def test_split_regex_and_list_aggregate(con):
+    """string_split_regex collapses runs under \\s+ without emitting
+    empty strings mid-list (the tokenizer twin of Spark's split), and
+    list_aggregate dispatches by function NAME string."""
+    assert q(con, "SELECT string_split_regex('a  b c', '\\s+')") == (
+        ["a", "b", "c"],
+    )
+    assert q(con, "SELECT list_aggregate([3, 1, 2], 'min')") == (1,)
+
+
+def test_encode_utf8_bytes_and_epoch_us(con):
+    """octet_length(encode(s)) is UTF-8 BYTES (not chars) — the
+    binaryFile metadata oracle; epoch_us is integer microseconds."""
+    assert q(con, "SELECT octet_length(encode('héllo'))") == (6,)
+    assert q(
+        con,
+        "SELECT CAST(epoch_us(TIMESTAMP '1970-01-01 00:00:01') AS BIGINT)",
+    ) == (1_000_000,)
