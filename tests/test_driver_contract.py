@@ -85,3 +85,25 @@ def test_oracles_are_single_statements():
     for name, raw in E.oracle_sql().items():
         sql = _strip_noise(raw)
         assert ";" not in sql.rstrip().rstrip(";"), f"{name}: embedded semicolon"
+
+
+def test_bench_headline_names_resolve():
+    """bench.py fails loudly at RUNTIME on a stale HEADLINE name (by
+    design); catch it at test time instead — every headline query must
+    be a registered catalog entry, with no duplicates, and the two
+    deliberate Python-path entries must stay annotated as such by
+    existing in the catalog (their cost model lives in docstrings the
+    bench comments point to)."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    bench = importlib.import_module("bench")
+
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    specs = all_specs()
+    missing = [n for n in bench.HEADLINE if n not in specs]
+    assert not missing, f"HEADLINE names not in catalog: {missing}"
+    assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate headline"
