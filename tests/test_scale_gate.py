@@ -1,0 +1,55 @@
+"""Unit tests for the scale gate's pass/fail arithmetic
+(tools/scale_bench.py::compute_gate). The gate caught a real silent
+cross-product in r7 — its own math must therefore be trustworthy
+without a 10-minute Spark run: synthetic per-scale rows exercise the
+linear pass, the quadratic fail, and the iterative-rounds fail."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+from scale_bench import COUNT_KEYS, WALL_KEYS, compute_gate  # noqa: E402
+
+
+def _row(scale: int, count_mult: float = 1.0, rounds: int = 4) -> dict:
+    row = {k: int(1000 * scale * count_mult) for k in COUNT_KEYS}
+    row.update({k: 1.0 * scale for k in WALL_KEYS})
+    row["cc_rounds"] = rounds
+    return row
+
+
+def test_linear_growth_passes():
+    out = compute_gate({"x1": _row(1), "x10": _row(10)}, 10, "base")
+    assert out["linear_ok"] and out["rounds_ok"]
+    assert out["value"] == 10.0
+    assert out["cc_rounds_x1_x10"] == [4, 4]
+
+
+def test_two_x_slack_is_the_boundary():
+    ok = compute_gate({"x1": _row(1), "x10": _row(10, 2.0)}, 10, "b")
+    assert ok["linear_ok"]  # exactly 2x over linear: allowed
+    bad = compute_gate({"x1": _row(1), "x10": _row(10, 2.1)}, 10, "b")
+    assert not bad["linear_ok"]
+
+
+def test_quadratic_growth_fails_loud():
+    out = compute_gate({"x1": _row(1), "x10": _row(10, 10.0)}, 10, "b")
+    assert not out["linear_ok"]
+    assert out["value"] == 100.0
+
+
+def test_one_degenerate_family_fails_everything():
+    hi = _row(10)
+    hi["simhash_collisions"] = 1000 * 10 * 50  # one family goes rogue
+    out = compute_gate({"x1": _row(1), "x10": hi}, 10, "b")
+    assert not out["linear_ok"]
+
+
+def test_rounds_gate_bounds_log_growth():
+    ok = compute_gate({"x1": _row(1, rounds=4), "x10": _row(10, rounds=8)}, 10, "b")
+    assert ok["rounds_ok"] and ok["linear_ok"]  # +4: the log2(10) worst case
+    bad = compute_gate({"x1": _row(1, rounds=4), "x10": _row(10, rounds=9)}, 10, "b")
+    assert not bad["rounds_ok"] and not bad["linear_ok"]  # O(n)-ish walking

@@ -265,6 +265,62 @@ def _trade_graph(spark, k: int):
     return out
 
 
+# Workload-cardinality keys the linearity gate fires on (wall times are
+# recorded for context, never gated — environment noise).
+COUNT_KEYS = (
+    "minhash_pairs",
+    "ann_lsh_candidates",
+    "ivf_candidates",
+    "q8_candidates",
+    "simhash_collisions",
+    "decon_shared_shingle_pairs",
+    "containment_candidates",
+    "containment_pairs",
+    "pagerank_edges",
+    "pagerank_nodes",
+    "cc_input_edges",
+)
+WALL_KEYS = (
+    "minhash_wall_sec",
+    "ann_lsh_wall_sec",
+    "ivf_wall_sec",
+    "q8_wall_sec",
+    "decon_wall_sec",
+    "containment_wall_sec",
+    "pagerank_wall_sec",
+    "cc_wall_sec",
+)
+
+
+def compute_gate(results: dict, factor: int, base: str) -> dict:
+    """The pass/fail arithmetic, pure and unit-tested
+    (tests/test_scale_gate.py): linear candidate growth = ratio ~
+    factor, quadratic = ~ factor^2 — gate at 2x slack over linear, far
+    below the quadratic failure; and the iterative-rounds gate —
+    large-star/small-star converges in O(log n) rounds, so x`factor`
+    data may add ~log2(factor) rounds at the theoretical worst and
+    anything past +4 means the rounds claim broke (O(n)
+    diameter-walking would add thousands)."""
+    hi, lo = results[f"x{factor}"], results["x1"]
+    ratios = {
+        key: round(hi[key] / max(lo[key], 1), 2)
+        for key in (*COUNT_KEYS, *WALL_KEYS)
+    }
+    linear_ok = all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS)
+    rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
+    return {
+        "metric": "scale_growth_x%d_vs_x1" % factor,
+        "value": max(ratios[key] for key in COUNT_KEYS),
+        "unit": "ratio",
+        "sf_base": base,
+        "scales": results,
+        "ratios_x%d_over_x1" % factor: ratios,
+        "cc_rounds_x1_x%d" % factor: [lo["cc_rounds"], hi["cc_rounds"]],
+        "rounds_ok": rounds_ok,
+        "linear_ok": linear_ok and rounds_ok,
+    }
+
+
 def main() -> None:
     spark = get_spark("scale-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     specs = all_specs()
@@ -376,65 +432,7 @@ def main() -> None:
         results[f"x{k}"] = row
         print(f"x{k}: {row}", file=sys.stderr)
 
-    hi, lo = results[f"x{SCALES[-1]}"], results["x1"]
-    factor = SCALES[-1]
-    ratios = {
-        key: round(hi[key] / max(lo[key], 1), 2)
-        for key in (
-            "minhash_pairs",
-            "ann_lsh_candidates",
-            "ivf_candidates",
-            "q8_candidates",
-            "simhash_collisions",
-            "decon_shared_shingle_pairs",
-            "containment_candidates",
-            "containment_pairs",
-            "pagerank_edges",
-            "pagerank_nodes",
-            "cc_input_edges",
-            "minhash_wall_sec",
-            "ann_lsh_wall_sec",
-            "ivf_wall_sec",
-            "q8_wall_sec",
-            "decon_wall_sec",
-            "containment_wall_sec",
-            "pagerank_wall_sec",
-            "cc_wall_sec",
-        )
-    }
-    # Linear candidate growth = ratio ~ factor; quadratic = ~ factor^2.
-    # Gate at 2x slack over linear — far below the quadratic failure.
-    count_keys = [
-        "minhash_pairs",
-        "ann_lsh_candidates",
-        "ivf_candidates",
-        "q8_candidates",
-        "simhash_collisions",
-        "decon_shared_shingle_pairs",
-        "containment_candidates",
-        "containment_pairs",
-        "pagerank_edges",
-        "pagerank_nodes",
-        "cc_input_edges",
-    ]
-    linear_ok = all(ratios[key] <= 2.0 * factor for key in count_keys)
-    # Iterative-rounds gate: large-star/small-star converges in O(log n)
-    # rounds — x10 data may add ~log2(10)=3.3 rounds at the theoretical
-    # worst, so anything past +4 means the rounds claim broke (O(n)
-    # diameter-walking would add thousands).
-    rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
-    linear_ok = linear_ok and rounds_ok
-    out = {
-        "metric": "scale_growth_x%d_vs_x1" % factor,
-        "value": max(ratios[key] for key in count_keys),
-        "unit": "ratio",
-        "sf_base": BASE,
-        "scales": results,
-        "ratios_x%d_over_x1" % factor: ratios,
-        "cc_rounds_x1_x%d" % factor: [lo["cc_rounds"], hi["cc_rounds"]],
-        "rounds_ok": rounds_ok,
-        "linear_ok": linear_ok,
-    }
+    out = compute_gate(results, SCALES[-1], BASE)
     print(json.dumps(out))
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
         json.dump(out, f, indent=1)
