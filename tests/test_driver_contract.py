@@ -107,3 +107,17 @@ def test_bench_headline_names_resolve():
     missing = [n for n in bench.HEADLINE if n not in specs]
     assert not missing, f"HEADLINE names not in catalog: {missing}"
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE)), "duplicate headline"
+
+
+def test_entry_flagship_schema_is_pinned(spark):
+    """The driver smoke-checks entry() for >=0 rows and a STABLE schema
+    round-over-round — pin the exact column names and type classes so a
+    refactor cannot silently change what the driver compares."""
+    E = _entry_module()
+    df = E.entry(spark)
+    got = [(f.name, f.dataType.simpleString()) for f in df.schema]
+    assert got == [
+        ("ship_date", "date"),
+        ("day_revenue", "double"),
+        ("avg_7d", "double"),
+    ], got

@@ -187,3 +187,20 @@ def test_encode_utf8_bytes_and_epoch_us(con):
         con,
         "SELECT CAST(epoch_us(TIMESTAMP '1970-01-01 00:00:01') AS BIGINT)",
     ) == (1_000_000,)
+
+
+def test_tdiv_matches_duckdb_division(con):
+    """_ikm_tdiv (the Python side of the k-means centroid update) must
+    equal DuckDB's `//` on every sign combination and magnitude the
+    update can see — fuzzed here rather than trusted."""
+    import random
+
+    from nytimes_batch_processor_spark.operators.similarity import _ikm_tdiv
+
+    rng = random.Random(8)
+    cases = [(a, b) for a in (-7, -1, 0, 1, 7) for b in (1, 2, 3, 64)]
+    cases += [
+        (rng.randint(-10**7, 10**7), rng.randint(1, 2000)) for _ in range(200)
+    ]
+    for a, b in cases:
+        assert _ikm_tdiv(a, b) == con.execute(f"SELECT {a} // {b}").fetchall()[0][0], (a, b)
