@@ -87,86 +87,95 @@ def _load_all_modules() -> None:
 # priority block in registration order — append new names here too when
 # they must be driver-visible.
 _PRIORITY: tuple[str, ...] = (
-    # ================= r8 window =================
-    # r7 swept 50/50 hash-green. Recency cohorts entering r8 (oracle-
-    # backed): 21 last green r5 (hit MAX_AGE now — the rotation gate
-    # demands all of them), 45 last green r6 (after r8's consolidation
-    # retired agg_rollup/agg_cube/agg_grouping_sets and fn_json_extract/
-    # fn_json_struct — their semantics live on in the r8-new
-    # agg_grouping_multi / fn_json_surface), 50 last green r7. The r8
-    # window = the 21 r5 entries + 5 r8-new entries + 24 of the r6
-    # cohort. The 21 r6 leftovers (join_left_outer_null_ext,
-    # join_right_outer_never_matched, filter_like_in_patterns,
-    # join_cross_grid, sort_nulls_ordering, window_rank_extras,
-    # window_lag_daily_delta, window_ntile_first_last,
-    # text_langid_heuristic, text_fingerprint, text_bigram_lift,
-    # stream_sliding_3d_1d, sessionize_dynamic_gap, fn_string_surface,
-    # fn_date_surface, fn_array_surface, fn_map_surface,
-    # fn_conditional_null, ingest_covid_states, scan_orc_roundtrip,
-    # udf_grouped_map_zscore — the last displaced late-r8 by the fifth
-    # new entry) are the mandatory core of the r9 window — age 2
-    # exactly today, and r9 has 29 slots left for them plus r9-new
-    # entries plus the start of the r7 cohort. Any entry added during r8 swaps in here immediately
-    # (the r4 lesson: unswept new entries get no hard check), displacing
-    # one r6 entry into the r9 cohort. tests/test_rotation.py machine-
-    # enforces both the per-entry recency policy AND the capacity
-    # ceiling via a multi-round forward simulation (50 slots x MAX_AGE+1
-    # rounds caps oracle-backed entries at 150 — VERDICT r7 item 2;
-    # growth policy: plateau + consolidate redundant variants).
-    # (Earlier rotation history lives in git.)
-    # -- last hash-green r5 (21): forced by the gate --
-    "agg_histogram_fixed_bins",
-    "spine_linear_interpolate",
-    "agg_time_rollup",
-    "agg_incremental_merge",
-    "setops_multiset_all",
-    "join_asof_purchase_click",
-    "sample_hash_split",
-    "text_bm25_rank",
-    "sample_mixture_weighted",
-    "text_repetition_ratio",
-    "stream_tumbling_daily",
-    "fn_sql_udf_surface",
-    "udf_pandas_grouped_agg",
-    "udtf_tokenize_positions",
-    "mm_resize_thumbs",
-    "mm_frame_sample",
-    "mm_decode_features",
-    "table_catalog_roundtrip",
-    "join_bucketed_colocated",
-    "scan_partition_pruned",
-    "scan_jsonl_roundtrip",
-    # -- r8-new: enter immediately (the r4 lesson) --
-    "agg_grouping_multi",        # consolidated rollup+cube+grouping-sets
-    "fn_json_surface",           # consolidated get_json_object+from_json
-    "sessionize_timers_twin",    # transformWithState timer-session replay
-    "dedup_containment_prefix",  # prefix-filtered containment scale path
-    "ivf_kmeans_int_train",      # hash-checked integer k-means training
-    # -- last hash-green r6 (24 of 45) --
-    "join_left_semi",
-    "join_full_outer_reconcile",
-    "join_theta_range",
-    "pivot_status_by_flag",
-    "join_null_safe_eq",
-    "join_interval_window",
-    "agg_min_max_by",
-    "unpivot_measures_long",
-    "spine_gap_fill_daily",
-    "agg_string_agg_sorted",
-    "window_pct_of_total",
-    "sort_global_topk",
-    "agg_stats_surface",
-    "join_lateral_topk_per_key",
-    "window_running_total",
-    "window_range_rolling_7d",
-    "join_asof_forward_activation",
-    "dedup_first_write_wins",
-    "dedup_ngram_jaccard",
-    "sim_ann_ivf_q8_serve",
-    "join_skew_salted",
-    "text_quality_score",
-    "approx_count_distinct_bounds",
-    "stateful_running_totals_twin",
+    # ================= r9 window =================
+    # r8 swept 50/50 hash-green. Recency cohorts entering r9 (oracle-
+    # backed): 16 last green r6 (hit MAX_AGE now — the rotation gate
+    # demands all of them; 16 not 21 because r9's consolidation retired
+    # window_rank_extras/window_ntile_first_last/window_lag_daily_delta
+    # -> window_analytic_surface, fn_string_surface/fn_conditional_null
+    # -> fn_string_cond_surface, and setops_customer_cohorts/
+    # setops_multiset_all -> setops_surface — VERDICT r8 items 2/4;
+    # the retired semantics live on, hashed, in the consolidated
+    # entries), 49 last green r7, 49 last green r8. The r9 window =
+    # the 16 r6 entries + 3 r9-new consolidated entries +
+    # dedup_containment_prefix (r8-green but its prefix filter gained
+    # the length-bound prune this round — changed code re-enters the
+    # window, the r4 lesson generalized) + 30 of the r7 cohort. The
+    # 19 r7 leftovers (percentile_exact_and_approx,
+    # pipeline_curate_corpus, q3_shipping_priority,
+    # scan_python_datasource_httpcsv, scan_xml_roundtrip,
+    # sessionize_gap_30min, sessionize_native_session_window,
+    # sim_ann_ivf_fixed_topk, sim_ann_lsh_topk,
+    # sim_cosine_topk_bruteforce, stream_dedup_watermark_twin,
+    # stream_stream_join_twin, stream_update_agg_twin,
+    # subquery_correlated_scalar, table_zorder_roundtrip,
+    # text_tokens_topk, udf_pandas_scalar, window_ignore_nulls_ffill,
+    # window_rank_topk_per_group) are the mandatory core of the r10
+    # window — age 2 exactly then, with 31 slots left for r10-new
+    # entries plus the start of the r8 cohort. Any entry added during
+    # r9 swaps in here immediately (the r4 lesson: unswept new entries
+    # get no hard check), displacing one r7 entry into the r10 cohort.
+    # tests/test_rotation.py machine-enforces both the per-entry
+    # recency policy AND the capacity ceiling via a multi-round
+    # forward simulation (50 slots x MAX_AGE+1 rounds caps
+    # oracle-backed entries at 150 — VERDICT r7 item 2; growth policy:
+    # plateau + consolidate redundant variants — the catalog shrank
+    # 121 -> 117 oracle-backed this round to bank treadmill headroom,
+    # VERDICT r8 item 2). (Earlier rotation history lives in git.)
+    # -- last hash-green r6 (16): forced by the gate --
+    "join_left_outer_null_ext",
+    "join_right_outer_never_matched",
+    "filter_like_in_patterns",
+    "join_cross_grid",
+    "sort_nulls_ordering",
+    "text_langid_heuristic",
+    "text_fingerprint",
+    "text_bigram_lift",
+    "stream_sliding_3d_1d",
+    "sessionize_dynamic_gap",
+    "fn_date_surface",
+    "fn_array_surface",
+    "fn_map_surface",
+    "ingest_covid_states",
+    "scan_orc_roundtrip",
+    "udf_grouped_map_zscore",
+    # -- r9-new consolidations: enter immediately (the r4 lesson) --
+    "window_analytic_surface",   # percent_rank+cume_dist+nth_value+ntile+lag, one hash
+    "fn_string_cond_surface",    # string surface + CASE/coalesce/nullif, one hash
+    "setops_surface",            # distinct + multiset set ops, one hash
+    # -- r9-changed: prefix filter gained the length-bound prune --
+    "dedup_containment_prefix",
+    # -- last hash-green r7 (30 of 49) --
+    "agg_distinct_counts",
+    "agg_pricing_summary",
+    "agg_skew_salted_sum",
+    "decon_train_test_overlap",
+    "dedup_embedding_cosine",
+    "dedup_exact_union",
+    "dedup_minhash_cc",
+    "dedup_minhash_lsh",
+    "dedup_minhash_resolve",
+    "dedup_shingle_containment",
+    "dedup_simhash",
+    "embed_quantize_int8",
+    "events_funnel_conversion",
+    "filter_project_revenue",
+    "fn_higher_order_surface",
+    "fn_mask_redact",
+    "fn_math_surface",
+    "fn_regexp_surface",
+    "fn_try_ansi_surface",
+    "fn_url_surface",
+    "fn_variant_json",
+    "graph_pagerank_fixed",
+    "graph_reachability_rcte",
+    "join_broadcast_star",
+    "join_left_anti",
+    "join_scd2_temporal_lookup",
+    "merge_scd2_dimension",
+    "mm_binary_metadata",
+    "pack_sequences_offsets",
+    "scan_binaryfile_metadata",
 )
 
 

@@ -19,7 +19,7 @@ from ..sources import load_tables
 
 
 @query(
-    "fn_string_surface",
+    "fn_string_cond_surface",
     tables=("part",),
     oracle="""
 SELECT p_partkey,
@@ -31,14 +31,27 @@ SELECT p_partkey,
        REGEXP_EXTRACT(p_brand, '([0-9]+)', 1)                AS brand_num,
        REPLACE(p_name, ' ', '_')                             AS name_snake,
        TRIM(p_name)                                          AS name_trim,
-       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INT) AS n_tokens
+       CAST(LENGTH(p_name) - LENGTH(REPLACE(p_name, ' ', '')) + 1 AS INT) AS n_tokens,
+       CASE WHEN p_retailprice < 1000 THEN 'budget'
+            WHEN p_retailprice < 1500 THEN 'mid'
+            ELSE 'premium' END                               AS price_tier,
+       COALESCE(NULLIF(SUBSTRING(p_type, 1, 3), 'ECO'), 'STD') AS type_renamed,
+       CAST(p_size > 25 AS BOOLEAN)                          AS is_large,
+       ROUND(IF(p_retailprice > 1000, p_retailprice, 1000), 2) AS floored_price
 FROM part
 """,
 )
-def fn_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """upper/lower/length/substring/concat_ws/regexp_extract/replace/trim
-    + a split-based token count, all codegen'd built-ins."""
+def fn_string_cond_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated string + conditional/null scalar surface (r9
+    rotation-capacity consolidation of fn_string_surface +
+    fn_conditional_null — VERDICT r8 item 2): upper/lower/length/
+    substring/concat_ws/regexp_extract/replace/trim + a split-based
+    token count, plus CASE WHEN tiers, coalesce∘nullif renaming, a
+    boolean projection, and a conditional clamp — one hash, one table,
+    all codegen'd built-ins (reference P3/P5 null handling
+    generalized)."""
     t = load_tables(spark, sf_dir, "part")
+    price = F.col("p_retailprice")
     return t.part.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_upper"),
@@ -50,6 +63,15 @@ def fn_string_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
         F.trim("p_name").alias("name_trim"),
         F.size(F.split("p_name", " ")).alias("n_tokens"),
+        F.when(price < 1000, "budget")
+        .when(price < 1500, "mid")
+        .otherwise("premium")
+        .alias("price_tier"),
+        F.coalesce(
+            F.nullif(F.substring("p_type", 1, 3), F.lit("ECO")), F.lit("STD")
+        ).alias("type_renamed"),
+        (F.col("p_size") > 25).alias("is_large"),
+        money(F.when(price > 1000, price).otherwise(1000)).alias("floored_price"),
     )
 
 
@@ -252,40 +274,6 @@ def fn_map_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(k).alias("n_with_k"),
         F.sum(k).alias("sum_k"),
         F.max(F.size(F.map_keys("m"))).alias("max_n_keys"),
-    )
-
-
-@query(
-    "fn_conditional_null",
-    tables=("customer",),
-    oracle="""
-SELECT c_custkey,
-       CASE WHEN c_acctbal < 0 THEN 'debt'
-            WHEN c_acctbal < 5000 THEN 'low'
-            ELSE 'high' END                                  AS bal_tier,
-       COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'CAR')   AS segment_renamed,
-       CAST(c_acctbal > 0 AS BOOLEAN)                        AS is_positive,
-       ROUND(IF(c_acctbal > 0, c_acctbal, 0), 2)             AS clamped_bal
-FROM customer
-""",
-)
-def fn_conditional_null(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN / coalesce / nullif / boolean projection — the engine's
-    null-handling surface (reference P3/P5 generalized)."""
-    t = load_tables(spark, sf_dir, "customer")
-    return t.customer.select(
-        "c_custkey",
-        F.when(F.col("c_acctbal") < 0, "debt")
-        .when(F.col("c_acctbal") < 5000, "low")
-        .otherwise("high")
-        .alias("bal_tier"),
-        F.coalesce(F.nullif("c_mktsegment", F.lit("AUTOMOBILE")), F.lit("CAR")).alias(
-            "segment_renamed"
-        ),
-        (F.col("c_acctbal") > 0).alias("is_positive"),
-        money(F.when(F.col("c_acctbal") > 0, F.col("c_acctbal")).otherwise(0)).alias(
-            "clamped_bal"
-        ),
     )
 
 

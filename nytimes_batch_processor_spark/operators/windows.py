@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import query
-from ..functions import dec2, money, msum, ratio
+from ..functions import dec2, money, ratio
 from ..sources import load_tables
 
 
@@ -49,7 +49,7 @@ def window_rank_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "window_rank_extras",
+    "window_analytic_surface",
     tables=("customer",),
     oracle="""
 SELECT c_custkey,
@@ -60,26 +60,49 @@ SELECT c_custkey,
            PARTITION BY c_mktsegment
            ORDER BY c_acctbal ASC, c_custkey ASC
            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-       ), 2)                                           AS second_lowest_bal
+       ), 2)                                           AS second_lowest_bal,
+       CAST(NTILE(4) OVER w AS INT)                    AS acctbal_quartile,
+       ROUND(FIRST_VALUE(c_acctbal) OVER w, 2)         AS segment_min_bal,
+       CAST(ROW_NUMBER() OVER w AS BIGINT)             AS rn,
+       ROUND(LAG(c_acctbal) OVER w, 2)                 AS prev_bal,
+       ROUND(c_acctbal - LAG(c_acctbal) OVER w, 2)     AS delta_vs_prev
 FROM customer
 WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
 """,
 )
-def window_rank_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining ranking/analytic family: percent_rank, cume_dist,
-    nth_value (full-partition frame). Tie-broken on custkey so the
-    relative ranks are deterministic."""
+def window_analytic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated analytic-window surface (r9 rotation-capacity
+    consolidation of window_rank_extras + window_ntile_first_last +
+    window_lag_daily_delta — VERDICT r8 items 2/4): percent_rank,
+    cume_dist, nth_value (full-partition frame), ntile, first_value,
+    row_number, lag, and a lag-delta, ALL hashed in one result over ONE
+    shared window spec. Tie-broken on custkey so every rank / tile /
+    lag is deterministic.
+
+    Scale notes: one shuffle on mktsegment; every function here is a
+    streaming frame (O(1) or O(frame) state per key) except nth_value's
+    full frame, which buffers one partition — acceptable because the
+    partition key is a real grouping column, never a constant. The
+    aggregate-then-lag daily-delta decomposition the retired
+    window_lag_daily_delta pinned lives on in window_range_rolling_7d
+    (same O(days) post-agg spine)."""
     t = load_tables(spark, sf_dir, "customer")
     w = W.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
     w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    bal = F.col("c_acctbal")
     return t.customer.select(
         "c_custkey",
         F.col("c_mktsegment").alias("mktsegment"),
         ratio(F.percent_rank().over(w)).alias("bal_pct_rank"),
         ratio(F.cume_dist().over(w)).alias("bal_cume_dist"),
         money(F.nth_value("c_acctbal", 2).over(w_full)).alias("second_lowest_bal"),
+        F.ntile(4).over(w).alias("acctbal_quartile"),
+        money(F.first("c_acctbal").over(w)).alias("segment_min_bal"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        money(F.lag("c_acctbal").over(w)).alias("prev_bal"),
+        money(bal - F.lag("c_acctbal").over(w)).alias("delta_vs_prev"),
     )
 
 
@@ -112,69 +135,6 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.col("o_orderdate").cast("date").alias("order_date"),
         money(F.sum("o_totalprice").over(w)).alias("running_spend"),
-    )
-
-
-@query(
-    "window_lag_daily_delta",
-    tables=("orders",),
-    oracle="""
-WITH daily AS (
-    SELECT CAST(o_orderdate AS DATE) AS order_date,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS day_revenue
-    FROM orders GROUP BY 1
-)
-SELECT order_date,
-       day_revenue,
-       ROUND(day_revenue - LAG(day_revenue) OVER (ORDER BY order_date), 2) AS delta_vs_prev_day
-FROM daily
-""",
-)
-def window_lag_daily_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Day-over-day revenue delta — the reference-domain query "daily new
-    cases from cumulative counts" (SURVEY.md §2.2) in fixture form: agg to
-    one row per day, then lag.
-
-    The window is unpartitioned but runs over |days| rows (post-agg), not
-    raw data — the correct decomposition at scale: aggregate first, window
-    the small result.
-    """
-    t = load_tables(spark, sf_dir, "orders")
-    daily = (
-        t.orders.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(msum("o_totalprice").alias("day_revenue"))
-    )
-    w = W.orderBy("order_date")
-    return daily.select(
-        "order_date",
-        "day_revenue",
-        money(F.col("day_revenue") - F.lag("day_revenue").over(w)).alias("delta_vs_prev_day"),
-    )
-
-
-@query(
-    "window_ntile_first_last",
-    tables=("customer",),
-    oracle="""
-SELECT c_custkey,
-       c_mktsegment,
-       CAST(NTILE(4) OVER w AS INT)  AS acctbal_quartile,
-       ROUND(FIRST_VALUE(c_acctbal) OVER w, 2) AS segment_max_bal,
-       CAST(ROW_NUMBER() OVER w AS BIGINT)     AS rn
-FROM customer
-WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
-""",
-)
-def window_ntile_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / first_value / row_number over one shared window spec."""
-    t = load_tables(spark, sf_dir, "customer")
-    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return t.customer.select(
-        "c_custkey",
-        "c_mktsegment",
-        F.ntile(4).over(w).alias("acctbal_quartile"),
-        money(F.first("c_acctbal").over(w)).alias("segment_max_bal"),
-        F.row_number().over(w).cast("long").alias("rn"),
     )
 
 

@@ -201,7 +201,6 @@ def test_unpartitioned_windows_only_post_aggregation(spark, sf_dir):
     from nytimes_batch_processor_spark.operators.relational import window_pct_of_total
     from nytimes_batch_processor_spark.operators.text import pack_sequences_offsets
     from nytimes_batch_processor_spark.operators.windows import (
-        window_lag_daily_delta,
         window_range_rolling_7d,
     )
     from nytimes_batch_processor_spark.plans import unpartitioned_window_violations
@@ -209,7 +208,7 @@ def test_unpartitioned_windows_only_post_aggregation(spark, sf_dir):
     # pack_sequences_offsets is the load-bearing case: its global prefix
     # sum is exactly the op that WOULD be an unpartitioned window over
     # raw docs if not decomposed into the two-level scan.
-    for fn in (flagship, window_lag_daily_delta, window_range_rolling_7d,
+    for fn in (flagship, window_range_rolling_7d,
                window_pct_of_total, pack_sequences_offsets):
         bad = unpartitioned_window_violations(fn(spark, sf_dir))
         assert not bad, f"{fn.__name__}: unpartitioned window over raw data: {bad}"
@@ -332,7 +331,6 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
         "sessionize_timers_twin": 1,     # watermark spine over O(days)
         "window_pct_of_total": 1,        # grand-total denominator
         "window_range_rolling_7d": 1,    # daily spine over O(days)
-        "window_lag_daily_delta": 1,     # daily spine over O(days)
         "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)
         "text_bigram_lift": 1,           # corpus-total denominator
         "stream_sliding_3d_1d": 1,       # window spine over O(windows)
