@@ -1088,7 +1088,13 @@ def sessionize_timers_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     own batch/timer interleaving is not probeable in this sandbox (the
     live transformWithState test is protobuf-skipped, documented in
     `make_session_processor`); this twin pins the transition code and a
-    precisely-stated batch alignment instead. Totals fold in integer
+    precisely-stated batch alignment instead. Out of this contract, by
+    declaration (ADVICE r8): with delay (1h) > gap (30min), the LIVE
+    operator can receive a watermark-admissible event more than one gap
+    before an open session's start and absorbs it (min-start merge)
+    where gaps-and-islands would split — the replay feeds event-time
+    order, so the boundary cannot occur here; it is stated and pinned
+    at `fold_session` / test_fold_session_unsorted_across_batches. Totals fold in integer
     cents (floats of integers — exact in IEEE regardless of order; the
     stateful_running_totals_twin technique).
 

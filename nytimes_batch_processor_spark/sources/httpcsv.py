@@ -66,6 +66,10 @@ def _open_with_retry(url: str, retries: int):
         except urllib.error.HTTPError as exc:
             if exc.code not in (429, 500, 502, 503, 504):
                 raise
+            # HTTPError IS the (open) response: close it, or each
+            # retried attempt leaks a socket fd — at 1000 URLs x N
+            # retries that exhausts the executor's fd budget.
+            exc.close()
             last = exc
         except (urllib.error.URLError, TimeoutError, OSError) as exc:
             last = exc

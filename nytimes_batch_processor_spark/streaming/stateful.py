@@ -132,10 +132,23 @@ def fold_session(state, ts_us_seq, value_seq, gap_us: int):
     via min(start, ts); last/timer-horizon are unaffected (max). If the
     late event is even earlier than start - gap, it is still absorbed
     into the open session rather than opening a retroactive one — the
-    state machine cannot split an already-merged session; that boundary
-    is unreachable while the watermark delay is <= the session gap, and
-    is pinned by tests/test_streaming.py::
-    test_fold_session_unsorted_across_batches."""
+    state machine cannot split an already-merged session.
+
+    DIVERGENCE, stated explicitly (ADVICE r8): that absorb boundary is
+    unreachable only while the watermark delay is <= the session gap.
+    The shipped timer configuration uses delay 1h > gap 30min
+    (sessionize.py _TIMER_DELAY_US/_TIMER_GAP_US), so a
+    watermark-admissible event more than one gap before the open
+    session's start CAN arrive across micro-batches, and the live
+    operator MERGES it (monotone min-start absorb) where batch
+    gaps-and-islands would place it in its own earlier session. This is
+    the operator's chosen semantics — a streaming state machine that
+    emitted-or-kept exactly one open session per key cannot
+    retroactively split — and it is pinned, not hidden:
+    tests/test_streaming.py::test_fold_session_unsorted_across_batches
+    asserts the absorb, and the hash-checked twin
+    (sessionize_timers_twin) certifies the event-time-ordered replay,
+    where the boundary cannot occur, so twin and oracle stay exact."""
     closed = []
     for ts, v in zip(ts_us_seq, value_seq):
         ts = int(ts)

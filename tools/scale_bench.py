@@ -302,9 +302,12 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     anything past +4 means the rounds claim broke (O(n)
     diameter-walking would add thousands)."""
     hi, lo = results[f"x{factor}"], results["x1"]
+    # zero-denominator clamps: counts are integers (>= 1 meaningful);
+    # walls are seconds where a sub-second x1 is real signal — clamping
+    # those to 1s would understate the recorded wall-growth ratios.
     ratios = {
-        key: round(hi[key] / max(lo[key], 1), 2)
-        for key in (*COUNT_KEYS, *WALL_KEYS)
+        **{key: round(hi[key] / max(lo[key], 1), 2) for key in COUNT_KEYS},
+        **{key: round(hi[key] / max(lo[key], 1e-3), 2) for key in WALL_KEYS},
     }
     linear_ok = all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS)
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
