@@ -75,6 +75,55 @@ HEADLINE = [
 ]
 
 
+# --- environment micro-anchor (VERDICT r8 item 6) -------------------------
+# Three fixed queries whose PLANS never change with engine code: a codegen
+# CPU loop, a fixed-key shuffle, and a parquet scan-aggregate. Their
+# min-of-5 wall, against the reference values recorded on the r9 bench
+# host, quantifies per-run environment drift — three rounds (r6-r8)
+# explained +8-16% like-for-like totals as sandbox drift via ad-hoc
+# worktree experiments; env_factor makes that a standing, recorded
+# number. REF values assume the default sf0.1 fixture for the scan
+# anchor (the driver's per-round configuration). Replication noise of
+# the anchors themselves (measured r9, 3 sessions x min-of-5): cpu +-6%,
+# shuffle +-3%, scan +-20%; the geometric mean resolves the >=8% drifts
+# the factor exists to catch. REF calibrated from anchors run INSIDE a
+# full r9 bench process (post-warmup JIT state differs measurably from a
+# bare session — standalone probes read ~15% slower).
+_ANCHOR_REF = {"anchor_cpu": 0.42, "anchor_shuffle": 0.31, "anchor_scan": 0.125}
+
+
+def _env_anchor(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+    anchors = {
+        "anchor_cpu": lambda: spark.range(4_000_000_000)
+        .selectExpr("sum(id % 7) AS s")
+        .collect(),
+        "anchor_shuffle": lambda: spark.range(100_000_000)
+        .selectExpr("id % 4096 AS k")
+        .groupBy("k")
+        .count()
+        .selectExpr("sum(count) AS s")
+        .collect(),
+        "anchor_scan": lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("sum(l_quantity) AS s", "sum(l_extendedprice) AS p", "count(*) AS n")
+        .collect(),
+    }
+    for fn in anchors.values():  # unmeasured warmup, same policy as queries
+        fn()
+    walls: dict[str, float] = {}
+    for name, fn in anchors.items():
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        walls[name] = round(min(ts), 3)
+    ratios = [walls[k] / _ANCHOR_REF[k] for k in _ANCHOR_REF]
+    geomean = 1.0
+    for r in ratios:
+        geomean *= r
+    return walls, round(geomean ** (1 / len(ratios)), 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -134,6 +183,8 @@ def main() -> None:
         for name in all_names
     }
 
+    anchor_walls, env_factor = _env_anchor(spark, sf_dir)
+
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)
     out = {
@@ -142,6 +193,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # env_factor ~1.0 on the r9 reference host; divide the total (or
+        # any per-query wall) by it to compare across rounds net of
+        # sandbox drift. value_env_corrected is that division, recorded.
+        "env_anchor": anchor_walls,
+        "env_factor": env_factor,
+        "value_env_corrected": round(total / env_factor, 3) if env_factor > 0 else total,
     }
     if errors:
         out["errors"] = errors

@@ -125,6 +125,44 @@ def test_ann_ivf_fixed_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.4, f"fixed-IVF recall@10 vs brute force: {recall:.2f}"
 
 
+def test_int_lloyd_partition_tracks_mllib_rand_index(spark, sf_dir):
+    """VERDICT r8 item 5: the hash-green integer-Lloyd twin
+    (ivf_kmeans_int_train) certifies quantizer-training reproducibility
+    FOR the rows-only MLlib path (sim_ann_ivf_topk) — which only means
+    something while the two partitions stay the same KIND of clustering.
+    Gate their pairwise Rand index (fraction of vector pairs on whose
+    co-assignment both partitions agree): measured 0.876 (sf0.001) /
+    0.868 (sf0.01); a degenerated side (one giant cell) crashes it to
+    ~0.09. Also pin non-degeneracy directly — no cell may swallow >30%
+    of the corpus on this near-uniform random fixture."""
+    import numpy as np
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        ivf_index_for,
+        ivf_kmeans_int_train,
+    )
+
+    ml = {
+        r["vec_id"]: r["cell"]
+        for r in ivf_index_for(spark, sf_dir).assigned.select("vec_id", "cell").collect()
+    }
+    ik = {r["vec_id"]: r["cell"] for r in ivf_kmeans_int_train(spark, sf_dir).collect()}
+    ids = sorted(ml)
+    assert sorted(ik) == ids, "the two paths assigned different vector sets"
+
+    for name, part in (("mllib", ml), ("int-lloyd", ik)):
+        _, counts = np.unique([part[i] for i in ids], return_counts=True)
+        share = counts.max() / len(ids)
+        assert share < 0.30, f"{name} partition degenerated: top cell holds {share:.0%}"
+
+    a = np.array([ml[i] for i in ids])
+    b = np.array([ik[i] for i in ids])
+    iu = np.triu_indices(len(ids), 1)
+    rand = ((a[:, None] == a[None, :])[iu] == (b[:, None] == b[None, :])[iu]).mean()
+    print(f"int-Lloyd vs MLlib Rand index: {rand:.3f}")
+    assert rand >= 0.75, f"quantizer partitions diverged in character: Rand {rand:.3f}"
+
+
 def test_ann_ivf_query_is_probe_only(spark, sf_dir):
     """The IVF query path must never retrain the quantizer: repeated
     calls in one session reuse the SAME built index (KMeans.fit lives in
