@@ -38,7 +38,7 @@ HEADLINE = [
     "agg_distinct_counts",
     "window_rank_topk_per_group",
     "window_range_rolling_7d",
-    "sessionize_gap_30min",
+    "sessionize_gap_surface",  # r9: merged islands + native session_window
     "q3_shipping_priority",
     "dedup_exact_union",
     "dedup_minhash_lsh",
@@ -48,7 +48,6 @@ HEADLINE = [
     "text_quality_score",
     "fn_json_surface",
     # r5 additions (r3/r4 comparisons stay per-query; total covers +3)
-    "sessionize_native_session_window",
     "sim_ann_ivf_fixed_topk",
     "pack_sequences_offsets",
     # r6 additions. The stateful twin is a PYTHON-path operator by

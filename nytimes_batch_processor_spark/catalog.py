@@ -90,28 +90,31 @@ _PRIORITY: tuple[str, ...] = (
     # ================= r9 window =================
     # r8 swept 50/50 hash-green. Recency cohorts entering r9 (oracle-
     # backed): 16 last green r6 (hit MAX_AGE now — the rotation gate
-    # demands all of them; 16 not 21 because r9's consolidation retired
+    # demands all of them; 14 not 21 because r9's consolidation retired
     # window_rank_extras/window_ntile_first_last/window_lag_daily_delta
     # -> window_analytic_surface, fn_string_surface/fn_conditional_null
-    # -> fn_string_cond_surface, and setops_customer_cohorts/
-    # setops_multiset_all -> setops_surface — VERDICT r8 items 2/4;
-    # the retired semantics live on, hashed, in the consolidated
-    # entries), 49 last green r7, 49 last green r8. The r9 window =
-    # the 16 r6 entries + 3 r9-new consolidated entries +
+    # -> fn_string_cond_surface, setops_customer_cohorts/
+    # setops_multiset_all -> setops_surface, and
+    # join_left_outer_null_ext/join_right_outer_never_matched ->
+    # join_outer_null_surface — VERDICT r8 items 2/4; the retired
+    # semantics live on, hashed, in the consolidated entries; the
+    # fifth merge, sessionize_gap_30min + sessionize_native_
+    # session_window -> sessionize_gap_surface, retired two r7-cohort
+    # entries), 47 last green r7, 49 last green r8. The r9 window =
+    # the 14 r6 entries + 5 r9-new consolidated entries +
     # dedup_containment_prefix (r8-green but its prefix filter gained
-    # the length-bound prune this round — changed code re-enters the
-    # window, the r4 lesson generalized) + 30 of the r7 cohort. The
-    # 19 r7 leftovers (percentile_exact_and_approx,
+    # the length+positional prune this round — changed code re-enters
+    # the window, the r4 lesson generalized) + 30 of the r7 cohort.
+    # The 17 r7 leftovers (percentile_exact_and_approx,
     # pipeline_curate_corpus, q3_shipping_priority,
     # scan_python_datasource_httpcsv, scan_xml_roundtrip,
-    # sessionize_gap_30min, sessionize_native_session_window,
     # sim_ann_ivf_fixed_topk, sim_ann_lsh_topk,
     # sim_cosine_topk_bruteforce, stream_dedup_watermark_twin,
     # stream_stream_join_twin, stream_update_agg_twin,
     # subquery_correlated_scalar, table_zorder_roundtrip,
     # text_tokens_topk, udf_pandas_scalar, window_ignore_nulls_ffill,
     # window_rank_topk_per_group) are the mandatory core of the r10
-    # window — age 2 exactly then, with 31 slots left for r10-new
+    # window — age 2 exactly then, with 33 slots left for r10-new
     # entries plus the start of the r8 cohort. Any entry added during
     # r9 swaps in here immediately (the r4 lesson: unswept new entries
     # get no hard check), displacing one r7 entry into the r10 cohort.
@@ -120,11 +123,10 @@ _PRIORITY: tuple[str, ...] = (
     # forward simulation (50 slots x MAX_AGE+1 rounds caps
     # oracle-backed entries at 150 — VERDICT r7 item 2; growth policy:
     # plateau + consolidate redundant variants — the catalog shrank
-    # 121 -> 117 oracle-backed this round to bank treadmill headroom,
-    # VERDICT r8 item 2). (Earlier rotation history lives in git.)
-    # -- last hash-green r6 (16): forced by the gate --
-    "join_left_outer_null_ext",
-    "join_right_outer_never_matched",
+    # 121 -> 115 oracle-backed this round to bank treadmill headroom,
+    # VERDICT r8 item 2: the EDF simulation now holds >=5 slots of
+    # slack at every horizon round). (Earlier rotation history in git.)
+    # -- last hash-green r6 (14): forced by the gate --
     "filter_like_in_patterns",
     "join_cross_grid",
     "sort_nulls_ordering",
@@ -143,6 +145,8 @@ _PRIORITY: tuple[str, ...] = (
     "window_analytic_surface",   # percent_rank+cume_dist+nth_value+ntile+lag, one hash
     "fn_string_cond_surface",    # string surface + CASE/coalesce/nullif, one hash
     "setops_surface",            # distinct + multiset set ops, one hash
+    "join_outer_null_surface",   # LEFT + RIGHT outer null-extension, one hash
+    "sessionize_gap_surface",    # islands + native session_window, one hash
     # -- r9-changed: prefix filter gained the length-bound prune --
     "dedup_containment_prefix",
     # -- last hash-green r7 (30 of 49) --

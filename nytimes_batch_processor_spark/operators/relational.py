@@ -212,74 +212,83 @@ def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "join_left_outer_null_ext",
+    "join_outer_null_surface",
     tables=("customer", "orders"),
     oracle="""
-SELECT c.c_custkey,
-       c.c_mktsegment                                   AS mktsegment,
-       CAST(COUNT(o.o_orderkey) AS BIGINT)              AS n_big_orders,
-       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS big_spend,
-       CAST(MAX(CAST(o.o_orderdate AS DATE)) AS DATE)   AS last_big_order
+SELECT 'L'                                              AS side,
+       CAST(c.c_custkey AS VARCHAR)                     AS k,
+       CAST(COUNT(o.o_orderkey) AS BIGINT)              AS n,
+       CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS v,
+       CAST(MAX(CAST(o.o_orderdate AS DATE)) AS DATE)   AS d
 FROM customer c
 LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
   ON o.o_custkey = c.c_custkey
-GROUP BY c.c_custkey, c.c_mktsegment
-""",
-)
-def join_left_outer_null_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT OUTER join with real null extension: every customer is kept;
-    customers without a big (>300k) order aggregate over the
-    null-extended right side — COUNT(col) gives 0, SUM/MAX give NULL.
-    This is exactly where Spark/DuckDB null semantics could diverge, so
-    it's oracle-checked row-by-row (1 row per customer).
-
-    Scale: left outer preserves the fact side's partitioning; the
-    filtered right side is small enough to broadcast, and a broadcast
-    LEFT OUTER is legal when the *right* side is built (Spark supports
-    BuildRight for LeftOuter) — no shuffle of customers.
-    """
-    t = load_tables(spark, sf_dir, "customer", "orders")
-    big = t.orders.filter(F.col("o_totalprice") > 300000)
-    return (
-        t.customer.join(big, F.col("o_custkey") == F.col("c_custkey"), "left")
-        .groupBy("c_custkey", F.col("c_mktsegment").alias("mktsegment"))
-        .agg(
-            F.count("o_orderkey").alias("n_big_orders"),
-            msum("o_totalprice").alias("big_spend"),
-            F.max(F.col("o_orderdate").cast("date")).alias("last_big_order"),
-        )
-    )
-
-
-@query(
-    "join_right_outer_never_matched",
-    tables=("customer", "orders"),
-    oracle="""
-SELECT c.c_mktsegment                                   AS mktsegment,
-       CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN c.c_custkey END) AS BIGINT) AS n_no_urgent,
-       CAST(COUNT(DISTINCT c.c_custkey) AS BIGINT)      AS n_customers
+GROUP BY c.c_custkey
+UNION ALL
+SELECT 'R'                                              AS side,
+       c.c_mktsegment                                   AS k,
+       CAST(COUNT(DISTINCT CASE WHEN o.o_orderkey IS NULL THEN c.c_custkey END) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT c.c_custkey) AS DOUBLE)      AS v,
+       CAST(NULL AS DATE)                               AS d
 FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
 RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """,
 )
-def join_right_outer_never_matched(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RIGHT OUTER join: all customers survive; those with no urgent
-    order appear once, null-extended — counted via the NULL probe column
-    (the IS NULL test on the preserved side is the canonical outer-join
-    idiom the reference's state-vs-county reconciliation would use)."""
+def join_outer_null_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated LEFT + RIGHT OUTER null-extension surface (r9
+    rotation-capacity consolidation of join_left_outer_null_ext +
+    join_right_outer_never_matched — VERDICT r8 item 2), one hash:
+
+    - 'L' rows, one per customer: LEFT OUTER against big (>300k)
+      orders — customers without one aggregate the null-extended right
+      side (COUNT(col)=0, SUM=NULL, MAX(date)=NULL), exactly where
+      Spark/DuckDB null semantics could diverge, checked row-by-row;
+    - 'R' rows, one per segment: RIGHT OUTER from urgent orders — the
+      preserved-side IS NULL probe (the canonical never-matched idiom
+      the reference's state-vs-county reconciliation would use).
+
+    Scale: outer joins preserve the preserved side's partitioning; the
+    filtered order sides are small enough to broadcast, and broadcast
+    outer joins are legal building the non-preserved side (BuildRight
+    for LeftOuter / BuildLeft for RightOuter) — no customer shuffle."""
     t = load_tables(spark, sf_dir, "customer", "orders")
+    big = t.orders.filter(F.col("o_totalprice") > 300000)
+    left = (
+        t.customer.join(big, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n"),
+            msum("o_totalprice").alias("v"),
+            F.max(F.col("o_orderdate").cast("date")).alias("d"),
+        )
+        .select(
+            F.lit("L").alias("side"),
+            F.col("c_custkey").cast("string").alias("k"),
+            "n",
+            "v",
+            "d",
+        )
+    )
     urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return (
+    right = (
         urgent.join(t.customer, F.col("o_custkey") == F.col("c_custkey"), "right")
-        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .groupBy(F.col("c_mktsegment").alias("k"))
         .agg(
             F.countDistinct(
                 F.when(F.col("o_orderkey").isNull(), F.col("c_custkey"))
-            ).alias("n_no_urgent"),
-            F.countDistinct("c_custkey").alias("n_customers"),
+            ).alias("n"),
+            F.countDistinct("c_custkey").cast("double").alias("v"),
+        )
+        .select(
+            F.lit("R").alias("side"),
+            "k",
+            "n",
+            "v",
+            F.lit(None).cast("date").alias("d"),
         )
     )
+    return left.unionByName(right)
 
 
 @query(

@@ -91,7 +91,7 @@ def stream_sliding_3d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "sessionize_gap_30min",
+    "sessionize_gap_surface",
     tables=("events",),
     oracle="""
 WITH ordered AS (
@@ -110,21 +110,51 @@ sessions AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS session_no
     FROM ordered
+),
+islands AS (
+    SELECT user_id,
+           CAST(session_no AS BIGINT)                        AS session_no,
+           CAST(COUNT(*) AS BIGINT)                          AS n_events,
+           MIN(epoch_us(ts))                                 AS session_start_us,
+           MAX(epoch_us(ts))                                 AS max_ts_us,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_no
 )
-SELECT user_id,
-       CAST(session_no AS BIGINT)                        AS session_no,
-       CAST(COUNT(*) AS BIGINT)                          AS n_events,
-       MIN(epoch_us(ts))                                 AS session_start_us,
-       MAX(epoch_us(ts)) - MIN(epoch_us(ts))             AS duration_us,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
-FROM sessions
-GROUP BY user_id, session_no
+SELECT 'islands' AS path, user_id, session_no, session_start_us,
+       max_ts_us AS session_end_us, n_events, session_value
+FROM islands
+UNION ALL
+SELECT 'native' AS path, user_id, CAST(NULL AS BIGINT) AS session_no,
+       session_start_us, max_ts_us + 30 * 60 * 1000000 AS session_end_us,
+       n_events, session_value
+FROM islands
 """,
 )
-def sessionize_gap_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-minute inactivity gap) via gaps-and-islands:
-    flag session starts with lag, number sessions with a running sum,
-    aggregate per (user, session)."""
+def sessionize_gap_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated 30-minute-gap sessionization surface (r9
+    rotation-capacity consolidation of sessionize_gap_30min +
+    sessionize_native_session_window — VERDICT r8 item 2): BOTH
+    implementations run and land in one hash, tagged by path.
+
+    - 'islands': hand-built gaps-and-islands (lag flags session starts,
+      running sum numbers them, aggregate per island) — exposes
+      session_no, a stable per-user ordinal, tie-broken on event_id;
+      session_end_us = last event ts.
+    - 'native': Spark's ``F.session_window`` in batch mode — the exact
+      operator Structured Streaming's state store runs, so hashing it
+      here proves the streaming path's session semantics with an oracle
+      the rows-only streaming sweep can't provide; its window end is
+      DEFINED as last ts + gap (hence the +30min), session_no NULL.
+
+    The oracle computes the islands ONCE and derives both branches from
+    them — which is itself the equivalence claim: native session_window
+    must produce exactly the gaps-and-islands partition. Ties within
+    one timestamp collapse into the same session either way, so the
+    ts-only native ordering needs no tie-breaker.
+
+    Scale shape: one shuffle on user_id each, per-partition session
+    merge, no cross-row explosion."""
     t = load_tables(spark, sf_dir, "events")
     w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
     ev = t.events.select("user_id", "ts", "event_id", "value").withColumn(
@@ -140,23 +170,42 @@ def sessionize_gap_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_no",
         F.sum("new_session").over(w_ord.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
-    return (
+    islands = (
         ev.groupBy("user_id", "session_no")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.min(epoch_us("ts")).alias("session_start_us"),
-            (F.max(epoch_us("ts")) - F.min(epoch_us("ts"))).alias("duration_us"),
+            F.max(epoch_us("ts")).alias("session_end_us"),
             msum("value").alias("session_value"),
         )
         .select(
+            F.lit("islands").alias("path"),
             "user_id",
             F.col("session_no").cast("long").alias("session_no"),
-            "n_events",
             "session_start_us",
-            "duration_us",
+            "session_end_us",
+            "n_events",
             "session_value",
         )
     )
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    native = (
+        t.events.groupBy(sw.alias("sw"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            msum("value").alias("session_value"),
+        )
+        .select(
+            F.lit("native").alias("path"),
+            "user_id",
+            F.lit(None).cast("long").alias("session_no"),
+            epoch_us(F.col("sw.start")).alias("session_start_us"),
+            epoch_us(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )
+    return islands.unionByName(native)
 
 
 @query(
@@ -263,71 +312,6 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "sessionize_native_session_window",
-    tables=("events",),
-    oracle="""
-WITH ordered AS (
-    SELECT user_id, ts, value,
-           CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
-                    PARTITION BY user_id ORDER BY ts
-                )) > 30 * 60 * 1000000 THEN 1
-                WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL THEN 1
-                ELSE 0 END AS new_session
-    FROM events
-),
-sessions AS (
-    SELECT user_id, ts, value,
-           SUM(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_no
-    FROM ordered
-)
-SELECT user_id,
-       MIN(epoch_us(ts))                                 AS session_start_us,
-       MAX(epoch_us(ts)) + 30 * 60 * 1000000             AS session_end_us,
-       CAST(COUNT(*) AS BIGINT)                          AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS session_value
-FROM sessions
-GROUP BY user_id, session_no
-""",
-)
-def sessionize_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-native ``F.session_window`` in BATCH mode — the second,
-    engine-provided implementation of 30-minute-gap sessionization,
-    oracle-checked against the same gaps-and-islands decomposition that
-    ``sessionize_gap_30min`` hand-builds (its window end is defined as
-    last event ts + gap, hence the ``+ 30min`` in the oracle).
-
-    Why both exist: the hand-built variant exposes session_no (stable
-    ordinal per user) and pins tie order with event_id; the native one is
-    the exact operator Structured Streaming's state store runs, so
-    checking it in batch proves the streaming path's semantics with a
-    hash oracle the streaming sweep (rows-only) can't provide.
-
-    Scale shape: identical to the hand-built form — one shuffle on
-    user_id, per-partition session merge, no cross-row explosion. Since
-    ties within one microsecond collapse into the same session, the
-    (ts-only) ordering needs no tie-breaker here."""
-    t = load_tables(spark, sf_dir, "events")
-    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
-    return (
-        t.events.groupBy(sw.alias("sw"), "user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            msum("value").alias("session_value"),
-        )
-        .select(
-            "user_id",
-            epoch_us(F.col("sw.start")).alias("session_start_us"),
-            epoch_us(F.col("sw.end")).alias("session_end_us"),
-            "n_events",
-            "session_value",
-        )
-    )
-
-
 _TWIN_BATCH = 16  # simulated micro-batch size (rows per trigger per user)
 
 
@@ -399,8 +383,8 @@ def stateful_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission (the running totals after each batch) is a result row —
     so the oracle hash-checks the state machine's intermediate states,
     not just its final fold (VERDICT r5 stretch item 7; the technique
-    `sessionize_native_session_window` used for the session-window
-    state op).
+    the session-window entry (`sessionize_gap_surface`, native branch)
+    uses for the session-window state op).
 
     Exactness: totals fold in integer CENTS — floor(value*100) is the
     same IEEE double op on both engines per row, and integer sums are

