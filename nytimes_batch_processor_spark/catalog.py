@@ -105,7 +105,8 @@ _PRIORITY: tuple[str, ...] = (
     # dedup_containment_prefix (r8-green but its prefix filter gained
     # the length+positional prune this round — changed code re-enters
     # the window, the r4 lesson generalized) + 30 of the r7 cohort.
-    # The 17 r7 leftovers (percentile_exact_and_approx,
+    # The 19 r7 leftovers (mm_binary_metadata,
+    # pack_sequences_offsets, percentile_exact_and_approx,
     # pipeline_curate_corpus, q3_shipping_priority,
     # scan_python_datasource_httpcsv, scan_xml_roundtrip,
     # sim_ann_ivf_fixed_topk, sim_ann_lsh_topk,
@@ -114,7 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     # subquery_correlated_scalar, table_zorder_roundtrip,
     # text_tokens_topk, udf_pandas_scalar, window_ignore_nulls_ffill,
     # window_rank_topk_per_group) are the mandatory core of the r10
-    # window — age 2 exactly then, with 33 slots left for r10-new
+    # window — age 2 exactly then, with 31 slots left for r10-new
     # entries plus the start of the r8 cohort. Any entry added during
     # r9 swaps in here immediately (the r4 lesson: unswept new entries
     # get no hard check), displacing one r7 entry into the r10 cohort.
@@ -147,8 +148,14 @@ _PRIORITY: tuple[str, ...] = (
     "setops_surface",            # distinct + multiset set ops, one hash
     "join_outer_null_surface",   # LEFT + RIGHT outer null-extension, one hash
     "sessionize_gap_surface",    # islands + native session_window, one hash
-    # -- r9-changed: prefix filter gained the length-bound prune --
+    # -- r9-changed code re-enters the window (the r4 lesson
+    # generalized): containment gained the length+positional prune;
+    # the two replay twins moved to bucketed grouped-map dispatch
+    # (displacing mm_binary_metadata and pack_sequences_offsets into
+    # the r10 cohort) --
     "dedup_containment_prefix",
+    "stateful_running_totals_twin",
+    "sessionize_timers_twin",
     # -- last hash-green r7 (30 of 49) --
     "agg_distinct_counts",
     "agg_pricing_summary",
@@ -177,8 +184,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_left_anti",
     "join_scd2_temporal_lookup",
     "merge_scd2_dimension",
-    "mm_binary_metadata",
-    "pack_sequences_offsets",
     "scan_binaryfile_metadata",
 )
 

@@ -394,28 +394,29 @@ def stateful_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py; this entry gives the transition logic the
     hash-grade oracle a rows-only streaming sweep can't.
 
-    Scale shape: one shuffle on user_id (identical to the state store's
-    key partitioning), Arrow-batched grouped-map, per-group work linear
-    in that user's events; emission count is |events|/batch per user,
+    Scale shape: one shuffle on hash(user_id) % _TWIN_BUCKETS (the
+    state store's own granularity — streaming state partitions by key
+    HASH, not per key), Arrow-batched grouped-map, per-user replay
+    inside the bucket; emission count is |events|/batch per user,
     bounded by the same update-mode output the stream produces.
 
-    Cost model, measured at sf0.1 (100k events, 1500 users): 3.2s, of
-    which ~2.5-3.1s is grouped-map PER-GROUP Python dispatch (a trivial
-    applyInPandas over the same groups costs the same; the JVM groupBy
-    on the same input is 0.16s) — ~2ms per group, linear in |users|,
-    independent of events-per-user. That dispatch price is WHY the
-    replay exists as a verification twin rather than a production path:
-    production runs the streaming operator, whose per-micro-batch
-    dispatch amortizes over all rows in the trigger. An equivalent
-    all-JVM formulation (per-batch sums + cumulative window — the
-    oracle's own plan) is what you'd deploy for a batch backfill."""
+    Cost model: the r8 per-user-group form measured 3.1s at sf0.1
+    (100k events, 1500 users), of which ~2.5s was grouped-map PER-GROUP
+    Python dispatch at ~2ms/group, linear in |users| and independent of
+    events-per-user. Bucketing users into _TWIN_BUCKETS groups (r9)
+    removes exactly that term: measured 1.5s min-of-3 at sf0.1, with
+    the residue now the actual replay work. An equivalent all-JVM
+    formulation (per-batch sums + cumulative window — the oracle's own
+    plan) is what you'd deploy for a batch backfill; this entry exists
+    to hash-check the streaming transition code itself."""
     t = load_tables(spark, sf_dir, "events")
     base = t.events.select(
         "user_id",
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("cents"),
     )
-    return base.groupBy("user_id").applyInPandas(
+    return _bucketed_by_user(
+        base,
         _twin_replay,
         "user_id long, batch_no long, n_events long, total_cents long",
     )
@@ -909,6 +910,36 @@ def stream_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TIMER_GAP_US = 1_800_000_000    # 30 min session gap (same as gap_30min)
 _TIMER_DELAY_US = 3_600_000_000  # 1h watermark delay, integer microseconds
 
+# Replay twins bucket users into this many grouped-map groups instead of
+# one group per user: the Arrow grouped-map costs ~2ms of per-GROUP
+# Python dispatch regardless of group size (measured r8, both twins), so
+# |users| groups is |users| x 2ms of pure overhead while 64 buckets make
+# dispatch negligible and keep 2x-the-core-count parallelism. This is
+# also the state store's own granularity — streaming state partitions by
+# hash(key) % numShufflePartitions, not per key. Results are
+# bucket-count-invariant: the per-user replay runs unchanged inside the
+# bucket (tests/test_properties.py partition-invariance covers the twin).
+_TWIN_BUCKETS = 64
+
+
+def _bucketed_by_user(df: DataFrame, replay_per_user, schema: str) -> DataFrame:
+    """groupBy(hash(user_id) % _TWIN_BUCKETS) -> applyInPandas, running
+    `replay_per_user` (a one-user grouped-map function) on each user's
+    slice inside the bucket — one shuffle, ~_TWIN_BUCKETS dispatches."""
+
+    def _run_bucket(pdf):
+        import pandas as pd
+
+        return pd.concat(
+            [replay_per_user(g) for _, g in pdf.groupby("user_id", sort=False)],
+            ignore_index=True,
+        )
+
+    bucketed = df.withColumn(
+        "_b", F.pmod(F.hash("user_id"), F.lit(_TWIN_BUCKETS))
+    )
+    return bucketed.groupBy("_b").applyInPandas(_run_bucket, schema)
+
 
 def _timers_twin_replay(pdf):
     """Replay one user's events through the timer-session state machine
@@ -1084,11 +1115,13 @@ def sessionize_timers_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the watermark spine is an O(#days) aggregate whose
     prefix-max window sits above the Aggregate, broadcast onto events;
-    then ONE shuffle on user_id (the state store's own key
-    partitioning) into an Arrow-batched grouped-map linear in each
-    user's events. Per-group Python dispatch is the price of replaying
-    the literal transition code — a verification twin, not the
-    production path (production runs the streaming operator; a batch
+    then ONE shuffle on hash(user_id) % _TWIN_BUCKETS (the state
+    store's own hash granularity) into an Arrow-batched grouped-map
+    that replays each user inside the bucket. The r8 per-user-group
+    form paid ~2ms/user of grouped-map dispatch (4.5s at sf0.1);
+    bucketing (r9) removes it — measured 1.9s min-of-3, the residue
+    being the literal per-user transition replay this twin exists to
+    hash-check (production runs the streaming operator; a batch
     backfill uses the oracle's gaps-and-islands plan)."""
     t = load_tables(spark, sf_dir, "events")
     return timers_twin_frame(t.events)
@@ -1120,7 +1153,8 @@ def timers_twin_frame(events: DataFrame) -> DataFrame:
     )
     fin = daymax.agg((F.max("mx") - F.lit(_TIMER_DELAY_US)).alias("wm_final_us"))
     evw = ev.join(F.broadcast(wmb), "day_no").crossJoin(F.broadcast(fin))
-    return evw.groupBy("user_id").applyInPandas(
+    return _bucketed_by_user(
+        evw,
         _timers_twin_replay,
         "user_id long, session_start_us long, session_end_us long, "
         "n_events long, total_cents long, close_reason string",
