@@ -105,12 +105,12 @@ _PRIORITY: tuple[str, ...] = (
     # dedup_containment_prefix (r8-green but its prefix filter gained
     # the length+positional prune this round — changed code re-enters
     # the window, the r4 lesson generalized) + 30 of the r7 cohort.
-    # The 19 r7 leftovers (mm_binary_metadata,
+    # The 19 r7 leftovers (merge_scd2_dimension, mm_binary_metadata,
     # pack_sequences_offsets, percentile_exact_and_approx,
     # pipeline_curate_corpus, q3_shipping_priority,
     # scan_python_datasource_httpcsv, scan_xml_roundtrip,
     # sim_ann_ivf_fixed_topk, sim_ann_lsh_topk,
-    # sim_cosine_topk_bruteforce, stream_dedup_watermark_twin,
+    # sim_cosine_topk_bruteforce,
     # stream_stream_join_twin, stream_update_agg_twin,
     # subquery_correlated_scalar, table_zorder_roundtrip,
     # text_tokens_topk, udf_pandas_scalar, window_ignore_nulls_ffill,
@@ -150,12 +150,13 @@ _PRIORITY: tuple[str, ...] = (
     "sessionize_gap_surface",    # islands + native session_window, one hash
     # -- r9-changed code re-enters the window (the r4 lesson
     # generalized): containment gained the length+positional prune;
-    # the two replay twins moved to bucketed grouped-map dispatch
-    # (displacing mm_binary_metadata and pack_sequences_offsets into
-    # the r10 cohort) --
+    # the three replay twins moved to bucketed grouped-map dispatch
+    # (displacing mm_binary_metadata, pack_sequences_offsets and
+    # merge_scd2_dimension into the r10 cohort) --
     "dedup_containment_prefix",
     "stateful_running_totals_twin",
     "sessionize_timers_twin",
+    "stream_dedup_watermark_twin",
     # -- last hash-green r7 (30 of 49) --
     "agg_distinct_counts",
     "agg_pricing_summary",
@@ -183,7 +184,6 @@ _PRIORITY: tuple[str, ...] = (
     "join_broadcast_star",
     "join_left_anti",
     "join_scd2_temporal_lookup",
-    "merge_scd2_dimension",
     "scan_binaryfile_metadata",
 )
 

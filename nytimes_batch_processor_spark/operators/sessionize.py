@@ -615,13 +615,13 @@ def stream_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-day watermark table is a tiny aggregate
     (O(#days)) broadcast back onto events — the only prefix-scan window
     sits above that Aggregate, never over row-scale data; then ONE
-    shuffle on user_id (identical to the streaming state store's key
-    partitioning) into an Arrow-batched grouped-map whose per-group
-    work is linear in that user's events. Per-group Python dispatch
-    (~2ms/key) is the price of replaying the literal transition code —
-    a verification twin, not the production path (production runs the
-    native streaming operator; a batch backfill would use the oracle's
-    own gaps-and-islands plan)."""
+    shuffle on hash(user_id) % _TWIN_BUCKETS (the state store's own
+    hash granularity) into an Arrow-batched grouped-map replaying each
+    user inside the bucket, linear in that user's events — the r9
+    bucketing that removed the ~2ms/user dispatch term from all three
+    replay twins. A verification twin, not the production path
+    (production runs the native streaming operator; a batch backfill
+    would use the oracle's own kept-chain plan)."""
     t = load_tables(spark, sf_dir, "events")
     ev = t.events.select(
         "user_id",
@@ -640,7 +640,8 @@ def stream_dedup_watermark_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wm_us"),
     )
     evw = ev.join(F.broadcast(wmb), "day")
-    return evw.groupBy("user_id").applyInPandas(
+    return _bucketed_by_user(
+        evw,
         _dedup_twin_replay,
         "user_id long, event_id long, kept_ts_us long, n_suppressed long",
     )
