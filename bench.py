@@ -91,7 +91,13 @@ HEADLINE = [
 _ANCHOR_REF = {"anchor_cpu": 0.42, "anchor_shuffle": 0.31, "anchor_scan": 0.125}
 
 
-def _env_anchor(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float | None]:
+    """Returns (anchor walls, env_factor). The scan anchor's REF is only
+    meaningful against the sf0.1 fixture, so at any other sf the factor
+    is the geomean of the two data-independent anchors alone. Returns
+    factor None if no anchor produced a wall — callers must not let an
+    anchor failure cost the round its query numbers (the r4 lesson
+    applies here too; r9 self-review)."""
     anchors = {
         "anchor_cpu": lambda: spark.range(4_000_000_000)
         .selectExpr("sum(id % 7) AS s")
@@ -102,21 +108,30 @@ def _env_anchor(spark, sf_dir: str) -> tuple[dict[str, float], float]:
         .count()
         .selectExpr("sum(count) AS s")
         .collect(),
-        "anchor_scan": lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .selectExpr("sum(l_quantity) AS s", "sum(l_extendedprice) AS p", "count(*) AS n")
-        .collect(),
     }
-    for fn in anchors.values():  # unmeasured warmup, same policy as queries
-        fn()
+    if sf == 0.1:
+        anchors["anchor_scan"] = (
+            lambda: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .selectExpr(
+                "sum(l_quantity) AS s", "sum(l_extendedprice) AS p", "count(*) AS n"
+            )
+            .collect()
+        )
     walls: dict[str, float] = {}
     for name, fn in anchors.items():
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            fn()
-            ts.append(time.perf_counter() - t0)
-        walls[name] = round(min(ts), 3)
-    ratios = [walls[k] / _ANCHOR_REF[k] for k in _ANCHOR_REF]
+        try:
+            fn()  # unmeasured warmup, same policy as queries
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                fn()
+                ts.append(time.perf_counter() - t0)
+            walls[name] = round(min(ts), 3)
+        except Exception:  # noqa: BLE001 — anchors must never kill the bench
+            continue
+    ratios = [walls[k] / _ANCHOR_REF[k] for k in walls]
+    if not ratios:
+        return walls, None
     geomean = 1.0
     for r in ratios:
         geomean *= r
@@ -182,7 +197,10 @@ def main() -> None:
         for name in all_names
     }
 
-    anchor_walls, env_factor = _env_anchor(spark, sf_dir)
+    try:
+        anchor_walls, env_factor = _env_anchor(spark, sf_dir, sf)
+    except Exception:  # noqa: BLE001 — belt over _env_anchor's own braces
+        anchor_walls, env_factor = {}, None
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)
@@ -197,7 +215,9 @@ def main() -> None:
         # sandbox drift. value_env_corrected is that division, recorded.
         "env_anchor": anchor_walls,
         "env_factor": env_factor,
-        "value_env_corrected": round(total / env_factor, 3) if env_factor > 0 else total,
+        "value_env_corrected": (
+            round(total / env_factor, 3) if env_factor else total
+        ),
     }
     if errors:
         out["errors"] = errors

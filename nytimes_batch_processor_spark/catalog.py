@@ -89,7 +89,7 @@ def _load_all_modules() -> None:
 _PRIORITY: tuple[str, ...] = (
     # ================= r9 window =================
     # r8 swept 50/50 hash-green. Recency cohorts entering r9 (oracle-
-    # backed): 16 last green r6 (hit MAX_AGE now — the rotation gate
+    # backed): 14 last green r6 (hit MAX_AGE now — the rotation gate
     # demands all of them; 14 not 21 because r9's consolidation retired
     # window_rank_extras/window_ntile_first_last/window_lag_daily_delta
     # -> window_analytic_surface, fn_string_surface/fn_conditional_null
@@ -100,11 +100,17 @@ _PRIORITY: tuple[str, ...] = (
     # semantics live on, hashed, in the consolidated entries; the
     # fifth merge, sessionize_gap_30min + sessionize_native_
     # session_window -> sessionize_gap_surface, retired two r7-cohort
-    # entries), 47 last green r7, 49 last green r8. The r9 window =
-    # the 14 r6 entries + 5 r9-new consolidated entries +
-    # dedup_containment_prefix (r8-green but its prefix filter gained
-    # the length+positional prune this round — changed code re-enters
-    # the window, the r4 lesson generalized) + 30 of the r7 cohort.
+    # entries), 47 last green r7, 49 last green r8. The r9 window,
+    # cohort-exact (composition 5 + 14 + 28 + 3, recomputable from the
+    # CORRECTNESS_r*.json files):
+    # 5 r9-new consolidated entries + the 14 r6 entries + 28 of the
+    # 47-entry r7 cohort (27 earliest-deadline fills plus
+    # stream_dedup_watermark_twin, whose replay moved to bucketed
+    # dispatch — changed code re-enters the window, the r4 lesson
+    # generalized) + 3 r8-green changed entries
+    # (dedup_containment_prefix: length+positional prefix prune;
+    # stateful_running_totals_twin / sessionize_timers_twin: bucketed
+    # grouped-map dispatch).
     # The 19 r7 leftovers (merge_scd2_dimension, mm_binary_metadata,
     # pack_sequences_offsets, percentile_exact_and_approx,
     # pipeline_curate_corpus, q3_shipping_priority,

@@ -793,16 +793,38 @@ def containment_prefix_candidates(
       closed), hence overlap <= 1 + min(n_src - i, n_dst - j); pairs
       whose upper bound misses req = ceil(num*n_src/den) are dropped
       before the array_intersect verification."""
+    return containment_prefix_plan(sh, num, den)[0]
+
+
+def containment_prefix_plan(
+    sh: DataFrame, num: int = _CONTAIN_NUM, den: int = _CONTAIN_DEN
+) -> tuple[DataFrame, DataFrame]:
+    """(candidates, verified pairs) built over ONE shared checkpointed
+    rank table — callers needing both (tools/scale_bench.py counts the
+    candidate set AND the pair set) must use this instead of calling
+    the two wrappers separately, which would materialize the rank
+    checkpoint twice. Scale-gate walls for the full
+    count(candidates)+count(pairs) workload at x1/x10 (seconds):
+    r8 bare prefix 4.6/14.3 -> r9 prune, pos per-wrapper 6.7/19.1 ->
+    r9 prune, shared pos 5.5/15.3 — the prune costs ~1s of rank
+    checkpoint at x1 and buys 1.6x fewer array_intersect
+    verifications; reused (warm pos), the pruned form measures 2.7s
+    against 4.6s bare."""
     tok = sh.select(
         "doc_id", F.size("shingles").alias("n"), F.explode("shingles").alias("s")
     )
     dfreq = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = tok.join(dfreq, "s")
     # rank within each doc by the GLOBAL total order (df, s): df is a
-    # function of s, so every doc ranks its shingles consistently
+    # function of s, so every doc ranks its shingles consistently.
+    # localCheckpoint: BOTH join sides (probe and index) read this
+    # table, and Spark does not common-subexpression subtrees — the
+    # uncheckpointed form re-runs explode+df-join+window per side (r9
+    # self-review; measured walls in containment_prefix_plan's
+    # docstring).
     pos = ranked.withColumn(
         "rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "s"))
-    )
+    ).localCheckpoint(eager=True)
     # required overlap req = ceil(num*n/den) in pure integers; prefix
     # keeps n - req + 1 rarest shingles
     prefix_len = F.col("n") - F.expr(
@@ -825,7 +847,7 @@ def containment_prefix_candidates(
     ubound_ok = F.expr(
         f"1 + least(n_src - i, n_dst - j) >= ({num} * n_src + {den} - 1) div {den}"
     )
-    return (
+    cand = (
         probe.join(
             index,
             (probe.s == index.s)
@@ -846,6 +868,25 @@ def containment_prefix_candidates(
         )
         .select("id_src", "id_dst")
     )
+    s1 = sh.select(F.col("doc_id").alias("id_src"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("id_dst"), F.col("shingles").alias("sh2"))
+    c = F.size(F.array_intersect("sh1", "sh2"))
+    n1 = F.size("sh1")
+    n2 = F.size("sh2")
+    cont = c.cast("double") / n1
+    jac = c.cast("double") / (n1 + n2 - c)
+    pairs = (
+        cand.join(s1, "id_src")
+        .join(s2, "id_dst")
+        .filter(cont >= num / den)
+        .select(
+            "id_src",
+            "id_dst",
+            ratio(cont).alias("containment"),
+            ratio(jac).alias("jaccard"),
+        )
+    )
+    return cand, pairs
 
 
 def containment_prefix_pairs(
@@ -878,25 +919,7 @@ def containment_prefix_pairs(
     identical semantics (and identical DuckDB oracle) to the all-pairs
     `dedup_shingle_containment`.
     """
-    cand = containment_prefix_candidates(sh, num, den)
-    s1 = sh.select(F.col("doc_id").alias("id_src"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("id_dst"), F.col("shingles").alias("sh2"))
-    c = F.size(F.array_intersect("sh1", "sh2"))
-    n1 = F.size("sh1")
-    n2 = F.size("sh2")
-    cont = c.cast("double") / n1
-    jac = c.cast("double") / (n1 + n2 - c)
-    return (
-        cand.join(s1, "id_src")
-        .join(s2, "id_dst")
-        .filter(cont >= num / den)
-        .select(
-            "id_src",
-            "id_dst",
-            ratio(cont).alias("containment"),
-            ratio(jac).alias("jaccard"),
-        )
-    )
+    return containment_prefix_plan(sh, num, den)[1]
 
 
 @query(

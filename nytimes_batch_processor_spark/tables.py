@@ -652,11 +652,12 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed ``foreachPartition`` writer (the binary-sink shape:
     each task writes its partition's rows through a ``pyarrow.fs``
     client resolved from the target URI — LocalFileSystem here, the
-    S3/GCS/HDFS client on a real deployment, no shared driver
-    filesystem assumed), then read back with ``format("binaryFile")``
-    + ``pathGlobFilter``; identity is recovered from the object path
-    and content integrity is proven by md5 against the parquet
-    original in DuckDB.
+    S3/GCS/HDFS client on a real deployment; local-filesystem
+    warehouses are guarded loud off local mode, where per-node writes
+    would silently scatter), then read back with
+    ``format("binaryFile")`` + ``pathGlobFilter``; identity is
+    recovered from the object path and content integrity is proven by
+    md5 against the parquet original in DuckDB.
 
     Scale notes: binaryFile scans parallelize per-file (one row per
     object, content as a single binary cell bounded by
@@ -676,6 +677,23 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     path = f"{warehouse}/engine_documents_bin_{sf_tag}"
 
+    # pyarrow.fs in the executor tasks makes s3://gs://hdfs:// targets
+    # genuinely work off local mode — but a scheme-less (or file:)
+    # warehouse still means LOCAL filesystem semantics, and on a real
+    # cluster each task would then scatter objects across
+    # executor-local disks with the read-back seeing a partial
+    # directory (ADVICE r7; re-pinned in the r9 self-review when this
+    # guard was briefly deleted). Fail loud BEFORE the re-runnable
+    # delete below destroys the previous successful export.
+    master = spark.conf.get("spark.master", "")
+    if "://" not in path and not master.startswith("local"):
+        raise NotImplementedError(
+            "binary export to a local-filesystem warehouse requires "
+            f"local mode (spark.master={master!r}); point "
+            "spark.sql.warehouse.dir at an object store (s3://, gs://, "
+            "hdfs://) to export from a cluster"
+        )
+
     # Re-runnable stage: drop any prior export so a stale extra object
     # can't join the glob (same hygiene as the ORC/JSONL stages' mode
     # "overwrite", which binary export lacks natively).
@@ -689,10 +707,10 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _export(rows) -> None:
         # Executor tasks have no py4j bridge to the JVM Hadoop client,
         # so the per-task writer is pyarrow.fs: from_uri resolves the
-        # SAME path to a Local/S3/GCS/HDFS client on whatever node runs
-        # the task — no shared driver filesystem assumed, which is what
-        # let the r8 local-mode-only guard be deleted (VERDICT r8
-        # stretch 7). Objects are written DIRECTLY under their final
+        # SAME URI to an S3/GCS/HDFS client on whatever node runs the
+        # task (VERDICT r8 stretch 7 — the guard above now fires only
+        # for local-filesystem warehouses, where scattering would be
+        # silent). Objects are written DIRECTLY under their final
         # deterministic names (no tmp+rename: rename is a POSIX-ism
         # object stores lack; a retried task rewrites byte-identical
         # content, so the write is idempotent — the directory-level

@@ -389,16 +389,16 @@ def main() -> None:
         # (unbounded) scaled corpus — the part the bounded catalog
         # entry cannot show
         from nytimes_batch_processor_spark.operators.dedup import (
-            containment_prefix_candidates,
-            containment_prefix_pairs,
+            containment_prefix_plan,
             shingle_arrays,
         )
 
         docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
         sh = shingle_arrays(docs_df).localCheckpoint(eager=True)
         t0 = time.perf_counter()
-        row["containment_candidates"] = containment_prefix_candidates(sh).count()
-        row["containment_pairs"] = containment_prefix_pairs(sh).count()
+        cand_df, pairs_df = containment_prefix_plan(sh)
+        row["containment_candidates"] = cand_df.count()
+        row["containment_pairs"] = pairs_df.count()
         row["containment_wall_sec"] = round(time.perf_counter() - t0, 3)
 
         # iterative families (VERDICT r7 item 5)
