@@ -394,3 +394,35 @@ def test_timers_twin_plan_single_key_shuffle(spark, sf_dir):
     bnlj = re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan)
     assert len(set(bnlj)) == 1, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_r9_consolidated_entries_plan_shapes(spark, sf_dir):
+    """The r9 consolidations must not have paid for their single-hash
+    coverage with worse plans: the merged scalar surface stays a pure
+    projection (zero Exchanges — it must pipeline straight out of the
+    scan), and the merged analytic-window surface keeps ALL eight
+    functions inside ONE WindowExec over ONE shuffle (Spark coalesces
+    same-partition/order frames; a second Window node would mean a
+    frame-spec drift split the window and doubled the sort)."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    specs = all_specs()
+    scalar_plan = physical_plan(specs["fn_string_cond_surface"].fn(spark, sf_dir))
+    assert "Exchange" not in scalar_plan, scalar_plan
+    assert "Window" not in scalar_plan, scalar_plan
+
+    window_plan = physical_plan(specs["window_analytic_surface"].fn(spark, sf_dir))
+    assert window_plan.count("Window (") == 1, window_plan
+    assert window_plan.count("Exchange (") == 1, window_plan
+
+    # the merged outer-join surface must broadcast both filtered order
+    # sides (never shuffle customers) and contain no nested-loop join
+    # (formatted plans repeat each node as a detail header — count the
+    # numbered detail headers, one per tree node)
+    import re
+
+    outer_plan = physical_plan(specs["join_outer_null_surface"].fn(spark, sf_dir))
+    n_bhj = len(re.findall(r"\(\d+\) BroadcastHashJoin", outer_plan))
+    assert n_bhj == 2, outer_plan
+    assert "BroadcastNestedLoopJoin" not in outer_plan, outer_plan
+    assert "CartesianProduct" not in outer_plan, outer_plan

@@ -353,6 +353,36 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         )
 
 
+def test_twin_bucket_count_invariance(spark, sf_dir, monkeypatch):
+    """The r9 bucketed grouped-map dispatch (`_bucketed_by_user`,
+    operators/sessionize.py) must be a pure performance knob: every
+    replay twin's RESULT may not depend on _TWIN_BUCKETS — a dependence
+    would mean per-user replay state leaked across users sharing a
+    bucket. Runs the three twins at 64 (shipped), 3 (many users per
+    bucket, max collision pressure) and 1 (everything in one Python
+    group) and requires identical multisets."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+    from nytimes_batch_processor_spark.operators import sessionize as S
+
+    specs = all_specs()
+    names = [
+        "stateful_running_totals_twin",
+        "sessionize_timers_twin",
+        "stream_dedup_watermark_twin",
+    ]
+    results = {}
+    for n_buckets in (64, 3, 1):
+        monkeypatch.setattr(S, "_TWIN_BUCKETS", n_buckets)
+        results[n_buckets] = {
+            name: sorted(map(repr, specs[name].fn(spark, sf_dir).collect()))
+            for name in names
+        }
+    for name in names:
+        assert results[64][name] == results[3][name] == results[1][name], (
+            f"{name}: result depends on _TWIN_BUCKETS"
+        )
+
+
 @settings(max_examples=25, deadline=None)
 @given(
     st.lists(st.integers(min_value=-(10**6), max_value=10**6), max_size=200),
