@@ -630,3 +630,63 @@ def test_timers_twin_matches_literal_batch_simulation(raw):
                 del state[u]
     expected = sorted(out)
     assert got == expected, f"\ngot      {got}\nexpected {expected}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 5)),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_tie_stable_window_semantics_agree_with_duckdb(spark, rows):
+    """Cross-engine PEER semantics, in the regime the catalog entry
+    deliberately avoids: window_analytic_surface tie-breaks its ORDER BY
+    on custkey so every rank is deterministic — which also means the
+    driver hash never exercises real ties. Here generated (group, value)
+    frames are FULL of duplicates, and the tie-stable analytic functions
+    (rank, dense_rank, percent_rank, cume_dist — whose outputs depend
+    only on the peer partition, not intra-peer order) must agree between
+    Spark and DuckDB row-multiset-exactly. Catches the
+    engine-version-drift class (the r3/r4 lesson) on the one semantic
+    axis — peer grouping — the oracle fixtures cannot reach.
+    (row_number/ntile/lag are intentionally absent: with ties they are
+    legitimately order-dependent in both engines.)"""
+    import duckdb
+    import pandas as pd
+
+    from pyspark.sql import Window as W, functions as F
+
+    pdf = pd.DataFrame(rows, columns=["g", "v"])
+    w = W.partitionBy("g").orderBy("v")
+    got = sorted(
+        (r["g"], r["v"], r["rnk"], r["drnk"], round(r["pr"], 9), round(r["cd"], 9))
+        for r in spark.createDataFrame(pdf)
+        .select(
+            "g",
+            "v",
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .collect()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    exp = sorted(
+        (g, v, rnk, drnk, round(pr, 9), round(cd, 9))
+        for g, v, rnk, drnk, pr, cd in con.execute(
+            """
+            SELECT g, v,
+                   CAST(RANK() OVER w AS BIGINT),
+                   CAST(DENSE_RANK() OVER w AS BIGINT),
+                   PERCENT_RANK() OVER w,
+                   CUME_DIST() OVER w
+            FROM t WINDOW w AS (PARTITION BY g ORDER BY v)
+            """
+        ).fetchall()
+    )
+    con.close()
+    assert got == exp
