@@ -842,7 +842,15 @@ def containment_prefix_plan(
         F.col("rn").alias("j"),
         "s",
     )
-    first_match = F.min(F.struct("i", "j")).alias("m")
+    # first match per pair = min over (i, j), encoded as ONE BIGINT
+    # (i << 32 | j — ranks are doc positions, far below 2^32, so the
+    # integer order IS the lexicographic order): min(struct) only plans
+    # as a SortAggregate, which would sort the whole candidate-witness
+    # table on both sides of its shuffle; min(bigint) hash-aggregates
+    # with map-side partials. n_src/n_dst are constant per pair -> max.
+    first_match = F.min(
+        F.shiftleft(F.col("i").cast("long"), 32) + F.col("j")
+    ).alias("ij")
     req = F.expr(f"({num} * n_src + {den} - 1) div {den}")
     ubound_ok = F.expr(
         f"1 + least(n_src - i, n_dst - j) >= ({num} * n_src + {den} - 1) div {den}"
@@ -861,9 +869,13 @@ def containment_prefix_plan(
             & ubound_ok,
         )
         .groupBy("id_src", "id_dst")
-        .agg(first_match, F.first("n_src").alias("n_src"), F.first("n_dst").alias("n_dst"))
+        .agg(first_match, F.max("n_src").alias("n_src"), F.max("n_dst").alias("n_dst"))
         .filter(
-            1 + F.least(F.col("n_src") - F.col("m.i"), F.col("n_dst") - F.col("m.j"))
+            1
+            + F.least(
+                F.col("n_src") - F.shiftrightunsigned("ij", 32),
+                F.col("n_dst") - F.col("ij").bitwiseAND(F.lit((1 << 32) - 1)),
+            )
             >= req
         )
         .select("id_src", "id_dst")
