@@ -110,11 +110,15 @@ _PRIORITY: tuple[str, ...] = (
     # generalized) + 3 r8-green changed entries
     # (dedup_containment_prefix: length+positional prefix prune;
     # stateful_running_totals_twin / sessionize_timers_twin: bucketed
-    # grouped-map dispatch).
-    # The 19 r7 leftovers (merge_scd2_dimension, mm_binary_metadata,
+    # grouped-map dispatch) — scan_xml_roundtrip (r7-green) also
+    # re-enters late-r9 for its hash-aggregable date min/max, making
+    # the composition 5 + 14 + 28 + 3 with the r7 share now counting
+    # xml in and scd2 out.
+    # The 19 r7 leftovers (join_scd2_temporal_lookup,
+    # merge_scd2_dimension, mm_binary_metadata,
     # pack_sequences_offsets, percentile_exact_and_approx,
     # pipeline_curate_corpus, q3_shipping_priority,
-    # scan_python_datasource_httpcsv, scan_xml_roundtrip,
+    # scan_python_datasource_httpcsv,
     # sim_ann_ivf_fixed_topk, sim_ann_lsh_topk,
     # sim_cosine_topk_bruteforce,
     # stream_stream_join_twin, stream_update_agg_twin,
@@ -163,6 +167,7 @@ _PRIORITY: tuple[str, ...] = (
     "stateful_running_totals_twin",
     "sessionize_timers_twin",
     "stream_dedup_watermark_twin",
+    "scan_xml_roundtrip",
     # -- last hash-green r7 (30 of 49) --
     "agg_distinct_counts",
     "agg_pricing_summary",
@@ -189,7 +194,6 @@ _PRIORITY: tuple[str, ...] = (
     "graph_reachability_rcte",
     "join_broadcast_star",
     "join_left_anti",
-    "join_scd2_temporal_lookup",
     "scan_binaryfile_metadata",
 )
 

@@ -800,12 +800,19 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = (
         spark.read.format("xml").option("rowTag", "order").schema(schema).load(path)
     )
+    # min/max over the DATE cast, formatted back to the pinned lexical
+    # form: a string min/max buffer is immutable, which silently demotes
+    # the whole aggregate to a SortAggregate (r9 plan audit) — the date
+    # cast keeps every buffer field mutable so the scan aggregates as a
+    # partial+final HashAggregate, and ISO strings order identically to
+    # their dates so the value is unchanged.
+    d = F.col("o_orderdate").cast("date")
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("n_custs"),
         F.sum("o_orderkey").alias("key_checksum"),
-        F.min("o_orderdate").alias("min_date"),
-        F.max("o_orderdate").alias("max_date"),
+        F.date_format(F.min(d), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max(d), "yyyy-MM-dd").alias("max_date"),
     )
 
 
