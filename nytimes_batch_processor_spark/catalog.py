@@ -168,7 +168,9 @@ _PRIORITY: tuple[str, ...] = (
     "sessionize_timers_twin",
     "stream_dedup_watermark_twin",
     "scan_xml_roundtrip",
-    # -- last hash-green r7 (30 of 49) --
+    # -- last hash-green r7 (26 here; 28 of the 47-entry cohort
+    # counting stream_dedup_watermark_twin and scan_xml_roundtrip
+    # in the changed-code block above) --
     "agg_distinct_counts",
     "agg_pricing_summary",
     "agg_skew_salted_sum",

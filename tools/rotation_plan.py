@@ -22,29 +22,33 @@ Usage: python tools/rotation_plan.py
 
 from __future__ import annotations
 
-import glob
-import json
+import importlib.util
 import os
-import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-WINDOW = 50
-MAX_AGE = 2
+
+def _gate():
+    """Load tests/test_rotation.py as a module so the WINDOW/MAX_AGE
+    constants and the history parser are the GATE'S OWN, not a copy
+    that can drift (r9 second review: the first version hand-copied
+    them and had already dropped the non-matching-filename guard)."""
+    spec = importlib.util.spec_from_file_location(
+        "rotation_gate", os.path.join(REPO, "tests", "test_rotation.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def main() -> None:
     from nytimes_batch_processor_spark.catalog import all_specs
 
-    latest, last_green = 0, {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"_r0*(\d+)\.json$", path).group(1))
-        latest = max(latest, rnd)
-        for name, row in json.load(open(path)).items():
-            if isinstance(row, dict) and row.get("hash_match"):
-                last_green[name] = max(last_green.get(name, 0), rnd)
+    gate = _gate()
+    WINDOW, MAX_AGE = gate.WINDOW, gate.MAX_AGE
+    latest, last_green = gate._correctness_history()
 
     specs = all_specs()
     oracle_names = [n for n, s in specs.items() if s.oracle is not None]
