@@ -7,14 +7,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query executes to completion through the noop sink (full plan runs,
 nothing collected to the driver — the honest way to time a distributed
 plan). Methodology: one UNMEASURED pass over every headline query warms
-JVM/JIT/codegen and the parquet read path, then TWO passes are timed and
-the per-query MINIMUM is reported (three passes for
-sub-second queries, where +-0.1s jitter still reads as a 20%+ swing
-under min-of-2 — r7) — steady-state numbers with a noise
-bound, which is what a long-running engine's latency actually is. (r1
-numbers were cold-start; r2 added the warmup pass; r3 added min-of-2
-because single-pass deltas of +-0.4s on sub-2s queries were run noise —
-the r2 "flagship regression" 1.76->2.22s had no plan or code change.)
+JVM/JIT/codegen and the parquet read path, then THREE passes are timed
+and the per-query MINIMUM is reported — steady-state numbers with a
+noise bound, which is what a long-running engine's latency actually is.
+(r1 numbers were cold-start; r2 added the warmup pass; r3 added
+min-of-2 because single-pass deltas of +-0.4s on sub-2s queries were
+run noise; r7 added a third pass for sub-second queries; r9 made the
+third pass universal after min-of-2 left a ~20% band on multi-second
+queries, and added the env_factor micro-anchor for host drift.)
 """
 
 from __future__ import annotations
@@ -168,22 +168,17 @@ def main() -> None:
     all_names = [*HEADLINE, "flagship"]
     for name in all_names:  # warmup pass: JIT/codegen/read-path, unmeasured
         run(name)
+    # THREE timed passes for every query (r9; r3 added min-of-2, r7 a
+    # third pass for sub-second queries only): same-code r9 runs showed
+    # min-of-2 leaving a ~20% band on multi-second queries too
+    # (graph_pagerank_fixed 3.9 <-> 4.8s), which reads as regression
+    # noise across rounds. The extra full pass costs ~35s against the
+    # driver's 550s budget and halves the per-query noise band.
     passes = [
         {name: run(name) for name in all_names},
         {name: run(name) for name in all_names},
+        {name: run(name) for name in all_names},
     ]
-    # Sub-second queries get a THIRD timed pass: their scheduler/GC
-    # jitter is +-0.1s, which min-of-2 can read as a 20%+ "regression"
-    # with no code change (r6: sim_cosine_topk_bruteforce 0.508->0.631s;
-    # VERDICT r6 item 4). Min-of-3 tightens the noise bound where it is
-    # proportionally largest while costing <2s of extra bench time.
-    sub_second = [
-        name
-        for name in all_names
-        if name not in errors
-        and any(t is not None and t < 1.0 for p in passes for t in (p[name],))
-    ]
-    passes.append({name: run(name) for name in sub_second})
     # A name in `errors` reports None even if one pass succeeded: a
     # timing and an error for the same query would contradict each other
     # in the artifact (ADVICE r5). Errors alone carry the failure.
