@@ -76,137 +76,73 @@ def _load_all_modules() -> None:
 
 # Driver-sweep priority order. The correctness driver verifies the FIRST
 # 50 registered entries only (observed in CORRECTNESS_r02: the sweep stops
-# at exactly 50 rows, cutting every entry registered after approx.py —
-# fn_*/udf_*/stream_*/mm_*/ingest/tables had no driver row in r2). To make
-# the hard signal cover every SURVEY §2 family, `all_specs` emits entries
-# in this explicit order: the 21 entries the r2 sweep never saw come
-# first, then one-or-more representatives of every remaining family; the
-# tail (positions 51+) holds only redundant variants of families already
-# driver-verified green in r2 (e.g. rollup/cube when grouping-sets is in
-# the window). Entries not named here (new registrations) append after the
-# priority block in registration order — append new names here too when
-# they must be driver-visible.
-_PRIORITY: tuple[str, ...] = (
-    # ================= r9 window =================
-    # r8 swept 50/50 hash-green. Recency cohorts entering r9 (oracle-
-    # backed): 14 last green r6 (hit MAX_AGE now — the rotation gate
-    # demands all of them; 14 not 21 because r9's consolidation retired
-    # window_rank_extras/window_ntile_first_last/window_lag_daily_delta
-    # -> window_analytic_surface, fn_string_surface/fn_conditional_null
-    # -> fn_string_cond_surface, setops_customer_cohorts/
-    # setops_multiset_all -> setops_surface, and
-    # join_left_outer_null_ext/join_right_outer_never_matched ->
-    # join_outer_null_surface — VERDICT r8 items 2/4; the retired
-    # semantics live on, hashed, in the consolidated entries; the
-    # fifth merge, sessionize_gap_30min + sessionize_native_
-    # session_window -> sessionize_gap_surface, retired two r7-cohort
-    # entries), 47 last green r7, 49 last green r8. The r9 window,
-    # cohort-exact (composition 5 + 14 + 28 + 3, recomputable from the
-    # CORRECTNESS_r*.json files):
-    # 5 r9-new consolidated entries + the 14 r6 entries + 28 of the
-    # 47-entry r7 cohort (27 earliest-deadline fills plus
-    # stream_dedup_watermark_twin, whose replay moved to bucketed
-    # dispatch — changed code re-enters the window, the r4 lesson
-    # generalized) + 3 r8-green changed entries
-    # (dedup_containment_prefix: length+positional prefix prune;
-    # stateful_running_totals_twin / sessionize_timers_twin: bucketed
-    # grouped-map dispatch) — scan_xml_roundtrip (r7-green) also
-    # re-enters late-r9 for its hash-aggregable date min/max, making
-    # the composition 5 + 14 + 28 + 3 with the r7 share now counting
-    # xml in and scd2 out.
-    # The 19 r7 leftovers (join_scd2_temporal_lookup,
-    # merge_scd2_dimension, mm_binary_metadata,
-    # pack_sequences_offsets, percentile_exact_and_approx,
-    # pipeline_curate_corpus, q3_shipping_priority,
-    # scan_python_datasource_httpcsv,
-    # sim_ann_ivf_fixed_topk, sim_ann_lsh_topk,
-    # sim_cosine_topk_bruteforce,
-    # stream_stream_join_twin, stream_update_agg_twin,
-    # subquery_correlated_scalar, table_zorder_roundtrip,
-    # text_tokens_topk, udf_pandas_scalar, window_ignore_nulls_ffill,
-    # window_rank_topk_per_group) are the mandatory core of the r10
-    # window — age 2 exactly then, with 31 slots left for r10-new
-    # entries plus the start of the r8 cohort. Any entry added during
-    # r9 swaps in here immediately (the r4 lesson: unswept new entries
-    # get no hard check), displacing one r7 entry into the r10 cohort.
-    # tests/test_rotation.py machine-enforces both the per-entry
-    # recency policy AND the capacity ceiling via a multi-round
-    # forward simulation (50 slots x MAX_AGE+1 rounds caps
-    # oracle-backed entries at 150 — VERDICT r7 item 2; growth policy:
-    # plateau + consolidate redundant variants — the catalog shrank
-    # 121 -> 115 oracle-backed this round to bank treadmill headroom,
-    # VERDICT r8 item 2: the EDF simulation now holds >=5 slots of
-    # slack at every horizon round). (Earlier rotation history in git.)
-    # -- last hash-green r6 (14): forced by the gate --
-    "filter_like_in_patterns",
-    "join_cross_grid",
-    "sort_nulls_ordering",
-    "text_langid_heuristic",
-    "text_fingerprint",
-    "text_bigram_lift",
-    "stream_sliding_3d_1d",
-    "sessionize_dynamic_gap",
-    "fn_date_surface",
-    "fn_array_surface",
-    "fn_map_surface",
-    "ingest_covid_states",
-    "scan_orc_roundtrip",
-    "udf_grouped_map_zscore",
-    # -- r9-new consolidations: enter immediately (the r4 lesson) --
-    "window_analytic_surface",   # percent_rank+cume_dist+nth_value+ntile+lag, one hash
-    "fn_string_cond_surface",    # string surface + CASE/coalesce/nullif, one hash
-    "setops_surface",            # distinct + multiset set ops, one hash
-    "join_outer_null_surface",   # LEFT + RIGHT outer null-extension, one hash
-    "sessionize_gap_surface",    # islands + native session_window, one hash
-    # -- r9-changed code re-enters the window (the r4 lesson
-    # generalized): containment gained the length+positional prune;
-    # the three replay twins moved to bucketed grouped-map dispatch
-    # (displacing mm_binary_metadata, pack_sequences_offsets and
-    # merge_scd2_dimension into the r10 cohort) --
-    "dedup_containment_prefix",
-    "stateful_running_totals_twin",
-    "sessionize_timers_twin",
-    "stream_dedup_watermark_twin",
-    "scan_xml_roundtrip",
-    # -- last hash-green r7 (26 here; 28 of the 47-entry cohort
-    # counting stream_dedup_watermark_twin and scan_xml_roundtrip
-    # in the changed-code block above) --
-    "agg_distinct_counts",
-    "agg_pricing_summary",
-    "agg_skew_salted_sum",
-    "decon_train_test_overlap",
-    "dedup_embedding_cosine",
-    "dedup_exact_union",
-    "dedup_minhash_cc",
-    "dedup_minhash_lsh",
-    "dedup_minhash_resolve",
-    "dedup_shingle_containment",
-    "dedup_simhash",
-    "embed_quantize_int8",
-    "events_funnel_conversion",
-    "filter_project_revenue",
-    "fn_higher_order_surface",
-    "fn_mask_redact",
-    "fn_math_surface",
-    "fn_regexp_surface",
-    "fn_try_ansi_surface",
-    "fn_url_surface",
-    "fn_variant_json",
-    "graph_pagerank_fixed",
-    "graph_reachability_rcte",
-    "join_broadcast_star",
-    "join_left_anti",
-    "scan_binaryfile_metadata",
-)
+# at exactly 50 rows, cutting every entry registered after approx.py).
+# Rounds r2-r9 maintained the window as a hand-pasted tuple here; that
+# tuple went stale at every round boundary — the repo's only recurring
+# pytest red for three straight rounds (VERDICT r9 item 1). Since r10 the
+# window is DERIVED at first use from the recorded CORRECTNESS_r*.json
+# history by `rotation.plan_window` (aged + never-swept + changed-this-
+# round + earliest-deadline fill), so a recorded sweep rotates the window
+# automatically and the round-boundary red is structurally impossible.
+# The two facts the history cannot know stay explicit below:
+#
+#   _CHANGED_BY_ROUND[n]   — entries whose CODE changed while building
+#                            round n; they re-enter round n's window even
+#                            if recently green (the r4 lesson: r3/r4 both
+#                            shipped locally-green, driver-red changes).
+#   _ROWS_ONLY_FORCE_BY_ROUND[n] — no-oracle entries granted a one-off
+#                            sweep slot (rows-only check) in round n.
+#
+# Keyed by round so an override expires the moment that round's sweep is
+# recorded (latest+1 moves past it); stale overrides cannot accumulate.
+# tests/test_rotation.py audits the derived window with its own
+# independent history parser plus an EDF forward simulation of the
+# rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
+
+_CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
+    # r10: dedup_containment_prefix gained checkpoint lifecycle mgmt
+    # (ADVICE r9) — semantics unchanged but re-verify anyway.
+    10: (
+        "dedup_containment_prefix",
+    ),
+}
+
+_ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {
+    # r10: sim_ann_ivf_topk has NEVER had a green driver row of any
+    # kind (its one appearance is an r2 `err`) — VERDICT r9 item 2.
+    10: ("sim_ann_ivf_topk",),
+}
+
+_WINDOW_CACHE: tuple[str, ...] | None = None
+
+
+def priority_window() -> tuple[str, ...]:
+    """The derived 50-slot sweep window for the upcoming round."""
+    global _WINDOW_CACHE
+    if _WINDOW_CACHE is None:
+        from . import rotation
+
+        _load_all_modules()
+        latest, last_green = rotation.correctness_history()
+        upcoming = latest + 1
+        oracle_names = [n for n, s in _REGISTRY.items() if s.oracle is not None]
+        _WINDOW_CACHE = rotation.plan_window(
+            oracle_names,
+            last_green,
+            latest,
+            changed=_CHANGED_BY_ROUND.get(upcoming, ()),
+            rows_only_force=_ROWS_ONLY_FORCE_BY_ROUND.get(upcoming, ()),
+        )
+    return _WINDOW_CACHE
 
 
 def all_specs() -> dict[str, QuerySpec]:
     _load_all_modules()
     ordered: dict[str, QuerySpec] = {}
-    for name in _PRIORITY:
+    for name in priority_window():
         spec = _REGISTRY.get(name)
         if spec is None:  # pragma: no cover - guards against rename drift
-            raise KeyError(f"_PRIORITY names unknown query: {name}")
+            raise KeyError(f"window names unknown query: {name}")
         ordered[name] = spec
     for name, spec in _REGISTRY.items():
         if name not in ordered:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import checkpoints
 from ..catalog import query
 from ..sources import load_tables
 from .dedup import _minhash_pairs_ctes
@@ -74,8 +75,13 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # new_labels is materialized and `changed` consumed the old
+        # frame — its checkpoint blocks are dead lineage; release them
+        # now instead of accumulating one label table per iteration.
+        labels.unpersist(blocking=False)
         labels = new_labels
         if changed == 0:
+            checkpoints.rotate("graph.cc_labels", sym, labels)
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
@@ -148,7 +154,11 @@ def connected_components_star(
     if stats is not None:
         stats["input_edges"] = int(prev["n"])
     for rounds in range(1, max_iter + 1):
-        e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        new_e = _star(_star(e, large=True), large=False).localCheckpoint(eager=True)
+        # new_e is materialized; the previous round's edge blocks are
+        # dead — O(1) live checkpoints instead of O(rounds).
+        e.unpersist(blocking=False)
+        e = new_e
         cur = _checksum(e)
         if (cur["n"], cur["h"]) == (prev["n"], prev["h"]):
             if stats is not None:
@@ -159,6 +169,7 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
+    checkpoints.rotate("graph.cc_star_edges", e)
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return (
         sym.groupBy("u")
@@ -450,4 +461,7 @@ def pagerank_fixed_ranks(trade: DataFrame) -> DataFrame:
     final = ranks.localCheckpoint(eager=True)
     for c in cached:
         c.unpersist()
+    # Bounded retention across invocations (ADVICE r9 pattern): the next
+    # call releases this call's edge snapshot + final table blocks.
+    checkpoints.rotate("graph.pagerank", edges_deg, final)
     return final

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W, functions as F
 
+from .. import checkpoints
 from ..catalog import query
 from ..functions import ratio
 from ..sources import load_tables
@@ -315,6 +316,9 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    # Bounded retention (ADVICE r9 pattern): re-invocation releases the
+    # previous signature-index blocks.
+    checkpoints.rotate("similarity.lsh_sig", v_sig)
     # Query side: tiny (N_QUERIES x tables x 176 probe rows) — broadcast.
     probes = (
         v_sig.filter(F.col("vec_id") < N_QUERIES)
@@ -1053,6 +1057,7 @@ def ivf_kmeans_int_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x * _IKM_SCALE).cast("long"),
         ).alias("qe"),
     ).localCheckpoint(eager=True)  # 3 assigns + 2 updates re-read it
+    checkpoints.rotate("similarity.ikm_qdf", qdf)
 
     centers = [
         list(r["qe"]) for r in qdf.orderBy("vec_id").limit(_IVF_K).collect()

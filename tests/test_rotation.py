@@ -143,14 +143,39 @@ def test_rotation_capacity_sustainable():
 
 
 def test_window_has_no_duplicates_and_is_full():
-    from nytimes_batch_processor_spark.catalog import _PRIORITY, all_specs
+    from nytimes_batch_processor_spark.catalog import all_specs, priority_window
 
-    assert len(_PRIORITY) == len(set(_PRIORITY)), "duplicate names in _PRIORITY"
+    window = priority_window()
+    assert len(window) == len(set(window)), "duplicate names in derived window"
     names = list(all_specs())
     assert len(names) >= WINDOW, "catalog shrank below the sweep size"
-    # _PRIORITY is exactly the intended window: anything it names beyond
-    # slot 50 would silently NOT be swept, which defeats its purpose.
-    assert len(_PRIORITY) == WINDOW, (
-        f"_PRIORITY has {len(_PRIORITY)} names; the driver sweeps only the "
-        f"first {WINDOW} — keep _PRIORITY exactly the window"
+    # The derived window is exactly the sweep: anything beyond slot 50
+    # would silently NOT be swept, which defeats its purpose.
+    assert len(window) == WINDOW, (
+        f"derived window has {len(window)} names; the driver sweeps only "
+        f"the first {WINDOW} — plan_window must fill exactly the window"
+    )
+    assert names[:WINDOW] == list(window), (
+        "all_specs() must emit the derived window first, in order"
+    )
+
+
+def test_stale_overrides_cannot_accumulate():
+    """Round-keyed overrides expire when their round's sweep is
+    recorded; an override keyed to an already-recorded round is dead
+    code that misleads the next reader — fail loudly instead."""
+    from nytimes_batch_processor_spark.catalog import (
+        _CHANGED_BY_ROUND,
+        _ROWS_ONLY_FORCE_BY_ROUND,
+    )
+
+    latest, _ = _correctness_history()
+    stale = [
+        rnd
+        for rnd in list(_CHANGED_BY_ROUND) + list(_ROWS_ONLY_FORCE_BY_ROUND)
+        if rnd <= latest
+    ]
+    assert not stale, (
+        f"window overrides keyed to already-recorded rounds {sorted(set(stale))} "
+        f"(latest recorded sweep is r{latest}) — delete the expired entries"
     )

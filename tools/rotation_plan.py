@@ -1,28 +1,25 @@
 #!/usr/bin/env python
-"""Print the next round's 50-slot sweep window (the _PRIORITY rewrite).
+"""Print the derived driver-sweep window (now computed automatically).
 
-The recurring round-boundary red is catalog._PRIORITY still holding the
-PREVIOUS window after a new CORRECTNESS_r{N}.json lands. This tool
-computes the r{N+1} window the same way tests/test_rotation.py checks
-it: parse the hash-green history, force every oracle-backed entry at
-MAX_AGE, then fill by earliest deadline. Run it right after recording a
-sweep, paste the list into catalog._PRIORITY (annotated), re-run
-`pytest tests/test_rotation.py`.
+Since r10 `catalog.priority_window()` derives the 50-slot window from
+the CORRECTNESS_r*.json history at first use (see
+`nytimes_batch_processor_spark/rotation.py`), so there is no `_PRIORITY`
+tuple to paste any more. This tool remains as the human-readable view of
+what the driver will sweep next round and why each name is in (or out):
+run it after recording a sweep, or before committing new/changed
+entries, to sanity-check the plan.
 
-Caveats the tool cannot know — handle by hand:
-- entries whose CODE changed this round must be added to the window
-  even if recently green (the r4 lesson generalized);
-- new entries registered this round appear under "new (never swept)"
-  and must stay in the window;
-- consolidations: retire old names from the registry first, then
-  re-run this tool.
+The two override maps in catalog.py are the only hand-maintained state:
+`_CHANGED_BY_ROUND` (code changed this round -> re-enter the window) and
+`_ROWS_ONLY_FORCE_BY_ROUND` (grant a no-oracle entry a one-off sweep
+slot). Both are keyed by round and expire automatically; a stale key
+fails tests/test_rotation.py.
 
 Usage: python tools/rotation_plan.py
 """
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import sys
 
@@ -30,63 +27,50 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _gate():
-    """Load tests/test_rotation.py as a module so the WINDOW/MAX_AGE
-    constants and the history parser are the GATE'S OWN, not a copy
-    that can drift (r9 second review: the first version hand-copied
-    them and had already dropped the non-matching-filename guard)."""
-    spec = importlib.util.spec_from_file_location(
-        "rotation_gate", os.path.join(REPO, "tests", "test_rotation.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def main() -> None:
-    from nytimes_batch_processor_spark.catalog import all_specs
+    from nytimes_batch_processor_spark import rotation
+    from nytimes_batch_processor_spark.catalog import (
+        _CHANGED_BY_ROUND,
+        _ROWS_ONLY_FORCE_BY_ROUND,
+        all_specs,
+        priority_window,
+    )
 
-    gate = _gate()
-    WINDOW, MAX_AGE = gate.WINDOW, gate.MAX_AGE
-    latest, last_green = gate._correctness_history()
-
+    latest, last_green = rotation.correctness_history()
+    upcoming = latest + 1
     specs = all_specs()
-    oracle_names = [n for n, s in specs.items() if s.oracle is not None]
-    rows_only = [n for n, s in specs.items() if s.oracle is None]
+    window = priority_window()
+    oracle = {n for n, s in specs.items() if s.oracle is not None}
+    rows_only = sorted(n for n in specs if n not in oracle)
 
-    new = [n for n in oracle_names if n not in last_green]
-    aged = sorted(
-        (n for n in oracle_names if n in last_green
-         and last_green[n] <= latest - MAX_AGE),
-        key=lambda n: (last_green[n], n),
-    )
-    fill = sorted(
-        (n for n in oracle_names if n in last_green
-         and last_green[n] > latest - MAX_AGE),
-        key=lambda n: (last_green[n], n),
-    )
+    new = [n for n in window if n in oracle and n not in last_green]
+    aged = [n for n in window if last_green.get(n, 0)
+            and last_green[n] <= latest - rotation.MAX_AGE]
+    changed = _CHANGED_BY_ROUND.get(upcoming, ())
+    forced_rows_only = _ROWS_ONLY_FORCE_BY_ROUND.get(upcoming, ())
 
-    forced = new + aged
-    if len(forced) > WINDOW:
-        print(f"ERROR: {len(forced)} forced entries exceed the {WINDOW}-slot "
-              "window — consolidate before rotating", file=sys.stderr)
-        sys.exit(1)
-    window = forced + fill[: WINDOW - len(forced)]
-
-    print(f"# r{latest + 1} window proposal ({len(window)} slots):")
-    print(f"#   {len(new)} new (never swept): {new}")
-    print(f"#   {len(aged)} aged (last green <= r{latest - MAX_AGE}) — forced")
-    print(f"#   {WINDOW - len(forced)} earliest-deadline fill from the "
-          f"r{latest - MAX_AGE + 1}+ cohorts")
-    print(f"#   rows-only (exempt): {rows_only}")
-    print("#   REMEMBER: add any entry whose code changed this round.")
+    print(f"# derived r{upcoming} window ({len(window)} slots):")
+    print(f"#   {len(new)} new (never hash-green): {new}")
+    print(f"#   {len(aged)} aged (last green <= r{latest - rotation.MAX_AGE})")
+    print(f"#   changed-this-round override: {list(changed)}")
+    print(f"#   rows-only one-off force: {list(forced_rows_only)}")
+    print(f"#   rows-only entries (recency-exempt): {rows_only}")
     for n in window:
         lg = last_green.get(n)
-        print(f'    "{n}",  # last green {"r%d" % lg if lg else "never"}')
-    leftover = fill[WINDOW - len(forced):]
-    print(f"# {len(leftover)} leftovers -> next round's mandatory core:")
+        tags = []
+        if n in changed:
+            tags.append("changed")
+        if n in forced_rows_only:
+            tags.append("rows-only force")
+        tag = f"  [{', '.join(tags)}]" if tags else ""
+        print(f'    "{n}",  # last green {"r%d" % lg if lg else "never"}{tag}')
+    leftover = sorted(
+        (n for n in oracle if n not in set(window)),
+        key=lambda n: last_green.get(n, 0),
+    )
+    print(f"# {len(leftover)} oracle-backed leftovers -> future cohorts:")
     for n in leftover:
-        print(f"#   {n} (last green r{last_green[n]})")
+        print(f"#   {n} (last green r{last_green.get(n, 0)})")
 
 
 if __name__ == "__main__":
