@@ -101,9 +101,12 @@ def _load_all_modules() -> None:
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # r10: dedup_containment_prefix gained checkpoint lifecycle mgmt
-    # (ADVICE r9) — semantics unchanged but re-verify anyway.
+    # (ADVICE r9) — semantics unchanged but re-verify anyway;
+    # agg_grouping_multi absorbed agg_time_rollup's calendar hierarchy
+    # (new (year, month) grouping set, gid widened to 4 bits).
     10: (
         "dedup_containment_prefix",
+        "agg_grouping_multi",
     ),
 }
 

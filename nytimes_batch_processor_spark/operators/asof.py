@@ -111,7 +111,7 @@ def asof_join(
 
 
 @query(
-    "join_asof_purchase_click",
+    "join_asof_surface",
     tables=("events",),
     oracle="""
 WITH purchases AS (
@@ -131,58 +131,12 @@ clicks AS (
                ) AS rn
         FROM events WHERE event_type = 'click'
     ) WHERE rn = 1
-)
-SELECT p.event_id,
-       p.user_id,
-       epoch_us(p.ts)                                 AS purchase_epoch_us,
-       ROUND(p.value, 2)                              AS purchase_value,
-       epoch_us(c.click_ts)                           AS last_click_epoch_us,
-       c.click_event_id                               AS last_click_event_id
-FROM purchases p
-ASOF LEFT JOIN clicks c
-  ON p.user_id = c.user_id AND p.ts >= c.click_ts
-""",
-)
-def join_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For every purchase, the most recent prior (or simultaneous) click
-    by the same user — oracle-checked against DuckDB's native ASOF JOIN."""
-    t = load_tables(spark, sf_dir, "events")
-    purchases = t.events.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    clicks = t.events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("click_ts"),
-        F.col("event_id").alias("click_event_id"),
-    )
-    joined = asof_join(
-        purchases,
-        clicks,
-        on="user_id",
-        left_ts="ts",
-        right_ts="click_ts",
-        right_values=["click_ts", "click_event_id"],
-        tie_breaker="click_event_id",
-    )
-    return joined.select(
-        "event_id",
-        "user_id",
-        epoch_us("ts").alias("purchase_epoch_us"),
-        F.round("value", 2).alias("purchase_value"),
-        epoch_us("asof_click_ts").alias("last_click_epoch_us"),
-        F.col("asof_click_event_id").alias("last_click_event_id"),
-    )
-
-
-@query(
-    "join_asof_forward_activation",
-    tables=("events",),
-    oracle="""
-WITH signups AS (
+),
+signups AS (
     SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup'
 ),
-purchases AS (
-    -- same explicit tie policy as the backward oracle: max event_id
+purchases_dedup AS (
+    -- same explicit tie policy for the forward direction: max event_id
     -- wins among purchases tied on (user_id, ts)
     SELECT user_id, ts AS p_ts, event_id AS p_event_id,
            ROUND(value, 2) AS p_value
@@ -194,48 +148,108 @@ purchases AS (
         FROM events WHERE event_type = 'purchase'
     ) WHERE rn = 1
 )
-SELECT s.event_id,
+SELECT 'backward' AS direction,
+       p.event_id,
+       p.user_id,
+       epoch_us(p.ts)                                 AS anchor_epoch_us,
+       ROUND(p.value, 2)                              AS anchor_value,
+       epoch_us(c.click_ts)                           AS matched_epoch_us,
+       c.click_event_id                               AS matched_event_id,
+       CAST(NULL AS DOUBLE)                           AS matched_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+UNION ALL
+SELECT 'forward' AS direction,
+       s.event_id,
        s.user_id,
-       epoch_us(s.ts)                                 AS signup_epoch_us,
-       epoch_us(p.p_ts)                               AS next_purchase_epoch_us,
-       p.p_event_id                                   AS next_purchase_event_id,
-       p.p_value                                      AS next_purchase_value
+       epoch_us(s.ts)                                 AS anchor_epoch_us,
+       CAST(NULL AS DOUBLE)                           AS anchor_value,
+       epoch_us(pd.p_ts)                              AS matched_epoch_us,
+       pd.p_event_id                                  AS matched_event_id,
+       pd.p_value                                     AS matched_value
 FROM signups s
-ASOF LEFT JOIN purchases p
-  ON s.user_id = p.user_id AND s.ts <= p.p_ts
+ASOF LEFT JOIN purchases_dedup pd
+  ON s.user_id = pd.user_id AND s.ts <= pd.p_ts
 """,
 )
-def join_asof_forward_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Forward as-of join: for every signup, the EARLIEST purchase at or
-    after it by the same user — the activation/conversion metric, and the
-    direction twin of join_asof_purchase_click. Same union-window plan
-    with the time order flipped; oracle is DuckDB's native forward ASOF
-    (ON s.ts <= p.ts)."""
+def join_asof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated as-of join surface (r10 rotation-capacity
+    consolidation of join_asof_purchase_click + join_asof_forward_
+    activation — VERDICT r9 item 3): BOTH directions of asof_join over
+    the same events table, direction-tagged into one hashed result.
+
+    'backward': for every purchase, the most recent prior (or
+    simultaneous) click by the same user — the attribution query.
+    'forward': for every signup, the EARLIEST purchase at or after it —
+    the activation/conversion query. The oracle replays both against
+    DuckDB's native ASOF JOIN (>= for backward, <= for forward), so the
+    union-window plan's equivalence to a real as-of operator is in the
+    driver hash for both time orders, including the NULL-ts contract
+    and the largest-tie-breaker-wins policy (pre-deduped on the oracle
+    side because DuckDB leaves ties unspecified).
+
+    Scale notes: each direction is ONE shuffle on user_id (union both
+    sides, window-carry the last right struct) — same cost as a
+    sort-merge join, O(1) state per key, no range explosion; the two
+    directions union for free (no extra shuffle). Skewed users split
+    via AQE; a salted two-level variant is the documented fallback."""
     t = load_tables(spark, sf_dir, "events")
+    null_d = F.lit(None).cast("double")
+
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    backward = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_values=["click_ts", "click_event_id"],
+        tie_breaker="click_event_id",
+    ).select(
+        F.lit("backward").alias("direction"),
+        "event_id",
+        "user_id",
+        epoch_us("ts").alias("anchor_epoch_us"),
+        F.round("value", 2).alias("anchor_value"),
+        epoch_us("asof_click_ts").alias("matched_epoch_us"),
+        F.col("asof_click_event_id").alias("matched_event_id"),
+        null_d.alias("matched_value"),
+    )
+
     signups = t.events.filter(F.col("event_type") == "signup").select(
         "user_id", "ts", "event_id"
     )
-    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+    p_right = t.events.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("p_ts"),
         F.col("event_id").alias("p_event_id"),
         F.round("value", 2).alias("p_value"),
     )
-    joined = asof_join(
+    forward = asof_join(
         signups,
-        purchases,
+        p_right,
         on="user_id",
         left_ts="ts",
         right_ts="p_ts",
         right_values=["p_ts", "p_event_id", "p_value"],
         tie_breaker="p_event_id",
         direction="forward",
-    )
-    return joined.select(
+    ).select(
+        F.lit("forward").alias("direction"),
         "event_id",
         "user_id",
-        epoch_us("ts").alias("signup_epoch_us"),
-        epoch_us("asof_p_ts").alias("next_purchase_epoch_us"),
-        F.col("asof_p_event_id").alias("next_purchase_event_id"),
-        F.col("asof_p_value").alias("next_purchase_value"),
+        epoch_us("ts").alias("anchor_epoch_us"),
+        null_d.alias("anchor_value"),
+        epoch_us("asof_p_ts").alias("matched_epoch_us"),
+        F.col("asof_p_event_id").alias("matched_event_id"),
+        F.col("asof_p_value").alias("matched_value"),
     )
+    return backward.unionByName(forward)

@@ -153,28 +153,14 @@ def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_left_semi",
-    tables=("customer", "orders"),
-    oracle="""
-SELECT c.c_mktsegment                 AS mktsegment,
-       CAST(COUNT(*) AS BIGINT)       AS n_customers,
-       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
-FROM customer c
-WHERE EXISTS (
-    SELECT 1 FROM orders o
-    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
-)
-GROUP BY c.c_mktsegment
-""",
-)
 def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS semantics via left_semi join (the reference's ON CONFLICT
     key-membership test, W3, is semantically this operator's dual).
 
     Semi joins never duplicate or widen the left side — Catalyst can
     broadcast the distinct right keys; at scale prefer semi over
-    join+distinct which materializes the multiplicity first.
+    join+distinct which materializes the multiplicity first. Registered
+    through `join_semi_anti_surface` since r10 (the semi branch).
     """
     t = load_tables(spark, sf_dir, "customer", "orders")
     big_buyers = t.orders.filter(F.col("o_totalprice") > 400000)
@@ -188,11 +174,39 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti join — the exact operator behind the
+    engine's idempotent upsert (reference W3: insert rows whose key is
+    not already present, ``…kt:138-141``). Registered through
+    `join_semi_anti_surface` since r10 (the anti branch)."""
+    t = load_tables(spark, sf_dir, "customer", "orders")
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return t.customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
 @query(
-    "join_left_anti",
+    "join_semi_anti_surface",
     tables=("customer", "orders"),
     oracle="""
-SELECT c.c_custkey, c.c_name, c.c_mktsegment
+SELECT 'semi_exists'                  AS op,
+       c.c_mktsegment                 AS k,
+       CAST(NULL AS VARCHAR)          AS detail,
+       CAST(COUNT(*) AS BIGINT)       AS n,
+       CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS v
+FROM customer c
+WHERE EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+)
+GROUP BY c.c_mktsegment
+UNION ALL
+SELECT 'anti_not_exists'              AS op,
+       CAST(c.c_custkey AS VARCHAR)   AS k,
+       concat(c.c_name, '|', c.c_mktsegment) AS detail,
+       CAST(1 AS BIGINT)              AS n,
+       CAST(NULL AS DOUBLE)           AS v
 FROM customer c
 WHERE NOT EXISTS (
     SELECT 1 FROM orders o
@@ -200,15 +214,38 @@ WHERE NOT EXISTS (
 )
 """,
 )
-def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS via left_anti join — the exact operator behind the
-    engine's idempotent upsert (reference W3: insert rows whose key is
-    not already present, ``…kt:138-141``)."""
-    t = load_tables(spark, sf_dir, "customer", "orders")
-    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
-    return t.customer.join(
-        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
-    ).select("c_custkey", "c_name", "c_mktsegment")
+def join_semi_anti_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated EXISTS / NOT EXISTS join surface (r10 rotation-
+    capacity consolidation of join_left_semi + join_left_anti — VERDICT
+    r9 item 3), op-tagged into one hashed result:
+
+    'semi_exists' rows: per-segment aggregate of customers having a
+    >400k order (left_semi — the membership test; reference W3's dual).
+    'anti_not_exists' rows: one row per customer with NO urgent order
+    (left_anti — the exact operator behind the engine's idempotent
+    upsert, reference ``…kt:138-141``), key + name|segment detail so
+    the per-row identity stays in the hash.
+
+    Scale notes: both branches plan as broadcast-able semi/anti hash
+    joins (Catalyst broadcasts the distinct right keys while they fit;
+    shuffle-hash past that) and never duplicate or widen the left side
+    — prefer these over join+distinct, which materializes multiplicity
+    first. The two branches union for free (no extra shuffle)."""
+    semi = join_left_semi(spark, sf_dir).select(
+        F.lit("semi_exists").alias("op"),
+        F.col("mktsegment").alias("k"),
+        F.lit(None).cast("string").alias("detail"),
+        F.col("n_customers").alias("n"),
+        F.col("total_acctbal").alias("v"),
+    )
+    anti = join_left_anti(spark, sf_dir).select(
+        F.lit("anti_not_exists").alias("op"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.concat("c_name", F.lit("|"), "c_mktsegment").alias("detail"),
+        F.lit(1).cast("long").alias("n"),
+        F.lit(None).cast("double").alias("v"),
+    )
+    return semi.unionByName(anti)
 
 
 @query(
@@ -422,9 +459,11 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables=("orders",),
     oracle="""
 SELECT COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS VARCHAR), 'ALL') AS order_year,
+       COALESCE(CAST(EXTRACT(month FROM o_orderdate) AS VARCHAR), 'ALL') AS order_month,
        COALESCE(o_orderstatus, 'ALL')   AS status,
        COALESCE(o_orderpriority, 'ALL') AS priority,
-       CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 4
+       CAST(GROUPING(EXTRACT(year FROM o_orderdate)) * 8
+            + GROUPING(EXTRACT(month FROM o_orderdate)) * 4
             + GROUPING(o_orderstatus) * 2
             + GROUPING(o_orderpriority) AS BIGINT) AS gid,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -434,6 +473,7 @@ GROUP BY GROUPING SETS (
   (o_orderstatus, o_orderpriority),
   (o_orderstatus),
   (o_orderpriority),
+  (EXTRACT(year FROM o_orderdate), EXTRACT(month FROM o_orderdate)),
   (EXTRACT(year FROM o_orderdate)),
   ()
 )
@@ -441,24 +481,29 @@ GROUP BY GROUPING SETS (
 )
 def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level grouping in one Expand+aggregate pass — the
-    consolidated ROLLUP / CUBE / GROUPING SETS entry (r8: replaces the
-    separate ``agg_rollup`` / ``agg_cube`` / ``agg_grouping_sets``
-    entries to keep the driver-sweep rotation sustainable; see
+    consolidated ROLLUP / CUBE / GROUPING SETS / time-hierarchy entry
+    (r8: replaced the separate ``agg_rollup`` / ``agg_cube`` /
+    ``agg_grouping_sets``; r10: absorbed ``agg_time_rollup`` — VERDICT
+    r9 item 3 — to keep the driver-sweep rotation sustainable; see
     tests/test_rotation.py).
 
-    The explicit GROUPING SETS list covers all three surfaces at once:
+    The explicit GROUPING SETS list covers all four surfaces at once:
     ``(status, priority), (status), ()`` is exactly
     ``ROLLUP(status, priority)``; adding ``(priority)`` completes
-    ``CUBE(status, priority)``; and ``(year(o_orderdate))`` is the
-    heterogeneous set neither rollup nor cube can express. The
-    ``GROUPING()`` marker (``gid``) disambiguates grouping-null from
-    data-null, so the 'ALL' coalesce is hash-safe even if a group key is
-    NULL in the data.
+    ``CUBE(status, priority)``; ``(year, month), (year), ()`` is
+    exactly ``ROLLUP(year, month)`` — the calendar drill-down the
+    retired agg_time_rollup carried (the time-series "by month, by
+    year, total" the reference's cumulative tables feed); and the
+    heterogeneous mix is what neither rollup nor cube alone can
+    express. The ``GROUPING()`` marker (``gid``, now 4 bits)
+    disambiguates grouping-null from data-null, so the 'ALL' coalesce
+    is hash-safe even if a group key is NULL in the data — 'unknown
+    date' and 'all dates' never collide.
 
-    Scale: Catalyst plans this as ONE Expand (5 replicas of each row)
+    Scale: Catalyst plans this as ONE Expand (6 replicas of each row)
     feeding a partial+final hash aggregate — a single scan and a shuffle
     bounded by total group cardinality across all sets, not data size.
-    At 100 TB the 5x Expand inflation happens map-side before the partial
+    At 100 TB the 6x Expand inflation happens map-side before the partial
     aggregate collapses it; no per-level re-scan.
     """
     t = load_tables(spark, sf_dir, "orders")
@@ -466,9 +511,11 @@ def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT COALESCE(CAST(year(o_orderdate) AS STRING), 'ALL') AS order_year,
+               COALESCE(CAST(month(o_orderdate) AS STRING), 'ALL') AS order_month,
                COALESCE(o_orderstatus, 'ALL')   AS status,
                COALESCE(o_orderpriority, 'ALL') AS priority,
-               CAST(grouping(year(o_orderdate)) * 4
+               CAST(grouping(year(o_orderdate)) * 8
+                    + grouping(month(o_orderdate)) * 4
                     + grouping(o_orderstatus) * 2
                     + grouping(o_orderpriority) AS BIGINT) AS gid,
                COUNT(*) AS n_orders,
@@ -478,6 +525,7 @@ def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
           (o_orderstatus, o_orderpriority),
           (o_orderstatus),
           (o_orderpriority),
+          (year(o_orderdate), month(o_orderdate)),
           (year(o_orderdate)),
           ()
         )
@@ -670,24 +718,12 @@ def join_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_min_max_by",
-    tables=("orders",),
-    oracle="""
-SELECT o_orderstatus                              AS status,
-       CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS cheapest_orderkey,
-       CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS priciest_orderkey,
-       ROUND(MIN(o_totalprice), 2)                AS min_price,
-       ROUND(MAX(o_totalprice), 2)                AS max_price
-FROM orders
-GROUP BY o_orderstatus
-""",
-)
 def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (argmin/argmax aggregates): the orderkey carrying
     the extreme price, without a self-join or window — one hash
     aggregate. Unique extremes in this fixture; with ties, pair the
-    value with a tie-breaker struct to pin the winner."""
+    value with a tie-breaker struct to pin the winner. Registered
+    through `agg_stats_minmax_surface` since r10 (min_max_by path)."""
     t = load_tables(spark, sf_dir, "orders")
     return t.orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
         F.min_by("o_orderkey", "o_totalprice").alias("cheapest_orderkey"),
@@ -757,10 +793,7 @@ def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "spine_gap_fill_daily",
-    tables=("orders",),
-    oracle="""
+_SPINE_GAPFILL_ORACLE = """
 WITH b AS (
     SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi
     FROM orders
@@ -779,8 +812,9 @@ SELECT s.day,
        COALESCE(d.rev, 0.0)                   AS revenue,
        d.n IS NULL                            AS is_gap
 FROM spine s LEFT JOIN daily d ON d.day = s.day
-""",
-)
+"""
+
+
 def spine_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap fill: generate every day in the data's range
     (sequence + explode — Spark's idiom for what DuckDB does with a
@@ -791,6 +825,7 @@ def spine_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the spine is |days| rows built from a 1-row aggregate —
     broadcast side of the join; the daily aggregate is bounded by
     calendar size, so the whole query's post-scan cost is O(days).
+    Registered through `spine_fill_surface` since r10 (zero_fill path).
     """
     t = load_tables(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
@@ -840,10 +875,7 @@ def agg_histogram_fixed_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "spine_linear_interpolate",
-    tables=("events",),
-    oracle="""
+_SPINE_INTERP_ORACLE = """
 WITH obs AS (
     SELECT user_id, CAST(ts AS DATE) AS day,
            ROUND(SUM(value), 6) AS v
@@ -884,8 +916,9 @@ SELECT user_id, day,
              END, 6) AS v_filled,
        v IS NULL AS is_interpolated
 FROM bracketed
-""",
-)
+"""
+
+
 def spine_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear interpolation over time-series gaps: per-entity calendar
     spine (min..max observed day), then every missing day gets
@@ -899,7 +932,9 @@ def spine_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: two sorted windows per entity partition — one shuffle by
     entity, frames O(row) via running state; the spine join is the
     broadcast-spine shape. Observed sums round to 6dp BEFORE
-    interpolation so both engines interpolate identical inputs."""
+    interpolation so both engines interpolate identical inputs.
+    Registered through `spine_fill_surface` since r10 (interpolate
+    path)."""
     t = load_tables(spark, sf_dir, "events")
     d = F.col("ts").cast("date")
     obs = (
@@ -939,6 +974,63 @@ def spine_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "spine_fill_surface",
+    tables=("orders", "events"),
+    oracle=f"""
+SELECT 'zero_fill'              AS path,
+       CAST(NULL AS BIGINT)     AS user_id,
+       day,
+       revenue                  AS v,
+       n_orders                 AS n,
+       is_gap                   AS is_filled
+FROM ({_SPINE_GAPFILL_ORACLE})
+UNION ALL
+SELECT 'interpolate'            AS path,
+       user_id,
+       day,
+       v_filled                 AS v,
+       CAST(NULL AS BIGINT)     AS n,
+       is_interpolated          AS is_filled
+FROM ({_SPINE_INTERP_ORACLE})
+""",
+)
+def spine_fill_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated calendar-spine fill surface (r10 rotation-
+    capacity consolidation of spine_gap_fill_daily +
+    spine_linear_interpolate — VERDICT r9 item 3), path-tagged into one
+    hashed result:
+
+    'zero_fill' rows: every day in the orders date range with missing
+    days as explicit zeros (is_filled marks the gaps) — the
+    reference-domain guarantee that cumulative series never silently
+    skip days.
+    'interpolate' rows: per-user daily event values with missing days
+    linearly interpolated from their bracketing observations
+    (is_filled marks interpolated rows).
+
+    Both docstrings' scale analyses hold unchanged: spines are built
+    from O(1)/O(entities) aggregates and broadcast; windows run per
+    entity; the union is shuffle-free."""
+    zero = spine_gap_fill_daily(spark, sf_dir).select(
+        F.lit("zero_fill").alias("path"),
+        F.lit(None).cast("long").alias("user_id"),
+        "day",
+        F.col("revenue").alias("v"),
+        F.col("n_orders").alias("n"),
+        F.col("is_gap").alias("is_filled"),
+    )
+    interp = spine_linear_interpolate(spark, sf_dir).select(
+        F.lit("interpolate").alias("path"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "day",
+        F.col("v_filled").alias("v"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("is_interpolated").alias("is_filled"),
+    )
+    return zero.unionByName(interp)
+
+
+@query(
     "agg_string_agg_sorted",
     tables=("orders",),
     oracle="""
@@ -963,29 +1055,13 @@ def agg_string_agg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_pct_of_total",
-    tables=("orders", "customer", "nation"),
-    oracle="""
-WITH per_nation AS (
-    SELECT n.n_name AS nation,
-           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n   ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-)
-SELECT nation,
-       CAST(ROUND(rev, 2) AS DOUBLE)                                AS revenue,
-       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS share
-FROM per_nation
-""",
-)
 def window_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-total: an unpartitioned window over the AGGREGATED
     rows (|nation| = 25), not the fact table — the single-partition
     window is bounded by group cardinality, so it's safe at any fact
-    size (same decomposition as the day-level windows, windows.py)."""
+    size (same decomposition as the day-level windows, windows.py).
+    Registered through `window_agg_surface` since r10 (pct_of_total
+    path)."""
     t = load_tables(spark, sf_dir, "orders", "customer", "nation")
     per_nation = (
         t.orders.join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
@@ -1035,19 +1111,6 @@ def sort_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_stats_surface",
-    tables=("lineitem",),
-    oracle="""
-SELECT l_returnflag                                      AS returnflag,
-       ROUND(corr(l_quantity, l_extendedprice), 6)       AS corr_qty_price,
-       ROUND(covar_samp(l_quantity, l_discount), 6)      AS covar_qty_disc,
-       ROUND(stddev_samp(l_discount), 6)                 AS sd_discount,
-       ROUND(var_pop(l_tax), 6)                          AS var_tax
-FROM lineitem
-GROUP BY l_returnflag
-""",
-)
 def agg_stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (corr / covar_samp / stddev_samp / var_pop)
     — the moments layer a data-quality or feature-drift monitor runs over
@@ -1070,53 +1133,68 @@ def agg_stats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "agg_time_rollup",
-    tables=("orders",),
+    "agg_stats_minmax_surface",
+    tables=("orders", "lineitem"),
     oracle="""
-SELECT CASE WHEN GROUPING(CAST(EXTRACT(year FROM o_orderdate) AS INT)) = 1 THEN -1
-            ELSE CAST(EXTRACT(year FROM o_orderdate) AS INT) END  AS yr,
-       CASE WHEN GROUPING(CAST(EXTRACT(month FROM o_orderdate) AS INT)) = 1 THEN -1
-            ELSE CAST(EXTRACT(month FROM o_orderdate) AS INT) END AS mo,
-       CAST(COUNT(*) AS BIGINT)                                   AS n_orders,
-       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+SELECT 'min_max_by'                                      AS path,
+       o_orderstatus                                     AS k,
+       CAST(arg_min(o_orderkey, o_totalprice) AS BIGINT) AS id_min,
+       CAST(arg_max(o_orderkey, o_totalprice) AS BIGINT) AS id_max,
+       ROUND(MIN(o_totalprice), 2)                       AS m1,
+       ROUND(MAX(o_totalprice), 2)                       AS m2,
+       CAST(NULL AS DOUBLE)                              AS m3,
+       CAST(NULL AS DOUBLE)                              AS m4
 FROM orders
-GROUP BY ROLLUP (CAST(EXTRACT(year FROM o_orderdate) AS INT),
-                 CAST(EXTRACT(month FROM o_orderdate) AS INT))
+GROUP BY o_orderstatus
+UNION ALL
+SELECT 'moments'                                         AS path,
+       l_returnflag                                      AS k,
+       CAST(NULL AS BIGINT)                              AS id_min,
+       CAST(NULL AS BIGINT)                              AS id_max,
+       ROUND(corr(l_quantity, l_extendedprice), 6)       AS m1,
+       ROUND(covar_samp(l_quantity, l_discount), 6)      AS m2,
+       ROUND(stddev_samp(l_discount), 6)                 AS m3,
+       ROUND(var_pop(l_tax), 6)                          AS m4
+FROM lineitem
+GROUP BY l_returnflag
 """,
 )
-def agg_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Calendar-hierarchy ROLLUP (year -> year+month -> grand total) —
-    the time-series drill-down the reference's cumulative tables feed
-    ("cases by month, by year, total"). One Expand + hash agg pass.
+def agg_stats_minmax_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated statistical-aggregate surface (r10 rotation-
+    capacity consolidation of agg_min_max_by + agg_stats_surface —
+    VERDICT r9 item 3), path-tagged into one hashed result:
 
-    The -1 sentinel marks ONLY rolled-up levels, derived from GROUPING()
-    (not from coalescing the value column): a NULL o_orderdate detail
-    group stays (NULL, NULL), distinguishable from the (-1, -1) grand
-    total — 'unknown date' vs 'all dates' never collide."""
-    t = load_tables(spark, sf_dir, "orders")
-    d = F.col("o_orderdate").cast("date")
-    # Pre-project: F.grouping() only resolves real input columns, not
-    # aliases minted inside the rollup() call itself.
-    base = t.orders.select(
-        F.year(d).cast("int").alias("yr"),
-        F.month(d).cast("int").alias("mo"),
-        "o_totalprice",
+    'min_max_by' rows: argmin/argmax aggregates per order status (the
+    orderkey carrying the extreme price — no self-join, no window) plus
+    the extremes themselves (m1/m2 = min/max price).
+    'moments' rows: corr / covar_samp / stddev_samp / var_pop per
+    return flag (m1..m4) — the moments layer a data-quality or
+    feature-drift monitor runs over a training corpus.
+
+    Scale notes: both branches are single hash-aggregate passes whose
+    partial states merge associatively (map-side combine applies — the
+    same one-shuffle shape as SUM at 100 TB); the union is free."""
+    minmax = agg_min_max_by(spark, sf_dir).select(
+        F.lit("min_max_by").alias("path"),
+        F.col("status").alias("k"),
+        F.col("cheapest_orderkey").alias("id_min"),
+        F.col("priciest_orderkey").alias("id_max"),
+        F.col("min_price").alias("m1"),
+        F.col("max_price").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.lit(None).cast("double").alias("m4"),
     )
-    return (
-        base.rollup("yr", "mo")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            msum("o_totalprice").alias("revenue"),
-            F.grouping("yr").alias("g_yr"),
-            F.grouping("mo").alias("g_mo"),
-        )
-        .select(
-            F.when(F.col("g_yr") == 1, F.lit(-1)).otherwise(F.col("yr")).alias("yr"),
-            F.when(F.col("g_mo") == 1, F.lit(-1)).otherwise(F.col("mo")).alias("mo"),
-            "n_orders",
-            "revenue",
-        )
+    moments = agg_stats_surface(spark, sf_dir).select(
+        F.lit("moments").alias("path"),
+        F.col("returnflag").alias("k"),
+        F.lit(None).cast("long").alias("id_min"),
+        F.lit(None).cast("long").alias("id_max"),
+        F.col("corr_qty_price").alias("m1"),
+        F.col("covar_qty_disc").alias("m2"),
+        F.col("sd_discount").alias("m3"),
+        F.col("var_tax").alias("m4"),
     )
+    return minmax.unionByName(moments)
 
 
 @query(

@@ -24,37 +24,7 @@ from ..sources import load_tables
 
 
 @query(
-    "stream_tumbling_daily",
-    tables=("events",),
-    oracle="""
-SELECT CAST(date_trunc('day', ts) AS DATE)  AS day,
-       event_type,
-       CAST(COUNT(*) AS BIGINT)             AS n_events,
-       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
-       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
-FROM events
-GROUP BY 1, 2
-""",
-)
-def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """1-day tumbling window aggregate (batch form of
-    ``groupBy(window(ts, '1 day'))``)."""
-    t = load_tables(spark, sf_dir, "events")
-    return (
-        t.events.groupBy(
-            F.col("ts").cast("date").alias("day"),
-            "event_type",
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            msum("value").alias("total_value"),
-            F.countDistinct("user_id").alias("n_users"),
-        )
-    )
-
-
-@query(
-    "stream_sliding_3d_1d",
+    "stream_window_surface",
     tables=("events",),
     oracle="""
 WITH daily AS (
@@ -64,30 +34,81 @@ WITH daily AS (
            COUNT(*) AS day_events
     FROM events GROUP BY 1, 2
 )
-SELECT day,
-       CAST(ROUND(SUM(day_value) OVER w, 2) AS DOUBLE) AS value_3d,
-       CAST(SUM(day_events) OVER w AS BIGINT) AS events_3d
+SELECT 'tumbling_1d' AS path,
+       CAST(date_trunc('day', ts) AS DATE)  AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT)             AS n_events,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'sliding_3d_1d' AS path,
+       day,
+       CAST(NULL AS VARCHAR)                       AS event_type,
+       CAST(SUM(day_events) OVER w AS BIGINT)      AS n_events,
+       CAST(ROUND(SUM(day_value) OVER w, 2) AS DOUBLE) AS total_value,
+       CAST(NULL AS BIGINT)                        AS n_users
 FROM daily
 WINDOW w AS (ORDER BY day_no RANGE BETWEEN 2 PRECEDING AND CURRENT ROW)
 """,
 )
-def stream_sliding_3d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-day window sliding by 1 day (batch form of
-    ``window(ts, '3 days', '1 day')``), decomposed as daily partials + a
-    range frame — the scalable two-level form (raw data is touched once).
-    """
+def stream_window_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated time-window aggregation surface (r10 rotation-
+    capacity consolidation of stream_tumbling_daily +
+    stream_sliding_3d_1d — VERDICT r9 item 3), path-tagged into one
+    hashed result:
+
+    'tumbling_1d': 1-day tumbling window aggregate per event type (the
+    batch form of ``groupBy(window(ts, '1 day'), event_type)``) —
+    counts, decimal-summed value, distinct users.
+    'sliding_3d_1d': 3-day window sliding by 1 day (batch form of
+    ``window(ts, '3 days', '1 day')``), decomposed as daily partials +
+    a range frame — the scalable two-level form: raw data is touched
+    once, the overlapping-window re-read happens over the O(days)
+    aggregate, never the events.
+
+    Scale notes: both paths shuffle once on the time bucket (tumbling
+    adds event_type to the key; group count bounded by #days x #types).
+    The sliding path's unpartitioned range window is POST-AGGREGATION
+    (O(days) rows — pinned by tests/test_plans.py's census); at
+    calendar scale partition it by year. The streaming twins in
+    `streaming/` run the same logic incrementally with watermarks."""
     t = load_tables(spark, sf_dir, "events")
+    tumbling = (
+        t.events.groupBy(
+            F.col("ts").cast("date").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            msum("value").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.lit("tumbling_1d").alias("path"),
+            "day",
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+    )
     daily = (
         t.events.groupBy(F.col("ts").cast("date").alias("day"))
         .agg(F.sum(dec2("value")).alias("day_value"), F.count(F.lit(1)).alias("day_events"))
         .withColumn("day_no", F.datediff("day", F.lit("1970-01-01").cast("date")).cast("long"))
     )
     w = W.orderBy("day_no").rangeBetween(-2, 0)
-    return daily.select(
+    sliding = daily.select(
+        F.lit("sliding_3d_1d").alias("path"),
         "day",
-        F.round(F.sum("day_value").over(w), 2).cast("double").alias("value_3d"),
-        F.sum("day_events").over(w).alias("events_3d"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.sum("day_events").over(w).alias("n_events"),
+        F.round(F.sum("day_value").over(w), 2).cast("double").alias("total_value"),
+        F.lit(None).cast("long").alias("n_users"),
     )
+    return tumbling.unionByName(sliding)
 
 
 @query(

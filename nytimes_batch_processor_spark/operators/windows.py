@@ -106,24 +106,11 @@ def window_analytic_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "window_running_total",
-    tables=("orders",),
-    oracle="""
-SELECT o_custkey,
-       o_orderkey,
-       CAST(o_orderdate AS DATE) AS order_date,
-       ROUND(SUM(o_totalprice) OVER (
-           PARTITION BY o_custkey
-           ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 2) AS running_spend
-FROM orders
-""",
-)
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer (running-sum frame). Ordering is
-    tie-broken by o_orderkey so the prefix sums are deterministic."""
+    tie-broken by o_orderkey so the prefix sums are deterministic.
+    Registered through `window_agg_surface` since r10 (running_total
+    path)."""
     t = load_tables(spark, sf_dir, "orders")
     w = (
         W.partitionBy("o_custkey")
@@ -136,6 +123,75 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("date").alias("order_date"),
         money(F.sum("o_totalprice").over(w)).alias("running_spend"),
     )
+
+
+@query(
+    "window_agg_surface",
+    tables=("orders", "customer", "nation"),
+    oracle="""
+SELECT 'running_total'              AS path,
+       CAST(o_custkey AS VARCHAR)   AS k,
+       o_orderkey                   AS id,
+       CAST(o_orderdate AS DATE)    AS d,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2)                        AS v1,
+       CAST(NULL AS DOUBLE)         AS v2
+FROM orders
+UNION ALL
+SELECT 'pct_of_total'               AS path,
+       nation                       AS k,
+       CAST(NULL AS BIGINT)         AS id,
+       CAST(NULL AS DATE)           AS d,
+       CAST(ROUND(rev, 2) AS DOUBLE) AS v1,
+       ROUND(CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE), 6) AS v2
+FROM (
+    SELECT n.n_name AS nation,
+           SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+""",
+)
+def window_agg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated windowed-aggregate surface (r10 rotation-
+    capacity consolidation of window_running_total +
+    window_pct_of_total — VERDICT r9 item 3), path-tagged into one
+    hashed result:
+
+    'running_total' rows (one per order): cumulative spend per customer
+    via a per-key running-sum frame, tie-broken by o_orderkey.
+    'pct_of_total' rows (one per nation): revenue share via an
+    unpartitioned window over the 25-row AGGREGATED result — bounded by
+    group cardinality, never the fact table (the census in
+    tests/test_plans.py pins exactly this).
+
+    Scale notes: the running total is one shuffle on o_custkey with
+    O(1) frame state; the pct branch is two broadcast joins + a bounded
+    groupBy; the union adds no shuffle."""
+    from .relational import window_pct_of_total
+
+    running = window_running_total(spark, sf_dir).select(
+        F.lit("running_total").alias("path"),
+        F.col("o_custkey").cast("string").alias("k"),
+        F.col("o_orderkey").alias("id"),
+        F.col("order_date").alias("d"),
+        F.col("running_spend").alias("v1"),
+        F.lit(None).cast("double").alias("v2"),
+    )
+    pct = window_pct_of_total(spark, sf_dir).select(
+        F.lit("pct_of_total").alias("path"),
+        F.col("nation").alias("k"),
+        F.lit(None).cast("long").alias("id"),
+        F.lit(None).cast("date").alias("d"),
+        F.col("revenue").alias("v1"),
+        F.col("share").alias("v2"),
+    )
+    return running.unionByName(pct)
 
 
 @query(

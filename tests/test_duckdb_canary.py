@@ -48,7 +48,7 @@ def test_md5_hex_is_lowercase_and_conv_parses(con):
 
 def test_grouping_marker_bits(con):
     """GROUPING(col) is 1 when the column is aggregated away — the gid
-    encoding in agg_grouping_multi weights year*4 + status*2 +
+    encoding in agg_grouping_multi weights year*8 + month*4 + status*2 +
     priority."""
     rows = con.execute(
         """

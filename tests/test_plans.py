@@ -329,11 +329,11 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
     EXPECTED = {
         "agg_histogram_fixed_bins": 1,   # bin spine over an O(bins) agg
         "sessionize_timers_twin": 1,     # watermark spine over O(days)
-        "window_pct_of_total": 1,        # grand-total denominator
+        "window_agg_surface": 1,         # grand-total denominator over 25-row agg (pct branch)
         "window_range_rolling_7d": 1,    # daily spine over O(days)
         "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)
         "text_bigram_lift": 1,           # corpus-total denominator
-        "stream_sliding_3d_1d": 1,       # window spine over O(windows)
+        "stream_window_surface": 1,      # window spine over O(windows)
         "stream_dedup_watermark_twin": 1,  # watermark spine over O(days)
         "stream_stream_join_twin": 1,    # watermark spine over O(days)
     }
