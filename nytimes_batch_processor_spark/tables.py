@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 from .catalog import query
-from .functions import msum
+from .functions import dec2, msum
 from .sources import load_tables
 
 _LOG = logging.getLogger(__name__)
@@ -517,6 +517,293 @@ def drop_partitions_older_than(
                 fs.delete(st.getPath(), True)
                 dropped.append(value)
     return dropped
+
+
+def merge_into_partitioned(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    *,
+    keys: list[str],
+    partition_col: str,
+    op_col: str = "op",
+) -> dict:
+    """Keyed MERGE (upsert + delete in ONE pass) into a ``partition_col``-
+    partitioned parquet table, rewriting ONLY the partitions the change
+    batch touches — the incremental/CDC primitive that generalizes the
+    reference's ON CONFLICT upsert (W3, ``…kt:138-141``) beyond
+    append-only: in-place keyed updates and deletes at fact scale
+    (VERDICT r9 item 4a). ``merge_scd2_dimension`` keeps history; this
+    is the current-state table.
+
+    ``changes`` carries the full target schema plus ``op_col`` with
+    ``'upsert'`` (insert-or-replace by key) or ``'delete'`` (key-only
+    tombstone; non-key columns ignored). The caller guarantees at most
+    one change row per key — CDC batch compaction (last-writer-wins per
+    key) is its own upstream step, cf. ``first_write_wins``.
+
+    Mechanics (all partition-scoped, mirroring
+    ``delete_rows_partition_scoped``'s proven swap):
+
+    1. affected = partitions of BASE rows whose key appears in the batch
+       (one column-pruned scan of key+partition columns — at 100 TB
+       that scan reads two columns, and a layout with key bloom
+       filters/indexes skips it) ∪ partitions upsert rows land in.
+       An update whose partition value moved rewrites BOTH directories.
+    2. survivors = affected base rows anti-joined against ALL change
+       keys (drops deleted rows and stale update versions in one join).
+    3. survivors ∪ upserts are written partitioned to a temp dir, then
+       each affected directory is swapped in via rename; an affected
+       partition with NO surviving rows is deleted outright (the edge
+       dynamic-partition-overwrite silently gets wrong — an emptied
+       partition would keep its old files because no output row
+       replaces it). Untouched partitions keep their files
+       byte-identical (asserted in tests/test_sinks_tables.py).
+
+    The anti-join shuffles only the affected partitions' rows against
+    the change keys (broadcast while the batch is small — the common
+    CDC shape; AQE decides past that). Returns counters:
+    ``{"partitions_rewritten", "partitions_deleted", "rows_upserted",
+    "rows_deleted"}`` (deletes counted as keys matched in base).
+    Table formats (Delta/Iceberg) run this MERGE transactionally; this
+    is the format-free equivalent with per-partition atomicity.
+    """
+    import os as _os
+    from urllib.parse import unquote
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    base = spark.read.parquet(path)
+    data_cols = [c for c in base.columns]
+    ops = changes.select(op_col).distinct()
+    bad = [r[0] for r in ops.collect() if r[0] not in ("upsert", "delete")]
+    if bad:
+        raise ValueError(f"unknown {op_col!r} values in change batch: {bad}")
+    upserts = changes.filter(F.col(op_col) == "upsert").select(*data_cols)
+    change_keys = changes.select(*keys).distinct()
+
+    # 1. affected partitions: where matched keys LIVE ∪ where upserts LAND
+    affected_rows = (
+        base.join(change_keys, on=keys, how="left_semi")
+        .select(partition_col)
+        .distinct()
+        .unionByName(upserts.select(partition_col).distinct())
+        .distinct()
+        .collect()
+    )
+    affected = sorted({r[0] for r in affected_rows}, key=lambda v: (v is None, v))
+    if not affected:
+        return {
+            "partitions_rewritten": 0,
+            "partitions_deleted": 0,
+            "rows_upserted": 0,
+            "rows_deleted": 0,
+        }
+
+    part_vals = [v for v in affected if v is not None]
+    part_filter = F.col(partition_col).isin(part_vals)
+    if any(v is None for v in affected):
+        part_filter = part_filter | F.col(partition_col).isNull()
+    affected_base = base.filter(part_filter)
+
+    n_deleted = (
+        affected_base.join(
+            changes.filter(F.col(op_col) == "delete").select(*keys).distinct(),
+            on=keys,
+            how="left_semi",
+        ).count()
+    )
+    survivors = affected_base.join(change_keys, on=keys, how="left_anti")
+    merged = survivors.unionByName(upserts)
+
+    # 3. write the affected slice to a temp sibling, swap dirs by name.
+    # Spark itself names the temp partition dirs, so promotion works off
+    # a LISTING (no path re-interpolation — Hive escaping stays Spark's
+    # problem); only the base-side dir lookup parses names, with the
+    # same unquote discipline as delete_rows_partition_scoped.
+    tmp = path.rstrip("/") + "._merging"
+    fs.delete(hpath(tmp), True)
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+
+    prefix = f"{partition_col}="
+
+    def _dir_by_value(root: str) -> dict:
+        out = {}
+        root_p = hpath(root)
+        if not fs.exists(root_p):
+            return out
+        for st in fs.listStatus(root_p):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                raw = name[len(prefix):]
+                val = None if raw == "__HIVE_DEFAULT_PARTITION__" else unquote(raw)
+                out[val] = st.getPath()
+        return out
+
+    base_dirs = _dir_by_value(path)
+    new_dirs = _dir_by_value(tmp)
+    rewritten = deleted = 0
+    for value in affected:
+        sval = None if value is None else str(value)
+        old = base_dirs.get(sval)
+        new = new_dirs.get(sval)
+        if new is not None:
+            dirname = new.getName()
+            target = hpath(_os.path.join(path, dirname))
+            aside = hpath(_os.path.join(path, dirname + "._premerge"))
+            if old is not None and not fs.rename(old, aside):
+                raise IOError(f"merge swap failed: could not move {old} aside")
+            if not fs.rename(new, target):
+                if old is not None:
+                    fs.rename(aside, target)
+                raise IOError(f"merge swap failed: could not promote {new}")
+            if old is not None:
+                fs.delete(aside, True)
+            rewritten += 1
+        elif old is not None:
+            # every row of this partition was deleted or moved away
+            fs.delete(old, True)
+            deleted += 1
+    fs.delete(hpath(tmp), True)
+    return {
+        "partitions_rewritten": rewritten,
+        "partitions_deleted": deleted,
+        "rows_upserted": upserts.count(),
+        "rows_deleted": n_deleted,
+    }
+
+
+@query(
+    "merge_cdc_upsert",
+    tables=("orders",),
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey AS k,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS o_month,
+           o_orderstatus AS status,
+           o_totalprice  AS price
+    FROM orders
+),
+updates AS (
+    SELECT k,
+           CASE WHEN k % 46 = 0 THEN '1999-01' ELSE o_month END AS o_month,
+           'U' AS status,
+           CAST(ROUND(CAST(price AS DECIMAL(18,2)) * CAST(1.05 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price
+    FROM base WHERE k % 23 = 0 AND o_month >= '1998-01'
+),
+deletes AS (
+    SELECT k FROM base
+    WHERE k % 19 = 0 AND k % 23 <> 0 AND o_month >= '1998-01'
+),
+inserts AS (
+    SELECT k + 600000000 AS k, '1999-02' AS o_month, 'N' AS status,
+           CAST(ROUND(CAST(price AS DECIMAL(18,2)) * CAST(0.50 AS DECIMAL(3,2)), 2) AS DOUBLE) AS price
+    FROM base WHERE k % 101 = 0
+),
+merged AS (
+    SELECT k, o_month, status, price FROM base
+    WHERE k NOT IN (SELECT k FROM updates)
+      AND k NOT IN (SELECT k FROM deletes)
+    UNION ALL SELECT k, o_month, status, price FROM updates
+    UNION ALL SELECT k, o_month, status, price FROM inserts
+)
+SELECT o_month,
+       status,
+       CAST(COUNT(*) AS BIGINT)  AS n_rows,
+       CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+       CAST(SUM(k) AS BIGINT)    AS key_checksum
+FROM merged
+GROUP BY o_month, status
+""",
+)
+def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-scoped MERGE under the driver's gate (VERDICT r9 item
+    4a): orders persist as a month-partitioned current-state table, a
+    deterministic CDC batch is derived from the same fixture, and
+    ``merge_into_partitioned`` applies it — upserts (including rows
+    whose partition MOVES), deletes, and brand-new keys landing in new
+    partitions, in one pass that rewrites only the touched directories.
+    The full post-merge table aggregates per (month, status) with a key
+    checksum, so a row lost, duplicated, resurrected, or left stale by
+    the swap surfaces as a value mismatch — including in the UNTOUCHED
+    1992-1997 partitions (their byte-identity is pinned separately in
+    tests/test_sinks_tables.py).
+
+    The change batch: keys %23 in the 1998 window are updated (status
+    'U', price *1.05 — every second one MOVES to the new '1999-01'
+    partition), keys %19 (not also %23) are deleted, keys %101 from any
+    month insert as new keys (+6e8) into '1999-02'. All price math is
+    exact-decimal both sides (see functions/__init__.py policy).
+
+    Scale notes: the CDC window (here "1998 onward") is the realistic
+    shape — changes cluster in recent partitions, so the rewrite
+    touches ~12 of ~81 month directories and the 1992-1997 bulk is
+    never read past the key+month columns of the find-affected scan."""
+    t = load_tables(spark, sf_dir, "orders")
+    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    path = f"{warehouse}/engine_orders_cdc_{sf_tag}"
+
+    k = F.col("o_orderkey")
+    base = t.orders.select(
+        k.alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    # fresh base table every invocation: the entry is deterministic
+    # regardless of a prior run's merged state
+    base.write.mode("overwrite").partitionBy("o_month").parquet(path)
+
+    in_window = (F.col("k") % 23 == 0) & (F.col("o_month") >= "1998-01")
+    updates = base.filter(in_window).select(
+        "k",
+        F.when(F.col("k") % 46 == 0, F.lit("1999-01"))
+        .otherwise(F.col("o_month"))
+        .alias("o_month"),
+        F.lit("U").alias("status"),
+        F.round(dec2("price") * F.lit("1.05").cast("decimal(3,2)"), 2)
+        .cast("double")
+        .alias("price"),
+        F.lit("upsert").alias("op"),
+    )
+    deletes = base.filter(
+        (F.col("k") % 19 == 0) & (F.col("k") % 23 != 0) & (F.col("o_month") >= "1998-01")
+    ).select(
+        "k",
+        F.lit(None).cast("string").alias("o_month"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit("delete").alias("op"),
+    )
+    inserts = base.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + 600000000).alias("k"),
+        F.lit("1999-02").alias("o_month"),
+        F.lit("N").alias("status"),
+        F.round(dec2("price") * F.lit("0.50").cast("decimal(3,2)"), 2)
+        .cast("double")
+        .alias("price"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merge_into_partitioned(
+        spark, path, changes, keys=["k"], partition_col="o_month"
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("o_month", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            msum("price").alias("sum_price"),
+            F.sum("k").alias("key_checksum"),
+        )
+    )
 
 
 @query(

@@ -492,3 +492,133 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
         .first()
     )
     assert tuple(orig) == tuple(back)
+
+
+def _merge_fixture(spark, path):
+    from pyspark.sql import functions as F
+
+    df = spark.range(12).select(
+        F.concat(F.lit("2020-0"), (F.col("id") % 3 + 1).cast("string")).alias("month"),
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("double").alias("v"),
+    )
+    df.write.partitionBy("month").parquet(path)
+
+
+def test_merge_into_partitioned_upsert_delete_one_pass(spark, tmp_path):
+    """One MERGE batch: in-place update, cross-partition move, delete,
+    and brand-new key into a brand-new partition — while untouched
+    partitions keep byte-identical files."""
+    import os
+
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+    # layout: month=2020-01 holds k=0,3,6,9; -02 k=1,4,7,10; -03 k=2,5,8,11
+
+    def snapshot(month):
+        d = f"{path}/month={month}"
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    untouched_before = snapshot("2020-03")
+
+    changes = spark.createDataFrame(
+        [
+            ("2020-01", 0, 999.0, "upsert"),   # in-place update
+            ("2020-02", 3, 333.0, "upsert"),   # moves from -01 to -02
+            (None, 6, None, "delete"),         # delete from -01
+            ("2020-04", 100, 1.0, "upsert"),   # new key, NEW partition
+        ],
+        "month string, k long, v double, op string",
+    )
+    stats = merge_into_partitioned(
+        spark, path, changes, keys=["k"], partition_col="month"
+    )
+    assert stats == {
+        "partitions_rewritten": 3,  # -01, -02, -04
+        "partitions_deleted": 0,
+        "rows_upserted": 3,
+        "rows_deleted": 1,
+    }, stats
+    back = spark.read.parquet(path)
+    got = {(r["k"], r["month"], r["v"]) for r in back.collect()}
+    assert (0, "2020-01", 999.0) in got          # updated in place
+    assert (3, "2020-02", 333.0) in got          # moved partition
+    assert not any(k == 6 for k, _, _ in got)    # deleted
+    assert (100, "2020-04", 1.0) in got          # inserted, new dir
+    assert back.count() == 12  # 12 - 1 delete + 1 insert... minus move netting
+    assert snapshot("2020-03") == untouched_before, "untouched partition rewritten"
+
+
+def test_merge_into_partitioned_empties_partition(spark, tmp_path):
+    """Deleting (or moving away) EVERY row of a partition must remove
+    its directory — the edge dynamic partition overwrite gets wrong,
+    where no output row means the stale files silently survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+
+    # month=2020-01 holds exactly k=0,3,6,9: delete three, move one out
+    changes = spark.createDataFrame(
+        [
+            (None, 0, None, "delete"),
+            (None, 3, None, "delete"),
+            (None, 6, None, "delete"),
+            ("2020-02", 9, 90.0, "upsert"),
+        ],
+        "month string, k long, v double, op string",
+    )
+    stats = merge_into_partitioned(
+        spark, path, changes, keys=["k"], partition_col="month"
+    )
+    assert stats["partitions_deleted"] == 1, stats
+    assert stats["rows_deleted"] == 3, stats
+    assert not os.path.exists(f"{path}/month=2020-01")
+    back = spark.read.parquet(path)
+    assert back.count() == 9
+    assert back.filter(F.col("month") == "2020-01").count() == 0
+    assert back.filter((F.col("k") == 9) & (F.col("month") == "2020-02")).count() == 1
+
+
+def test_merge_into_partitioned_rejects_unknown_op(spark, tmp_path):
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+    changes = spark.createDataFrame(
+        [("2020-01", 0, 1.0, "merge")], "month string, k long, v double, op string"
+    )
+    with _pytest.raises(ValueError, match="unknown 'op' values"):
+        merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
+
+
+def test_merge_into_partitioned_idempotent_replay(spark, tmp_path):
+    """Replaying the same CDC batch is a no-op on the table state — the
+    reference's O3 idempotency contract carried to in-place merges."""
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+    changes = spark.createDataFrame(
+        [
+            ("2020-01", 0, 999.0, "upsert"),
+            (None, 6, None, "delete"),
+        ],
+        "month string, k long, v double, op string",
+    )
+    merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
+    first = {tuple(r) for r in spark.read.parquet(path).collect()}
+    stats = merge_into_partitioned(
+        spark, path, changes, keys=["k"], partition_col="month"
+    )
+    assert stats["rows_deleted"] == 0  # already gone
+    second = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert first == second
