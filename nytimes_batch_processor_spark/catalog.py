@@ -103,10 +103,14 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # r10: dedup_containment_prefix gained checkpoint lifecycle mgmt
     # (ADVICE r9) — semantics unchanged but re-verify anyway;
     # agg_grouping_multi absorbed agg_time_rollup's calendar hierarchy
-    # (new (year, month) grouping set, gid widened to 4 bits).
+    # (new (year, month) grouping set, gid widened to 4 bits);
+    # ingest_covid_states' fixture derivation was factored out as
+    # derive_states_fixture (shared with the new ingest_lineage_audit)
+    # — semantics-preserving, but changed code re-verifies.
     10: (
         "dedup_containment_prefix",
         "agg_grouping_multi",
+        "ingest_covid_states",
     ),
 }
 

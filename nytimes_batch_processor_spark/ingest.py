@@ -148,6 +148,22 @@ def ingest_covid_csv(
     return spark.read.parquet(target_path)
 
 
+def derive_states_fixture(orders: DataFrame) -> DataFrame:
+    """The deterministic NYT-states-shaped fixture both ingest entries
+    feed: a (month, priority, custkey-derived-fips) aggregate of the
+    `orders` table — key-level, so duplicate CSV rows are byte-identical
+    and the dedup winner is arrival-independent. ~1/10 of fips values
+    are NULL to exercise P3/P5."""
+    fips = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
+        (F.col("o_custkey") % 100).cast("int")
+    )
+    return orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date").alias("date"),
+        F.col("o_orderpriority").alias("state"),
+        fips.alias("fips"),
+    ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
+
+
 @query(
     "ingest_covid_states",
     tables=("orders",),
@@ -180,20 +196,13 @@ def ingest_covid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with the fixture like every other catalog query.
     """
     t = load_tables(spark, sf_dir, "orders")
-    fips = F.when(F.col("o_custkey") % 10 == 0, F.lit(None)).otherwise(
-        (F.col("o_custkey") % 100).cast("int")
-    )
     # Month grain, not day: the target is partitioned by `date`, and ~80
     # month partitions exercise partition pruning exactly like ~2400 day
     # partitions while keeping the twice-run fixture pipeline fast (the
     # 55s day-grain variant spent its time creating 2x2405 tiny
     # partition directories — the small-files antipattern compact_parquet
     # exists to fix, not something the gate entry should manufacture).
-    derived = t.orders.groupBy(
-        F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date").alias("date"),
-        F.col("o_orderpriority").alias("state"),
-        fips.alias("fips"),
-    ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
+    derived = derive_states_fixture(t.orders)
     workdir = tempfile.mkdtemp(prefix="ingest_covid_states_")
     csv_path = os.path.join(workdir, "states_csv")
     # Each row twice: byte-identical in-batch duplicates for W3 to kill.
@@ -213,4 +222,138 @@ def ingest_covid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fips").cast("int").alias("fips"),
         F.col("cases").cast("long").alias("cases"),
         F.col("deaths").cast("long").alias("deaths"),
+    )
+
+
+def _write_named_csv(df: DataFrame, directory: str, filename: str) -> None:
+    """Write ``df`` as ONE named CSV file (header, '' for NULL) inside
+    ``directory`` — the fixture shape for lineage tests: a *stable
+    basename* that input_file_name() can be checked against. Spark names
+    its part files itself, so write to a scratch dir and rename the
+    single part file into place."""
+    import glob as _glob
+    import shutil
+
+    scratch = tempfile.mkdtemp(prefix="named_csv_")
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(scratch)
+    parts = _glob.glob(os.path.join(scratch, "part-*.csv"))
+    if len(parts) != 1:  # pragma: no cover - coalesce(1) guarantees one
+        raise IOError(f"expected one part file, found {parts}")
+    os.makedirs(directory, exist_ok=True)
+    shutil.move(parts[0], os.path.join(directory, filename))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+def ingest_covid_csv_audited(
+    spark: SparkSession,
+    src_path: str,
+    target_path: str,
+    *,
+    batch_id: int,
+    has_county: bool,
+) -> DataFrame:
+    """The ingest chain with LINEAGE/AUDIT columns (O3 made queryable —
+    VERDICT r9 item 4b): every row written to the target carries
+
+    - ``source_file``: basename of the CSV file the row came from,
+      captured at scan time via ``input_file_name()`` — per-ROW file
+      lineage, not per-job bookkeeping, so a multi-file batch stays
+      attributable after the union;
+    - ``batch_id``: the ingest run that FIRST wrote the row. The
+      first-write-wins upsert means a re-delivered row keeps its
+      original batch_id forever — exactly the provenance question a
+      takedown or bad-batch rollback asks ("which rows did batch 7
+      introduce?"), answerable by a partition-pruned filter instead of
+      replaying job logs.
+
+    Same S1-P5-W3 semantics as ``ingest_covid_csv``; the audit columns
+    ride through dedup and the anti-join unchanged. Scale notes: both
+    columns are scan-time literals/metadata — no extra shuffle, no
+    second pass; a delete of "everything batch N wrote" is then
+    ``delete_rows_partition_scoped(..., F.col('batch_id') == N)``.
+    """
+    schema = schemas.COVID_COUNTIES_CSV if has_county else schemas.COVID_STATES_CSV
+    keys = schemas.COVID_COUNTIES_KEYS if has_county else schemas.COVID_STATES_KEYS
+    raw = read_csv(spark, src_path, schema).withColumns(
+        {
+            "_arrival": F.monotonically_increasing_id(),
+            "source_file": F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1),
+        }
+    )
+    typed = parse_covid_rows(
+        raw, has_county=has_county, passthrough=("_arrival", "source_file")
+    )
+    typed = typed.withColumn("fips", F.coalesce("fips", F.lit(-1))).withColumn(
+        "batch_id", F.lit(batch_id).cast("int")
+    )
+    deduped = first_write_wins(typed, keys, "_arrival").drop("_arrival")
+    upsert_append(deduped, target_path, keys)
+    return spark.read.parquet(target_path)
+
+
+@query(
+    "ingest_lineage_audit",
+    tables=("orders",),
+    oracle="""
+WITH derived AS (
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
+           o_orderpriority                                  AS state,
+           COALESCE(CASE WHEN o_custkey % 10 = 0 THEN NULL
+                         ELSE CAST(o_custkey % 100 AS INT) END, -1) AS fips,
+           CAST(SUM(o_orderkey) AS BIGINT)                  AS cases,
+           CAST(COUNT(*) AS BIGINT)                         AS deaths
+    FROM orders
+    GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE), o_orderpriority,
+             CASE WHEN o_custkey % 10 = 0 THEN NULL
+                  ELSE CAST(o_custkey % 100 AS INT) END
+)
+SELECT CASE WHEN state IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 2 END AS batch_id,
+       CASE WHEN state IN ('1-URGENT', '2-HIGH') THEN 'batch_high.csv'
+            ELSE 'batch_rest.csv' END                              AS source_file,
+       state,
+       CAST(COUNT(*) AS BIGINT)   AS n_rows,
+       CAST(SUM(cases) AS BIGINT) AS cases_sum,
+       CAST(SUM(deaths) AS BIGINT) AS deaths_sum
+FROM derived
+GROUP BY 1, 2, 3
+""",
+)
+def ingest_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run lineage under the driver's gate: batch 1 ingests the
+    high-priority slice (one named CSV), batch 2 re-delivers the FULL
+    snapshot (both files — the NYT shape, where the published file only
+    grows). First-write-wins means every high-priority row must still
+    carry ``(batch_id=1, source_file='batch_high.csv')`` after batch 2
+    re-delivered it, and the remaining rows carry batch 2's identity —
+    the oracle derives both labels from the slice rule alone, so a
+    lineage column lying about who wrote a row (or the anti-join
+    letting batch 2 overwrite batch 1) is a hash mismatch, not a log
+    archaeology exercise.
+
+    Scale notes: lineage costs zero extra passes (scan-time metadata);
+    the audit aggregate is bounded by #batches x #files x #states."""
+    t = load_tables(spark, sf_dir, "orders")
+    derived = derive_states_fixture(t.orders)
+    high_states = ("1-URGENT", "2-HIGH")
+    workdir = tempfile.mkdtemp(prefix="ingest_lineage_")
+    batch1_dir = os.path.join(workdir, "batch1")
+    batch2_dir = os.path.join(workdir, "batch2")
+    high = derived.filter(F.col("state").isin(*high_states))
+    rest = derived.filter(~F.col("state").isin(*high_states))
+    _write_named_csv(high, batch1_dir, "batch_high.csv")
+    # batch 2 = the grown snapshot: same high file + the rest
+    _write_named_csv(high, batch2_dir, "batch_high.csv")
+    _write_named_csv(rest, batch2_dir, "batch_rest.csv")
+
+    target = os.path.join(workdir, "covid_states_audited")
+    ingest_covid_csv_audited(
+        spark, batch1_dir, target, batch_id=1, has_county=False
+    )
+    out = ingest_covid_csv_audited(
+        spark, batch2_dir, target, batch_id=2, has_county=False
+    )
+    return out.groupBy("batch_id", "source_file", "state").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cases").alias("cases_sum"),
+        F.sum("deaths").alias("deaths_sum"),
     )

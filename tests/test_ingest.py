@@ -397,3 +397,37 @@ def test_http_csv_retries_option_plumbed():
     assert r.retries == 3
     r = HttpCsvReader(schema, {"urls": "https://x/a.csv", "retries": "0"})
     assert r.retries == 0
+
+
+def test_audited_ingest_lineage_survives_redelivery(spark, tmp_path):
+    """Cross-run lineage: rows keep the (batch_id, source_file) of the
+    run that FIRST wrote them, even when a later batch re-delivers them
+    from the same (or another) file; new rows carry the new identity."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.ingest import ingest_covid_csv_audited
+
+    b1 = tmp_path / "b1"
+    b1.mkdir()
+    (b1 / "day1.csv").write_text(STATES_CSV)
+    b2 = tmp_path / "b2"
+    b2.mkdir()
+    (b2 / "day1.csv").write_text(STATES_CSV)       # redelivered
+    (b2 / "day2.csv").write_text(STATES_CSV_DAY2)  # the new rows
+
+    target = str(tmp_path / "audited")
+    ingest_covid_csv_audited(spark, str(b1), target, batch_id=1, has_county=False)
+    out = ingest_covid_csv_audited(spark, str(b2), target, batch_id=2, has_county=False)
+
+    rows = {
+        (str(r["date"]), r["state"], r["fips"]): (r["batch_id"], r["source_file"], r["cases"])
+        for r in out.collect()
+    }
+    # first-write-wins kept batch 1's identity and values on redelivery
+    assert rows[("2020-01-22", "Washington", 53)] == (1, "day1.csv", 2)
+    assert rows[("2020-12-31", "Guam", -1)] == (1, "day1.csv", 100)
+    # rows only batch 2 delivered carry its identity + file
+    assert rows[("2020-01-23", "Washington", 53)] == (2, "day2.csv", 3)
+    assert rows[("2021-01-01", "Guam", -1)] == (2, "day2.csv", 101)
+    # the audit question "what did batch 2 introduce?" is one filter
+    assert out.filter(F.col("batch_id") == 2).count() == 2
