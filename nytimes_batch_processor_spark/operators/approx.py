@@ -88,3 +88,97 @@ def percentile_exact_and_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "approx_sketch_merge_rollup",
+    tables=("events",),
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT)          AS exact_users,
+       TRUE                                             AS hll_merged_within_5pct,
+       ROUND(quantile_cont(value, 0.5), 6)              AS p50,
+       TRUE                                             AS kll_merged_within_band
+FROM events
+GROUP BY event_type
+""",
+)
+def approx_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable DataSketches rollup under the driver's gate (VERDICT r9
+    item 4c — the layer that previously lived only in
+    tests/test_approx_sketches.py): per-(event_type, day) HLL sketches
+    of user_id and KLL sketches of value are built in one pass, then
+    MERGED per event_type — ``hll_union_agg`` for cardinality, a binary
+    ``kll_sketch_merge_double`` fold for quantiles — and the merged
+    estimates are asserted against exact answers computed in the same
+    query: HLL within 5% of COUNT(DISTINCT), the KLL median inside the
+    exact p45..p55 rank band. ``n_days`` pins that the per-day partial
+    layer is real (the merge had that many inputs per group).
+
+    Mergeability is THE 100 TB approx-aggregation story: yesterday's
+    per-day sketch rows (~1.5 KB each) merge with today's without
+    rescanning history — the incremental shape of
+    ``agg_incremental_merge`` for the approximate layer, and what a
+    naive percentile/distinct rollup cannot do (quantiles and distinct
+    counts don't sum). Both sketch estimates are deterministic for a
+    fixed input set, so the booleans are hash-stable; the bounds sit
+    far from the thresholds (HLL lgK=12 ≈ 1.6% RSE; KLL k=400 ≈ 1%
+    rank error even after merge).
+
+    Scale notes: pass 1 shuffles once on (event_type, day) with
+    map-side partial sketch merges; pass 2 shuffles O(types x days)
+    sketch rows, not data. The exact side exists only to judge the
+    sketches and prices one extra shuffle; a production rollup ships
+    the sketch column alone."""
+    t = load_tables(spark, sf_dir, "events")
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("hs"),
+        F.expr("kll_sketch_agg_double(value, 400)").alias("ks"),
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("hs")).alias("_hll_est"),
+            F.collect_list("ks").alias("_ks_list"),
+        )
+        # binary merge folded over the per-day sketches — associative,
+        # so any fold order gives the same merged sketch family
+        .withColumn(
+            "_kll_p50",
+            F.expr(
+                """
+                kll_sketch_get_quantile_double(
+                    aggregate(slice(_ks_list, 2, size(_ks_list) - 1),
+                              element_at(_ks_list, 1),
+                              (acc, x) -> kll_sketch_merge_double(acc, x)),
+                    0.5)
+                """
+            ),
+        )
+    )
+    exact = t.events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        ratio(F.percentile("value", F.lit(0.5))).alias("p50"),
+        F.percentile("value", F.lit(0.45)).alias("_p45"),
+        F.percentile("value", F.lit(0.55)).alias("_p55"),
+    )
+    return (
+        merged.join(F.broadcast(exact), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "exact_users",
+            (
+                F.abs(F.col("_hll_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users") + 1
+            ).alias("hll_merged_within_5pct"),
+            "p50",
+            F.col("_kll_p50").between(F.col("_p45"), F.col("_p55")).alias(
+                "kll_merged_within_band"
+            ),
+        )
+    )
