@@ -6,7 +6,7 @@ from .pipeline import (
     stream_covid_ingest,
     windowed_event_counts,
 )
-from .state_reader import read_state, state_metadata
+from .state_reader import read_state, rollback_checkpoint, state_metadata
 from .stateful import running_user_totals
 
 __all__ = [
@@ -14,6 +14,7 @@ __all__ = [
     "enriched_stream",
     "foreach_batch_upsert",
     "read_state",
+    "rollback_checkpoint",
     "running_user_totals",
     "sessionized_stream",
     "state_metadata",

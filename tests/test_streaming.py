@@ -1100,3 +1100,93 @@ def test_fold_session_batch_split_invariance():
             state, c = fold_session(state, ts[lo:hi], vals[lo:hi], gap)
             closed.extend(c)
         assert (state, closed) == (ref_state, ref_closed), (cut1, cut2)
+
+
+def test_checkpoint_rollback_repairs_corrupted_state(spark, tmp_path):
+    """The state-repair round-trip (VERDICT r9 stretch 8): corrupt the
+    latest state version of a 3-batch aggregation checkpoint, prove the
+    restarted query FAILS on it, roll the checkpoint back to the last
+    good batch with rollback_checkpoint, and prove the replayed query
+    converges to the batch ground truth over all input — the
+    introspection mouth (state_metadata / read_state time-travel)
+    upgraded to an operational repair capability."""
+    import glob as _glob
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.streaming import (
+        read_state,
+        rollback_checkpoint,
+        state_metadata,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\nA,1\nB,2\nA,3\n")
+    (src / "b.csv").write_text("k,v\nB,5\nC,7\n")
+    (src / "c.csv").write_text("k,v\nA,10\nC,1\n")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(name):
+        stream = (
+            spark.readStream.schema("k STRING, v LONG")
+            .option("header", "true")
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        q = (
+            stream.groupBy("k")
+            .agg(F.sum("v").alias("total"))
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("repair_initial")
+    meta = state_metadata(spark, ckpt).collect()[0]
+    assert meta["maxBatchId"] == 2  # three micro-batches committed
+
+    # corrupt the newest state version (batch 2 -> store version 3)
+    victims = _glob.glob(f"{ckpt}/state/0/*/3.delta")
+    assert victims, "expected version-3 delta files"
+    for path in victims:
+        with open(path, "wb") as f:
+            f.write(b"\x00garbage\x00")
+
+    # new data arrives; the restart must hit the corruption and die
+    (src / "d.csv").write_text("k,v\nD,100\nA,1\n")
+    with _pytest.raises(Exception):
+        run("repair_fails")
+
+    # repair offline: batch 1's state is still good...
+    good = {
+        (r["key_k"], r["value_sum"])
+        for r in read_state(spark, ckpt, batch_id=1).collect()
+    }
+    assert good == {("A", 4), ("B", 7), ("C", 7)}
+    # ...so roll back to it (drops offsets/commits > 1, versions > 2)
+    removed = rollback_checkpoint(spark, ckpt, to_batch_id=1)
+    assert any(p.endswith("3.delta") for p in removed)
+    assert not _glob.glob(f"{ckpt}/state/0/*/3.delta")
+
+    # replay: batch 2 re-executes (file c, from the source's own log),
+    # then the new file d — final state equals the batch ground truth
+    run("repair_replayed")
+    final = {
+        (r["key_k"], r["value_sum"]) for r in read_state(spark, ckpt).collect()
+    }
+    truth = {
+        (r["k"], r["total"])
+        for r in spark.read.schema("k STRING, v LONG")
+        .option("header", "true")
+        .csv(str(src))
+        .groupBy("k")
+        .agg(F.sum("v").alias("total"))
+        .collect()
+    }
+    assert final == truth == {("A", 15), ("B", 7), ("C", 8), ("D", 100)}

@@ -400,6 +400,14 @@ def main() -> None:
         row["containment_candidates"] = cand_df.count()
         row["containment_pairs"] = pairs_df.count()
         row["containment_wall_sec"] = round(time.perf_counter() - t0, 3)
+        # candidates-per-true-pair, recorded per scale (VERDICT r9
+        # stretch 7): the baseline any future prune idea must beat. The
+        # r9 root-cause note says the residual mass is same-size pairs
+        # sharing an early rare shingle — O(1)-evidence bounds can't
+        # remove it, so this ratio is expected ~flat across scales.
+        row["containment_cand_per_pair"] = round(
+            row["containment_candidates"] / max(row["containment_pairs"], 1), 2
+        )
 
         # iterative families (VERDICT r7 item 5)
         # PageRank: k disjoint replicas of the BASE trade graph drive
