@@ -1423,10 +1423,7 @@ def _scd2_changes(orders: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "merge_scd2_dimension",
-    tables=("customer", "orders"),
-    oracle=f"""
+_SCD2_DIM_ORACLE = f"""
 {_SCD2_CHANGES_CTE}
 SELECT c.c_custkey,
        c.c_mktsegment                 AS segment,
@@ -1443,8 +1440,9 @@ SELECT c.c_custkey,
        TRUE                           AS is_current,
        CAST(2 AS INT)                 AS version
 FROM customer c JOIN changes ch USING (c_custkey)
-""",
-)
+"""
+
+
 def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension merge — the warehouse pattern behind every
     versioned dimension: an incoming change per key CLOSES the current
@@ -1470,7 +1468,8 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     core. Reference parity: the reference keeps no history at all
     (ON CONFLICT DO NOTHING keeps the FIRST version forever,
     kt:140/177); SCD2 is the general form of that idempotent-write
-    policy with the history retained."""
+    policy with the history retained. Registered through
+    `scd2_surface` since r10 (the dimension branch)."""
     t = load_tables(spark, sf_dir, "customer", "orders")
     changes = _scd2_changes(t.orders)
     # ONE left join + explode, not a union of two joins: the naive
@@ -1515,10 +1514,7 @@ def merge_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "join_scd2_temporal_lookup",
-    tables=("customer", "orders"),
-    oracle=f"""
+_SCD2_LOOKUP_ORACLE = f"""
 {_SCD2_CHANGES_CTE},
 dim AS (
     SELECT c.c_custkey,
@@ -1541,8 +1537,9 @@ JOIN dim d ON d.c_custkey = o.o_custkey
           AND CAST(o.o_orderdate AS DATE) >= d.valid_from
           AND CAST(o.o_orderdate AS DATE) <  d.valid_to
 GROUP BY d.segment, d.version
-""",
-)
+"""
+
+
 def join_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical consumer of an SCD2 dimension: a temporal (AS-OF
     date) fact lookup — each order joins the dimension version that was
@@ -1561,7 +1558,8 @@ def join_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact shuffle, or zero with the dim and fact bucketed on the key.
     Versions per key are bounded (2 here; tens in practice), so the
     per-key match fan-out is O(1) — the reason SCD2 lookups stay
-    join-shaped instead of needing an interval index."""
+    join-shaped instead of needing an interval index. Registered
+    through `scd2_surface` since r10 (the lookup branch)."""
     t = load_tables(spark, sf_dir, "customer", "orders")
     changes = _scd2_changes(t.orders)
     open_end = F.lit("9999-12-31").cast("date")
@@ -1605,3 +1603,75 @@ def join_scd2_temporal_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_checksum"),
         )
     )
+
+
+@query(
+    "scd2_surface",
+    tables=("customer", "orders"),
+    oracle=f"""
+SELECT 'dimension'                    AS path,
+       c_custkey,
+       segment,
+       valid_from,
+       valid_to,
+       is_current,
+       version,
+       CAST(NULL AS BIGINT)           AS n_orders,
+       CAST(NULL AS BIGINT)           AS key_checksum
+FROM ({_SCD2_DIM_ORACLE})
+UNION ALL
+SELECT 'lookup'                       AS path,
+       CAST(NULL AS BIGINT)           AS c_custkey,
+       segment,
+       CAST(NULL AS DATE)             AS valid_from,
+       CAST(NULL AS DATE)             AS valid_to,
+       CAST(NULL AS BOOLEAN)          AS is_current,
+       version,
+       n_orders,
+       key_checksum
+FROM ({_SCD2_LOOKUP_ORACLE})
+""",
+)
+def scd2_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated SCD2 temporal surface (r10 rotation-capacity
+    consolidation of merge_scd2_dimension + join_scd2_temporal_lookup —
+    the two halves of ONE story: build the versioned dimension, then
+    consume it as-of each fact's date), path-tagged into one hashed
+    result:
+
+    'dimension' rows: the full Type-2 dimension — per key, the closed
+    v1 and open-ended v2 (or a single current v1 where no change
+    exists), validity windows meeting exactly at change_date.
+    'lookup' rows: every order joined to the version current on its
+    order date (half-open band against the 9999-12-31-closed windows),
+    aggregated per (segment, version) with key checksums.
+
+    Both source docstrings' plan/scale analyses hold unchanged (one
+    join + explode for the build; one equi-join with a residual band
+    for the lookup); the shared `_SCD2_CHANGES_CTE`/`_scd2_changes`
+    derivation still guarantees the pair cannot desynchronize — and
+    the union now puts producer-consumer consistency itself inside one
+    driver hash."""
+    dim = merge_scd2_dimension(spark, sf_dir).select(
+        F.lit("dimension").alias("path"),
+        "c_custkey",
+        "segment",
+        "valid_from",
+        "valid_to",
+        "is_current",
+        "version",
+        F.lit(None).cast("long").alias("n_orders"),
+        F.lit(None).cast("long").alias("key_checksum"),
+    )
+    lookup = join_scd2_temporal_lookup(spark, sf_dir).select(
+        F.lit("lookup").alias("path"),
+        F.lit(None).cast("long").alias("c_custkey"),
+        "segment",
+        F.lit(None).cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(None).cast("boolean").alias("is_current"),
+        "version",
+        "n_orders",
+        "key_checksum",
+    )
+    return dim.unionByName(lookup)

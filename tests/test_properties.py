@@ -333,7 +333,7 @@ def test_shuffle_partition_count_invariance(spark, sf_dir):
         # Python DataSource (per-URL partitions fixed, but the staged
         # CSV write fans out over shuffle partitions upstream)
         "graph_pagerank_fixed",
-        "merge_scd2_dimension",
+        "scd2_surface",
         "scan_python_datasource_httpcsv",
     ]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -416,7 +416,11 @@ def test_scd2_versions_tile_the_timeline(spark, sf_dir):
 
     from nytimes_batch_processor_spark.catalog import all_specs
 
-    rows = all_specs()["merge_scd2_dimension"].fn(spark, sf_dir).collect()
+    from nytimes_batch_processor_spark.operators.relational import (
+        merge_scd2_dimension,
+    )
+
+    rows = merge_scd2_dimension(spark, sf_dir).collect()
     by_key = defaultdict(list)
     for r in rows:
         by_key[r["c_custkey"]].append(r)
