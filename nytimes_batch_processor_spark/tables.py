@@ -625,7 +625,12 @@ def merge_into_partitioned(
     # same unquote discipline as delete_rows_partition_scoped.
     tmp = path.rstrip("/") + "._merging"
     fs.delete(hpath(tmp), True)
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
+    # repartition on the partition column: one file per rewritten dir
+    # instead of one sliver per task per dir (the affected set is small
+    # by CDC assumption; for a huge touch set use repartition(n, col))
+    merged.repartition(partition_col).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(tmp)
 
     prefix = f"{partition_col}="
 
@@ -758,8 +763,15 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("price"),
     )
     # fresh base table every invocation: the entry is deterministic
-    # regardless of a prior run's merged state
-    base.write.mode("overwrite").partitionBy("o_month").parquet(path)
+    # regardless of a prior run's merged state. repartition on the
+    # partition column first: without it every one of the 32 tasks
+    # writes a sliver into every month dir (~81 x 32 tiny files — the
+    # small-files antipattern); with it each month is one file.
+    # At 100 TB repartition(n, col) with a per-partition target keeps
+    # the same layout without serializing a month into one task.
+    base.repartition("o_month").write.mode("overwrite").partitionBy(
+        "o_month"
+    ).parquet(path)
 
     in_window = (F.col("k") % 23 == 0) & (F.col("o_month") >= "1998-01")
     updates = base.filter(in_window).select(
