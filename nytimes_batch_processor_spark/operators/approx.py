@@ -16,7 +16,7 @@ likewise merges bounded sketches instead of sorting the column.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ..catalog import query
 from ..functions import ratio
@@ -180,5 +180,88 @@ def approx_sketch_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_kll_p50").between(F.col("_p45"), F.col("_p55")).alias(
                 "kll_merged_within_band"
             ),
+        )
+    )
+
+
+@query(
+    "approx_heavy_hitters_merge",
+    tables=("events",),
+    oracle="""
+WITH counts AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY user_id
+),
+top AS (
+    SELECT user_id, n,
+           ROW_NUMBER() OVER (ORDER BY n DESC, user_id ASC) AS rnk
+    FROM counts
+)
+SELECT CAST(rnk AS BIGINT)  AS rank,
+       user_id,
+       n                    AS n_events,
+       (SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) FROM events)
+                            AS n_day_states,
+       TRUE                 AS sketch_count_matches
+FROM top
+WHERE rnk <= 10
+""",
+)
+def approx_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable heavy-hitters (frequent-items) rollup — the remaining
+    member of the sketch family after HLL/KLL/theta
+    (`approx_sketch_merge_rollup`): per-DAY top-k states over user_id
+    (``approx_top_k_accumulate``), combined across days
+    (``approx_top_k_combine``) and queried once
+    (``approx_top_k_estimate``) — the "who are the top users this
+    quarter" question answered by merging daily states instead of
+    rescanning the quarter.
+
+    The output is the EXACT top-10 (tie-broken by user_id, so the hash
+    is order-stable even with tied counts); the sketch side is judged
+    per-item: each top user's merged-sketch count must equal its exact
+    count (capacity 8192 >= distinct users at every fixture SF, where
+    the space-saving guarantee degenerates to exact counting — the
+    entry verifies the accumulate/combine/estimate machinery, and
+    ``n_day_states`` pins that the merge had one input state per day).
+    At true 100 TB cardinality the same plan holds with capacity-bound
+    states (~O(k) memory each) and counts become (over)estimates with
+    a bounded error — the standard frequent-items contract.
+
+    Scale notes: pass 1 shuffles once on day with map-side partial
+    accumulation; the combine shuffles O(days) fixed-size states, not
+    data; the exact side exists only to judge the sketch."""
+    t = load_tables(spark, sf_dir, "events")
+    daily = t.events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr("approx_top_k_accumulate(CAST(user_id AS STRING), 8192)").alias("st")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_day_states"),
+        F.expr("approx_top_k_estimate(approx_top_k_combine(st, 8192), 8192)").alias(
+            "est"
+        ),
+    )
+    est = merged.select(
+        "n_day_states", F.explode("est").alias("e")
+    ).select(
+        "n_day_states",
+        F.col("e.item").cast("long").alias("user_id"),
+        F.col("e.count").alias("est_count"),
+    )
+    w = W.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    exact_top = (
+        t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    return (
+        exact_top.join(F.broadcast(est), "user_id")
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "user_id",
+            "n_events",
+            "n_day_states",
+            (F.col("est_count") == F.col("n_events")).alias("sketch_count_matches"),
         )
     )

@@ -330,6 +330,7 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
         "agg_histogram_fixed_bins": 1,   # bin spine over an O(bins) agg
         "sessionize_timers_twin": 1,     # watermark spine over O(days)
         "window_agg_surface": 1,         # grand-total denominator over 25-row agg (pct branch)
+        "approx_heavy_hitters_merge": 1,  # exact-top-10 rank over O(users) agg
         "window_range_rolling_7d": 1,    # daily spine over O(days)
         "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)
         "text_bigram_lift": 1,           # corpus-total denominator
