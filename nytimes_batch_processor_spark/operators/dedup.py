@@ -390,11 +390,6 @@ FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)"""
 
 
-@query(
-    "dedup_minhash_resolve",
-    tables=("documents",),
-    oracle=_minhash_resolve_oracle(),
-)
 def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup OUTPUT (not just candidate pairs): the surviving
     corpus after greedy min-id resolution — every document that near-dups
@@ -407,6 +402,8 @@ def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     an iterative min-id propagation, O(log n) joins, same join shape).
     ORACLE-CHECKED: the portable-hash pairs CTE (_minhash_pairs_ctes)
     plus a NOT EXISTS anti-join replays the whole thing in DuckDB.
+    Registered through `dedup_resolve_surface` since r10 (the greedy
+    branch).
     """
     t = load_tables(spark, sf_dir, "documents")
     dupes = (

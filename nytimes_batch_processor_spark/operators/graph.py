@@ -207,7 +207,6 @@ FROM documents d
 WHERE NOT EXISTS (SELECT 1 FROM dupes x WHERE x.doc_id = d.doc_id)"""
 
 
-@query("dedup_minhash_cc", tables=("documents",), oracle=_minhash_cc_oracle())
 def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end dedup with EXACT clustering: MinHash+LSH candidate
     pairs -> connected components -> keep each component's min-id
@@ -225,7 +224,8 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB story depends on, so the driver sweep executes the scale path,
     not just the O(diameter) min-label loop (that variant stays as
     `connected_components` for the shallow-graph case and the property
-    tests cover both against one union-find oracle).
+    tests cover both against one union-find oracle). Registered
+    through `dedup_resolve_surface` since r10 (the cc branch).
     """
     from .dedup import dedup_minhash_lsh
 
@@ -239,6 +239,67 @@ def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.documents.join(dupes, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+def _resolve_surface_oracle() -> str:
+    """Union of the two full-pipeline branch oracles, mode-tagged.
+    DuckDB permits WITH RECURSIVE inside a subquery, so each branch
+    keeps its own complete CTE chain."""
+    from .dedup import _minhash_resolve_oracle
+
+    return f"""SELECT 'greedy' AS mode, doc_id, lang, source, n_chars
+FROM ({_minhash_resolve_oracle()})
+UNION ALL
+SELECT 'cc' AS mode, doc_id, lang, source, n_chars
+FROM ({_minhash_cc_oracle()})"""
+
+
+@query(
+    "dedup_resolve_surface",
+    tables=("documents",),
+    oracle=_resolve_surface_oracle(),
+)
+def dedup_resolve_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated near-dup RESOLUTION surface (r10 rotation-
+    capacity consolidation of dedup_minhash_resolve + dedup_minhash_cc
+    — the two resolution policies over ONE MinHash+LSH pair set),
+    mode-tagged into one hashed result:
+
+    'greedy' rows: the surviving corpus after single-pass min-id
+    resolution (drop every doc that near-dups a lower-id doc) — chains
+    may over-delete, standard greedy corpus dedup.
+    'cc' rows: the surviving corpus after exact connected-components
+    clustering (large-star/small-star, O(log n) rounds) — exactly one
+    representative per transitive cluster.
+
+    The candidate pairs are computed ONCE and checkpointed; both
+    branches resolve over the same materialized pair set, which is also
+    the production shape (pairs are the expensive artifact — resolve
+    policies are cheap anti-joins over them). The two full-pipeline
+    oracles (portable-hash pairs CTE + NOT EXISTS for greedy; the same
+    CTE + recursive min-label reachability for cc) replay both policies
+    end-to-end in DuckDB, so policy disagreement anywhere — pair set,
+    clustering, survivor join — is a hash mismatch."""
+    from .dedup import dedup_minhash_lsh
+
+    t = load_tables(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint(eager=True)
+    checkpoints.rotate("graph.resolve_pairs", pairs)
+    greedy_dupes = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    comp = connected_components_star(pairs)
+    cc_dupes = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    cols = ["doc_id", "lang", "source", "n_chars"]
+    greedy = (
+        t.documents.join(greedy_dupes, "doc_id", "left_anti")
+        .select(F.lit("greedy").alias("mode"), *cols)
+    )
+    cc = (
+        t.documents.join(cc_dupes, "doc_id", "left_anti")
+        .select(F.lit("cc").alias("mode"), *cols)
+    )
+    return greedy.unionByName(cc)
 
 
 @query(
