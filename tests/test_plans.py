@@ -427,3 +427,45 @@ def test_r9_consolidated_entries_plan_shapes(spark, sf_dir):
     assert n_bhj == 2, outer_plan
     assert "BroadcastNestedLoopJoin" not in outer_plan, outer_plan
     assert "CartesianProduct" not in outer_plan, outer_plan
+
+
+def test_r10_consolidated_entries_plan_shapes(spark, sf_dir):
+    """The r10 consolidations must not have paid for their single-hash
+    coverage with worse plans (same contract as the r9 pin above)."""
+    import re
+
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    specs = all_specs()
+
+    # semi+anti surface: both branches plan as broadcast hash joins of
+    # the proper semi/anti type — never a shuffle of the customer side,
+    # never a nested loop
+    plan = physical_plan(specs["join_semi_anti_surface"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    # as-of surface: each direction is ONE shuffle on user_id feeding
+    # ONE WindowExec (the union-window as-of plan); the union itself is
+    # free — so exactly two Window nodes and two user_id Exchanges
+    plan = physical_plan(specs["join_asof_surface"].fn(spark, sf_dir))
+    assert plan.count("Window (") == 2, plan
+    assert plan.count("Exchange (") == 2, plan
+    # both exchanges hash-partition on the join key (asof_join's
+    # internal `_k`), never range/single-partition
+    assert plan.count("hashpartitioning(") == 2, plan
+
+    # windowed-agg surface: the running-total branch keeps its
+    # partitioned window; the pct branch stays over the broadcast-star
+    # aggregate (two broadcasts, no extra shuffle of the fact side
+    # beyond the partial/final aggregate pair)
+    plan = physical_plan(specs["window_agg_surface"].fn(spark, sf_dir))
+    assert plan.count("Window (") == 2, plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+
+    # grouping surface: still ONE Expand feeding ONE partial+final
+    # aggregate pair — the six grouping sets must not re-scan
+    plan = physical_plan(specs["agg_grouping_multi"].fn(spark, sf_dir))
+    assert plan.count("Expand (") == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
