@@ -131,15 +131,26 @@ def priority_window() -> tuple[str, ...]:
 
         _load_all_modules()
         latest, last_green = rotation.correctness_history()
-        upcoming = latest + 1
         oracle_names = [n for n, s in _REGISTRY.items() if s.oracle is not None]
-        _WINDOW_CACHE = rotation.plan_window(
-            oracle_names,
-            last_green,
-            latest,
-            changed=_CHANGED_BY_ROUND.get(upcoming, ()),
-            rows_only_force=_ROWS_ONLY_FORCE_BY_ROUND.get(upcoming, ()),
-        )
+        if latest == 0:
+            # No recorded history (package imported outside the repo
+            # layout, SPARK_GRAFT_ROOT unset): every entry would count
+            # as never-swept and plan_window would refuse the >50
+            # forced set, making ALL of all_specs() unusable. Degrade
+            # to registration order — the pre-derivation behavior — so
+            # the catalog still serves queries; sweep ordering only
+            # matters where the history exists (self-review r10).
+            _WINDOW_CACHE = tuple(oracle_names[: rotation.WINDOW])
+        else:
+            upcoming = latest + 1
+            _WINDOW_CACHE = rotation.plan_window(
+                oracle_names,
+                last_green,
+                latest,
+                changed=_CHANGED_BY_ROUND.get(upcoming, ()),
+                rows_only_force=_ROWS_ONLY_FORCE_BY_ROUND.get(upcoming, ()),
+                registry_names=set(_REGISTRY),
+            )
     return _WINDOW_CACHE
 
 

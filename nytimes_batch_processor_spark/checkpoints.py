@@ -43,9 +43,8 @@ def rotate(key: str, *dfs: DataFrame) -> None:
             pass
     _LIVE[key] = list(dfs)
 
-
-def release(key: str) -> None:
-    """Release a key's live checkpoints now (end-of-iteration cleanup
-    inside iterative operators)."""
-    rotate(key)
-    _LIVE.pop(key, None)
+# (Iterative operators release per-round checkpoints with a direct
+# unpersist inside their loops — including on their non-convergence
+# failure paths — rather than through a keyed release: the per-round
+# frames are locals with one owner, so a registry adds bookkeeping
+# without adding safety.)

@@ -83,6 +83,10 @@ def connected_components(
         if changed == 0:
             checkpoints.rotate("graph.cc_labels", sym, labels)
             return labels
+    # non-convergence must not leak the live checkpoints: nothing is
+    # returned, so nothing downstream can rotate them (self-review r10)
+    labels.unpersist(blocking=False)
+    sym.unpersist(blocking=False)
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
 
 
@@ -166,6 +170,9 @@ def connected_components_star(
             break
         prev = cur
     else:
+        # see connected_components: release the last round's checkpoint
+        # before raising — no caller can rotate what was never returned
+        e.unpersist(blocking=False)
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )

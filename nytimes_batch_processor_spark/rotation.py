@@ -86,6 +86,7 @@ def plan_window(
     *,
     changed: tuple[str, ...] = (),
     rows_only_force: tuple[str, ...] = (),
+    registry_names: set[str] | None = None,
 ) -> tuple[str, ...]:
     """The next sweep's window, deterministic given the history.
 
@@ -93,12 +94,21 @@ def plan_window(
     tie-break so the window is stable across processes). ``changed``
     and ``rows_only_force`` are the two facts the history cannot know:
     entries whose code changed this round, and no-oracle entries being
-    granted a one-off driver row.
+    granted a one-off driver row. ``registry_names`` (the FULL registry
+    incl. no-oracle entries) validates ``rows_only_force`` — without
+    it the check would be vacuous, since a rows-only name is never in
+    ``oracle_names`` and a set built from the overrides themselves
+    cannot catch their own typos (self-review r10).
     """
     order = {n: i for i, n in enumerate(oracle_names)}
-    known = set(oracle_names) | set(rows_only_force)
-    missing = [n for n in changed + tuple(rows_only_force) if n not in known]
-    if missing:  # pragma: no cover - guards against rename drift
+    oracle_set = set(oracle_names)
+    known_rows_only = (
+        (registry_names - oracle_set) if registry_names is not None else None
+    )
+    missing = [n for n in changed if n not in oracle_set]
+    if known_rows_only is not None:
+        missing += [n for n in rows_only_force if n not in known_rows_only]
+    if missing:  # guards against rename drift
         raise KeyError(f"window overrides name unknown queries: {missing}")
 
     aged = sorted(

@@ -615,6 +615,12 @@ def merge_into_partitioned(
             how="left_semi",
         ).count()
     )
+    # count the batch BEFORE the swap: a caller may derive `changes`
+    # from the table itself (the self-referential compaction shape),
+    # and a post-swap count would re-execute that pipeline against the
+    # renamed/deleted directories — a successful merge reported as a
+    # FileNotFound failure, after the table was already rewritten
+    n_upserted = upserts.count()
     survivors = affected_base.join(change_keys, on=keys, how="left_anti")
     merged = survivors.unionByName(upserts)
 
@@ -657,7 +663,13 @@ def merge_into_partitioned(
         if new is not None:
             dirname = new.getName()
             target = hpath(_os.path.join(path, dirname))
-            aside = hpath(_os.path.join(path, dirname + "._premerge"))
+            # dot-prefixed aside: partition discovery ignores leading-dot
+            # dirs, so a crash between the two renames can never surface
+            # the parked copy as a bogus '<col>=<val>._premerge' partition
+            aside = hpath(_os.path.join(path, "." + dirname + "._premerge"))
+            # self-heal a previous crash's residue so the rename below
+            # cannot fail into an existing aside dir
+            fs.delete(aside, True)
             if old is not None and not fs.rename(old, aside):
                 raise IOError(f"merge swap failed: could not move {old} aside")
             if not fs.rename(new, target):
@@ -675,7 +687,7 @@ def merge_into_partitioned(
     return {
         "partitions_rewritten": rewritten,
         "partitions_deleted": deleted,
-        "rows_upserted": upserts.count(),
+        "rows_upserted": n_upserted,
         "rows_deleted": n_deleted,
     }
 
