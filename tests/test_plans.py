@@ -469,3 +469,28 @@ def test_r10_consolidated_entries_plan_shapes(spark, sf_dir):
     plan = physical_plan(specs["agg_grouping_multi"].fn(spark, sf_dir))
     assert plan.count("Expand (") == 1, plan
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_merge_find_affected_scan_prunes_columns(spark, tmp_path):
+    """merge_into_partitioned's docstring claims the find-affected scan
+    reads only the key (+ partition) columns at 100 TB — pin the
+    optimizer behavior on the exact subplan shape: a left-semi join
+    against the change keys projected to the partition column must
+    prune the parquet ReadSchema to the key alone (the partition value
+    comes from directory metadata, not file bytes)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "wide_fact")
+    spark.range(1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("m"),
+        F.rand(1).alias("v1"),
+        F.rand(2).alias("v2"),
+        F.rand(3).alias("v3"),
+    ).repartition("m").write.partitionBy("m").parquet(path)
+    base = spark.read.parquet(path)
+    change_keys = spark.range(10).select((F.col("id") * 7).alias("k"))
+    probe = base.join(change_keys, on=["k"], how="left_semi").select("m").distinct()
+    rs = read_schema(probe)
+    assert "v1" not in rs and "v2" not in rs and "v3" not in rs, rs
+    assert "k" in rs, rs
