@@ -99,26 +99,9 @@ def _load_all_modules() -> None:
 # independent history parser plus an EDF forward simulation of the
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
-_CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r10: dedup_containment_prefix gained checkpoint lifecycle mgmt
-    # (ADVICE r9) — semantics unchanged but re-verify anyway;
-    # agg_grouping_multi absorbed agg_time_rollup's calendar hierarchy
-    # (new (year, month) grouping set, gid widened to 4 bits);
-    # ingest_covid_states' fixture derivation was factored out as
-    # derive_states_fixture (shared with the new ingest_lineage_audit)
-    # — semantics-preserving, but changed code re-verifies.
-    10: (
-        "dedup_containment_prefix",
-        "agg_grouping_multi",
-        "ingest_covid_states",
-    ),
-}
+_CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {}
 
-_ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r10: sim_ann_ivf_topk has NEVER had a green driver row of any
-    # kind (its one appearance is an r2 `err`) — VERDICT r9 item 2.
-    10: ("sim_ann_ivf_topk",),
-}
+_ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
 
 _WINDOW_CACHE: tuple[str, ...] | None = None
 

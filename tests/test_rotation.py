@@ -5,8 +5,9 @@ round (observed r2-r5), and the driver's DuckDB is the only oracle that
 has caught engine-version divergence (r3 fn_math_surface, r4
 fn_higher_order_surface — both locally green, driver red). So driver
 recency is a hard signal that must not silently age: VERDICT r5 item 2
-asks for this gate so the rotation policy in catalog.py `_PRIORITY`
-stops being verdict-enforced prose.
+asks for this gate so the rotation policy (since r10: the window is
+DERIVED from the CORRECTNESS history by `rotation.plan_window`, with
+round-keyed overrides in catalog.py) stops being verdict-enforced prose.
 
 Policy: after the NEXT sweep runs, no oracle-backed entry's most recent
 hash-green round may be more than 2 rounds old. Equivalently, today:
@@ -69,8 +70,10 @@ def test_no_oracle_entry_ages_past_two_rounds():
     assert not stale, (
         "rotation policy violated — these oracle-backed entries would be "
         f">{MAX_AGE} rounds without a driver hash row after the next "
-        f"sweep; rotate them into the first {WINDOW} slots of "
-        f"catalog._PRIORITY: {stale}"
+        "sweep. The window is derived by rotation.plan_window; repair via "
+        "the round-keyed catalog._CHANGED_BY_ROUND / "
+        "_ROWS_ONLY_FORCE_BY_ROUND overrides (preview with "
+        f"tools/rotation_plan.py): {stale}"
     )
 
 
@@ -162,8 +165,14 @@ def test_window_has_no_duplicates_and_is_full():
 
 def test_stale_overrides_cannot_accumulate():
     """Round-keyed overrides expire when their round's sweep is
-    recorded; an override keyed to an already-recorded round is dead
-    code that misleads the next reader — fail loudly instead."""
+    recorded; an override keyed STRICTLY BEFORE the latest recorded
+    round is dead code that misleads the next reader — fail loudly.
+
+    An override keyed to the just-recorded round (== latest) is NOT
+    stale: it was live for exactly that round's sweep, and the sweep
+    recording is what retires it. Flagging it red would guarantee a
+    failure at every round boundary — the exact disease the derived
+    window cured (VERDICT r10 item 1)."""
     from nytimes_batch_processor_spark.catalog import (
         _CHANGED_BY_ROUND,
         _ROWS_ONLY_FORCE_BY_ROUND,
@@ -173,9 +182,11 @@ def test_stale_overrides_cannot_accumulate():
     stale = [
         rnd
         for rnd in list(_CHANGED_BY_ROUND) + list(_ROWS_ONLY_FORCE_BY_ROUND)
-        if rnd <= latest
+        if rnd < latest
     ]
     assert not stale, (
-        f"window overrides keyed to already-recorded rounds {sorted(set(stale))} "
-        f"(latest recorded sweep is r{latest}) — delete the expired entries"
+        f"window overrides keyed to rounds {sorted(set(stale))} predate the "
+        f"latest recorded sweep r{latest} — they expired when r{latest} was "
+        "recorded; delete the expired _CHANGED_BY_ROUND / "
+        "_ROWS_ONLY_FORCE_BY_ROUND entries in catalog.py"
     )
