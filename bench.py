@@ -45,6 +45,9 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",  # probe-only: ivf_build_index runs once in warmup
+    # (r11: the entry became self-judging — its wall now includes the
+    # in-query brute-force recall judge, so compare to r10 and earlier
+    # per-query numbers with that shape change in mind)
     "text_quality_score",
     "fn_json_surface",
     # r5 additions (r3/r4 comparisons stay per-query; total covers +3)

@@ -13,9 +13,12 @@ Three tiers, as a 100 TB training-data pipeline needs:
   deterministic multi-table random-hyperplane signatures; candidate
   generation is a bucket equi-join, so corpus-side cost scales with
   bucket occupancy, not corpus size.
-- **IVF ANN** (rows-only; recall-gated): k-means coarse quantizer, cell
-  assignment JVM-side, nprobe nearest cells per query, same bucket
-  equi-join shape with centroid id as the key.
+- **IVF ANN** (self-judging oracle since r11; recall-gated): k-means
+  coarse quantizer, cell assignment JVM-side, nprobe nearest cells per
+  query, same bucket equi-join shape with centroid id as the key. The
+  float-k-means pair values are not SQL-replayable, so the catalog
+  entry judges recall and pruning against the exact answer IN-QUERY
+  and hashes deterministic booleans (the approx-sketch pattern).
 """
 
 from __future__ import annotations
@@ -471,11 +474,14 @@ def ivf_index_for(spark: SparkSession, sf_dir: str, k: int = _IVF_K) -> IvfIndex
     return idx
 
 
-@query("sim_ann_ivf_topk", tables=("embeddings",))
-def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via IVF (inverted-file index with a k-means coarse
     quantizer) — the second ANN family next to hyperplane LSH, same
-    bucket-equi-join shape with centroid id as the bucket key.
+    bucket-equi-join shape with centroid id as the bucket key. Returns
+    the raw (query_id, neighbor_id, rnk, cosine) pairs; the catalog
+    entry `sim_ann_ivf_topk` wraps them in self-judging booleans because
+    the pair VALUES depend on float MLlib k-means and are not
+    SQL-replayable.
 
     PROBE-ONLY: the quantizer training and cell assignment live in
     `ivf_build_index` (cached per session/corpus by `ivf_index_for`,
@@ -524,6 +530,107 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id", "rnk", ratio(F.col("cos_raw")).alias("cosine"))
+    )
+
+
+@query(
+    "sim_ann_ivf_topk",
+    tables=("embeddings",),
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST({k} AS BIGINT)    AS n_ann,
+       TRUE                   AS recall_ge_050,
+       TRUE                   AS scored_frac_le_60pct
+FROM embeddings WHERE vec_id < {nq}
+""".format(nq=N_QUERIES, k=TOP_K),
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-judging driver surface for the MLlib-trained IVF ANN
+    (VERDICT r10 item 2): the pair VALUES from `ivf_ann_pairs` depend on
+    float k-means and cannot be replayed in SQL, so — exactly like
+    `approx_count_distinct_bounds` — the entry returns deterministic
+    outputs judged IN-QUERY against the exact answer, with a
+    constant-TRUE oracle:
+
+    - one row per query vector (absent row = ANN lost a query);
+    - ``n_ann``: ANN results returned for the query (must be TOP_K —
+      any short top-k list breaks the hash via the oracle's constant);
+    - ``recall_ge_050``: corpus-level recall@10 of the ANN pairs vs the
+      in-query brute-force exact top-k (the same broadcast-query scoring
+      as `sim_cosine_topk_bruteforce`) is >= 0.5. Measured 0.58
+      (sf0.001) / 0.76 (sf0.01) on the worst-case random fixture, so the
+      bound holds with margin against k-means float-order wobble (the
+      same margin argument the pytest recall gate has used since r2);
+    - ``scored_frac_le_60pct``: scored candidates <= 60% of
+      (queries x corpus) — the index must actually prune (measured
+      ~30% scored at nprobe 4 of 16 cells).
+
+    The corpus-level booleans ride every row via a broadcast scalar-
+    aggregate cross join (the repo's accepted pattern for O(1) flag
+    rows). Scale: the exact-top-k judge is (N_QUERIES x corpus) work —
+    fine for a fixed probe panel; at 100 TB you sample the panel, not
+    the corpus.
+    """
+    idx = ivf_index_for(spark, sf_dir)
+    assigned = idx.assigned
+    ann = ivf_ann_pairs(spark, sf_dir).select("query_id", "neighbor_id")
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        assigned.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
+    exact = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    recall_row = (
+        exact.join(ann.withColumn("hit", F.lit(1)), ["query_id", "neighbor_id"], "left")
+        .agg((F.count("hit") / F.count(F.lit(1))).alias("_recall"))
+    )
+    # Scored-candidate mass vs the brute-force denominator: count the
+    # equi-join candidates the probe actually scored (pre-rank).
+    dists = _centroid_sq_dists(idx.centers)
+    ranked_cells = F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(idx.centers) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice(ranked_cells, 1, _IVF_NPROBE)).alias("cell"),
+    )
+    cand_row = (
+        assigned.select("vec_id", "cell")
+        .join(_bounded_broadcast(probes, N_QUERIES * _IVF_NPROBE), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .agg(F.count(F.lit(1)).alias("_n_scored"))
+    )
+    corpus_row = assigned.agg(F.count(F.lit(1)).alias("_n_corpus"))
+    flags = (
+        recall_row.crossJoin(F.broadcast(cand_row))
+        .crossJoin(F.broadcast(corpus_row))
+        .select(
+            (F.col("_recall") >= 0.5).alias("recall_ge_050"),
+            (
+                F.col("_n_scored") <= 0.6 * F.lit(N_QUERIES) * F.col("_n_corpus")
+            ).alias("scored_frac_le_60pct"),
+        )
+    )
+    per_query = ann.groupBy(F.col("query_id").cast("bigint").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_ann")
+    )
+    return per_query.crossJoin(F.broadcast(flags)).select(
+        "query_id", "n_ann", "recall_ge_050", "scored_frac_le_60pct"
     )
 
 

@@ -84,7 +84,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     fixture (measured 0.58 at sf0.001; gate leaves margin for k-means
     float-order wobble)."""
     from nytimes_batch_processor_spark.operators.similarity import (
-        sim_ann_ivf_topk,
+        ivf_ann_pairs,
         sim_cosine_topk_bruteforce,
     )
 
@@ -93,7 +93,7 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in sim_cosine_topk_bruteforce(spark, sf_dir).collect()
     }
     approx = {
-        (r["query_id"], r["neighbor_id"]) for r in sim_ann_ivf_topk(spark, sf_dir).collect()
+        (r["query_id"], r["neighbor_id"]) for r in ivf_ann_pairs(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
     # explicit per-round number (VERDICT r6 item 6): visible under -s /

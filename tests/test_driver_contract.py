@@ -26,10 +26,11 @@ def test_oracle_keys_subset_of_queries():
     E = _entry_module()
     qs, osql = E.queries(), E.oracle_sql()
     assert set(osql) <= set(qs), sorted(set(osql) - set(qs))
-    # exactly one rows-only entry today (the float-k-means IVF); a new
-    # one should be a conscious decision, not a dropped oracle
+    # zero rows-only entries since r11 (the float-k-means IVF became
+    # self-judging with a constant-TRUE oracle); a new one should be a
+    # conscious decision, not a dropped oracle
     rows_only = sorted(set(qs) - set(osql))
-    assert rows_only == ["sim_ann_ivf_topk"], rows_only
+    assert rows_only == [], rows_only
 
 
 def _strip_noise(sql: str) -> str:
