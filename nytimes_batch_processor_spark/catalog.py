@@ -99,7 +99,18 @@ def _load_all_modules() -> None:
 # independent history parser plus an EDF forward simulation of the
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
-_CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {}
+_CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
+    # r11: sim_ann_ivf_topk reshaped to the self-judging-boolean oracle
+    # (also auto-forced as never-hash-green, listed for the reader);
+    # approx_heavy_hitters_merge / text_bigram_lift switched their exact
+    # top-k from a global row_number window to orderBy().limit(k) +
+    # rank-the-survivors (values identical, plans re-verify).
+    11: (
+        "sim_ann_ivf_topk",
+        "approx_heavy_hitters_merge",
+        "text_bigram_lift",
+    ),
+}
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
 

@@ -248,12 +248,20 @@ def approx_heavy_hitters_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").cast("long").alias("user_id"),
         F.col("e.count").alias("est_count"),
     )
-    w = W.orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+    # Exact top-10 via orderBy().limit(): plans as TakeOrderedAndProject
+    # (parallel per-partition partial top-k), never a single-task global
+    # sort of O(distinct users) rows — at 100 TB that cardinality is
+    # billions (VERDICT r10 item 3). Only the <=10 survivors are then
+    # numbered, inside a literal 1-partition window.
+    order = (F.col("n_events").desc(), F.col("user_id").asc())
     exact_top = (
         t.events.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
+        .orderBy(*order)
+        .limit(10)
+        .withColumn(
+            "rank", F.row_number().over(W.partitionBy(F.lit(1)).orderBy(*order))
+        )
     )
     return (
         exact_top.join(F.broadcast(est), "user_id")

@@ -888,9 +888,17 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_raw"),
         )
     )
-    w = W.orderBy(F.col("lift_raw").desc(), F.col("w1").asc(), F.col("w2").asc())
+    # Top-k via orderBy().limit(): TakeOrderedAndProject does parallel
+    # partial top-k per partition — never a single-task global sort of
+    # the min-count-filtered pair space, which is bigram-vocabulary-
+    # sized at 100 TB (VERDICT r10 item 3). The <=k survivors are then
+    # numbered inside a literal 1-partition window.
+    order = (F.col("lift_raw").desc(), F.col("w1").asc(), F.col("w2").asc())
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _LIFT_TOP_K)
+        scored.orderBy(*order)
+        .limit(_LIFT_TOP_K)
+        .withColumn(
+            "rnk", F.row_number().over(W.partitionBy(F.lit(1)).orderBy(*order))
+        )
         .select("w1", "w2", "c_xy", "c_w1", "c_w2", "rnk", ratio(F.col("lift_raw")).alias("lift"))
     )

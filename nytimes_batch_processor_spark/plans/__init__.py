@@ -57,6 +57,28 @@ def _iter_logical_nodes(node):
         yield from _iter_logical_nodes(children.apply(i))
 
 
+def window_is_limit_bounded(node) -> bool:
+    """True when a (logical) Window node's input is provably <= k rows
+    because a GlobalLimit sits directly beneath it (through row-
+    preserving Project/Filter nodes only). The orderBy().limit(k)
+    -> rank-the-survivors top-k pattern produces exactly this shape:
+    the optimizer folds the literal partition key away, but the window
+    is bounded by the limit, not by the corpus — categorically safe at
+    any scale. (A literal `partitionBy(lit(1))` is optimizer-erased, so
+    boundedness must be read off the child, not the partitionSpec.)"""
+    child = node
+    while True:
+        children = child.children()
+        if children.size() != 1:
+            return False
+        child = children.apply(0)
+        name = child.nodeName()
+        if name == "GlobalLimit":
+            return True
+        if name not in ("Project", "Filter", "LocalLimit"):
+            return False
+
+
 def unpartitioned_window_violations(df: DataFrame) -> list[str]:
     """Single-partition windows are only acceptable POST-AGGREGATION:
     an unpartitioned Window over raw data funnels the whole input

@@ -37,10 +37,20 @@ def test_star_join_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_global_topk_avoids_total_sort(spark, sf_dir):
+    """Every exact global top-k must plan as TakeOrderedAndProject
+    (parallel per-partition partial top-k) — a global row_number window
+    is a single-task sort whose input cardinality (distinct users /
+    bigram vocabulary) grows with the corpus (VERDICT r10 item 3)."""
+    from nytimes_batch_processor_spark.catalog import all_specs
     from nytimes_batch_processor_spark.operators.relational import sort_global_topk
 
     plan = physical_plan(sort_global_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+    specs = all_specs()
+    for name in ("approx_heavy_hitters_merge", "text_bigram_lift"):
+        plan = physical_plan(specs[name].fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, f"{name}:\n{plan}"
 
 
 def test_semi_join_plans_as_semi(spark, sf_dir):
@@ -324,16 +334,15 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
     from nytimes_batch_processor_spark.plans import (
         _iter_logical_nodes,
         unpartitioned_window_violations,
+        window_is_limit_bounded,
     )
 
     EXPECTED = {
         "agg_histogram_fixed_bins": 1,   # bin spine over an O(bins) agg
         "sessionize_timers_twin": 1,     # watermark spine over O(days)
         "window_agg_surface": 1,         # grand-total denominator over 25-row agg (pct branch)
-        "approx_heavy_hitters_merge": 1,  # exact-top-10 rank over O(users) agg
         "window_range_rolling_7d": 1,    # daily spine over O(days)
         "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)
-        "text_bigram_lift": 1,           # corpus-total denominator
         "stream_window_surface": 1,      # window spine over O(windows)
         "stream_dedup_watermark_twin": 1,  # watermark spine over O(days)
         "stream_stream_join_twin": 1,    # watermark spine over O(days)
@@ -342,10 +351,16 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
     for name, spec in all_specs().items():
         df = spec.fn(spark, sf_dir)
         plan = df._jdf.queryExecution().optimizedPlan()
+        # Limit-bounded windows (rank-the-survivors above a GlobalLimit,
+        # the orderBy().limit(k) top-k pattern) are k-row-bounded by
+        # construction and exempt — the census exists to catch windows
+        # whose input grows with the corpus.
         n = sum(
             1
             for nd in _iter_logical_nodes(plan)
-            if nd.nodeName() == "Window" and nd.partitionSpec().size() == 0
+            if nd.nodeName() == "Window"
+            and nd.partitionSpec().size() == 0
+            and not window_is_limit_bounded(nd)
         )
         if n:
             counts[name] = n
