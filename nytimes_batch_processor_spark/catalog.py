@@ -105,10 +105,13 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # approx_heavy_hitters_merge / text_bigram_lift switched their exact
     # top-k from a global row_number window to orderBy().limit(k) +
     # rank-the-survivors (values identical, plans re-verify).
+    # merge_cdc_upsert: merge_into_partitioned gained the premerge-aside
+    # heal (ADVICE r10 medium) — entry semantics unchanged, re-verify.
     11: (
         "sim_ann_ivf_topk",
         "approx_heavy_hitters_merge",
         "text_bigram_lift",
+        "merge_cdc_upsert",
     ),
 }
 

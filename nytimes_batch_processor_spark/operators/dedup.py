@@ -297,6 +297,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join -> verify candidates with estimated Jaccard (signature
     agreement fraction) >= 0.9.
 
+    RETENTION CONTRACT (checkpoints.rotate, key "dedup.minhash_sig"):
+    fully consume the returned DataFrame before calling this entry
+    again in the same session — the next invocation releases this
+    result's localCheckpoint blocks (unrecomputable after unpersist).
+
     Shuffle discipline (the fixture's templated docs make candidate
     volume ~1000x the corpus size, so the design never shuffles the pair
     set AT ALL — the only shuffle is the |docs|-row signature

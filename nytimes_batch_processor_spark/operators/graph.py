@@ -42,6 +42,12 @@ def connected_components(
     reachable from `node` — a deterministic canonical label. Converges
     in O(diameter) iterations; raises if max_iter is hit (a safety
     valve, not an approximation: partial labels are never returned).
+
+    RETENTION CONTRACT (checkpoints.rotate, key "graph.cc_labels"):
+    fully consume the returned DataFrame before calling this helper
+    again in the same session — the next invocation releases this
+    result's localCheckpoint blocks, and checkpointed blocks cannot be
+    recomputed after unpersist.
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -112,6 +118,9 @@ def connected_components_star(
     order-insensitive edge-set checksum between rounds. When `stats` is
     given, it receives {"rounds", "input_edges"} — the O(log n)
     rounds-growth claim tools/scale_bench.py measures at x1/x10.
+
+    RETENTION CONTRACT (checkpoints.rotate, key "graph.cc_star_edges"):
+    consume the result before re-invoking — see `connected_components`.
     """
     e = (
         edges.select(
@@ -474,7 +483,11 @@ def pagerank_fixed_ranks(trade: DataFrame) -> DataFrame:
     (src, dst) trade frame — factored out of `graph_pagerank_fixed` so
     tools/scale_bench.py can drive the SAME loop with a replicated
     graph (the iterative-family x10 gate, VERDICT r7 item 5). Returns
-    the final (node, rank) table after `_PR_ITERS` steps."""
+    the final (node, rank) table after `_PR_ITERS` steps.
+
+    RETENTION CONTRACT (checkpoints.rotate, key "graph.pagerank"):
+    consume the result before re-invoking — see `connected_components`.
+    """
     edges = trade.union(
         trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -98,7 +98,20 @@ def rollback_checkpoint(
     later rewrite of the same version cannot trip stale-CRC errors.
     Returns the deleted paths. The tests drive the full round-trip:
     corrupt the latest version, prove the restart fails, roll back,
-    prove the replayed query converges to the batch ground truth."""
+    prove the replayed query converges to the batch ground truth.
+
+    SINK SCOPE (ADVICE r10): this trims the CHECKPOINT only, never the
+    sink's own commit log. That is correct for the sinks the repair is
+    meant for — memory/complete-mode sinks (replayed batches overwrite
+    the result) and ``foreachBatch`` upserts (first-write-wins/MERGE
+    makes the replay idempotent). It is NOT safe for an append-mode
+    FILE sink: the files the rolled-back batches already wrote stay
+    committed in the sink's ``_spark_metadata`` log, so the replay
+    would append duplicates next to them. Repairing a file sink needs
+    the sink-side log trimmed too (delete its entries past
+    ``to_batch_id`` AND the files they reference) — out of scope here;
+    the function does not attempt to discover sink paths from the
+    checkpoint."""
     import re
 
     jvm = spark._jvm

@@ -519,6 +519,53 @@ def drop_partitions_older_than(
     return dropped
 
 
+_PREMERGE_SUFFIX = "._premerge"
+
+
+def _heal_premerge_residue(fs, hpath, path: str, partition_col: str) -> dict:
+    """Resolve every ``.<partition_col>=<val>._premerge`` aside dir a
+    crashed merge left under ``path`` (dot-prefixed, so partition
+    discovery never lists them as data):
+
+    - target partition dir MISSING -> the crash hit between the
+      aside-rename and the promote; the aside is the only copy of the
+      partition's pre-merge rows. Restore it (rename back to target).
+    - target partition dir PRESENT -> the promote completed and only
+      the aside cleanup was lost; the aside duplicates superseded rows.
+      Delete it.
+
+    Returns {"restored": [...], "removed": [...]} partition dir names,
+    for callers/tests that audit the heal. O(listing) — no data read."""
+    import os as _os
+
+    restored: list[str] = []
+    removed: list[str] = []
+    root_p = hpath(path)
+    if not fs.exists(root_p):
+        return {"restored": restored, "removed": removed}
+    aside_prefix = f".{partition_col}="
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if not (
+            st.isDirectory()
+            and name.startswith(aside_prefix)
+            and name.endswith(_PREMERGE_SUFFIX)
+        ):
+            continue
+        dirname = name[1 : -len(_PREMERGE_SUFFIX)]
+        target = hpath(_os.path.join(path, dirname))
+        if fs.exists(target):
+            fs.delete(st.getPath(), True)
+            removed.append(dirname)
+        else:
+            if not fs.rename(st.getPath(), target):
+                raise IOError(
+                    f"premerge heal failed: could not restore {name} -> {dirname}"
+                )
+            restored.append(dirname)
+    return {"restored": restored, "removed": removed}
+
+
 def merge_into_partitioned(
     spark: SparkSession,
     path: str,
@@ -574,6 +621,15 @@ def merge_into_partitioned(
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    # Heal a prior merge's crash residue BEFORE reading the base. A
+    # crash between the aside-rename and the promote leaves the aside
+    # dir as the ONLY copy of that partition (target missing) — it must
+    # be restored, or the rows are invisible forever and the next merge
+    # touching the partition would delete them (ADVICE r10). Only when
+    # the target dir EXISTS is the aside true residue (crash landed
+    # after the promote, before the aside delete) and safe to drop.
+    _heal_premerge_residue(fs, hpath, path, partition_col)
 
     base = spark.read.parquet(path)
     data_cols = [c for c in base.columns]
@@ -667,8 +723,9 @@ def merge_into_partitioned(
             # dirs, so a crash between the two renames can never surface
             # the parked copy as a bogus '<col>=<val>._premerge' partition
             aside = hpath(_os.path.join(path, "." + dirname + "._premerge"))
-            # self-heal a previous crash's residue so the rename below
-            # cannot fail into an existing aside dir
+            # _heal_premerge_residue resolved every pre-existing aside
+            # before the base read; any dir here is unreachable residue
+            # of THIS process (rename below would otherwise fail into it)
             fs.delete(aside, True)
             if old is not None and not fs.rename(old, aside):
                 raise IOError(f"merge swap failed: could not move {old} aside")

@@ -600,6 +600,95 @@ def test_merge_into_partitioned_rejects_unknown_op(spark, tmp_path):
         merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
 
 
+def test_merge_restores_orphaned_premerge_aside(spark, tmp_path):
+    """ADVICE r10 (medium): a crash between the aside-rename and the
+    promote leaves `.month=<val>._premerge` as the ONLY copy of that
+    partition (target dir missing). The next merge — even one touching
+    OTHER partitions — must restore it before reading the base, never
+    delete it as residue."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+    before_01 = {
+        tuple(r)
+        for r in spark.read.parquet(path).filter(F.col("month") == "2020-01").collect()
+    }
+    # simulate the mid-swap crash: partition parked aside, target gone
+    shutil.move(f"{path}/month=2020-01", f"{path}/.month=2020-01._premerge")
+    assert not os.path.exists(f"{path}/month=2020-01")
+
+    # a merge touching a DIFFERENT partition heals the orphan first
+    changes = spark.createDataFrame(
+        [("2020-02", 1, 111.0, "upsert")], "month string, k long, v double, op string"
+    )
+    merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
+    assert not os.path.exists(f"{path}/.month=2020-01._premerge")
+    after = spark.read.parquet(path)
+    restored_01 = {
+        tuple(r) for r in after.filter(F.col("month") == "2020-01").collect()
+    }
+    assert restored_01 == before_01, "orphaned pre-merge partition lost rows"
+    assert after.filter((F.col("k") == 1) & (F.col("v") == 111.0)).count() == 1
+
+
+def test_merge_heals_aside_touching_same_partition(spark, tmp_path):
+    """The same crash state, healed by a merge whose batch TOUCHES the
+    parked partition: the restored rows must participate in the merge
+    (the old bug deleted the aside — the partition's only copy — and
+    then merged against an empty base)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+    shutil.move(f"{path}/month=2020-01", f"{path}/.month=2020-01._premerge")
+
+    # month=2020-01 held k=0,3,6,9; update k=0, the rest must survive
+    changes = spark.createDataFrame(
+        [("2020-01", 0, 999.0, "upsert")], "month string, k long, v double, op string"
+    )
+    merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
+    got = {
+        (r["k"], r["v"])
+        for r in spark.read.parquet(path).filter(F.col("month") == "2020-01").collect()
+    }
+    assert got == {(0, 999.0), (3, 30.0), (6, 60.0), (9, 90.0)}, got
+
+
+def test_merge_removes_aside_residue_when_target_present(spark, tmp_path):
+    """The OTHER crash point — after the promote, before the aside
+    cleanup: target holds the new version, the aside duplicates
+    superseded rows. The heal must drop the aside and keep the target."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    path = str(tmp_path / "facts")
+    _merge_fixture(spark, path)
+    # fabricate residue: a stale COPY parked aside, target still present
+    shutil.copytree(f"{path}/month=2020-01", f"{path}/.month=2020-01._premerge")
+
+    changes = spark.createDataFrame(
+        [("2020-02", 1, 111.0, "upsert")], "month string, k long, v double, op string"
+    )
+    merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
+    assert not os.path.exists(f"{path}/.month=2020-01._premerge")
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("month") == "2020-01").count() == 4  # no dup rows
+
+
 def test_merge_into_partitioned_idempotent_replay(spark, tmp_path):
     """Replaying the same CDC batch is a no-op on the table state — the
     reference's O3 idempotency contract carried to in-place merges."""
