@@ -228,25 +228,15 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return base.select("doc_id", sig.alias("sig"))
 
 
-def _minhash_pairs_ctes() -> str:
-    """The WITH-clause body (docs/sigs/bands/cand/pairs CTEs) of the
-    DuckDB twin of the full MinHash+LSH pipeline, made possible by the
-    portable token hash above. Replays every stage: tokenize ->
-    md5-based token hash -> 32 permutation minima -> 4 band slices ->
-    band-slice equi-join (list equality replaces the Spark side's
-    engine-internal xxhash64 band bucketing — equal slices iff equal
-    band hash, modulo a ~2^-64 hash collision) -> DISTINCT pairs (the
-    Spark side's first-colliding-band emission produces the same set
-    without a distinct) -> 32-term signature-agreement est-Jaccard.
-    Shared by the dedup_minhash_lsh / _resolve / _cc oracles."""
+def _minhash_sig_ctes() -> str:
+    """The docs/sigs/bands WITH-clause prefix of the DuckDB MinHash twin
+    (tokenize -> md5-based token hash -> 32 permutation minima -> 4 band
+    slices), shared by the corpus-pairs oracle below and the
+    incremental-probe oracle (`_minhash_probe_oracle`)."""
     p = _MINHASH_PRIME
     rpb = _MINHASH_PERMS // _MINHASH_BANDS
     sig_exprs = ",\n           ".join(
         f"list_min(list_transform(th, h -> ({2 * i + 1} * h + {7919 * i + 13}) % {p}))"
-        for i in range(_MINHASH_PERMS)
-    )
-    agree = " + ".join(
-        f"CASE WHEN s1.sig[{i + 1}] = s2.sig[{i + 1}] THEN 1 ELSE 0 END"
         for i in range(_MINHASH_PERMS)
     )
     return f"""docs AS (
@@ -265,7 +255,30 @@ sigs AS (
 bands AS (
     SELECT doc_id, band, list_slice(sig, band * {rpb} + 1, band * {rpb} + {rpb}) AS bsig
     FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) b
-),
+)"""
+
+
+def _minhash_agree_sql() -> str:
+    """The 32-term signature-agreement SUM between sigs aliases s1/s2."""
+    return " + ".join(
+        f"CASE WHEN s1.sig[{i + 1}] = s2.sig[{i + 1}] THEN 1 ELSE 0 END"
+        for i in range(_MINHASH_PERMS)
+    )
+
+
+def _minhash_pairs_ctes() -> str:
+    """The WITH-clause body (docs/sigs/bands/cand/pairs CTEs) of the
+    DuckDB twin of the full MinHash+LSH pipeline, made possible by the
+    portable token hash above. Replays every stage: tokenize ->
+    md5-based token hash -> 32 permutation minima -> 4 band slices ->
+    band-slice equi-join (list equality replaces the Spark side's
+    engine-internal xxhash64 band bucketing — equal slices iff equal
+    band hash, modulo a ~2^-64 hash collision) -> DISTINCT pairs (the
+    Spark side's first-colliding-band emission produces the same set
+    without a distinct) -> 32-term signature-agreement est-Jaccard.
+    Shared by the dedup_minhash_lsh / _resolve / _cc oracles."""
+    agree = _minhash_agree_sql()
+    return f"""{_minhash_sig_ctes()},
 cand AS (
     SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
     FROM bands a
@@ -418,6 +431,213 @@ def dedup_minhash_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return t.documents.join(dupes, "doc_id", "left_anti").select(
         "doc_id", "lang", "source", "n_chars"
+    )
+
+
+_PROBE_BATCH_MOD = 10  # doc_id % 10 == 0 is the derived "new batch"
+
+
+def _band_hash_cols() -> list[F.Column]:
+    """The 4 per-band xxhash64 bucket keys over an 8-slot signature
+    slice — the LSH bucketing shared by the corpus self-join
+    (`dedup_minhash_lsh`) and the persisted probe index below."""
+    rpb = _MINHASH_PERMS // _MINHASH_BANDS
+    return [
+        F.xxhash64(
+            *[F.col("sig").getItem(k * rpb + r) for r in range(rpb)]
+        ).alias(f"bh{k}")
+        for k in range(_MINHASH_BANDS)
+    ]
+
+
+def build_minhash_index(docs: DataFrame, path: str) -> None:
+    """Build and PERSIST the corpus near-dup index: one parquet row per
+    document carrying its full MinHash signature plus the 4 band bucket
+    keys (``doc_id, sig, bh0..bh3``). This is the indexed-corpus half of
+    the incremental dedup story — built once per corpus version (a
+    map-only signature pass, no shuffle), appended to as batches are
+    admitted, and probed by every arriving batch without ever
+    re-signing the corpus. At 100 TB the same table lives partitioned/
+    bucketed by band hash on object storage."""
+    sig = minhash_signatures(docs, "doc_id", "text")
+    sig.select("doc_id", "sig", *_band_hash_cols()).write.mode("overwrite").parquet(
+        path
+    )
+
+
+# (applicationId, sf_dir) -> index path; built once per session/corpus
+# like ivf_index_for, so repeated probes (bench, driver re-runs) measure
+# the PROBE, not an index rebuild.
+_MINHASH_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted corpus index (docs with doc_id %
+    _PROBE_BATCH_MOD != 0), building it on first use per session."""
+    import hashlib
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _MINHASH_INDEX_CACHE.get(key)
+    if path is None:
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+        for scheme in ("file://", "file:"):
+            if warehouse.startswith(scheme):
+                warehouse = warehouse[len(scheme):]
+                break
+        sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        path = f"{warehouse}/engine_minhash_index_{sf_tag}"
+        t = load_tables(spark, sf_dir, "documents")
+        corpus = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD != 0)
+        build_minhash_index(corpus, path)
+        _MINHASH_INDEX_CACHE[key] = path
+    return path
+
+
+def probe_minhash_index(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
+    """Probe a signed batch against a persisted corpus index: band
+    bucket equi-join ONLY (batch bands x index bands on (band,
+    band_hash)) — never batch x corpus, never corpus x corpus — then
+    one est-Jaccard verification per distinct candidate pair via the
+    first-colliding-band emission trick of `dedup_minhash_lsh`.
+    Returns verified (doc_id, canon_id) matches with est_jaccard >= 0.9.
+
+    Scale: probe cost is O(batch bands x bucket occupancy). The corpus
+    contributes only the buckets the batch touches — on a cluster the
+    index table is bucketed by band hash, so the join co-locates
+    without shuffling the index."""
+    names = [f"bh{k}" for k in range(_MINHASH_BANDS)]
+    explode = F.posexplode(F.array(*[F.col(n) for n in names])).alias(
+        "band", "band_hash"
+    )
+    q = batch_sigs.select(
+        F.col("doc_id").alias("qid"),
+        *[F.col(n).alias(f"q{n}") for n in names],
+        explode,
+    )
+    c = index.select(
+        F.col("doc_id").alias("cid"),
+        *[F.col(n).alias(f"c{n}") for n in names],
+        explode,
+    )
+    first_band = F.lit(False)
+    for k in range(_MINHASH_BANDS):
+        cond = F.col("q.band") == k
+        for j in range(k):
+            cond = cond & (F.col(f"qbh{j}") != F.col(f"cbh{j}"))
+        first_band = first_band | cond
+    cand = (
+        q.alias("q")
+        .join(
+            c.alias("c"),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.band_hash") == F.col("c.band_hash")),
+        )
+        .filter(first_band)
+        .select("qid", "cid")
+    )
+    qs = batch_sigs.select(F.col("doc_id").alias("qid"), F.col("sig").alias("qsig"))
+    cs = index.select(F.col("doc_id").alias("cid"), F.col("sig").alias("csig"))
+    est = (
+        F.size(F.filter(F.zip_with("qsig", "csig", lambda x, y: x == y), lambda e: e))
+        / F.lit(_MINHASH_PERMS)
+    ).cast("double")
+    return (
+        cand.join(qs, "qid")
+        .join(cs, "cid")
+        .select("qid", "cid", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.9)
+        .select(F.col("qid").alias("doc_id"), F.col("cid").alias("canon_id"))
+    )
+
+
+def _minhash_probe_oracle() -> str:
+    agree = _minhash_agree_sql()
+    mod = _PROBE_BATCH_MOD
+    return f"""WITH {_minhash_sig_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id % {mod} = 0 AND b.doc_id % {mod} <> 0
+),
+matches AS (
+    SELECT c.qid, c.cid
+    FROM cand c
+    JOIN sigs s1 ON s1.doc_id = c.qid
+    JOIN sigs s2 ON s2.doc_id = c.cid
+    WHERE ({agree}) / {_MINHASH_PERMS}.0 >= 0.9
+),
+agg AS (
+    SELECT qid,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           MIN(cid)                 AS canon_id
+    FROM matches GROUP BY qid
+)
+SELECT s.doc_id,
+       CASE WHEN a.canon_id IS NULL THEN 'new' ELSE 'dup' END AS status,
+       a.canon_id,
+       COALESCE(a.n_matches, CAST(0 AS BIGINT)) AS n_matches
+FROM sigs s LEFT JOIN agg a ON a.qid = s.doc_id
+WHERE s.doc_id % {mod} = 0"""
+
+
+@query(
+    "dedup_incremental_probe",
+    tables=("documents",),
+    oracle=_minhash_probe_oracle(),
+)
+def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: probe a NEW batch against the EXISTING
+    corpus index — the 100 TB production shape every full-corpus dedup
+    entry above deliberately is not (VERDICT r10 item 4). Production
+    pipelines never re-pair the whole corpus per arriving batch; they
+    keep a persisted MinHash signature index and answer "which of these
+    new documents near-dup something we already have?" with a band
+    equi-join against it. This generalizes the reference's keyed
+    first-write-wins admission (W3, ``…kt:138-141``) from exact keys to
+    near-duplicate content, and `upsert_append`'s anti-join from
+    equality to similarity.
+
+    Derivation (both sides SQL-replayed end to end): corpus = documents
+    with doc_id % 10 != 0, indexed once per session by
+    `minhash_index_for` (persisted parquet: doc_id, sig, 4 band keys);
+    batch = doc_id % 10 == 0, signed map-only at probe time. The probe
+    (`probe_minhash_index`) generates candidates ONLY via the
+    (band, band_hash) bucket join — no batch x corpus pairs, no corpus
+    self-join — and verifies est-Jaccard >= 0.9 once per distinct pair.
+    Output: one row per batch document (token-less docs excluded, as in
+    every MinHash entry) — status 'dup'/'new', the canonical (minimum)
+    matched corpus id or NULL, and the match count. An admitted batch
+    would then append its 'new' rows to the index table: signatures are
+    mergeable by construction, so the index grows without rebuilds —
+    the near-dup analogue of `agg_incremental_merge`.
+
+    Scale: probe cost is linear in BATCH size at fixed corpus (gated
+    x1/x2/x10 in tools/scale_bench.py); the corpus contributes only
+    touched buckets. The batch side broadcasts while small (the common
+    CDC shape); AQE decides past that."""
+    t = load_tables(spark, sf_dir, "documents")
+    index = spark.read.parquet(minhash_index_for(spark, sf_dir))
+    batch_docs = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0)
+    batch_sigs = minhash_signatures(batch_docs, "doc_id", "text").select(
+        "doc_id", "sig", *_band_hash_cols()
+    )
+    matches = probe_minhash_index(index, batch_sigs)
+    agg = matches.groupBy(F.col("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("canon_id").alias("canon_id"),
+    )
+    return (
+        batch_sigs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("canon_id").isNull(), F.lit("new"))
+            .otherwise(F.lit("dup"))
+            .alias("status"),
+            "canon_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias("n_matches"),
+        )
     )
 
 

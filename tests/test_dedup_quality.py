@@ -61,6 +61,46 @@ def test_simhash_pairs_are_similar(spark, duck, sf_dir):
     assert precision >= 0.5, f"simhash precision vs J>=0.75: {precision:.2f}"
 
 
+def test_incremental_probe_matches_full_lsh_cross_pairs(spark, sf_dir):
+    """The incremental probe must find EXACTLY the batch x corpus near-dup
+    pairs the full-corpus LSH finds (same signatures, same bands, same
+    est-Jaccard bar) — the incremental path may not lose or invent
+    matches relative to recomputing everything."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _PROBE_BATCH_MOD,
+        dedup_minhash_lsh,
+        minhash_index_for,
+        minhash_signatures,
+        probe_minhash_index,
+        _band_hash_cols,
+    )
+    from nytimes_batch_processor_spark.sources import load_tables
+    from pyspark.sql import functions as F
+
+    full = {
+        (r["id1"], r["id2"]) for r in dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    is_batch = lambda i: i % _PROBE_BATCH_MOD == 0
+    expected = {
+        (a, b) if is_batch(a) else (b, a)
+        for a, b in full
+        if is_batch(a) != is_batch(b)
+    }
+    t = load_tables(spark, sf_dir, "documents")
+    batch_sigs = minhash_signatures(
+        t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0), "doc_id", "text"
+    ).select("doc_id", "sig", *_band_hash_cols())
+    index = spark.read.parquet(minhash_index_for(spark, sf_dir))
+    got = {
+        (r["doc_id"], r["canon_id"])
+        for r in probe_minhash_index(index, batch_sigs).collect()
+    }
+    assert got == expected, (
+        f"probe diverged from full LSH cross pairs: "
+        f"missing={sorted(expected - got)[:5]} extra={sorted(got - expected)[:5]}"
+    )
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     from nytimes_batch_processor_spark.operators.similarity import (
         sim_ann_lsh_topk,
