@@ -493,18 +493,13 @@ def minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def probe_minhash_index(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
-    """Probe a signed batch against a persisted corpus index: band
-    bucket equi-join ONLY (batch bands x index bands on (band,
-    band_hash)) — never batch x corpus, never corpus x corpus — then
-    one est-Jaccard verification per distinct candidate pair via the
-    first-colliding-band emission trick of `dedup_minhash_lsh`.
-    Returns verified (doc_id, canon_id) matches with est_jaccard >= 0.9.
-
-    Scale: probe cost is O(batch bands x bucket occupancy). The corpus
-    contributes only the buckets the batch touches — on a cluster the
-    index table is bucketed by band hash, so the join co-locates
-    without shuffling the index."""
+def probe_candidate_pairs(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
+    """The candidate subplan of `probe_minhash_index`: distinct
+    (qid, cid) batch x index pairs sharing >= 1 band bucket, each
+    emitted from its FIRST colliding band (no distinct needed — the
+    `dedup_minhash_lsh` trick). Factored out so tools/scale_bench.py
+    counts the EXACT subplan the operator runs (the r8 lesson: a
+    re-implemented measurement desynchronizes from the real workload)."""
     names = [f"bh{k}" for k in range(_MINHASH_BANDS)]
     explode = F.posexplode(F.array(*[F.col(n) for n in names])).alias(
         "band", "band_hash"
@@ -525,7 +520,7 @@ def probe_minhash_index(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
         for j in range(k):
             cond = cond & (F.col(f"qbh{j}") != F.col(f"cbh{j}"))
         first_band = first_band | cond
-    cand = (
+    return (
         q.alias("q")
         .join(
             c.alias("c"),
@@ -535,6 +530,21 @@ def probe_minhash_index(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
         .filter(first_band)
         .select("qid", "cid")
     )
+
+
+def probe_minhash_index(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
+    """Probe a signed batch against a persisted corpus index: band
+    bucket equi-join ONLY (batch bands x index bands on (band,
+    band_hash)) — never batch x corpus, never corpus x corpus — then
+    one est-Jaccard verification per distinct candidate pair via the
+    first-colliding-band emission trick of `dedup_minhash_lsh`.
+    Returns verified (doc_id, canon_id) matches with est_jaccard >= 0.9.
+
+    Scale: probe cost is O(batch bands x bucket occupancy). The corpus
+    contributes only the buckets the batch touches — on a cluster the
+    index table is bucketed by band hash, so the join co-locates
+    without shuffling the index."""
+    cand = probe_candidate_pairs(index, batch_sigs)
     qs = batch_sigs.select(F.col("doc_id").alias("qid"), F.col("sig").alias("qsig"))
     cs = index.select(F.col("doc_id").alias("cid"), F.col("sig").alias("csig"))
     est = (

@@ -11,13 +11,15 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from scale_bench import COUNT_KEYS, WALL_KEYS, compute_gate  # noqa: E402
+from scale_bench import COUNT_KEYS, MERGE_EQ_KEYS, WALL_KEYS, compute_gate  # noqa: E402
 
 
-def _row(scale: int, count_mult: float = 1.0, rounds: int = 4) -> dict:
+def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int = 9) -> dict:
     row = {k: int(1000 * scale * count_mult) for k in COUNT_KEYS}
     row.update({k: 1.0 * scale for k in WALL_KEYS})
     row["cc_rounds"] = rounds
+    # MERGE counters are scale-INVARIANT by design (fixed change batch)
+    row.update({k: merge_parts for k in MERGE_EQ_KEYS})
     return row
 
 
@@ -46,6 +48,18 @@ def test_one_degenerate_family_fails_everything():
     hi["simhash_collisions"] = 1000 * 10 * 50  # one family goes rogue
     out = compute_gate({"x1": _row(1), "x10": hi}, 10, "b")
     assert not out["linear_ok"]
+
+
+def test_merge_invariance_gate_demands_equality():
+    """The MERGE family gates on EQUALITY, not a ratio: a fixed change
+    batch touching even one extra partition at x10 means merge cost
+    leaked a dependence on table size."""
+    ok = compute_gate({"x1": _row(1), "x10": _row(10)}, 10, "b")
+    assert ok["merge_ok"] and ok["linear_ok"]
+    bad_hi = _row(10)
+    bad_hi["merge_partitions_rewritten"] += 1
+    bad = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
+    assert not bad["merge_ok"] and not bad["linear_ok"]
 
 
 def test_rounds_gate_bounds_log_growth():

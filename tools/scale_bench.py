@@ -1,13 +1,25 @@
 #!/usr/bin/env python
 """Scale-growth proof for the long-pole operator families (VERDICT r5
-item 4, extended r7 item 3 and r8): dedup_minhash_lsh, the ANN probes
-(sim_ann_lsh_topk / sim_ann_ivf_fixed_topk), the quantized serving
-path (sim_ann_ivf_q8_serve), simhash band collisions (width-scaled),
-decon_train_test_overlap, the prefix-filtered containment join
-(candidate growth), and the ITERATIVE families (VERDICT r7 item 5):
-PageRank wall/edge growth over a k-replicated trade graph and
-large-star/small-star connected components, whose rounds must grow
-O(log n), never O(n).
+item 4, extended r7 item 3, r8, and r11): dedup_minhash_lsh, the ANN
+probes (sim_ann_lsh_topk / sim_ann_ivf_fixed_topk), the quantized
+serving path (sim_ann_ivf_q8_serve), simhash band collisions
+(width-scaled), decon_train_test_overlap, the prefix-filtered
+containment join (candidate growth), the ITERATIVE families (VERDICT
+r7 item 5): PageRank wall/edge growth over a k-replicated trade graph
+and large-star/small-star connected components, whose rounds must grow
+O(log n), never O(n) — plus two r11 families with DIFFERENT scaling
+axes:
+
+- incremental near-dup probe (`dedup_incremental_probe`): the CORPUS
+  INDEX stays fixed while the arriving BATCH scales x1/x2/x10
+  (replicas are unperturbed id-offset copies, i.e. true near-dups of
+  the base batch) — candidates and matches must grow linearly in
+  batch size, proving no batch-side quadratic and no corpus rescan;
+- partition-scoped MERGE (`merge_into_partitioned`): a FIXED change
+  batch lands on x1/x2/x10 base tables whose replicas occupy DISJOINT
+  month partitions — partitions_rewritten and row counters must be
+  EXACTLY equal across scales (cost ∝ touched partitions, not table
+  size); wall is recorded for the ~flat read.
 
 The risk being measured: each of these builds a CANDIDATE SET via
 bucketing (LSH bands, hash tables, IVF cells, shingle equi-join). The
@@ -235,6 +247,144 @@ def ivf_candidates(spark, sf_dir: str, drop_zero_vectors: bool = False) -> int:
     )
 
 
+def _probe_batch(spark, k: int):
+    """k replicas of the BASE probe batch (doc_id % mod == 0), ids
+    offset per replica, TEXT UNCHANGED — every replica doc is a true
+    near-dup of its base twin, so probe candidates/matches must grow
+    exactly linearly in batch size while the corpus index stays fixed.
+    (Perturbed replicas would share zero shingles with the corpus and
+    measure nothing: a flat zero passes any gate.)"""
+    from nytimes_batch_processor_spark.operators.dedup import _PROBE_BATCH_MOD
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    batch = docs.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0)
+    reps = [batch]
+    for i in range(1, k):
+        reps.append(
+            batch.select(
+                (F.col("doc_id") + F.lit(i * _ID_STRIDE)).alias("doc_id"),
+                "text",
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def probe_scale_measure(spark, k: int, index_path: str) -> dict:
+    """Incremental-probe family: candidates/matches/wall of probing a
+    x`k` batch against the FIXED corpus index — the exact
+    probe_candidate_pairs / probe_minhash_index subplans of
+    operators/dedup.py::dedup_incremental_probe."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _band_hash_cols,
+        minhash_signatures,
+        probe_candidate_pairs,
+        probe_minhash_index,
+    )
+
+    index = spark.read.parquet(index_path)
+    batch_sigs = (
+        minhash_signatures(_probe_batch(spark, k), "doc_id", "text")
+        .select("doc_id", "sig", *_band_hash_cols())
+        .localCheckpoint(eager=True)
+    )
+    t0 = time.perf_counter()
+    n_cand = probe_candidate_pairs(index, batch_sigs).count()
+    n_matches = probe_minhash_index(index, batch_sigs).count()
+    wall = round(time.perf_counter() - t0, 3)
+    batch_sigs.unpersist(blocking=False)
+    return {
+        "probe_candidates": n_cand,
+        "probe_matches": n_matches,
+        "probe_wall_sec": wall,
+    }
+
+
+def merge_scale_measure(spark, k: int) -> dict:
+    """MERGE family (VERDICT r10 item 5): a FIXED change batch (derived
+    from replica 0 only) merged into a x`k` base table whose replicas
+    occupy DISJOINT month partitions (replica i's years shifted +10*i).
+    partitions_rewritten and the row counters must be EXACTLY equal at
+    every scale — the merge reads two columns of the untouched bulk
+    (the find-affected scan) and rewrites only the touched dirs, so
+    cost tracks the change batch, never the table."""
+    from nytimes_batch_processor_spark.tables import merge_into_partitioned
+
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    base0 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    reps = [base0]
+    for i in range(1, k):
+        shifted_month = F.concat(
+            (F.substring("o_month", 1, 4).cast("int") + F.lit(10 * i)).cast("string"),
+            F.substring("o_month", 5, 3),
+        )
+        reps.append(
+            base0.select(
+                (F.col("k") + F.lit(i * _ID_STRIDE)).alias("k"),
+                shifted_month.alias("o_month"),
+                "status",
+                "price",
+            )
+        )
+    table = reps[0]
+    for r in reps[1:]:
+        table = table.unionByName(r)
+    path = os.path.join(SCALE_ROOT, f"merge_x{k}")
+    # fresh table every run: the merge mutates it in place
+    table.repartition("o_month").write.mode("overwrite").partitionBy(
+        "o_month"
+    ).parquet(path)
+
+    in_window = (F.col("k") % 23 == 0) & (F.col("o_month") >= "1998-01") & (
+        F.col("o_month") < "1999-01"
+    )
+    updates = base0.filter(in_window).select(
+        "k",
+        F.when(F.col("k") % 46 == 0, F.lit("1999-01")).otherwise(F.col("o_month")).alias(
+            "o_month"
+        ),
+        F.lit("U").alias("status"),
+        (F.col("price") * 2).alias("price"),
+        F.lit("upsert").alias("op"),
+    )
+    deletes = base0.filter(
+        (F.col("k") % 19 == 0)
+        & (F.col("k") % 23 != 0)
+        & (F.col("o_month") >= "1998-01")
+        & (F.col("o_month") < "1999-01")
+    ).select(
+        "k",
+        F.lit(None).cast("string").alias("o_month"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit("delete").alias("op"),
+    )
+    changes = updates.unionByName(deletes).localCheckpoint(eager=True)
+    t0 = time.perf_counter()
+    stats = merge_into_partitioned(
+        spark, path, changes, keys=["k"], partition_col="o_month"
+    )
+    wall = round(time.perf_counter() - t0, 3)
+    changes.unpersist(blocking=False)
+    return {
+        "merge_partitions_rewritten": stats["partitions_rewritten"],
+        "merge_partitions_deleted": stats["partitions_deleted"],
+        "merge_rows_upserted": stats["rows_upserted"],
+        "merge_rows_deleted": stats["rows_deleted"],
+        "merge_wall_sec": wall,
+    }
+
+
 def _trade_graph(spark, k: int):
     """k disjoint replicas of the BASE customer<->supplier trade graph
     (the exact edge derivation of graph_pagerank_fixed), node ids offset
@@ -279,6 +429,8 @@ COUNT_KEYS = (
     "pagerank_edges",
     "pagerank_nodes",
     "cc_input_edges",
+    "probe_candidates",
+    "probe_matches",
 )
 WALL_KEYS = (
     "minhash_wall_sec",
@@ -289,6 +441,18 @@ WALL_KEYS = (
     "containment_wall_sec",
     "pagerank_wall_sec",
     "cc_wall_sec",
+    "probe_wall_sec",
+    "merge_wall_sec",
+)
+# MERGE invariants: a fixed change batch against replica-disjoint base
+# tables must touch IDENTICAL partitions and rows at every scale —
+# equality, not a ratio bound (cost ∝ touched partitions, never table
+# size).
+MERGE_EQ_KEYS = (
+    "merge_partitions_rewritten",
+    "merge_partitions_deleted",
+    "merge_rows_upserted",
+    "merge_rows_deleted",
 )
 
 
@@ -311,6 +475,7 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     }
     linear_ok = all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS)
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
+    merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
     return {
         "metric": "scale_growth_x%d_vs_x1" % factor,
         "value": max(ratios[key] for key in COUNT_KEYS),
@@ -320,7 +485,8 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "ratios_x%d_over_x1" % factor: ratios,
         "cc_rounds_x1_x%d" % factor: [lo["cc_rounds"], hi["cc_rounds"]],
         "rounds_ok": rounds_ok,
-        "linear_ok": linear_ok and rounds_ok,
+        "merge_ok": merge_ok,
+        "linear_ok": linear_ok and rounds_ok and merge_ok,
     }
 
 
@@ -328,6 +494,22 @@ def main() -> None:
     spark = get_spark("scale-bench", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     specs = all_specs()
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm
+
+    # Fixed corpus index for the incremental-probe family: built ONCE
+    # from the BASE corpus (doc_id % mod != 0) — only the batch scales.
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _PROBE_BATCH_MOD,
+        build_minhash_index,
+    )
+
+    index_path = os.path.join(SCALE_ROOT, "probe_index")
+    os.makedirs(SCALE_ROOT, exist_ok=True)
+    build_minhash_index(
+        spark.read.parquet(f"{BASE}/documents.parquet").filter(
+            F.col("doc_id") % _PROBE_BATCH_MOD != 0
+        ),
+        index_path,
+    )
 
     results: dict[str, dict] = {}
     for k in SCALES:
@@ -440,6 +622,11 @@ def main() -> None:
         row["cc_rounds"] = cc_stats["rounds"]
         row["cc_input_edges"] = cc_stats["input_edges"]
 
+        # r11 families: batch-scaled probe vs fixed index; fixed change
+        # batch vs month-disjoint replicated base table
+        row.update(probe_scale_measure(spark, k, index_path))
+        row.update(merge_scale_measure(spark, k))
+
         results[f"x{k}"] = row
         print(f"x{k}: {row}", file=sys.stderr)
 
@@ -448,7 +635,10 @@ def main() -> None:
     with open(os.path.join(REPO, "BENCH_sf1.json"), "w") as f:
         json.dump(out, f, indent=1)
     spark.stop()
-    sys.exit(0 if linear_ok else 1)
+    # out["linear_ok"] (not a bare local): the r10 script referenced an
+    # undefined name here and died with NameError AFTER writing the
+    # JSON — masking the gate's exit-code contract
+    sys.exit(0 if out["linear_ok"] else 1)
 
 
 if __name__ == "__main__":
