@@ -74,6 +74,11 @@ HEADLINE = [
     # k*dim-row centroid updates with a driver-side divide, so its wall
     # is mostly fixed job overhead at sf0.1 (2k vectors).
     "ivf_kmeans_int_train",
+    # r11: incremental near-dup probe — batch signatures (map-only) +
+    # band equi-join against the persisted corpus index. The index
+    # itself builds once per session in warmup (minhash_index_for), so
+    # the timed passes measure the probe, the production steady state.
+    "dedup_incremental_probe",
 ]
 
 

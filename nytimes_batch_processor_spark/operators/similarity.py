@@ -721,9 +721,10 @@ FROM ranked WHERE rnk <= {TOP_K}"""
 
 @query("sim_ann_ivf_fixed_topk", tables=("embeddings",), oracle=_ann_ivf_fixed_oracle())
 def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with FIXED deterministic centroids — the hash-checkable
-    twin of `sim_ann_ivf_topk` (whose k-means training forces rows-only
-    verification). Identical probe path: cell assignment is a JVM-side
+    """IVF ANN with FIXED deterministic centroids — the value-exact
+    twin of `sim_ann_ivf_topk` (whose k-means-trained pair values are
+    not SQL-replayable; since r11 that entry hashes self-judging
+    booleans instead). Identical probe path: cell assignment is a JVM-side
     squared-distance argmin against a centroid tensor literal, each
     query probes its _IVF_FIXED_NPROBE (=6) nearest cells, candidates
     come from a broadcast bucket equi-join on `cell`, exact cosine
@@ -1131,8 +1132,9 @@ def _ikm_assign(qdf: DataFrame, centers: list[list[int]]) -> DataFrame:
 @query("ivf_kmeans_int_train", tables=("embeddings",), oracle=_ikm_oracle())
 def ivf_kmeans_int_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer TRAINING, hash-checked end to end — the gap
-    the rows-only `sim_ann_ivf_topk` could never close (k-means on
-    floats is order-sensitive): quantize every vector to integer
+    `sim_ann_ivf_topk` cannot close value-exactly (k-means on
+    floats is order-sensitive; that entry hashes self-judging recall
+    booleans instead): quantize every vector to integer
     10^-4 units (floor(x*1e4), one IEEE op both engines), seed with the
     k lowest-vec_id vectors, run _IKM_ITERS Lloyd steps entirely in
     int64 — squared distances, lowest-cell tie-break, TRUNCATING
