@@ -107,11 +107,23 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # rank-the-survivors (values identical, plans re-verify).
     # merge_cdc_upsert: merge_into_partitioned gained the premerge-aside
     # heal (ADVICE r10 medium) — entry semantics unchanged, re-verify.
+    # The scan_*/table_*/ingest_* block: the round's self-review factored
+    # the warehouse scratch-path idiom (warehouse_scratch_path) and the
+    # shared derived-states oracle CTE/fixture out of these entries —
+    # semantics-preserving, but changed code re-verifies (the r4 lesson).
     11: (
         "sim_ann_ivf_topk",
         "approx_heavy_hitters_merge",
         "text_bigram_lift",
         "merge_cdc_upsert",
+        "ingest_covid_states",
+        "ingest_lineage_audit",
+        "scan_jsonl_roundtrip",
+        "scan_orc_roundtrip",
+        "scan_xml_roundtrip",
+        "scan_binaryfile_metadata",
+        "scan_python_datasource_httpcsv",
+        "table_zorder_roundtrip",
     ),
 }
 

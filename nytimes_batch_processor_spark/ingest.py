@@ -164,11 +164,12 @@ def derive_states_fixture(orders: DataFrame) -> DataFrame:
     ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
 
 
-@query(
-    "ingest_covid_states",
-    tables=("orders",),
-    oracle="""
-SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
+# The DuckDB twin of derive_states_fixture (fips nulls already -1 via
+# COALESCE — the ingested table's P5 shape). ONE copy: the flat oracle
+# of ingest_covid_states and the `derived` CTE of both audited entries
+# (lineage, rollback) are built from this string, so a fixture-rule
+# tweak cannot silently desynchronize their oracles (self-review r11).
+_DERIVED_STATES_SQL = """SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
        o_orderpriority                                  AS state,
        COALESCE(CASE WHEN o_custkey % 10 = 0 THEN NULL
                      ELSE CAST(o_custkey % 100 AS INT) END, -1) AS fips,
@@ -177,8 +178,13 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
 FROM orders
 GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE), o_orderpriority,
          CASE WHEN o_custkey % 10 = 0 THEN NULL
-              ELSE CAST(o_custkey % 100 AS INT) END
-""",
+              ELSE CAST(o_custkey % 100 AS INT) END"""
+
+
+@query(
+    "ingest_covid_states",
+    tables=("orders",),
+    oracle=f"\n{_DERIVED_STATES_SQL}\n",
 )
 def ingest_covid_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's LITERAL pipeline under the driver's oracle gate:
@@ -291,21 +297,40 @@ def ingest_covid_csv_audited(
     return spark.read.parquet(target_path)
 
 
+_HIGH_STATES = ("1-URGENT", "2-HIGH")
+
+
+def _two_batch_audited_fixture(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Write the two-batch lineage fixture and run both audited ingests
+    into a fresh target; returns the target path. Batch 1 = the
+    high-priority slice (one named CSV); batch 2 = the grown full
+    snapshot (re-delivers the high file + the rest — the NYT shape,
+    where the published file only grows). ONE copy shared by
+    `ingest_lineage_audit` and `ingest_rollback_batch`, so the slice
+    rule their oracles hardcode cannot drift between them."""
+    t = load_tables(spark, sf_dir, "orders")
+    derived = derive_states_fixture(t.orders)
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    batch1_dir = os.path.join(workdir, "batch1")
+    batch2_dir = os.path.join(workdir, "batch2")
+    high = derived.filter(F.col("state").isin(*_HIGH_STATES))
+    rest = derived.filter(~F.col("state").isin(*_HIGH_STATES))
+    _write_named_csv(high, batch1_dir, "batch_high.csv")
+    _write_named_csv(high, batch2_dir, "batch_high.csv")
+    _write_named_csv(rest, batch2_dir, "batch_rest.csv")
+
+    target = os.path.join(workdir, "covid_states_audited")
+    ingest_covid_csv_audited(spark, batch1_dir, target, batch_id=1, has_county=False)
+    ingest_covid_csv_audited(spark, batch2_dir, target, batch_id=2, has_county=False)
+    return target
+
+
 @query(
     "ingest_lineage_audit",
     tables=("orders",),
-    oracle="""
+    oracle=f"""
 WITH derived AS (
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
-           o_orderpriority                                  AS state,
-           COALESCE(CASE WHEN o_custkey % 10 = 0 THEN NULL
-                         ELSE CAST(o_custkey % 100 AS INT) END, -1) AS fips,
-           CAST(SUM(o_orderkey) AS BIGINT)                  AS cases,
-           CAST(COUNT(*) AS BIGINT)                         AS deaths
-    FROM orders
-    GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE), o_orderpriority,
-             CASE WHEN o_custkey % 10 = 0 THEN NULL
-                  ELSE CAST(o_custkey % 100 AS INT) END
+{_DERIVED_STATES_SQL}
 )
 SELECT CASE WHEN state IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 2 END AS batch_id,
        CASE WHEN state IN ('1-URGENT', '2-HIGH') THEN 'batch_high.csv'
@@ -332,26 +357,8 @@ def ingest_lineage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale notes: lineage costs zero extra passes (scan-time metadata);
     the audit aggregate is bounded by #batches x #files x #states."""
-    t = load_tables(spark, sf_dir, "orders")
-    derived = derive_states_fixture(t.orders)
-    high_states = ("1-URGENT", "2-HIGH")
-    workdir = tempfile.mkdtemp(prefix="ingest_lineage_")
-    batch1_dir = os.path.join(workdir, "batch1")
-    batch2_dir = os.path.join(workdir, "batch2")
-    high = derived.filter(F.col("state").isin(*high_states))
-    rest = derived.filter(~F.col("state").isin(*high_states))
-    _write_named_csv(high, batch1_dir, "batch_high.csv")
-    # batch 2 = the grown snapshot: same high file + the rest
-    _write_named_csv(high, batch2_dir, "batch_high.csv")
-    _write_named_csv(rest, batch2_dir, "batch_rest.csv")
-
-    target = os.path.join(workdir, "covid_states_audited")
-    ingest_covid_csv_audited(
-        spark, batch1_dir, target, batch_id=1, has_county=False
-    )
-    out = ingest_covid_csv_audited(
-        spark, batch2_dir, target, batch_id=2, has_county=False
-    )
+    target = _two_batch_audited_fixture(spark, sf_dir, "ingest_lineage_")
+    out = spark.read.parquet(target)
     return out.groupBy("batch_id", "source_file", "state").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("cases").alias("cases_sum"),
@@ -387,18 +394,9 @@ def rollback_ingest_batch(spark: SparkSession, target_path: str, batch_id: int) 
 @query(
     "ingest_rollback_batch",
     tables=("orders",),
-    oracle="""
+    oracle=f"""
 WITH derived AS (
-    SELECT CAST(date_trunc('month', o_orderdate) AS DATE)   AS date,
-           o_orderpriority                                  AS state,
-           COALESCE(CASE WHEN o_custkey % 10 = 0 THEN NULL
-                         ELSE CAST(o_custkey % 100 AS INT) END, -1) AS fips,
-           CAST(SUM(o_orderkey) AS BIGINT)                  AS cases,
-           CAST(COUNT(*) AS BIGINT)                         AS deaths
-    FROM orders
-    GROUP BY CAST(date_trunc('month', o_orderdate) AS DATE), o_orderpriority,
-             CASE WHEN o_custkey % 10 = 0 THEN NULL
-                  ELSE CAST(o_custkey % 100 AS INT) END
+{_DERIVED_STATES_SQL}
 )
 SELECT 1 AS batch_id,
        state,
@@ -426,21 +424,7 @@ def ingest_rollback_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     touched (partition-scoped predicate delete, cost ∝ touched
     partitions); at 100 TB an ingest-date-partitioned layout makes the
     same undo a directory drop."""
-    t = load_tables(spark, sf_dir, "orders")
-    derived = derive_states_fixture(t.orders)
-    high_states = ("1-URGENT", "2-HIGH")
-    workdir = tempfile.mkdtemp(prefix="ingest_rollback_")
-    batch1_dir = os.path.join(workdir, "batch1")
-    batch2_dir = os.path.join(workdir, "batch2")
-    high = derived.filter(F.col("state").isin(*high_states))
-    rest = derived.filter(~F.col("state").isin(*high_states))
-    _write_named_csv(high, batch1_dir, "batch_high.csv")
-    _write_named_csv(high, batch2_dir, "batch_high.csv")
-    _write_named_csv(rest, batch2_dir, "batch_rest.csv")
-
-    target = os.path.join(workdir, "covid_states_rollback")
-    ingest_covid_csv_audited(spark, batch1_dir, target, batch_id=1, has_county=False)
-    ingest_covid_csv_audited(spark, batch2_dir, target, batch_id=2, has_county=False)
+    target = _two_batch_audited_fixture(spark, sf_dir, "ingest_rollback_")
     rollback_ingest_batch(spark, target, 2)
     return (
         spark.read.parquet(target)

@@ -474,18 +474,12 @@ _MINHASH_INDEX_CACHE: dict[tuple[str, str], str] = {}
 def minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
     """Path of the persisted corpus index (docs with doc_id %
     _PROBE_BATCH_MOD != 0), building it on first use per session."""
-    import hashlib
+    from ..tables import warehouse_scratch_path
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _MINHASH_INDEX_CACHE.get(key)
     if path is None:
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-        for scheme in ("file://", "file:"):
-            if warehouse.startswith(scheme):
-                warehouse = warehouse[len(scheme):]
-                break
-        sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        path = f"{warehouse}/engine_minhash_index_{sf_tag}"
+        path = warehouse_scratch_path(spark, "minhash_index", sf_dir)
         t = load_tables(spark, sf_dir, "documents")
         corpus = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD != 0)
         build_minhash_index(corpus, path)

@@ -94,6 +94,10 @@ def unpartitioned_window_violations(df: DataFrame) -> list[str]:
             continue
         if node.partitionSpec().size() > 0:
             continue
+        if window_is_limit_bounded(node):
+            # <= k rows by construction (rank-the-survivors above a
+            # GlobalLimit) — safe even with no Aggregate beneath
+            continue
         descendants = list(_iter_logical_nodes(node))[1:]
         if not any(d.nodeName() == "Aggregate" for d in descendants):
             bad.append(node.simpleStringWithNodeId())

@@ -54,6 +54,24 @@ CREATE TABLE IF NOT EXISTS {name} (
 """
 
 
+def warehouse_scratch_path(spark: SparkSession, name: str, sf_dir: str | None = None) -> str:
+    """Scratch path under the session warehouse for entry-staged data:
+    ``<warehouse>/engine_<name>[_<md5(sf_dir)[:12]>]``. Strips the
+    ``file:``/``file://`` scheme so Spark writers and plain-path readers
+    agree on the literal local path; keying by ``sf_dir`` prevents
+    concurrent invocations at different scale factors racing one shared
+    overwrite-then-read directory. ONE copy of the idiom (self-review
+    r11: it had been pasted verbatim at eight sites)."""
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    if sf_dir is not None:
+        name = f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    return f"{warehouse}/engine_{name}"
+
+
 def create_covid_tables(
     spark: SparkSession,
     states_table: str = "covid19_usa_by_states",
@@ -434,6 +452,16 @@ def delete_rows_partition_scoped(
     import os as _os
     from urllib.parse import quote, unquote, urlparse
 
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    # Heal a prior delete's crash residue BEFORE reading the dataset —
+    # the same crash class the merge heals (self-review r11): a crash
+    # between the aside-rename and the promote leaves the dot-prefixed
+    # `.<dir>._predelete` aside as the partition's ONLY copy; restore it
+    # when the target dir is missing, drop it as residue otherwise.
+    _heal_aside_residue(fs, hpath, path, partition_col, _PREDELETE_SUFFIX)
+
     df = spark.read.parquet(path)
     matches = F.coalesce(predicate, F.lit(False))
     hits = df.filter(matches)
@@ -463,13 +491,10 @@ def delete_rows_partition_scoped(
     if not affected_dirs:
         return 0
     n_deleted = 0
-    jvm = spark._jvm
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(
-        spark._jsc.hadoopConfiguration()
-    )
     part_type = df.schema[partition_col].dataType
     prefix = f"{partition_col}="
     for part_dir in affected_dirs:
+        parent = _os.path.dirname(part_dir)
         dirname = _os.path.basename(part_dir)
         if not dirname.startswith(prefix):  # pragma: no cover - layout guard
             raise ValueError(f"unexpected partition directory layout: {part_dir}")
@@ -484,15 +509,21 @@ def delete_rows_partition_scoped(
         n_before = part_df.count()
         keep = part_df.filter(~matches).drop(partition_col)
         n_deleted += n_before - keep.count()
-        tmp = part_dir + "._deleting"
+        # dot-prefixed siblings: partition discovery ignores leading-dot
+        # dirs, so neither the rewrite output nor the parked copy can
+        # ever surface as a bogus `<col>=<val>._deleting` partition
+        # after a mid-swap crash (self-review r11 — the merge swap's
+        # discipline applied to the delete path)
+        tmp = _os.path.join(parent, "." + dirname + _DELETING_SUFFIX)
         keep.write.mode("overwrite").parquet(tmp)
-        old = part_dir + "._predelete"
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(part_dir), jvm.org.apache.hadoop.fs.Path(old)):
+        old = _os.path.join(parent, "." + dirname + _PREDELETE_SUFFIX)
+        fs.delete(hpath(old), True)  # unreachable residue of THIS process
+        if not fs.rename(hpath(part_dir), hpath(old)):
             raise IOError(f"delete swap failed: could not move {part_dir} aside")
-        if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), jvm.org.apache.hadoop.fs.Path(part_dir)):
-            fs.rename(jvm.org.apache.hadoop.fs.Path(old), jvm.org.apache.hadoop.fs.Path(part_dir))
+        if not fs.rename(hpath(tmp), hpath(part_dir)):
+            fs.rename(hpath(old), hpath(part_dir))
             raise IOError(f"delete swap failed: could not promote {tmp}")
-        fs.delete(jvm.org.apache.hadoop.fs.Path(old), True)
+        fs.delete(hpath(old), True)
     return n_deleted
 
 
@@ -520,22 +551,30 @@ def drop_partitions_older_than(
 
 
 _PREMERGE_SUFFIX = "._premerge"
+_PREDELETE_SUFFIX = "._predelete"
+_DELETING_SUFFIX = "._deleting"
 
 
-def _heal_premerge_residue(fs, hpath, path: str, partition_col: str) -> dict:
-    """Resolve every ``.<partition_col>=<val>._premerge`` aside dir a
-    crashed merge left under ``path`` (dot-prefixed, so partition
-    discovery never lists them as data):
+def _heal_aside_residue(
+    fs, hpath, path: str, partition_col: str, suffix: str
+) -> dict:
+    """Resolve every ``.<partition_col>=<val><suffix>`` aside dir a
+    crashed partition swap (merge OR partition-scoped delete) left
+    under ``path`` (dot-prefixed, so partition discovery never lists
+    them as data):
 
     - target partition dir MISSING -> the crash hit between the
       aside-rename and the promote; the aside is the only copy of the
-      partition's pre-merge rows. Restore it (rename back to target).
+      partition's pre-swap rows. Restore it (rename back to target).
     - target partition dir PRESENT -> the promote completed and only
       the aside cleanup was lost; the aside duplicates superseded rows.
       Delete it.
 
-    Returns {"restored": [...], "removed": [...]} partition dir names,
-    for callers/tests that audit the heal. O(listing) — no data read."""
+    ``.<dir>._deleting`` temp dirs (an incomplete rewrite output, always
+    recomputable) are removed unconditionally when healing the delete
+    path. Returns {"restored": [...], "removed": [...]} partition dir
+    names, for callers/tests that audit the heal. O(listing) — no data
+    read."""
     import os as _os
 
     restored: list[str] = []
@@ -546,13 +585,15 @@ def _heal_premerge_residue(fs, hpath, path: str, partition_col: str) -> dict:
     aside_prefix = f".{partition_col}="
     for st in fs.listStatus(root_p):
         name = st.getPath().getName()
-        if not (
-            st.isDirectory()
-            and name.startswith(aside_prefix)
-            and name.endswith(_PREMERGE_SUFFIX)
-        ):
+        if not (st.isDirectory() and name.startswith(aside_prefix)):
             continue
-        dirname = name[1 : -len(_PREMERGE_SUFFIX)]
+        if suffix == _PREDELETE_SUFFIX and name.endswith(_DELETING_SUFFIX):
+            fs.delete(st.getPath(), True)  # recomputable rewrite output
+            removed.append(name)
+            continue
+        if not name.endswith(suffix):
+            continue
+        dirname = name[1 : -len(suffix)]
         target = hpath(_os.path.join(path, dirname))
         if fs.exists(target):
             fs.delete(st.getPath(), True)
@@ -560,7 +601,7 @@ def _heal_premerge_residue(fs, hpath, path: str, partition_col: str) -> dict:
         else:
             if not fs.rename(st.getPath(), target):
                 raise IOError(
-                    f"premerge heal failed: could not restore {name} -> {dirname}"
+                    f"aside heal failed: could not restore {name} -> {dirname}"
                 )
             restored.append(dirname)
     return {"restored": restored, "removed": removed}
@@ -629,7 +670,7 @@ def merge_into_partitioned(
     # touching the partition would delete them (ADVICE r10). Only when
     # the target dir EXISTS is the aside true residue (crash landed
     # after the promote, before the aside delete) and safe to drop.
-    _heal_premerge_residue(fs, hpath, path, partition_col)
+    _heal_aside_residue(fs, hpath, path, partition_col, _PREMERGE_SUFFIX)
 
     base = spark.read.parquet(path)
     data_cols = [c for c in base.columns]
@@ -722,8 +763,8 @@ def merge_into_partitioned(
             # dot-prefixed aside: partition discovery ignores leading-dot
             # dirs, so a crash between the two renames can never surface
             # the parked copy as a bogus '<col>=<val>._premerge' partition
-            aside = hpath(_os.path.join(path, "." + dirname + "._premerge"))
-            # _heal_premerge_residue resolved every pre-existing aside
+            aside = hpath(_os.path.join(path, "." + dirname + _PREMERGE_SUFFIX))
+            # _heal_aside_residue resolved every pre-existing aside
             # before the base read; any dir here is unreachable residue
             # of THIS process (rename below would otherwise fail into it)
             fs.delete(aside, True)
@@ -816,13 +857,7 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     touches ~12 of ~81 month directories and the 1992-1997 bulk is
     never read past the key+month columns of the find-affected scan."""
     t = load_tables(spark, sf_dir, "orders")
-    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    path = f"{warehouse}/engine_orders_cdc_{sf_tag}"
+    path = warehouse_scratch_path(spark, "orders_cdc", sf_dir)
 
     k = F.col("o_orderkey")
     base = t.orders.select(
@@ -917,12 +952,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, persist parquet/bucketed for every later query" (the
     ingest.py chain's pattern)."""
     t = load_tables(spark, sf_dir, "documents")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    path = f"{warehouse}/engine_documents_jsonl"
+    path = warehouse_scratch_path(spark, "documents_jsonl")
     t.documents.write.mode("overwrite").json(path)
     schema = T.StructType(
         [
@@ -970,16 +1000,7 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical query on the parquet original — a writer that drops,
     re-types, or corrupts a column surfaces as a value mismatch."""
     t = load_tables(spark, sf_dir, "documents")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    # Key the stage path by sf_dir so concurrent invocations (parallel
-    # sweeps, pytest-xdist, interleaved scale factors) never race one
-    # shared overwrite-then-read directory.
-    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{warehouse}/engine_documents_orc_{sf_tag}"
+    path = warehouse_scratch_path(spark, "documents_orc", sf_dir)
     t.documents.write.mode("overwrite").orc(path)
     schema = T.StructType(
         [
@@ -1037,13 +1058,7 @@ def scan_binaryfile_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet/ORC where scans are stripe-parallel and prunable (the
     mm_* entries consume exactly that shape)."""
     t = load_tables(spark, sf_dir, "documents")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{warehouse}/engine_documents_bin_{sf_tag}"
+    path = warehouse_scratch_path(spark, "documents_bin", sf_dir)
 
     # pyarrow.fs in the executor tasks makes s3://gs://hdfs:// targets
     # genuinely work off local mode — but a scheme-less (or file:)
@@ -1140,13 +1155,7 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheap whole-corpus integrity probe: any dropped or duplicated
     row under parallel write/read moves it."""
     t = load_tables(spark, sf_dir, "orders")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{warehouse}/engine_orders_xml_{sf_tag}"
+    path = warehouse_scratch_path(spark, "orders_xml", sf_dir)
 
     t.orders.select(
         "o_orderkey",
@@ -1243,13 +1252,7 @@ def scan_python_datasource_httpcsv(spark: SparkSession, sf_dir: str) -> DataFram
         fips.alias("fips"),
     ).agg(F.sum("o_orderkey").alias("cases"), F.count(F.lit(1)).alias("deaths"))
 
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{warehouse}/engine_httpcsv_{sf_tag}"
+    path = warehouse_scratch_path(spark, "httpcsv", sf_dir)
     derived.repartition(4).write.mode("overwrite").option("header", True).csv(path)
 
     urls = ",".join(
@@ -1382,13 +1385,7 @@ def table_zorder_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups whose min/max envelope intersects the box: Z-layout prunes
     BOTH dimensions; a linear sort prunes only its leading column)."""
     t = load_tables(spark, sf_dir, "lineitem")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
-    for scheme in ("file://", "file:"):
-        if warehouse.startswith(scheme):
-            warehouse = warehouse[len(scheme):]
-            break
-    sf_tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{warehouse}/engine_lineitem_zorder_{sf_tag}"
+    path = warehouse_scratch_path(spark, "lineitem_zorder", sf_dir)
     write_zordered(t.lineitem, path, "l_partkey", "l_suppkey")
     back = spark.read.parquet(path)
     # Box bounds are integer fractions of the key ranges (5-15% of

@@ -137,7 +137,9 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     # explicit per-round number (VERDICT r6 item 6): visible under -s /
-    # -rP so the one rows-only catalog entry can never silently degrade
+    # -rP. Since r11 the catalog entry also hash-checks recall >= 0.5
+    # in-query (self-judging oracle); this gate keeps the raw number
+    # visible and fails closer to the pair computation.
     print(f"sim_ann_ivf_topk recall@10 vs brute force: {recall:.3f}")
     assert recall >= 0.5, f"IVF recall@10 vs brute force: {recall:.2f}"
 
@@ -168,7 +170,8 @@ def test_ann_ivf_fixed_recall_vs_bruteforce(spark, sf_dir):
 def test_int_lloyd_partition_tracks_mllib_rand_index(spark, sf_dir):
     """VERDICT r8 item 5: the hash-green integer-Lloyd twin
     (ivf_kmeans_int_train) certifies quantizer-training reproducibility
-    FOR the rows-only MLlib path (sim_ann_ivf_topk) — which only means
+    FOR the MLlib path behind sim_ann_ivf_topk (whose pair values stay
+    non-replayable even under its r11 self-judging oracle) — which only means
     something while the two partitions stay the same KIND of clustering.
     Gate their pairwise Rand index (fraction of vector pairs on whose
     co-assignment both partitions agree): measured 0.876 (sf0.001) /

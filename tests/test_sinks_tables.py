@@ -600,6 +600,72 @@ def test_merge_into_partitioned_rejects_unknown_op(spark, tmp_path):
         merge_into_partitioned(spark, path, changes, keys=["k"], partition_col="month")
 
 
+def test_delete_restores_orphaned_predelete_aside(spark, tmp_path):
+    """The delete-path twin of the merge heal (self-review r11): a crash
+    between the aside-rename and the promote leaves the dot-prefixed
+    `.date=<val>._predelete` dir as the partition's ONLY copy. The next
+    delete — whatever it targets — must restore it first; stray
+    `._deleting` rewrite outputs (recomputable) are dropped."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.tables import delete_rows_partition_scoped
+
+    path = str(tmp_path / "docs_by_day")
+    spark.range(90).select(
+        F.expr("date_add(DATE'2020-01-01', CAST(id % 3 AS INT))").alias("date"),
+        F.col("id").alias("doc_id"),
+    ).write.partitionBy("date").parquet(path)
+    before_01 = {
+        r["doc_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("date") == "2020-01-01")
+        .collect()
+    }
+    # simulate the mid-swap crash: partition parked aside, target gone,
+    # plus an abandoned rewrite-output temp dir
+    shutil.move(f"{path}/date=2020-01-01", f"{path}/.date=2020-01-01._predelete")
+    os.makedirs(f"{path}/.date=2020-01-01._deleting")
+
+    n = delete_rows_partition_scoped(
+        spark, path, "date",
+        (F.col("doc_id") == 1) & (F.col("date") == "2020-01-02"),
+    )
+    assert n == 1
+    assert not os.path.exists(f"{path}/.date=2020-01-01._predelete")
+    assert not os.path.exists(f"{path}/.date=2020-01-01._deleting")
+    restored = {
+        r["doc_id"]
+        for r in spark.read.parquet(path)
+        .filter(F.col("date") == "2020-01-01")
+        .collect()
+    }
+    assert restored == before_01, "orphaned pre-delete partition lost rows"
+
+
+def test_delete_aside_dirs_never_surface_as_partitions(spark, tmp_path):
+    """The swap's aside/tmp siblings are dot-prefixed: even with a
+    parked copy present mid-crash, partition discovery must not read it
+    as a bogus `date=...._predelete` partition (the old non-dot names
+    did exactly that)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "docs_by_day")
+    spark.range(30).select(
+        F.expr("date_add(DATE'2020-01-01', CAST(id % 3 AS INT))").alias("date"),
+        F.col("id").alias("doc_id"),
+    ).write.partitionBy("date").parquet(path)
+    # a parked copy AND the target present (the post-promote crash state)
+    shutil.copytree(f"{path}/date=2020-01-01", f"{path}/.date=2020-01-01._predelete")
+    back = spark.read.parquet(path)
+    assert back.count() == 30, "dot-prefixed aside dir leaked into the scan"
+    assert back.select("date").distinct().count() == 3
+
+
 def test_merge_restores_orphaned_premerge_aside(spark, tmp_path):
     """ADVICE r10 (medium): a crash between the aside-rename and the
     promote leaves `.month=<val>._premerge` as the ONLY copy of that

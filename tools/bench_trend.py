@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def load_rounds() -> list[tuple[int, dict]]:
     rounds = []
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"_r0*(\d+)\.json$", path)
         if not m:
             continue
@@ -39,7 +39,10 @@ def load_rounds() -> list[tuple[int, dict]]:
         if not isinstance(parsed, dict) or "queries" not in parsed:
             continue  # a crashed bench run recorded no parsable line
         rounds.append((int(m.group(1)), parsed))
-    return rounds
+    # sort by the ROUND NUMBER, never the filename: an unpadded
+    # 'BENCH_r7.json' or a 3-digit round would otherwise misorder the
+    # vs_prev chain silently
+    return sorted(rounds)
 
 
 def trend_lines(rounds: list[tuple[int, dict]]) -> list[dict]:

@@ -293,10 +293,13 @@ def probe_scale_measure(spark, k: int, index_path: str) -> dict:
         .select("doc_id", "sig", *_band_hash_cols())
         .localCheckpoint(eager=True)
     )
+    # time ONE probe only — counting the candidate subplan separately
+    # inside the window would re-run the candidate join and record ~2x
+    # a real probe's wall (self-review r11)
     t0 = time.perf_counter()
-    n_cand = probe_candidate_pairs(index, batch_sigs).count()
     n_matches = probe_minhash_index(index, batch_sigs).count()
     wall = round(time.perf_counter() - t0, 3)
+    n_cand = probe_candidate_pairs(index, batch_sigs).count()
     batch_sigs.unpersist(blocking=False)
     return {
         "probe_candidates": n_cand,
