@@ -902,3 +902,238 @@ def text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w1", "w2", "c_xy", "c_w1", "c_w2", "rnk", ratio(F.col("lift_raw")).alias("lift"))
     )
+
+
+# PII-injection moduli: which docs get a deterministic synthetic email /
+# phone / id appended (derived fixture — the corpus itself is word-soup
+# with no natural PII, so the entry injects replayable PII and then
+# proves the redactor removed it; same derived-input idiom as
+# merge_cdc_upsert's change batches and dedup_incremental_probe's batch).
+_PII_EMAIL_MOD, _PII_PHONE_MOD, _PII_ID_MOD = 3, 5, 7
+# Patterns are written in the Java-regex/RE2 common subset (character
+# classes, bounded repeats, alternation only — no lookaround, no \b) so
+# Spark and DuckDB match identically.
+_PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+_PII_ID_RE = r"\d{3}-\d{2}-\d{4}"
+
+
+@query(
+    "text_pii_redact",
+    tables=("documents",),
+    oracle=f"""
+WITH injected AS (
+    SELECT doc_id,
+           concat(
+               text,
+               CASE WHEN doc_id % {_PII_EMAIL_MOD} = 0
+                    THEN concat(' contact user', CAST(doc_id AS VARCHAR),
+                                '@mail.example.com')
+                    ELSE '' END,
+               CASE WHEN doc_id % {_PII_PHONE_MOD} = 0
+                    THEN concat(' call 555-',
+                                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+                                '-',
+                                lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0'))
+                    ELSE '' END,
+               CASE WHEN doc_id % {_PII_ID_MOD} = 0
+                    THEN concat(' id ',
+                                CAST(doc_id % 900 + 100 AS VARCHAR), '-',
+                                CAST(doc_id % 90 + 10 AS VARCHAR), '-',
+                                CAST((doc_id * 9) % 9000 + 1000 AS VARCHAR))
+                    ELSE '' END
+           ) AS text
+    FROM documents
+    WHERE doc_id % {_PII_EMAIL_MOD} = 0
+       OR doc_id % {_PII_PHONE_MOD} = 0
+       OR doc_id % {_PII_ID_MOD} = 0
+),
+counted AS (
+    SELECT doc_id, text,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_ID_RE}')) AS BIGINT)    AS n_ids
+    FROM injected
+),
+redacted AS (
+    SELECT doc_id, n_emails, n_phones, n_ids,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                   '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{_PII_ID_RE}', '[ID]', 'g') AS rtext
+    FROM counted
+)
+SELECT doc_id, n_emails, n_phones, n_ids,
+       md5(rtext) AS redacted_fp,
+       (len(regexp_extract_all(rtext, '{_PII_EMAIL_RE}'))
+        + len(regexp_extract_all(rtext, '{_PII_PHONE_RE}'))
+        + len(regexp_extract_all(rtext, '{_PII_ID_RE}'))) = 0 AS clean
+FROM redacted
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before export: detect and redact email / phone / national-id
+    patterns, report per-doc counts, and prove (in-query, as a hashed
+    boolean) that the redacted text contains zero residual matches.
+    Inputs are a derived fixture: deterministic synthetic PII appended
+    to a doc_id-keyed subset, replayed identically by the oracle, so
+    counts are non-zero and the redaction is value-checked via the md5
+    fingerprint of the redacted text.
+
+    Scale shape: a pure map-only pass — three codegen'd regexp counts
+    + three chained regexp_replace per row, no shuffle anywhere; at
+    100 TB it pipelines straight out of the scan into the sink, and the
+    `clean` column is the audit bit a governance job aggregates
+    (`bool_and(clean)`) without a second corpus pass. Patterns stay in
+    the Java/RE2 common subset so the DuckDB oracle is exact."""
+    t = load_tables(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    injected = (
+        t.documents.filter(
+            (d % _PII_EMAIL_MOD == 0) | (d % _PII_PHONE_MOD == 0) | (d % _PII_ID_MOD == 0)
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    d % _PII_EMAIL_MOD == 0,
+                    F.concat(
+                        F.lit(" contact user"),
+                        d.cast("string"),
+                        F.lit("@mail.example.com"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % _PII_PHONE_MOD == 0,
+                    F.concat(
+                        F.lit(" call 555-"),
+                        F.lpad((d % 1000).cast("string"), 3, "0"),
+                        F.lit("-"),
+                        F.lpad(((d * 3) % 10000).cast("string"), 4, "0"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.when(
+                    d % _PII_ID_MOD == 0,
+                    F.concat(
+                        F.lit(" id "),
+                        (d % 900 + 100).cast("string"),
+                        F.lit("-"),
+                        (d % 90 + 10).cast("string"),
+                        F.lit("-"),
+                        ((d * 9) % 9000 + 1000).cast("string"),
+                    ),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+    )
+
+    def _n(col, pat):
+        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
+
+    counted = injected.select(
+        "doc_id",
+        "text",
+        _n(F.col("text"), _PII_EMAIL_RE).alias("n_emails"),
+        _n(F.col("text"), _PII_PHONE_RE).alias("n_phones"),
+        _n(F.col("text"), _PII_ID_RE).alias("n_ids"),
+    )
+    rtext = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        _PII_ID_RE,
+        "[ID]",
+    )
+    redacted = counted.select(
+        "doc_id", "n_emails", "n_phones", "n_ids", rtext.alias("rtext")
+    )
+    r = F.col("rtext")
+    return redacted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ids",
+        F.md5(F.encode(r, "UTF-8")).alias("redacted_fp"),
+        (
+            _n(r, _PII_EMAIL_RE) + _n(r, _PII_PHONE_RE) + _n(r, _PII_ID_RE) == 0
+        ).alias("clean"),
+    )
+
+
+_SHARD_COUNT = 16  # at 100 TB pick ~#output-files (thousands) instead
+
+
+@query(
+    "export_train_shards",
+    tables=("documents",),
+    oracle=f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':shard')),
+                        1, 15)) AS BIGINT) % 2147483647) % {_SHARD_COUNT} AS shard,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':ord')),
+                       1, 15)) AS BIGINT) % 2147483647 AS ohash
+    FROM documents
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos,
+       n_tokens,
+       CAST(COALESCE(SUM(n_tokens) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS tok_offset
+FROM t
+WINDOW w AS (PARTITION BY shard ORDER BY ohash, doc_id)
+""",
+)
+def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export manifest: every document gets
+    a shard id (hash-bucket), a within-shard position under a
+    deterministic pseudo-random order (an independent salted hash — the
+    'global shuffle' a dataloader needs, reproducible across runs and
+    repartitioning, unlike rng orderBy), and its within-shard token
+    offset. This is the manifest that turns a curated corpus into N
+    shard files a trainer streams with exact resume offsets.
+
+    Scale shape: shard assignment is map-only; BOTH windows partition by
+    shard, so the single shuffle is hash(shard) and each shard sorts in
+    parallel — there is no global sort and no unpartitioned window. At
+    100 TB, _SHARD_COUNT is chosen ~#output files (thousands), bounding
+    every window partition at corpus/#shards; the same plan then IS the
+    writer's per-file ordering (repartition(shard).sortWithinPartitions),
+    so the manifest and the export share one shuffle. Uses the portable
+    60-bit md5 hash (`_portable_token_hash`) with independent `:shard` /
+    `:ord` salts so DuckDB replays both the bucketing and the shuffle
+    order exactly."""
+    from .dedup import _portable_token_hash
+
+    t = load_tables(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), r"\s+")
+    sid = F.col("doc_id").cast("string")
+    base = t.documents.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_tokens"),
+        (_portable_token_hash(F.concat(sid, F.lit(":shard"))) % _SHARD_COUNT)
+        .cast("long")
+        .alias("shard"),
+        _portable_token_hash(F.concat(sid, F.lit(":ord"))).alias("ohash"),
+    )
+    w = W.partitionBy("shard").orderBy("ohash", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "n_tokens",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        )
+        .cast("long")
+        .alias("tok_offset"),
+    )

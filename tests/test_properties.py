@@ -694,3 +694,58 @@ def test_tie_stable_window_semantics_agree_with_duckdb(spark, rows):
     )
     con.close()
     assert got == exp
+
+
+def test_pii_redact_removes_all_injected_pii(spark, sf_dir):
+    """Compliance invariant of text_pii_redact, independent of the
+    oracle: every emitted row is `clean` (zero residual pattern matches
+    after redaction), and the per-doc counts match the injection rule
+    exactly — one email/phone/id iff doc_id is divisible by the
+    corresponding modulus. Equality (not >=) also proves the three
+    patterns are disjoint on the injected text: a phone matching the
+    id regex (or vice versa) would double-count."""
+    from nytimes_batch_processor_spark.operators.text import (
+        _PII_EMAIL_MOD,
+        _PII_ID_MOD,
+        _PII_PHONE_MOD,
+        text_pii_redact,
+    )
+
+    rows = text_pii_redact(spark, sf_dir).collect()
+    assert rows, "empty redaction result"
+    for r in rows:
+        assert r.clean, f"doc {r.doc_id}: residual PII after redaction"
+        assert r.n_emails == (1 if r.doc_id % _PII_EMAIL_MOD == 0 else 0), r
+        assert r.n_phones == (1 if r.doc_id % _PII_PHONE_MOD == 0 else 0), r
+        assert r.n_ids == (1 if r.doc_id % _PII_ID_MOD == 0 else 0), r
+
+
+def test_export_shards_tile_each_shard_token_axis(spark, sf_dir):
+    """Structural invariant of the shard manifest: within every shard,
+    positions are 1..n with no gaps and tok_offset is the exact prefix
+    sum of n_tokens in position order (a trainer can seek to any doc by
+    offset); every document appears exactly once across shards; and the
+    manifest is reproducible — a second invocation yields the identical
+    row set (the determinism rng-based shuffles lack)."""
+    from nytimes_batch_processor_spark.operators.text import export_train_shards
+
+    rows = export_train_shards(spark, sf_dir).collect()
+    assert rows, "empty shard manifest"
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    seen = [r.doc_id for r in rows]
+    assert len(seen) == len(set(seen)), "a doc landed in two shards"
+    for shard, docs in by_shard.items():
+        docs.sort(key=lambda r: r.pos)
+        expected = 0
+        for i, r in enumerate(docs, start=1):
+            assert r.pos == i, f"shard {shard}: pos gap at {r.pos} != {i}"
+            assert r.tok_offset == expected, (
+                f"shard {shard} doc {r.doc_id}: offset {r.tok_offset} != {expected}"
+            )
+            expected += r.n_tokens
+    again = export_train_shards(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again)), (
+        "shard manifest is not reproducible across invocations"
+    )
