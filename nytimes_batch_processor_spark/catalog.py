@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
         text,
         approx,
         sessionize,
+        quality,
     )
     from .functions import scalars, udfs  # noqa: F401
     from . import ingest, multimodal, tables  # noqa: F401

@@ -749,3 +749,27 @@ def test_export_shards_tile_each_shard_token_axis(spark, sf_dir):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again)), (
         "shard manifest is not reproducible across invocations"
     )
+
+
+def test_quality_audit_verdicts_and_counts(spark, sf_dir):
+    """The audit's pass/fail split is real: on the fixtures exactly one
+    rule fails (lineitem's composite line key, which the generator does
+    not deduplicate) and every other rule passes; n_checked equals the
+    audited table's row count on every row; `ok` is consistent with
+    n_violations. A constraint engine that silently inverted a
+    predicate or dropped a UNION branch breaks one of these."""
+    from nytimes_batch_processor_spark.operators.quality import (
+        quality_constraint_audit,
+    )
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    rows = quality_constraint_audit(spark, sf_dir).collect()
+    assert len(rows) == 13, f"expected 13 rules, got {len(rows)}"
+    failing = {r.rule for r in rows if not r.ok}
+    assert failing == {"lineitem.line key unique"}, failing
+    t = load_tables(spark, sf_dir, "orders", "lineitem", "customer", "events")
+    counts = {n: getattr(t, n).count() for n in ("orders", "lineitem", "customer", "events")}
+    for r in rows:
+        assert r.ok == (r.n_violations == 0), r
+        assert r.n_checked == counts[r.tbl], r
+        assert 0 <= r.n_violations <= r.n_checked, r
