@@ -112,6 +112,9 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # the warehouse scratch-path idiom (warehouse_scratch_path) and the
     # shared derived-states oracle CTE/fixture out of these entries —
     # semantics-preserving, but changed code re-verifies (the r4 lesson).
+    # (scan_jsonl_roundtrip / scan_orc_roundtrip, originally in this
+    # block, were consolidated into scan_text_formats_surface later in
+    # r11 — the new surface enters the window as never-swept instead.)
     11: (
         "sim_ann_ivf_topk",
         "approx_heavy_hitters_merge",
@@ -119,8 +122,6 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "merge_cdc_upsert",
         "ingest_covid_states",
         "ingest_lineage_audit",
-        "scan_jsonl_roundtrip",
-        "scan_orc_roundtrip",
         "scan_xml_roundtrip",
         "scan_binaryfile_metadata",
         "scan_python_datasource_httpcsv",

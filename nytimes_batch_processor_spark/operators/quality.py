@@ -50,19 +50,37 @@ def _result_rows(tbl: str, agg: DataFrame, constraints: list[tuple[str, str, str
     return agg.select(F.explode(entries).alias("e")).select("e.*")
 
 
-def _fk_row(name: str, tbl: str, child: DataFrame, parent: DataFrame, on) -> DataFrame:
+def _fk_row(
+    name: str, tbl: str, table_agg: DataFrame, child: DataFrame, parent: DataFrame, on
+) -> DataFrame:
     """Referential-integrity row: violations = child rows with no parent
     (left-anti equi-join, shuffles on the FK; Catalyst broadcasts the
-    parent when it is under the broadcast threshold)."""
-    total = child.agg(F.count(F.lit(1)).cast("long").alias("n_checked"))
+    parent when it is under the broadcast threshold). NULL FKs count as
+    violations on both sides: left_anti never matches a NULL key, and
+    the oracle uses NOT EXISTS (not NOT IN, whose three-valued logic
+    would report ZERO violations the moment one parent key is NULL).
+
+    n_checked comes from the table's row-local aggregate; column
+    pruning then cuts that branch to a ZERO-column parquet scan
+    (ReadSchema struct<>, plan-verified) — parquet answers a bare
+    count(*) from footer row counts without reading data, so at 100 TB
+    the audit's per-table cost is one data scan for the row-local
+    rules, key-only scans for the FK joins, and metadata-only counts.
+    (ReuseExchange does NOT dedupe the agg here — pruning makes the
+    two branches' exchanges non-identical — which is fine because the
+    pruned branch is already free.)"""
     orphans = child.join(parent, on, "left_anti").agg(
         F.count(F.lit(1)).cast("long").alias("n_violations")
     )
-    return total.crossJoin(orphans).select(
-        F.lit(name).alias("rule"),
-        F.lit(tbl).alias("tbl"),
-        "n_checked",
-        "n_violations",
+    return (
+        table_agg.select(F.col("n").cast("long").alias("n_checked"))
+        .crossJoin(orphans)
+        .select(
+            F.lit(name).alias("rule"),
+            F.lit(tbl).alias("tbl"),
+            "n_checked",
+            "n_violations",
+        )
     )
 
 
@@ -104,18 +122,21 @@ e AS (
 fk AS (
     SELECT 'orders.o_custkey fk customer' AS rule, 'orders' AS tbl,
            (SELECT n FROM o) AS n_checked,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_violations
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders ord
+            WHERE NOT EXISTS (SELECT 1 FROM customer c2
+                              WHERE c2.c_custkey = ord.o_custkey)) AS n_violations
     UNION ALL
     SELECT 'lineitem.l_orderkey fk orders', 'lineitem',
            (SELECT n FROM l),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem li
+            WHERE NOT EXISTS (SELECT 1 FROM orders o2
+                              WHERE o2.o_orderkey = li.l_orderkey))
     UNION ALL
     SELECT 'customer.c_nationkey fk nation', 'customer',
            (SELECT n FROM c),
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
-            WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer cu
+            WHERE NOT EXISTS (SELECT 1 FROM nation n2
+                              WHERE n2.n_nationkey = cu.c_nationkey))
 ),
 rows_local AS (
     SELECT 'orders.o_orderkey unique' AS rule, 'orders' AS tbl,
@@ -169,8 +190,13 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t.lineitem.agg(
         F.count(F.lit(1)).alias("n"),
+        # distinct over a STRUCT, not countDistinct(a, b): the latter
+        # drops rows with any NULL component while DuckDB's row-value
+        # COUNT(DISTINCT (a, b)) keeps them — a struct with a NULL
+        # field is itself non-NULL in both engines, so they agree.
         (
-            F.count(F.lit(1)) - F.countDistinct("l_orderkey", "l_linenumber")
+            F.count(F.lit(1))
+            - F.countDistinct(F.struct("l_orderkey", "l_linenumber"))
         ).alias("dup_key"),
         F.count(
             F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
@@ -226,6 +252,7 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fk_row(
             "orders.o_custkey fk customer",
             "orders",
+            o,
             t.orders.select("o_custkey"),
             t.customer.select(F.col("c_custkey").alias("o_custkey")),
             "o_custkey",
@@ -233,6 +260,7 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fk_row(
             "lineitem.l_orderkey fk orders",
             "lineitem",
+            li,
             t.lineitem.select("l_orderkey"),
             t.orders.select(F.col("o_orderkey").alias("l_orderkey")),
             "l_orderkey",
@@ -240,6 +268,7 @@ def quality_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fk_row(
             "customer.c_nationkey fk nation",
             "customer",
+            c,
             t.customer.select("c_nationkey"),
             t.nation.select(F.col("n_nationkey").alias("c_nationkey")),
             "c_nationkey",

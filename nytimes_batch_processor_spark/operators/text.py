@@ -1031,7 +1031,10 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _n(col, pat):
-        return F.size(F.regexp_extract_all(col, F.lit(pat), 0)).cast("bigint")
+        # regexp_count, not size(regexp_extract_all): the count is the
+        # same BIGINT but no throwaway match-string array is built —
+        # this expression runs six times per row on the map-only path.
+        return F.regexp_count(col, F.lit(pat)).cast("bigint")
 
     counted = injected.select(
         "doc_id",

@@ -922,19 +922,6 @@ def merge_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scan_jsonl_roundtrip",
-    tables=("documents",),
-    oracle="""
-SELECT lang,
-       CAST(COUNT(*) AS BIGINT)                 AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT)             AS total_chars,
-       CAST(COUNT(DISTINCT source) AS BIGINT)   AS n_sources,
-       CAST(MAX(n_chars) AS BIGINT)             AS max_chars
-FROM documents
-GROUP BY lang
-""",
-)
 def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL (newline-delimited JSON) source path under the driver's
     gate — the interchange format most LLM text corpora arrive in.
@@ -972,19 +959,6 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "scan_orc_roundtrip",
-    tables=("documents",),
-    oracle="""
-SELECT source,
-       CAST(COUNT(*) AS BIGINT)               AS n_docs,
-       CAST(SUM(n_chars) AS BIGINT)           AS total_chars,
-       CAST(COUNT(DISTINCT lang) AS BIGINT)   AS n_langs
-FROM documents
-WHERE n_chars >= 200
-GROUP BY source
-""",
-)
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source/sink path under the driver's gate — the other major
     columnar lake format next to parquet (Hive-heritage warehouses).
@@ -1019,8 +993,60 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("total_chars"),
             F.countDistinct("lang").alias("n_langs"),
+            F.max("n_chars").alias("max_chars"),
         )
     )
+
+
+@query(
+    "scan_text_formats_surface",
+    tables=("documents",),
+    oracle="""
+SELECT 'jsonl' AS fmt, lang AS grp,
+       CAST(COUNT(*) AS BIGINT)               AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT)           AS total_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct,
+       CAST(MAX(n_chars) AS BIGINT)           AS max_chars
+FROM documents
+GROUP BY lang
+UNION ALL
+SELECT 'orc', source,
+       CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(n_chars) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT),
+       CAST(MAX(n_chars) AS BIGINT)
+FROM documents
+WHERE n_chars >= 200
+GROUP BY source
+""",
+)
+def scan_text_formats_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged consolidation of the JSONL and ORC roundtrip entries
+    (r11, the r8-r10 surface pattern): BOTH format paths execute —
+    write stage, explicit-schema read-back, aggregate — and land in ONE
+    driver hash, each branch tagged by `fmt`. The JSONL branch keeps
+    its FAILFAST + lang grouping, the ORC branch its pushdown-
+    exercising n_chars predicate + source grouping; a writer/reader
+    fault in either format still flips the hash. The retired
+    `scan_jsonl_roundtrip` / `scan_orc_roundtrip` callables remain the
+    public per-format API (and carry the per-format scale notes)."""
+    jsonl = scan_jsonl_roundtrip(spark, sf_dir).select(
+        F.lit("jsonl").alias("fmt"),
+        F.col("lang").alias("grp"),
+        "n_docs",
+        "total_chars",
+        F.col("n_sources").alias("n_distinct"),
+        "max_chars",
+    )
+    orc = scan_orc_roundtrip(spark, sf_dir).select(
+        F.lit("orc").alias("fmt"),
+        F.col("source").alias("grp"),
+        "n_docs",
+        "total_chars",
+        F.col("n_langs").alias("n_distinct"),
+        "max_chars",
+    )
+    return jsonl.unionByName(orc)
 
 
 @query(
