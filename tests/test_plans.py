@@ -509,3 +509,27 @@ def test_merge_find_affected_scan_prunes_columns(spark, tmp_path):
     rs = read_schema(probe)
     assert "v1" not in rs and "v2" not in rs and "v3" not in rs, rs
     assert "k" in rs, rs
+
+
+def test_r11_new_entries_plan_shapes(spark, sf_dir):
+    """The r11 additions' 100 TB claims, pinned as plans:
+
+    - text_pii_redact is a pure map (ZERO exchanges — detect + redact
+      pipeline straight out of the scan);
+    - export_train_shards has exactly ONE exchange, hash-partitioned on
+      shard, serving BOTH windows (the manifest and the writer share one
+      shuffle);
+    - quality_constraint_audit's FK n_checked branch prunes to a
+      zero-column parquet scan (footer row counts, no data read)."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    specs = all_specs()
+    pii = physical_plan(specs["text_pii_redact"].fn(spark, sf_dir))
+    assert pii.count("Exchange (") == 0, pii
+
+    shards = physical_plan(specs["export_train_shards"].fn(spark, sf_dir))
+    assert shards.count("Exchange (") == 1, shards
+    assert "hashpartitioning(shard" in shards, shards
+
+    audit = physical_plan(specs["quality_constraint_audit"].fn(spark, sf_dir))
+    assert "ReadSchema: struct<>" in audit, audit
