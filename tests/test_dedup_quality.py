@@ -414,3 +414,72 @@ def test_ikm_training_improves_quantizer(spark, sf_dir):
 
     assert trained_total < seed_total, (trained_total, seed_total)
     assert n_cells > 1, "training collapsed to a single cell"
+
+
+def test_sim_incremental_probe_agrees_with_bruteforce(spark, sf_dir):
+    """The incremental ANN probe may never mis-rank what it scores:
+    whenever a batch vector's TRUE nearest corpus neighbor (exact
+    brute force over the full corpus) lies in one of its probed cells,
+    the probe's reported nn_id must BE that neighbor — the probe loses
+    recall only to unprobed cells, never to scoring or ranking. Also
+    pins the admission contract (every 'dup' clears the cosine bar,
+    exactly one row per batch vector) and a loose recall floor."""
+    import numpy as np
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _SIM_PROBE_DUP_COS,
+        _SIM_PROBE_MOD,
+        _as_double,
+        _norm,
+        ivf_parquet_index_for,
+        probe_ivf_index,
+        sim_incremental_probe,
+    )
+
+    res = {
+        r["vec_id"]: (r["status"], r["nn_id"], r["cosine"], r["n_cand"])
+        for r in sim_incremental_probe(spark, sf_dir).collect()
+    }
+    emb = {
+        r["vec_id"]: np.array(r["e"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .collect()
+    }
+    corpus = {k: v for k, v in emb.items() if k % _SIM_PROBE_MOD != 0}
+    batch = {k: v for k, v in emb.items() if k % _SIM_PROBE_MOD == 0}
+    assert set(res) == set(batch), "one row per batch vector"
+    for q, (status, nn_id, cosine, n_cand) in res.items():
+        assert status in ("dup", "new")
+        if status == "dup":
+            assert cosine is not None and cosine >= round(_SIM_PROBE_DUP_COS, 6)
+        if nn_id is not None:
+            assert nn_id % _SIM_PROBE_MOD != 0, "neighbor must be indexed"
+            assert n_cand >= 1
+
+    index = spark.read.parquet(ivf_parquet_index_for(spark, sf_dir))
+    bdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") % _SIM_PROBE_MOD == 0)
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    cands: dict[int, set[int]] = {}
+    for r in probe_ivf_index(index, bdf).collect():
+        cands.setdefault(r["qid"], set()).add(r["nn_id"])
+    found = 0
+    for q, qv in batch.items():
+        cos = {
+            c: float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            for c, cv in corpus.items()
+        }
+        exact_nn = max(cos, key=lambda c: (cos[c], -c))
+        if exact_nn in cands.get(q, set()):
+            found += 1
+            assert res[q][1] == exact_nn, (
+                f"query {q}: true NN {exact_nn} was probed but probe "
+                f"reported {res[q][1]}"
+            )
+    recall = found / len(batch)
+    print(f"sim_incremental_probe NN recall (6/16 cells probed): {recall:.3f}")
+    assert recall >= 0.4, recall

@@ -533,3 +533,23 @@ def test_r11_new_entries_plan_shapes(spark, sf_dir):
 
     audit = physical_plan(specs["quality_constraint_audit"].fn(spark, sf_dir))
     assert "ReadSchema: struct<>" in audit, audit
+
+
+def test_sim_incremental_probe_index_is_dpp_pruned(spark, sf_dir):
+    """The incremental ANN probe's 100 TB claims, pinned as a plan: the
+    persisted cell-partitioned index scan carries a DYNAMIC PARTITION
+    PRUNING filter on cell (only probed cells are read — the corpus is
+    never scanned whole), the probes side broadcasts into the cell
+    equi-join (the index never shuffles), and the index scan does not
+    re-read the raw embedding column (the assignment was paid at build
+    time)."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    plan = physical_plan(all_specs()["sim_incremental_probe"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression(cell" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    idx_scan = [
+        seg for seg in plan.split("\n\n") if "engine_ivf_probe_index" in seg
+    ]
+    assert idx_scan, plan
+    assert "struct<vec_id:bigint,e:array<double>,nrm:double>" in idx_scan[0], idx_scan

@@ -7,7 +7,7 @@ serving path (sim_ann_ivf_q8_serve), simhash band collisions
 containment join (candidate growth), the ITERATIVE families (VERDICT
 r7 item 5): PageRank wall/edge growth over a k-replicated trade graph
 and large-star/small-star connected components, whose rounds must grow
-O(log n), never O(n) — plus two r11 families with DIFFERENT scaling
+O(log n), never O(n) — plus three r11 families with DIFFERENT scaling
 axes:
 
 - incremental near-dup probe (`dedup_incremental_probe`): the CORPUS
@@ -15,6 +15,9 @@ axes:
   (replicas are unperturbed id-offset copies, i.e. true near-dups of
   the base batch) — candidates and matches must grow linearly in
   batch size, proving no batch-side quadratic and no corpus rescan;
+- incremental ANN probe (`sim_incremental_probe`): same batch-scaled
+  axis against the FIXED cell-partitioned IVF index — candidates and
+  dup-admitted queries linear in batch size;
 - partition-scoped MERGE (`merge_into_partitioned`): a FIXED change
   batch lands on x1/x2/x10 base tables whose replicas occupy DISJOINT
   month partitions — partitions_rewritten and row counters must be
@@ -308,6 +311,71 @@ def probe_scale_measure(spark, k: int, index_path: str) -> dict:
     }
 
 
+def _ann_probe_batch(spark, k: int):
+    """k replicas of the BASE embedding batch (vec_id % mod == 0), ids
+    offset per replica, VECTORS UNCHANGED — every replica vector is a
+    true near-dup (cosine 1.0) of its base twin, so probe candidates
+    and dup admissions must grow exactly linearly in batch size while
+    the corpus index stays fixed (the _probe_batch design; _ID_STRIDE
+    is a multiple of the mod, so the batch residue class survives the
+    offset)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _SIM_PROBE_MOD,
+        _as_double,
+        _norm,
+    )
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    batch = emb.filter(F.col("vec_id") % _SIM_PROBE_MOD == 0)
+    reps = [batch]
+    for i in range(1, k):
+        reps.append(
+            batch.select(
+                (F.col("vec_id") + F.lit(i * _ID_STRIDE)).alias("vec_id"),
+                "embedding",
+                "label",
+            )
+        )
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    return out.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+
+
+def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
+    """Incremental-ANN-probe family (r11): candidates / dup-admitted
+    queries / wall of probing a x`k` embedding batch against the FIXED
+    cell-partitioned IVF index — the exact probe_ivf_index subplan of
+    operators/similarity.py::sim_incremental_probe."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _SIM_PROBE_DUP_COS,
+        probe_ivf_index,
+    )
+
+    index = spark.read.parquet(index_path)
+    batch = _ann_probe_batch(spark, k).localCheckpoint(eager=True)
+    # time ONE probe only (the self-review r11 rule): the dup-query
+    # count re-runs the join outside the timed window
+    t0 = time.perf_counter()
+    scored = probe_ivf_index(index, batch)
+    n_cand = scored.count()
+    wall = round(time.perf_counter() - t0, 3)
+    n_dup = (
+        scored.filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
+        .select("qid")
+        .distinct()
+        .count()
+    )
+    batch.unpersist(blocking=False)
+    return {
+        "ann_probe_candidates": n_cand,
+        "ann_probe_dup_queries": n_dup,
+        "ann_probe_wall_sec": wall,
+    }
+
+
 def merge_scale_measure(spark, k: int) -> dict:
     """MERGE family (VERDICT r10 item 5): a FIXED change batch (derived
     from replica 0 only) merged into a x`k` base table whose replicas
@@ -434,6 +502,8 @@ COUNT_KEYS = (
     "cc_input_edges",
     "probe_candidates",
     "probe_matches",
+    "ann_probe_candidates",
+    "ann_probe_dup_queries",
 )
 WALL_KEYS = (
     "minhash_wall_sec",
@@ -445,6 +515,7 @@ WALL_KEYS = (
     "pagerank_wall_sec",
     "cc_wall_sec",
     "probe_wall_sec",
+    "ann_probe_wall_sec",
     "merge_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
@@ -512,6 +583,21 @@ def main() -> None:
             F.col("doc_id") % _PROBE_BATCH_MOD != 0
         ),
         index_path,
+    )
+    # ... and its similarity twin: the cell-partitioned IVF index over
+    # the BASE embedding corpus (vec_id % mod != 0) — only the batch
+    # scales in the ann-probe family.
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _SIM_PROBE_MOD,
+        build_ivf_parquet_index,
+    )
+
+    ann_index_path = os.path.join(SCALE_ROOT, "ann_probe_index")
+    build_ivf_parquet_index(
+        spark.read.parquet(f"{BASE}/embeddings.parquet").filter(
+            F.col("vec_id") % _SIM_PROBE_MOD != 0
+        ),
+        ann_index_path,
     )
 
     results: dict[str, dict] = {}
@@ -628,6 +714,7 @@ def main() -> None:
         # r11 families: batch-scaled probe vs fixed index; fixed change
         # batch vs month-disjoint replicated base table
         row.update(probe_scale_measure(spark, k, index_path))
+        row.update(ann_probe_scale_measure(spark, k, ann_index_path))
         row.update(merge_scale_measure(spark, k))
 
         results[f"x{k}"] = row
