@@ -115,8 +115,15 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # (scan_jsonl_roundtrip / scan_orc_roundtrip, originally in this
     # block, were consolidated into scan_text_formats_surface later in
     # r11 — the new surface enters the window as never-swept instead.)
+    # sim_ann_ivf_fixed_topk / sim_ann_ivf_q8_serve: the late-r11
+    # self-review factored the centroid assignment / probe-cell ranking
+    # / oracle distance-literal idioms into _assign_cells,
+    # _ranked_probe_cells, _oracle_dist_list (bit-identical
+    # expressions, values unchanged) — changed code re-verifies.
     11: (
         "sim_ann_ivf_topk",
+        "sim_ann_ivf_fixed_topk",
+        "sim_ann_ivf_q8_serve",
         "approx_heavy_hitters_merge",
         "text_bigram_lift",
         "merge_cdc_upsert",

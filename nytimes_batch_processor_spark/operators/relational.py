@@ -533,22 +533,10 @@ def agg_grouping_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "pivot_status_by_flag",
-    tables=("lineitem",),
-    oracle="""
-SELECT l_returnflag                                                       AS returnflag,
-       ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2)    AS qty_open,
-       ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2)    AS qty_filled,
-       CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)     AS n_open,
-       CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)     AS n_filled
-FROM lineitem
-GROUP BY l_returnflag
-""",
-)
 def pivot_status_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot linestatus into columns. Pivot values are given explicitly —
-    letting Spark discover them costs an extra distinct scan at 100 TB."""
+    letting Spark discover them costs an extra distinct scan at 100 TB.
+    Registered through `reshape_pivot_surface` since r11 (pivot mode)."""
     t = load_tables(spark, sf_dir, "lineitem")
     pivoted = (
         t.lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
@@ -759,27 +747,12 @@ def sort_nulls_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "unpivot_measures_long",
-    tables=("lineitem",),
-    oracle="""
-SELECT l_returnflag                     AS returnflag,
-       measure,
-       CAST(ROUND(SUM(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
-       CAST(COUNT(*) AS BIGINT)         AS n
-FROM (
-    UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_tax FROM lineitem)
-    ON l_quantity, l_extendedprice, l_tax
-    INTO NAME measure VALUE val
-)
-GROUP BY l_returnflag, measure
-""",
-)
 def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (wide measures -> long (measure, value) rows) + aggregate
     — the inverse of pivot_status_by_flag. Spark's unpivot/melt is a
     map-only Expand (3 rows out per row in), so the only shuffle is the
-    final bounded groupBy."""
+    final bounded groupBy.
+    Registered through `reshape_pivot_surface` since r11 (unpivot mode)."""
     t = load_tables(spark, sf_dir, "lineitem")
     long = t.lineitem.unpivot(
         ids=["l_returnflag"],
@@ -791,6 +764,72 @@ def unpivot_measures_long(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec2("val")), 2).cast("double").alias("total"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "reshape_pivot_surface",
+    tables=("lineitem",),
+    oracle="""
+WITH p AS (
+    SELECT l_returnflag                                                    AS returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT)  AS n_open,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT)  AS n_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT 'pivot' AS mode, returnflag, 'open' AS key, qty_open AS total, n_open AS n FROM p
+UNION ALL
+SELECT 'pivot', returnflag, 'filled', qty_filled, n_filled FROM p
+UNION ALL
+SELECT 'unpivot', l_returnflag, measure,
+       CAST(ROUND(SUM(CAST(val AS DECIMAL(18,2))), 2) AS DOUBLE),
+       CAST(COUNT(*) AS BIGINT)
+FROM (
+    UNPIVOT (SELECT l_returnflag, l_quantity, l_extendedprice, l_tax FROM lineitem)
+    ON l_quantity, l_extendedprice, l_tax
+    INTO NAME measure VALUE val
+)
+GROUP BY l_returnflag, measure
+""",
+)
+def reshape_pivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged consolidation of the reshape inverses (late r11, the
+    r8-r11 surface pattern): BOTH reshape paths execute and land in ONE
+    driver hash, each branch tagged by `mode`. The pivot branch runs
+    the full wide plan — groupBy().pivot(explicit values).agg() — and
+    every wide cell (qty_open/qty_filled/n_open/n_filled) re-enters the
+    hash keyed by `key`, so a pivot fault (wrong bucket, dropped
+    value column, value-discovery regression) still flips it; the
+    unpivot branch keeps its map-only Expand + bounded groupBy shape
+    unchanged. The retired `pivot_status_by_flag` /
+    `unpivot_measures_long` callables remain the public per-shape API
+    (and carry the per-shape scale notes)."""
+    p = pivot_status_by_flag(spark, sf_dir)
+    pivot_long = p.select(
+        F.lit("pivot").alias("mode"),
+        "returnflag",
+        F.lit("open").alias("key"),
+        F.col("qty_open").alias("total"),
+        F.col("n_open").alias("n"),
+    ).unionByName(
+        p.select(
+            F.lit("pivot").alias("mode"),
+            "returnflag",
+            F.lit("filled").alias("key"),
+            F.col("qty_filled").alias("total"),
+            F.col("n_filled").alias("n"),
+        )
+    )
+    unpivot = unpivot_measures_long(spark, sf_dir).select(
+        F.lit("unpivot").alias("mode"),
+        "returnflag",
+        F.col("measure").alias("key"),
+        "total",
+        "n",
+    )
+    return pivot_long.unionByName(unpivot)
 
 
 _SPINE_GAPFILL_ORACLE = """

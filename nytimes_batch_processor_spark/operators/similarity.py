@@ -400,6 +400,55 @@ def _centroid_sq_dists(centers: list[list[float]]) -> Column:
     )
 
 
+def _assign_cells(df: DataFrame, centers: list[list[float]]) -> DataFrame:
+    """Attach the fixed-centroid `cell` id (squared-distance argmin,
+    first-min tie-break via array_position) to a frame carrying `e`.
+    ONE copy of the assignment idiom — the r11 self-review found it
+    pasted verbatim at four sites, and the Spark/DuckDB bit-identical
+    contract depends on every site keeping the same IEEE evaluation
+    order and tie-break."""
+    dists = _centroid_sq_dists(centers)
+    return (
+        df.withColumn("_d", dists)
+        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
+        .drop("_d")
+    )
+
+
+def _ranked_probe_cells(centers: list[list[float]]) -> Column:
+    """Cell ids of `e`'s centroids ordered nearest-first ((distance,
+    cell) structs array_sort'ed — ties break on the lower cell id,
+    matching the oracles' `ORDER BY ds[i.i] ASC, i.i ASC`). Slice the
+    first nprobe for a probe set. ONE copy of the ranking idiom, same
+    rationale as _assign_cells."""
+    dists = _centroid_sq_dists(centers)
+    return F.transform(
+        F.array_sort(
+            F.zip_with(
+                dists,
+                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
+                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+            )
+        ),
+        lambda s: s.getField("i"),
+    )
+
+
+def _oracle_dist_list(centers: list[list[float]]) -> str:
+    """The DuckDB-side twin of _centroid_sq_dists: per-centroid squared
+    distances as explicit left-to-right sums over `e`, joined as a SQL
+    list literal body — the same IEEE evaluation order as Spark's
+    sequential F.aggregate fold, so the argmin assignment and probe
+    ranking are bit-identical. ONE copy shared by every IVF oracle."""
+    dist_exprs = []
+    for c in centers:
+        terms = " + ".join(
+            f"(e[{i + 1}] - {x!r}) * (e[{i + 1}] - {x!r})" for i, x in enumerate(c)
+        )
+        dist_exprs.append(f"({terms})")
+    return ",\n        ".join(dist_exprs)
+
+
 class IvfIndex:
     """A built IVF index: the centroid table (the index *definition*,
     tiny — k x dim plain floats) plus the materialized cell assignment
@@ -447,13 +496,7 @@ def ivf_build_index(
     km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="fv", predictionCol="cell")
     model = km.fit(train.select(array_to_vector("e").alias("fv")))
     centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    dists = _centroid_sq_dists(centers)
-    assigned = (
-        corpus.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .drop("_d")
-        .localCheckpoint(eager=True)
-    )
+    assigned = _assign_cells(corpus, centers).localCheckpoint(eager=True)
     return IvfIndex(centers, assigned)
 
 
@@ -483,18 +526,7 @@ def ivf_probe_candidates(idx: IvfIndex) -> DataFrame:
     candidate mass from the plan the ANN actually runs (the r8
     scale-bench lesson). Columns: query_id, qe, qn, vec_id, e, nrm."""
     assigned = idx.assigned
-    dists = _centroid_sq_dists(idx.centers)
-    # (distance, cell) structs sorted -> nearest _IVF_NPROBE cell ids.
-    ranked_cells = F.transform(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(idx.centers) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
+    ranked_cells = _ranked_probe_cells(idx.centers)
     probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -654,15 +686,8 @@ def _ann_ivf_fixed_oracle(k: int = _IVF_K, nprobe: int = _IVF_FIXED_NPROBE) -> s
     Spark's sequential F.aggregate fold in _centroid_sq_dists — so the
     argmin cell assignment and the probe-cell ranking are bit-identical,
     not merely close (the _ann_lsh_oracle technique)."""
-    dim = 64
-    centers = ivf_fixed_centers(k, dim)
-    dist_exprs = []
-    for c in centers:
-        terms = " + ".join(
-            f"(e[{i + 1}] - {x!r}) * (e[{i + 1}] - {x!r})" for i, x in enumerate(c)
-        )
-        dist_exprs.append(f"({terms})")
-    ds = ",\n        ".join(dist_exprs)
+    centers = ivf_fixed_centers(k, 64)
+    ds = _oracle_dist_list(centers)
     return f"""
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -734,22 +759,8 @@ def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("nrm", _norm(F.col("e")))
-    dists = _centroid_sq_dists(centers)
-    assigned = (
-        corpus.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .drop("_d")
-    )
-    ranked_cells = F.transform(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
+    assigned = _assign_cells(corpus, centers)
+    ranked_cells = _ranked_probe_cells(centers)
     probes = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -842,15 +853,8 @@ def _ann_ivf_q8_oracle(k: int = _IVF_K, nprobe: int = _IVF_FIXED_NPROBE) -> str:
     candidate scoring (exact BIGINT dot — products bounded by
     127*127*64 ~ 1e6, so the DOUBLE `list_inner_product` carries them
     exactly) and a float rerank of the shortlist."""
-    dim = 64
-    centers = ivf_fixed_centers(k, dim)
-    dist_exprs = []
-    for c in centers:
-        terms = " + ".join(
-            f"(e[{i + 1}] - {x!r}) * (e[{i + 1}] - {x!r})" for i, x in enumerate(c)
-        )
-        dist_exprs.append(f"({terms})")
-    ds = ",\n        ".join(dist_exprs)
+    centers = ivf_fixed_centers(k, 64)
+    ds = _oracle_dist_list(centers)
     return f"""
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -959,22 +963,8 @@ def sim_ann_ivf_q8_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    dists = _centroid_sq_dists(centers)
-    assigned = (
-        corpus.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .drop("_d")
-    )
-    ranked_cells = F.transform(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
+    assigned = _assign_cells(corpus, centers)
+    ranked_cells = _ranked_probe_cells(centers)
     probes = corpus.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
@@ -1211,15 +1201,7 @@ def build_ivf_parquet_index(corpus: DataFrame, path: str) -> None:
     v = corpus.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("nrm", _norm(F.col("e")))
-    dists = _centroid_sq_dists(centers)
-    assigned = (
-        v.withColumn("_d", dists)
-        .withColumn(
-            "cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int")
-        )
-        .drop("_d")
-    )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _assign_cells(v, centers).write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
 # (applicationId, sf_dir) -> index path; built once per session/corpus
@@ -1244,7 +1226,9 @@ def ivf_parquet_index_for(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def probe_ivf_index(index: DataFrame, batch: DataFrame) -> DataFrame:
+def probe_ivf_index(
+    index: DataFrame, batch: DataFrame, n_probe_rows: int | None = None
+) -> DataFrame:
     """The candidate subplan of `sim_incremental_probe`: each batch
     vector's _IVF_FIXED_NPROBE nearest cells (ranked by the same fixed-
     centroid distances the index was built with) equi-joined against
@@ -1252,27 +1236,29 @@ def probe_ivf_index(index: DataFrame, batch: DataFrame) -> DataFrame:
     (vec_id, e, nrm); returns one row per (query, indexed-candidate)
     with the exact cosine attached. Factored out so
     tools/scale_bench.py counts the EXACT subplan the operator runs
-    (the r8 lesson)."""
+    (the r8 lesson).
+
+    The probe side is |batch| * nprobe rows — unbounded for an
+    arbitrary arriving batch, so the broadcast hint is only applied
+    when the caller passes its known ``n_probe_rows`` and it clears
+    `_bounded_broadcast`'s bound (the VERDICT r5 rule; forcing the
+    hint unconditionally would pin an arbitrarily large build side in
+    every executor). Un-hinted, the optimizer/AQE still broadcasts
+    while the batch fits and falls back to a shuffle join past that —
+    the same policy as `probe_minhash_index`."""
     centers = ivf_fixed_centers()
-    dists = _centroid_sq_dists(centers)
-    ranked_cells = F.transform(
-        F.array_sort(
-            F.zip_with(
-                dists,
-                F.sequence(F.lit(0), F.lit(len(centers) - 1)),
-                lambda d, i: F.struct(d.alias("d"), i.alias("i")),
-            )
-        ),
-        lambda s: s.getField("i"),
-    )
     probes = batch.select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+        F.explode(
+            F.slice(_ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE)
+        ).alias("cell"),
     )
+    if n_probe_rows is not None:
+        probes = _bounded_broadcast(probes, n_probe_rows)
     return (
-        index.join(F.broadcast(probes), "cell")
+        index.join(probes, "cell")
         .withColumn(
             "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
         )
@@ -1288,15 +1274,8 @@ def _sim_probe_oracle(
     IEEE sums, bit-identical assignment and probe ranking), with the
     corpus/batch split on vec_id % mod and a LEFT JOIN emitting the
     zero-candidate batch rows as 'new'."""
-    dim = 64
-    centers = ivf_fixed_centers(k, dim)
-    dist_exprs = []
-    for c in centers:
-        terms = " + ".join(
-            f"(e[{i + 1}] - {x!r}) * (e[{i + 1}] - {x!r})" for i, x in enumerate(c)
-        )
-        dist_exprs.append(f"({terms})")
-    ds = ",\n        ".join(dist_exprs)
+    centers = ivf_fixed_centers(k, 64)
+    ds = _oracle_dist_list(centers)
     return f"""
 WITH v AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -1389,7 +1368,13 @@ def sim_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
         .withColumn("nrm", _norm(F.col("e")))
     )
-    scored = probe_ivf_index(index, batch)
+    # The arriving batch's size is known to any real admission pipeline;
+    # count it (one pruned-column scan) so the broadcast hint is applied
+    # only while the probe side is provably bounded.
+    n_batch = t.embeddings.filter(
+        F.col("vec_id") % _SIM_PROBE_MOD == 0
+    ).select("vec_id").count()
+    scored = probe_ivf_index(index, batch, n_probe_rows=n_batch * _IVF_FIXED_NPROBE)
     w = W.partitionBy("qid")
     best = (
         scored.withColumn(

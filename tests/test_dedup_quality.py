@@ -468,17 +468,25 @@ def test_sim_incremental_probe_agrees_with_bruteforce(spark, sf_dir):
     for r in probe_ivf_index(index, bdf).collect():
         cands.setdefault(r["qid"], set()).add(r["nn_id"])
     found = 0
+    b_norms = {q: float(np.linalg.norm(v)) for q, v in batch.items()}
+    c_norms = {c: float(np.linalg.norm(v)) for c, v in corpus.items()}
     for q, qv in batch.items():
         cos = {
-            c: float(qv @ cv / (np.linalg.norm(qv) * np.linalg.norm(cv)))
+            c: float(qv @ cv) / (b_norms[q] * c_norms[c])
             for c, cv in corpus.items()
         }
         exact_nn = max(cos, key=lambda c: (cos[c], -c))
         if exact_nn in cands.get(q, set()):
             found += 1
-            assert res[q][1] == exact_nn, (
-                f"query {q}: true NN {exact_nn} was probed but probe "
-                f"reported {res[q][1]}"
+            got = res[q][1]
+            # numpy's pairwise-summed dot can rank ~1-ULP near-ties
+            # differently from Spark's sequential fold — accept any
+            # probed neighbor whose exact cosine ties the true NN's.
+            assert got == exact_nn or (
+                got in cos and abs(cos[got] - cos[exact_nn]) < 1e-9
+            ), (
+                f"query {q}: true NN {exact_nn} (cos {cos[exact_nn]}) was "
+                f"probed but probe reported {got} (cos {cos.get(got)})"
             )
     recall = found / len(batch)
     print(f"sim_incremental_probe NN recall (6/16 cells probed): {recall:.3f}")
