@@ -79,6 +79,13 @@ HEADLINE = [
     # itself builds once per session in warmup (minhash_index_for), so
     # the timed passes measure the probe, the production steady state.
     "dedup_incremental_probe",
+    # r11 (late): the ANN half of the incremental story — batch cell
+    # ranking (map-only) + bounded-broadcast cell equi-join against the
+    # persisted cell-partitioned IVF parquet index (built once per
+    # session in warmup via ivf_parquet_index_for). Wall includes the
+    # in-query exact-cosine admission verdicts and the per-query
+    # rank/count window over the bounded candidate set.
+    "sim_incremental_probe",
 ]
 
 

@@ -806,21 +806,30 @@ def reshape_pivot_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged. The retired `pivot_status_by_flag` /
     `unpivot_measures_long` callables remain the public per-shape API
     (and carry the per-shape scale notes)."""
+    # Re-keying the wide row by `key` via explode-of-structs keeps the
+    # pivot subplan executed ONCE (a union of two selects from the wide
+    # frame would plan the pivot aggregate twice absent exchange reuse).
     p = pivot_status_by_flag(spark, sf_dir)
-    pivot_long = p.select(
+    cell = F.explode(
+        F.array(
+            F.struct(
+                F.lit("open").alias("key"),
+                F.col("qty_open").alias("total"),
+                F.col("n_open").alias("n"),
+            ),
+            F.struct(
+                F.lit("filled").alias("key"),
+                F.col("qty_filled").alias("total"),
+                F.col("n_filled").alias("n"),
+            ),
+        )
+    )
+    pivot_long = p.select("returnflag", cell.alias("c")).select(
         F.lit("pivot").alias("mode"),
         "returnflag",
-        F.lit("open").alias("key"),
-        F.col("qty_open").alias("total"),
-        F.col("n_open").alias("n"),
-    ).unionByName(
-        p.select(
-            F.lit("pivot").alias("mode"),
-            "returnflag",
-            F.lit("filled").alias("key"),
-            F.col("qty_filled").alias("total"),
-            F.col("n_filled").alias("n"),
-        )
+        F.col("c.key").alias("key"),
+        F.col("c.total").alias("total"),
+        F.col("c.n").alias("n"),
     )
     unpivot = unpivot_measures_long(spark, sf_dir).select(
         F.lit("unpivot").alias("mode"),

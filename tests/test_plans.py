@@ -535,6 +535,24 @@ def test_r11_new_entries_plan_shapes(spark, sf_dir):
     assert "ReadSchema: struct<>" in audit, audit
 
 
+def test_reshape_pivot_surface_runs_pivot_once(spark, sf_dir):
+    """The consolidated reshape surface may not pay for its tagging:
+    exactly THREE exchanges total — Spark plans pivot as a two-phase
+    aggregate (groupBy(returnflag, linestatus) pre-agg, then the
+    pivotfirst agg on returnflag: 2 exchanges, both on bounded
+    keyspaces), plus the unpivot's groupBy(returnflag, measure). The
+    wide pivot subplan executes ONCE — re-keyed map-side by ONE
+    explode-of-structs, not a union of two selects that would plan the
+    pivot aggregate twice — and the unpivot branch stays a map-only
+    Expand into its bounded aggregate."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    plan = physical_plan(all_specs()["reshape_pivot_surface"].fn(spark, sf_dir))
+    assert plan.count("Exchange (") == 3, plan
+    assert plan.count("Generate (") == 1, plan  # wide subplan re-keyed once
+    assert plan.count("Expand (") == 1, plan
+
+
 def test_sim_incremental_probe_index_is_dpp_pruned(spark, sf_dir):
     """The incremental ANN probe's 100 TB claims, pinned as a plan: the
     persisted cell-partitioned index scan carries a DYNAMIC PARTITION
