@@ -120,10 +120,20 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # / oracle distance-literal idioms into _assign_cells,
     # _ranked_probe_cells, _oracle_dist_list (bit-identical
     # expressions, values unchanged) — changed code re-verifies.
+    # The dedup_*/graph_*/sim_ann_lsh/ivf_kmeans block: late-r11
+    # checkpoints.rotate moved to two-generation retention (ADVICE r10
+    # interleave hazard) — storage lifecycle only, values unchanged,
+    # but every entry rotating a checkpoint re-verifies.
     11: (
         "sim_ann_ivf_topk",
         "sim_ann_ivf_fixed_topk",
         "sim_ann_ivf_q8_serve",
+        "dedup_minhash_lsh",
+        "dedup_containment_prefix",
+        "dedup_resolve_surface",
+        "graph_pagerank_fixed",
+        "sim_ann_lsh_topk",
+        "ivf_kmeans_int_train",
         "approx_heavy_hitters_merge",
         "text_bigram_lift",
         "merge_cdc_upsert",

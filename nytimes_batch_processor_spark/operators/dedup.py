@@ -311,9 +311,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     agreement fraction) >= 0.9.
 
     RETENTION CONTRACT (checkpoints.rotate, key "dedup.minhash_sig"):
-    fully consume the returned DataFrame before calling this entry
-    again in the same session — the next invocation releases this
-    result's localCheckpoint blocks (unrecomputable after unpersist).
+    two generations stay live, so one interleaved re-invocation is
+    safe; consume a result before calling this entry a SECOND time —
+    localCheckpoint blocks are unrecomputable after unpersist.
 
     Shuffle discipline (the fixture's templated docs make candidate
     volume ~1000x the corpus size, so the design never shuffles the pair
@@ -351,8 +351,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(n_part)
         .localCheckpoint(eager=True)
     )
-    # Bounded retention (ADVICE r9): re-invoking this entry releases the
-    # previous invocation's signature blocks — see checkpoints.rotate.
+    # Bounded retention (ADVICE r9): rotating under a fixed key keeps at
+    # most two generations of signature blocks — see checkpoints.rotate.
     checkpoints.rotate("dedup.minhash_sig", sig)
     rows_per_band = _MINHASH_PERMS // _MINHASH_BANDS
     band_hashes = [
@@ -1058,10 +1058,11 @@ def containment_prefix_plan(
     # Bounded retention (ADVICE r9): bench invokes the entry 4x/round
     # (warmup + 3 timed passes) and each invocation checkpointed a fresh
     # rank table that only JVM GC ever reclaimed. Rotating under a fixed
-    # key releases the previous invocation's blocks; callers must fully
-    # consume one invocation's result before the next (the bench/driver/
-    # serving pattern — tools/scale_bench.py counts both returned frames
-    # immediately after each call).
+    # key keeps at most TWO generations live (one interleaved
+    # re-invocation is safe — ADVICE r10); consume a result within one
+    # re-invocation (the bench/driver/serving pattern —
+    # tools/scale_bench.py counts both returned frames immediately
+    # after each call).
     checkpoints.rotate("dedup.containment_pos", pos)
     # required overlap req = ceil(num*n/den) in pure integers; prefix
     # keeps n - req + 1 rarest shingles

@@ -44,10 +44,10 @@ def connected_components(
     valve, not an approximation: partial labels are never returned).
 
     RETENTION CONTRACT (checkpoints.rotate, key "graph.cc_labels"):
-    fully consume the returned DataFrame before calling this helper
-    again in the same session — the next invocation releases this
-    result's localCheckpoint blocks, and checkpointed blocks cannot be
-    recomputed after unpersist.
+    two generations stay live, so one interleaved re-invocation is
+    safe; consume a result before calling this helper a SECOND time —
+    the second re-invocation releases its localCheckpoint blocks, and
+    checkpointed blocks cannot be recomputed after unpersist.
     """
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
@@ -120,7 +120,8 @@ def connected_components_star(
     rounds-growth claim tools/scale_bench.py measures at x1/x10.
 
     RETENTION CONTRACT (checkpoints.rotate, key "graph.cc_star_edges"):
-    consume the result before re-invoking — see `connected_components`.
+    consume the result within one re-invocation — see
+    `connected_components`.
     """
     e = (
         edges.select(
@@ -486,7 +487,8 @@ def pagerank_fixed_ranks(trade: DataFrame) -> DataFrame:
     the final (node, rank) table after `_PR_ITERS` steps.
 
     RETENTION CONTRACT (checkpoints.rotate, key "graph.pagerank"):
-    consume the result before re-invoking — see `connected_components`.
+    consume the result within one re-invocation — see
+    `connected_components`.
     """
     edges = trade.union(
         trade.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

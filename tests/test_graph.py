@@ -225,3 +225,30 @@ def test_pagerank_core_matches_python_model(spark):
         }
         expected = _pagerank_python_model(edges, _PR_ITERS, _PR_SCALE)
         assert got == expected, f"edges={edges}\ngot {got}\nexp {expected}"
+
+
+def test_rotate_keeps_previous_generation_alive(spark):
+    """ADVICE r10: `checkpoints.rotate` keys are process-global while
+    the rotated helpers are public — "compute result A, invoke the same
+    helper again, then consume A" must not fail with removed-block
+    errors. rotate() keeps TWO generations live, so a result computed
+    before ONE re-invocation stays collectible; blocks from two
+    invocations back are released (bounded retention, ADVICE r9)."""
+    from nytimes_batch_processor_spark.operators.graph import (
+        connected_components,
+    )
+
+    e1 = spark.createDataFrame([(0, 1), (2, 3)], "id1 long, id2 long")
+    e2 = spark.createDataFrame([(4, 5)], "id1 long, id2 long")
+    a = connected_components(e1)
+    b = connected_components(e2)  # re-invocation BEFORE consuming a
+    # a's checkpointed lineage must still be collectible
+    got_a = {r["node"]: r["component"] for r in a.collect()}
+    got_b = {r["node"]: r["component"] for r in b.collect()}
+    assert got_a == {0: 0, 1: 0, 2: 2, 3: 2}, got_a
+    assert got_b == {4: 4, 5: 4}, got_b
+
+    from nytimes_batch_processor_spark import checkpoints
+
+    # bounded retention: at most two generations tracked per key
+    assert all(len(gens) <= 2 for gens in checkpoints._LIVE.values())
