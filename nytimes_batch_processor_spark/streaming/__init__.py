@@ -6,7 +6,12 @@ from .pipeline import (
     stream_covid_ingest,
     windowed_event_counts,
 )
-from .state_reader import read_state, rollback_checkpoint, state_metadata
+from .state_reader import (
+    read_state,
+    rollback_checkpoint,
+    rollback_file_sink,
+    state_metadata,
+)
 from .stateful import running_user_totals
 
 __all__ = [
@@ -15,6 +20,7 @@ __all__ = [
     "foreach_batch_upsert",
     "read_state",
     "rollback_checkpoint",
+    "rollback_file_sink",
     "running_user_totals",
     "sessionized_stream",
     "state_metadata",

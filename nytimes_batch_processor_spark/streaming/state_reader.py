@@ -108,9 +108,9 @@ def rollback_checkpoint(
     FILE sink: the files the rolled-back batches already wrote stay
     committed in the sink's ``_spark_metadata`` log, so the replay
     would append duplicates next to them. Repairing a file sink needs
-    the sink-side log trimmed too (delete its entries past
-    ``to_batch_id`` AND the files they reference) — out of scope here;
-    the function does not attempt to discover sink paths from the
+    the sink-side log trimmed too — pair this call with
+    ``rollback_file_sink(spark, sink_path, to_batch_id)`` below; this
+    function does not attempt to discover sink paths from the
     checkpoint."""
     import re
 
@@ -158,4 +158,107 @@ def rollback_checkpoint(
             for part in fs.listStatus(op.getPath()):
                 if part.isDirectory() and part.getPath().getName().isdigit():
                     _trim_versions(part.getPath())
+    return removed
+
+
+def rollback_file_sink(
+    spark: SparkSession, sink_path: str, to_batch_id: int
+) -> list[str]:
+    """The SINK half of ``rollback_checkpoint`` for FILE sinks: trim the
+    sink's own commit log (``_spark_metadata``) back to ``to_batch_id``
+    and delete the output files the dropped batches wrote, so a
+    replayed batch cannot leave duplicates committed next to its
+    originals (the ADVICE r10 limit on the checkpoint-only repair —
+    rolling back an append-mode file sink's checkpoint alone replays
+    batches whose original output is still committed downstream).
+
+    Mechanics: a file sink logs one entry per batch under
+    ``<sink>/_spark_metadata/<batchId>`` (``v1`` header + one JSON
+    ``add`` action per file; every ``compactInterval``-th batch is a
+    ``<batchId>.compact`` that re-lists ALL live files). Dropping a log
+    ``> to_batch_id`` un-commits its files; a file is physically
+    deleted only when NO kept log still references it (compact entries
+    re-list earlier batches' files — deleting those would corrupt kept
+    history). Readers consult only this log for such directories, so
+    after the trim ``spark.read`` sees exactly batches
+    ``0..to_batch_id``.
+
+    SAFETY: if a dropped ``.compact`` is the only remaining record of
+    some batch ``<= to_batch_id`` (the sink already garbage-collected
+    that batch's standalone log), the rollback would destroy committed
+    history — the function refuses with RuntimeError instead of
+    guessing. Works on any Hadoop filesystem, same as
+    ``rollback_checkpoint``. Returns the deleted paths (log entries
+    and data files)."""
+    import json
+    import re
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(sink_path).getFileSystem(spark._jsc.hadoopConfiguration())
+    meta_dir = f"{sink_path.rstrip('/')}/_spark_metadata"
+    if not fs.exists(hpath(meta_dir)):
+        raise ValueError(f"not a file-sink output (no _spark_metadata): {sink_path}")
+
+    log_re = re.compile(r"^(\d+)(\.compact)?$")
+    logs: dict[int, tuple[object, bool]] = {}
+    for st in fs.listStatus(hpath(meta_dir)):
+        m = log_re.match(st.getPath().getName())
+        if m:
+            bid = int(m.group(1))
+            is_compact = bool(m.group(2))
+            # a batch may have both N and N.compact never — but guard:
+            # prefer the compact form if both appear
+            if bid not in logs or is_compact:
+                logs[bid] = (st.getPath(), is_compact)
+
+    dropped = {b: v for b, v in logs.items() if b > to_batch_id}
+    if not dropped:
+        return []
+    kept = {b: v for b, v in logs.items() if b <= to_batch_id}
+    # SAFETY: every batch 0..to_batch_id must still be covered by a kept
+    # log — either its own entry, or a kept compact at a later-or-equal
+    # batch id (compacts re-list everything up to themselves).
+    max_kept_compact = max((b for b, (_, c) in kept.items() if c), default=-1)
+    for b in range(0, to_batch_id + 1):
+        if b not in kept and b > max_kept_compact:
+            raise RuntimeError(
+                f"cannot roll back sink to batch {to_batch_id}: batch {b}'s "
+                f"log entry was compacted into a batch > {to_batch_id} and "
+                "its standalone entry is gone — trimming would destroy "
+                "committed history; roll back to a batch covered by the "
+                "remaining log instead"
+            )
+
+    def _log_files(log_path) -> set[str]:
+        out: set[str] = set()
+        for line in spark.read.text(str(log_path)).collect():
+            s = line["value"].strip()
+            if not s or s.startswith("v"):
+                continue
+            entry = json.loads(s)
+            if entry.get("action", "add") == "add":
+                out.add(entry["path"])
+        return out
+
+    kept_files: set[str] = set()
+    for b, (p, _) in kept.items():
+        kept_files |= _log_files(p)
+
+    removed: list[str] = []
+
+    def _delete(p) -> None:
+        parent, name = p.getParent(), p.getName()
+        if fs.exists(p):
+            fs.delete(p, False)
+            removed.append(str(p))
+        crc = hpath(parent, f".{name}.crc")
+        if fs.exists(crc):
+            fs.delete(crc, False)
+
+    for b in sorted(dropped):
+        log_path, _ = dropped[b]
+        for f in sorted(_log_files(log_path) - kept_files):
+            _delete(hpath(f))
+        _delete(log_path)
     return removed

@@ -1190,3 +1190,86 @@ def test_checkpoint_rollback_repairs_corrupted_state(spark, tmp_path):
         .collect()
     }
     assert final == truth == {("A", 15), ("B", 7), ("C", 8), ("D", 100)}
+
+
+def test_file_sink_rollback_prevents_replay_duplicates(spark, tmp_path):
+    """The sink half of the offline repair (ADVICE r10): rolling back
+    only the CHECKPOINT of an append-mode file sink replays batches
+    whose original output is still committed in the sink's
+    _spark_metadata log — duplicates downstream. rollback_file_sink
+    trims the sink log to the target batch and deletes the un-committed
+    output files, so checkpoint + sink roll back together and the
+    replayed run converges to the batch ground truth with no
+    duplicates. Also pins the safety refusal: a rollback that would
+    drop the only (compact) record of kept history must raise."""
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.streaming import (
+        rollback_checkpoint,
+        rollback_file_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("k,v\nA,1\nB,2\n")
+    (src / "b.csv").write_text("k,v\nB,5\nC,7\n")
+    (src / "c.csv").write_text("k,v\nA,10\nC,1\n")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.schema("k STRING, v LONG")
+            .option("header", "true")
+            .option("maxFilesPerTrigger", 1)
+            .csv(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # batches 0..2 committed to both checkpoint and sink log
+    assert spark.read.parquet(out).count() == 6
+
+    # roll BOTH halves back to batch 0 (keep only a.csv's output)
+    rollback_checkpoint(spark, ckpt, to_batch_id=0)
+    removed = rollback_file_sink(spark, out, to_batch_id=0)
+    assert any("_spark_metadata" in p for p in removed)
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == {
+        ("A", 1),
+        ("B", 2),
+    }
+
+    # idempotent: nothing left to drop
+    assert rollback_file_sink(spark, out, to_batch_id=0) == []
+
+    # new data arrives; the replay re-runs batches 1..2 then the new file
+    (src / "d.csv").write_text("k,v\nD,100\n")
+    run()
+    got = sorted(tuple(r) for r in spark.read.parquet(out).collect())
+    truth = sorted(
+        tuple(r)
+        for r in spark.read.schema("k STRING, v LONG")
+        .option("header", "true")
+        .csv(str(src))
+        .collect()
+    )
+    assert got == truth, f"replay duplicated or lost rows: {got}"
+
+    # safety refusal: synthesize a sink whose only record of batch 0 is
+    # a compact AFTER the rollback target — trimming it would destroy
+    # kept history, so the function must refuse
+    out2 = tmp_path / "out2" / "_spark_metadata"
+    out2.mkdir(parents=True)
+    (out2 / "1.compact").write_text(
+        'v1\n{"path":"file:///x/p0.parquet","size":1,"isDir":false,'
+        '"modificationTime":0,"blockReplication":1,"blockSize":1,'
+        '"action":"add"}\n'
+    )
+    with _pytest.raises(RuntimeError, match="destroy"):
+        rollback_file_sink(spark, str(tmp_path / "out2"), to_batch_id=0)
