@@ -465,6 +465,24 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
     )
 
 
+def append_to_minhash_index(docs: DataFrame, path: str) -> None:
+    """Admit a batch INTO the persisted index: the same map-only
+    signature pass as `build_minhash_index`, appended — the index grows
+    one parquet file-set per admitted batch, never rebuilds, and the
+    next probe finds the admitted documents' bands immediately. At
+    100 TB this is the steady-state write path (admission after
+    `dedup_incremental_probe` says 'new'); periodic compaction of the
+    small appended files is `compact_small_files`' existing job."""
+    sig = minhash_signatures(docs, "doc_id", "text")
+    sig.select(
+        # pin the id to the index schema's bigint (mixed INT32/INT64
+        # parquet columns break reads over the combined file set)
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "sig",
+        *_band_hash_cols(),
+    ).write.mode("append").parquet(path)
+
+
 # (applicationId, sf_dir) -> index path; built once per session/corpus
 # like ivf_index_for, so repeated probes (bench, driver re-runs) measure
 # the PROBE, not an index rebuild.

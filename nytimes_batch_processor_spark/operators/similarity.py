@@ -1204,6 +1204,25 @@ def build_ivf_parquet_index(corpus: DataFrame, path: str) -> None:
     _assign_cells(v, centers).write.mode("overwrite").partitionBy("cell").parquet(path)
 
 
+def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
+    """Admit a batch INTO the persisted IVF index: the same map-only
+    fixed-centroid assignment as `build_ivf_parquet_index`, appended
+    under the existing ``cell`` partitioning — no rebuild, no corpus
+    re-assignment, and the next probe's cell join sees the admitted
+    vectors immediately (their cells' directories just gained files).
+    ``new_vectors`` carries the raw ``(vec_id, embedding)`` shape; the
+    steady-state write path after `sim_incremental_probe` says 'new'."""
+    centers = ivf_fixed_centers()
+    v = new_vectors.select(
+        # pin the id to the index schema's bigint — an int-typed literal
+        # id from a caller would otherwise write an INT32 parquet column
+        # next to the INT64 originals and break mixed-file reads
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("e"),
+    ).withColumn("nrm", _norm(F.col("e")))
+    _assign_cells(v, centers).write.mode("append").partitionBy("cell").parquet(path)
+
+
 # (applicationId, sf_dir) -> index path; built once per session/corpus
 # like minhash_index_for, so repeated probes (bench, driver re-runs)
 # measure the PROBE, not an index rebuild.
@@ -1348,8 +1367,10 @@ def sim_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     _SIM_PROBE_DUP_COS), the nearest indexed neighbor and its cosine
     (NULL only if every probed cell was empty), and the deterministic
     candidate count. An admitted batch appends its 'new' rows to the
-    index with the same map-only assignment — the index grows without
-    rebuilds, exactly like the MinHash signature index.
+    index with the same map-only assignment (`append_to_ivf_index`;
+    round-trip-tested: the very next probe finds appended vectors at
+    cosine 1.0) — the index grows without rebuilds, exactly like the
+    MinHash signature index.
 
     Scale: probe cost is linear in BATCH size at fixed corpus (gated
     x1/x2/x10 in tools/scale_bench.py, batch-replica axis); the corpus

@@ -491,3 +491,92 @@ def test_sim_incremental_probe_agrees_with_bruteforce(spark, sf_dir):
     recall = found / len(batch)
     print(f"sim_incremental_probe NN recall (6/16 cells probed): {recall:.3f}")
     assert recall >= 0.4, recall
+
+
+def test_index_append_is_found_by_next_probe(spark, sf_dir, tmp_path):
+    """The docstring claim "an admitted batch appends to the index
+    without rebuilds" as executable fact, for BOTH incremental indexes:
+    after append_to_minhash_index / append_to_ivf_index, the very next
+    probe finds the admitted rows (exact self-matches at est_jaccard /
+    cosine 1.0), with no index rebuild and no corpus re-assignment."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _PROBE_BATCH_MOD,
+        _band_hash_cols,
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_signatures,
+        probe_minhash_index,
+    )
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _SIM_PROBE_MOD,
+        _as_double,
+        _norm,
+        append_to_ivf_index,
+        build_ivf_parquet_index,
+        probe_ivf_index,
+    )
+
+    # --- MinHash index ------------------------------------------------
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % _PROBE_BATCH_MOD != 0)
+    batch = docs.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0)
+    mh_path = str(tmp_path / "mh_index")
+    build_minhash_index(corpus, mh_path)
+
+    def sign(df):
+        return minhash_signatures(df, "doc_id", "text").select(
+            "doc_id", "sig", *_band_hash_cols()
+        )
+
+    batch_sigs = sign(batch).localCheckpoint(eager=True)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    before = {
+        r["doc_id"]
+        for r in probe_minhash_index(
+            spark.read.parquet(mh_path), batch_sigs
+        ).collect()
+    }
+    append_to_minhash_index(batch, mh_path)  # admit the whole batch
+    after_rows = probe_minhash_index(
+        spark.read.parquet(mh_path), batch_sigs
+    ).collect()
+    after = {r["doc_id"] for r in after_rows}
+    # every admitted doc now self-matches; prior matches are not lost
+    assert after == batch_ids, (len(after), len(batch_ids))
+    assert before <= after
+    self_canon = {r["doc_id"] for r in after_rows if r["canon_id"] == r["doc_id"]}
+    assert (self_canon | before) == batch_ids
+
+    # --- IVF index ----------------------------------------------------
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf_path = str(tmp_path / "ivf_index")
+    build_ivf_parquet_index(
+        emb.filter(F.col("vec_id") % _SIM_PROBE_MOD != 0), ivf_path
+    )
+    q = emb.filter(F.col("vec_id") % _SIM_PROBE_MOD == 0).limit(1)
+    qid = q.collect()[0]["vec_id"]
+    probe = (
+        q.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+        .localCheckpoint(eager=True)
+    )
+    best_before = (
+        probe_ivf_index(spark.read.parquet(ivf_path), probe)
+        .agg(F.max("cos_raw"))
+        .collect()[0][0]
+    )
+    assert best_before is None or best_before < 0.999
+    # admit the query vector under a fresh id in the same residue class
+    # as the corpus (id % mod != 0)
+    appended_id = qid + 10_000_001
+    assert appended_id % _SIM_PROBE_MOD != 0
+    append_to_ivf_index(
+        q.select(F.lit(appended_id).alias("vec_id"), "embedding"), ivf_path
+    )
+    best = (
+        probe_ivf_index(spark.read.parquet(ivf_path), probe)
+        .orderBy(F.col("cos_raw").desc())
+        .limit(1)
+        .collect()[0]
+    )
+    assert best["nn_id"] == appended_id and best["cos_raw"] > 0.999999, best
