@@ -472,7 +472,7 @@ def append_to_minhash_index(docs: DataFrame, path: str) -> None:
     next probe finds the admitted documents' bands immediately. At
     100 TB this is the steady-state write path (admission after
     `dedup_incremental_probe` says 'new'); periodic compaction of the
-    small appended files is `compact_small_files`' existing job."""
+    small appended files is `tables.compact_parquet`'s existing job."""
     sig = minhash_signatures(docs, "doc_id", "text")
     sig.select(
         # pin the id to the index schema's bigint (mixed INT32/INT64
