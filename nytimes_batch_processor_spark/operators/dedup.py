@@ -459,10 +459,20 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
     admitted, and probed by every arriving batch without ever
     re-signing the corpus. At 100 TB the same table lives partitioned/
     bucketed by band hash on object storage."""
+    _write_minhash_index(docs, path, "overwrite")
+
+
+def _write_minhash_index(docs: DataFrame, path: str, mode: str) -> None:
+    """ONE copy of the index projection shared by build and append —
+    the schema (incl. the bigint id pin: mixed INT32/INT64 parquet
+    columns break reads over the combined file set) must never diverge
+    between the two writers."""
     sig = minhash_signatures(docs, "doc_id", "text")
-    sig.select("doc_id", "sig", *_band_hash_cols()).write.mode("overwrite").parquet(
-        path
-    )
+    sig.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "sig",
+        *_band_hash_cols(),
+    ).write.mode(mode).parquet(path)
 
 
 def append_to_minhash_index(docs: DataFrame, path: str) -> None:
@@ -473,14 +483,7 @@ def append_to_minhash_index(docs: DataFrame, path: str) -> None:
     100 TB this is the steady-state write path (admission after
     `dedup_incremental_probe` says 'new'); periodic compaction of the
     small appended files is `tables.compact_parquet`'s existing job."""
-    sig = minhash_signatures(docs, "doc_id", "text")
-    sig.select(
-        # pin the id to the index schema's bigint (mixed INT32/INT64
-        # parquet columns break reads over the combined file set)
-        F.col("doc_id").cast("long").alias("doc_id"),
-        "sig",
-        *_band_hash_cols(),
-    ).write.mode("append").parquet(path)
+    _write_minhash_index(docs, path, "append")
 
 
 # (applicationId, sf_dir) -> index path; built once per session/corpus

@@ -1197,11 +1197,20 @@ def build_ivf_parquet_index(corpus: DataFrame, path: str) -> None:
     table lives cell-partitioned on object storage, so a probe's
     broadcast cell join prunes to the probed cells (DPP) instead of
     scanning the corpus."""
+    _write_ivf_index(corpus, path, "overwrite")
+
+
+def _write_ivf_index(vectors: DataFrame, path: str, mode: str) -> None:
+    """ONE copy of the index projection shared by build and append —
+    the schema (incl. the bigint id pin: an int-typed id would write an
+    INT32 parquet column next to INT64 originals and break mixed-file
+    reads) must never diverge between the two writers."""
     centers = ivf_fixed_centers()
-    v = corpus.select(
-        "vec_id", _as_double(F.col("embedding")).alias("e")
+    v = vectors.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        _as_double(F.col("embedding")).alias("e"),
     ).withColumn("nrm", _norm(F.col("e")))
-    _assign_cells(v, centers).write.mode("overwrite").partitionBy("cell").parquet(path)
+    _assign_cells(v, centers).write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
@@ -1212,15 +1221,7 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
     vectors immediately (their cells' directories just gained files).
     ``new_vectors`` carries the raw ``(vec_id, embedding)`` shape; the
     steady-state write path after `sim_incremental_probe` says 'new'."""
-    centers = ivf_fixed_centers()
-    v = new_vectors.select(
-        # pin the id to the index schema's bigint — an int-typed literal
-        # id from a caller would otherwise write an INT32 parquet column
-        # next to the INT64 originals and break mixed-file reads
-        F.col("vec_id").cast("long").alias("vec_id"),
-        _as_double(F.col("embedding")).alias("e"),
-    ).withColumn("nrm", _norm(F.col("e")))
-    _assign_cells(v, centers).write.mode("append").partitionBy("cell").parquet(path)
+    _write_ivf_index(new_vectors, path, "append")
 
 
 # (applicationId, sf_dir) -> index path; built once per session/corpus

@@ -187,9 +187,15 @@ def rollback_file_sink(
     some batch ``<= to_batch_id`` (the sink already garbage-collected
     that batch's standalone log), the rollback would destroy committed
     history — the function refuses with RuntimeError instead of
-    guessing. Works on any Hadoop filesystem, same as
-    ``rollback_checkpoint``. Returns the deleted paths (log entries
-    and data files)."""
+    guessing. CRASH ORDER: log entries are deleted FIRST, highest batch
+    id first, data files after — a kill at any point leaves the log a
+    consistent prefix (worst case: orphaned data files no kept log
+    references, which readers ignore and a re-run cleans), never a
+    committed entry whose files are gone (that would both break reads
+    AND make a restarted stream skip re-writing the batch, since the
+    sink skips any batchId <= its log's latest entry). Works on any
+    Hadoop filesystem, same as ``rollback_checkpoint``. Returns the
+    deleted paths (log entries and data files)."""
     import json
     import re
 
@@ -201,16 +207,16 @@ def rollback_file_sink(
         raise ValueError(f"not a file-sink output (no _spark_metadata): {sink_path}")
 
     log_re = re.compile(r"^(\d+)(\.compact)?$")
-    logs: dict[int, tuple[object, bool]] = {}
+    # a batch id normally has ONE entry (N or N.compact); tolerate both
+    # appearing by tracking every path so a dropped batch loses ALL its
+    # log files, and a kept batch contributes files from all of them
+    logs: dict[int, list[tuple[object, bool]]] = {}
     for st in fs.listStatus(hpath(meta_dir)):
         m = log_re.match(st.getPath().getName())
         if m:
-            bid = int(m.group(1))
-            is_compact = bool(m.group(2))
-            # a batch may have both N and N.compact never — but guard:
-            # prefer the compact form if both appear
-            if bid not in logs or is_compact:
-                logs[bid] = (st.getPath(), is_compact)
+            logs.setdefault(int(m.group(1)), []).append(
+                (st.getPath(), bool(m.group(2)))
+            )
 
     dropped = {b: v for b, v in logs.items() if b > to_batch_id}
     if not dropped:
@@ -219,7 +225,10 @@ def rollback_file_sink(
     # SAFETY: every batch 0..to_batch_id must still be covered by a kept
     # log — either its own entry, or a kept compact at a later-or-equal
     # batch id (compacts re-list everything up to themselves).
-    max_kept_compact = max((b for b, (_, c) in kept.items() if c), default=-1)
+    max_kept_compact = max(
+        (b for b, entries in kept.items() if any(c for _, c in entries)),
+        default=-1,
+    )
     for b in range(0, to_batch_id + 1):
         if b not in kept and b > max_kept_compact:
             raise RuntimeError(
@@ -231,9 +240,18 @@ def rollback_file_sink(
             )
 
     def _log_files(log_path) -> set[str]:
+        # driver-side read: the entries are KB-sized; launching a Spark
+        # job per metadata file would cost a scheduler round-trip each
         out: set[str] = set()
-        for line in spark.read.text(str(log_path)).collect():
-            s = line["value"].strip()
+        stream = fs.open(log_path)
+        try:
+            text = jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        for line in text.splitlines():
+            s = line.strip()
             if not s or s.startswith("v"):
                 continue
             entry = json.loads(s)
@@ -242,8 +260,9 @@ def rollback_file_sink(
         return out
 
     kept_files: set[str] = set()
-    for b, (p, _) in kept.items():
-        kept_files |= _log_files(p)
+    for entries in kept.values():
+        for p, _ in entries:
+            kept_files |= _log_files(p)
 
     removed: list[str] = []
 
@@ -256,9 +275,17 @@ def rollback_file_sink(
         if fs.exists(crc):
             fs.delete(crc, False)
 
-    for b in sorted(dropped):
-        log_path, _ = dropped[b]
-        for f in sorted(_log_files(log_path) - kept_files):
-            _delete(hpath(f))
-        _delete(log_path)
+    # pass 1: read the dropped entries' file lists, then un-commit the
+    # LOG first (highest batch id first — the log's latest entry only
+    # ever moves down toward the target, so any crash point is a
+    # consistent state); pass 2: delete the now-unreferenced files.
+    drop_files: set[str] = set()
+    for b in sorted(dropped, reverse=True):
+        for p, _ in dropped[b]:
+            drop_files |= _log_files(p)
+    for b in sorted(dropped, reverse=True):
+        for p, _ in sorted(dropped[b], key=lambda e: str(e[0])):
+            _delete(p)
+    for f in sorted(drop_files - kept_files):
+        _delete(hpath(f))
     return removed

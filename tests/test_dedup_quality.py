@@ -553,8 +553,19 @@ def test_index_append_is_found_by_next_probe(spark, sf_dir, tmp_path):
     build_ivf_parquet_index(
         emb.filter(F.col("vec_id") % _SIM_PROBE_MOD != 0), ivf_path
     )
-    q = emb.filter(F.col("vec_id") % _SIM_PROBE_MOD == 0).limit(1)
-    qid = q.collect()[0]["vec_id"]
+    # collect the query row ONCE and rebuild from the literal — an
+    # unordered limit(1) can return a different row on re-evaluation,
+    # desynchronizing the probed vector from the appended one
+    qrow = (
+        emb.filter(F.col("vec_id") % _SIM_PROBE_MOD == 0)
+        .orderBy("vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    qid = qrow["vec_id"]
+    q = spark.createDataFrame(
+        [(qid, qrow["embedding"])], "vec_id long, embedding array<float>"
+    )
     probe = (
         q.select("vec_id", _as_double(F.col("embedding")).alias("e"))
         .withColumn("nrm", _norm(F.col("e")))

@@ -1273,3 +1273,45 @@ def test_file_sink_rollback_prevents_replay_duplicates(spark, tmp_path):
     )
     with _pytest.raises(RuntimeError, match="destroy"):
         rollback_file_sink(spark, str(tmp_path / "out2"), to_batch_id=0)
+
+
+def test_file_sink_rollback_compact_keeps_relisted_history(spark, tmp_path):
+    """The positive compact path of rollback_file_sink: a dropped
+    ``.compact`` entry re-lists EARLIER batches' files — those must
+    survive the trim (only files no kept log references are deleted),
+    the standalone kept entries must remain, and the log must be
+    un-committed BEFORE any data file disappears (crash-order
+    contract: every deleted data file's log entry is already gone)."""
+    from nytimes_batch_processor_spark.streaming import rollback_file_sink
+
+    sink = tmp_path / "sink"
+    meta = sink / "_spark_metadata"
+    meta.mkdir(parents=True)
+
+    def entry(p):
+        return (
+            '{"path":"file://%s","size":1,"isDir":false,'
+            '"modificationTime":0,"blockReplication":1,"blockSize":1,'
+            '"action":"add"}' % p
+        )
+
+    files = {}
+    for name in ("a", "b", "c"):
+        f = sink / f"{name}.parquet"
+        f.write_text("x")
+        files[name] = str(f)
+    (meta / "0").write_text(f"v1\n{entry(files['a'])}\n")
+    (meta / "1").write_text(f"v1\n{entry(files['b'])}\n")
+    (meta / "2.compact").write_text(
+        "v1\n" + "\n".join(entry(files[n]) for n in ("a", "b", "c")) + "\n"
+    )
+
+    removed = rollback_file_sink(spark, str(sink), to_batch_id=1)
+    # the compact log entry is dropped, and it is removed BEFORE the
+    # data file in the returned (chronological) deletion order
+    assert [p.split("/")[-1] for p in removed] == ["2.compact", "c.parquet"]
+    import os
+
+    assert os.path.exists(files["a"]) and os.path.exists(files["b"])
+    assert not os.path.exists(files["c"])
+    assert sorted(p.name for p in meta.iterdir()) == ["0", "1"]
