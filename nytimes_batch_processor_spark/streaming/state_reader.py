@@ -190,7 +190,10 @@ def rollback_file_sink(
     guessing. CRASH ORDER: log entries are deleted FIRST, highest batch
     id first, data files after — a kill at any point leaves the log a
     consistent prefix (worst case: orphaned data files no kept log
-    references, which readers ignore and a re-run cleans), never a
+    references, which log-honoring readers ignore and which a RE-RUN of
+    this function deletes — the final pass reconciles the directory
+    listing against the remaining log instead of trusting the dropped
+    entries' file lists), never a
     committed entry whose files are gone (that would both break reads
     AND make a restarted stream skip re-writing the batch, since the
     sink skips any batchId <= its log's latest entry). Works on any
@@ -219,50 +222,56 @@ def rollback_file_sink(
             )
 
     dropped = {b: v for b, v in logs.items() if b > to_batch_id}
-    if not dropped:
-        return []
     kept = {b: v for b, v in logs.items() if b <= to_batch_id}
-    # SAFETY: every batch 0..to_batch_id must still be covered by a kept
-    # log — either its own entry, or a kept compact at a later-or-equal
-    # batch id (compacts re-list everything up to themselves).
-    max_kept_compact = max(
-        (b for b, entries in kept.items() if any(c for _, c in entries)),
-        default=-1,
-    )
-    for b in range(0, to_batch_id + 1):
-        if b not in kept and b > max_kept_compact:
-            raise RuntimeError(
-                f"cannot roll back sink to batch {to_batch_id}: batch {b}'s "
-                f"log entry was compacted into a batch > {to_batch_id} and "
-                "its standalone entry is gone — trimming would destroy "
-                "committed history; roll back to a batch covered by the "
-                "remaining log instead"
-            )
+    if dropped:
+        # SAFETY: every batch 0..to_batch_id must still be covered by a
+        # kept log — either its own entry, or a kept compact at a
+        # later-or-equal batch id (compacts re-list everything up to
+        # themselves).
+        max_kept_compact = max(
+            (b for b, entries in kept.items() if any(c for _, c in entries)),
+            default=-1,
+        )
+        for b in range(0, to_batch_id + 1):
+            if b not in kept and b > max_kept_compact:
+                raise RuntimeError(
+                    f"cannot roll back sink to batch {to_batch_id}: batch "
+                    f"{b}'s log entry was compacted into a batch > "
+                    f"{to_batch_id} and its standalone entry is gone — "
+                    "trimming would destroy committed history; roll back "
+                    "to a batch covered by the remaining log instead"
+                )
 
     def _log_files(log_path) -> set[str]:
-        # driver-side read: the entries are KB-sized; launching a Spark
-        # job per metadata file would cost a scheduler round-trip each
+        # driver-side LINE-STREAMED read (no Spark job per entry, and
+        # bounded memory — a .compact re-lists every live sink file, so
+        # materializing it as one string would scale with the sink)
         out: set[str] = set()
-        stream = fs.open(log_path)
+        reader = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(fs.open(log_path), "UTF-8")
+        )
         try:
-            text = jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
-            )
+            while True:
+                line = reader.readLine()
+                if line is None:
+                    break
+                s = line.strip()
+                if not s or s.startswith("v"):
+                    continue
+                entry = json.loads(s)
+                if entry.get("action", "add") == "add":
+                    out.add(entry["path"])
         finally:
-            stream.close()
-        for line in text.splitlines():
-            s = line.strip()
-            if not s or s.startswith("v"):
-                continue
-            entry = json.loads(s)
-            if entry.get("action", "add") == "add":
-                out.add(entry["path"])
+            reader.close()
         return out
+
+    def _norm(uri: str) -> str:
+        return hpath(uri).toUri().getPath()
 
     kept_files: set[str] = set()
     for entries in kept.values():
         for p, _ in entries:
-            kept_files |= _log_files(p)
+            kept_files |= {_norm(f) for f in _log_files(p)}
 
     removed: list[str] = []
 
@@ -275,17 +284,33 @@ def rollback_file_sink(
         if fs.exists(crc):
             fs.delete(crc, False)
 
-    # pass 1: read the dropped entries' file lists, then un-commit the
-    # LOG first (highest batch id first — the log's latest entry only
-    # ever moves down toward the target, so any crash point is a
-    # consistent state); pass 2: delete the now-unreferenced files.
-    drop_files: set[str] = set()
-    for b in sorted(dropped, reverse=True):
-        for p, _ in dropped[b]:
-            drop_files |= _log_files(p)
+    # pass 1: un-commit the dropped LOG entries, highest batch id first
+    # (the log's latest entry only ever moves down toward the target, so
+    # any crash point is a consistent state).
     for b in sorted(dropped, reverse=True):
         for p, _ in sorted(dropped[b], key=lambda e: str(e[0])):
             _delete(p)
-    for f in sorted(drop_files - kept_files):
-        _delete(hpath(f))
+    # pass 2: reconcile — delete every data file under the sink that NO
+    # remaining log entry references. Listing the directory (rather
+    # than trusting the dropped entries' file lists) makes a re-run
+    # after a mid-rollback kill clean the orphans whose log entries a
+    # previous attempt already removed; with the stream stopped (the
+    # offline-repair precondition) an unreferenced file is either
+    # rolled-back or uncommitted-in-flight output, and replay rewrites
+    # both.
+    def _data_files(dir_path) -> list:
+        out = []
+        for st in fs.listStatus(dir_path):
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue  # _spark_metadata, _temporary, hidden/crc
+            if st.isDirectory():
+                out.extend(_data_files(st.getPath()))
+            else:
+                out.append(st.getPath())
+        return out
+
+    for p in sorted(_data_files(hpath(sink_path)), key=lambda q: str(q)):
+        if _norm(str(p)) not in kept_files:
+            _delete(p)
     return removed

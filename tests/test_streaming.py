@@ -1315,3 +1315,13 @@ def test_file_sink_rollback_compact_keeps_relisted_history(spark, tmp_path):
     assert os.path.exists(files["a"]) and os.path.exists(files["b"])
     assert not os.path.exists(files["c"])
     assert sorted(p.name for p in meta.iterdir()) == ["0", "1"]
+
+    # crash-retry reconcile: a mid-rollback kill can leave data files
+    # whose log entries a previous attempt already deleted (no dropped
+    # log references them anymore) — a RE-RUN must still sweep them
+    orphan = sink / "orphan.parquet"
+    orphan.write_text("x")
+    removed2 = rollback_file_sink(spark, str(sink), to_batch_id=1)
+    assert [p.split("/")[-1] for p in removed2] == ["orphan.parquet"]
+    assert not orphan.exists()
+    assert os.path.exists(files["a"]) and os.path.exists(files["b"])
