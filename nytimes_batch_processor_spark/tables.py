@@ -939,7 +939,7 @@ def scan_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, persist parquet/bucketed for every later query" (the
     ingest.py chain's pattern)."""
     t = load_tables(spark, sf_dir, "documents")
-    path = warehouse_scratch_path(spark, "documents_jsonl")
+    path = warehouse_scratch_path(spark, "documents_jsonl", sf_dir)
     t.documents.write.mode("overwrite").json(path)
     schema = T.StructType(
         [

@@ -350,12 +350,9 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
     cell-partitioned IVF index — the exact probe_ivf_index subplan of
     operators/similarity.py::sim_incremental_probe."""
     from nytimes_batch_processor_spark.operators.similarity import (
+        _IVF_FIXED_NPROBE,
         _SIM_PROBE_DUP_COS,
         probe_ivf_index,
-    )
-
-    from nytimes_batch_processor_spark.operators.similarity import (
-        _IVF_FIXED_NPROBE,
     )
 
     index = spark.read.parquet(index_path)
