@@ -7,7 +7,7 @@ serving path (sim_ann_ivf_q8_serve), simhash band collisions
 containment join (candidate growth), the ITERATIVE families (VERDICT
 r7 item 5): PageRank wall/edge growth over a k-replicated trade graph
 and large-star/small-star connected components, whose rounds must grow
-O(log n), never O(n) — plus three r11 families with DIFFERENT scaling
+O(log n), never O(n) — plus the r11 families with DIFFERENT scaling
 axes:
 
 - incremental near-dup probe (`dedup_incremental_probe`): the CORPUS
@@ -18,6 +18,11 @@ axes:
 - incremental ANN probe (`sim_incremental_probe`): same batch-scaled
   axis against the FIXED cell-partitioned IVF index — candidates and
   dup-admitted queries linear in batch size;
+- index-scaled probes (`ix_*`, late r11): the reverse axis — a FIXED
+  base batch against x1/x2/x10 corpus indexes. MinHash candidates
+  must stay ~flat (shingle-disjoint replicas can only add candidates
+  via bucket degeneration); IVF candidates grow ~linearly (probed-cell
+  occupancy), dup admissions ~flat; never batch x corpus;
 - partition-scoped MERGE (`merge_into_partitioned`): a FIXED change
   batch lands on x1/x2/x10 base tables whose replicas occupy DISJOINT
   month partitions — partitions_rewritten and row counters must be
@@ -383,6 +388,88 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
     }
 
 
+def index_scaled_probe_measure(spark, k: int, sf_dir: str) -> dict:
+    """The OTHER axis of the incremental-probe story (the batch-scaled
+    families hold the index fixed): a FIXED base batch probed against
+    an index built from the x`k` corpus. Expected shapes under the
+    perturbed replication: MinHash candidates/matches stay ~FLAT (the
+    replicas are shingle-disjoint with the base batch by construction,
+    so corpus growth may only add candidates through band-bucket
+    degeneration — exactly the failure the gate's <= 2*factor bound
+    would catch); IVF candidates grow ~linearly (probed-cell occupancy
+    is ~nprobe/k of the corpus — rotated replicas fill cells uniformly
+    but score ~orthogonal, so dup admissions stay ~flat). Neither may
+    ever approach a batch x corpus product. Per-scale indexes build
+    under SCALE_ROOT with the same build_minhash_index /
+    build_ivf_parquet_index writers the catalog entries persist."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _PROBE_BATCH_MOD,
+        _band_hash_cols,
+        build_minhash_index,
+        minhash_signatures,
+        probe_candidate_pairs,
+        probe_minhash_index,
+    )
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _IVF_FIXED_NPROBE,
+        _SIM_PROBE_DUP_COS,
+        _SIM_PROBE_MOD,
+        build_ivf_parquet_index,
+        probe_ivf_index,
+    )
+
+    mh_path = os.path.join(SCALE_ROOT, f"probe_index_x{k}")
+    build_minhash_index(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % _PROBE_BATCH_MOD != 0
+        ),
+        mh_path,
+    )
+    batch_sigs = (
+        minhash_signatures(_probe_batch(spark, 1), "doc_id", "text")
+        .select("doc_id", "sig", *_band_hash_cols())
+        .localCheckpoint(eager=True)
+    )
+    index = spark.read.parquet(mh_path)
+    t0 = time.perf_counter()
+    n_matches = probe_minhash_index(index, batch_sigs).count()
+    mh_wall = round(time.perf_counter() - t0, 3)
+    n_cand = probe_candidate_pairs(index, batch_sigs).count()
+    batch_sigs.unpersist(blocking=False)
+
+    ivf_path = os.path.join(SCALE_ROOT, f"ann_probe_index_x{k}")
+    build_ivf_parquet_index(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+            F.col("vec_id") % _SIM_PROBE_MOD != 0
+        ),
+        ivf_path,
+    )
+    ann_batch = _ann_probe_batch(spark, 1).localCheckpoint(eager=True)
+    n_batch = ann_batch.count()
+    ann_index = spark.read.parquet(ivf_path)
+    t0 = time.perf_counter()
+    scored = probe_ivf_index(
+        ann_index, ann_batch, n_probe_rows=n_batch * _IVF_FIXED_NPROBE
+    )
+    ann_dup = (
+        scored.filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
+        .select("qid")
+        .distinct()
+        .count()
+    )
+    ann_wall = round(time.perf_counter() - t0, 3)
+    ann_cand = scored.count()
+    ann_batch.unpersist(blocking=False)
+    return {
+        "ix_probe_candidates": n_cand,
+        "ix_probe_matches": n_matches,
+        "ix_probe_wall_sec": mh_wall,
+        "ix_ann_candidates": ann_cand,
+        "ix_ann_dup_queries": ann_dup,
+        "ix_ann_wall_sec": ann_wall,
+    }
+
+
 def merge_scale_measure(spark, k: int) -> dict:
     """MERGE family (VERDICT r10 item 5): a FIXED change batch (derived
     from replica 0 only) merged into a x`k` base table whose replicas
@@ -511,6 +598,10 @@ COUNT_KEYS = (
     "probe_matches",
     "ann_probe_candidates",
     "ann_probe_dup_queries",
+    "ix_probe_candidates",
+    "ix_probe_matches",
+    "ix_ann_candidates",
+    "ix_ann_dup_queries",
 )
 WALL_KEYS = (
     "minhash_wall_sec",
@@ -523,6 +614,8 @@ WALL_KEYS = (
     "cc_wall_sec",
     "probe_wall_sec",
     "ann_probe_wall_sec",
+    "ix_probe_wall_sec",
+    "ix_ann_wall_sec",
     "merge_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
@@ -722,6 +815,8 @@ def main() -> None:
         # batch vs month-disjoint replicated base table
         row.update(probe_scale_measure(spark, k, index_path))
         row.update(ann_probe_scale_measure(spark, k, ann_index_path))
+        # the index-scaled axis: FIXED base batch, x`k` corpus index
+        row.update(index_scaled_probe_measure(spark, k, sf_dir))
         row.update(merge_scale_measure(spark, k))
 
         results[f"x{k}"] = row
