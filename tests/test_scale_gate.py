@@ -11,11 +11,19 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
-from scale_bench import COUNT_KEYS, MERGE_EQ_KEYS, WALL_KEYS, compute_gate  # noqa: E402
+from scale_bench import (  # noqa: E402
+    COUNT_KEYS,
+    FLAT_KEYS,
+    MERGE_EQ_KEYS,
+    WALL_KEYS,
+    compute_gate,
+)
 
 
 def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int = 9) -> dict:
     row = {k: int(1000 * scale * count_mult) for k in COUNT_KEYS}
+    # flat-expected counts: a fixed batch vs a grown index holds steady
+    row.update({k: 1000 for k in FLAT_KEYS})
     row.update({k: 1.0 * scale for k in WALL_KEYS})
     row["cc_rounds"] = rounds
     # MERGE counters are scale-INVARIANT by design (fixed change batch)
@@ -67,3 +75,21 @@ def test_rounds_gate_bounds_log_growth():
     assert ok["rounds_ok"] and ok["linear_ok"]  # +4: the log2(10) worst case
     bad = compute_gate({"x1": _row(1, rounds=4), "x10": _row(10, rounds=9)}, 10, "b")
     assert not bad["rounds_ok"] and not bad["linear_ok"]  # O(n)-ish walking
+
+
+def test_flat_keys_gate_at_constant_bound():
+    """The index-scaled flat invariants (fixed batch vs grown corpus
+    index) are gated at a CONSTANT 2x, not the linear 2*factor bound —
+    a MinHash candidate mass that merely doubles under a x10
+    shingle-disjoint corpus is already band-bucket degeneration the
+    linear bound would wave through."""
+    ok_hi = _row(10)
+    for k in FLAT_KEYS:
+        ok_hi[k] = 2000  # exactly 2x: allowed
+    assert compute_gate({"x1": _row(1), "x10": ok_hi}, 10, "b")["linear_ok"]
+    bad_hi = _row(10)
+    bad_hi["ix_probe_candidates"] = 2100  # 2.1x flat drift: fails
+    out = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
+    assert not out["linear_ok"]
+    # ...even though 2.1x is far inside the LINEAR families' 20x bound
+    assert out["ratios_x10_over_x1"]["ix_probe_candidates"] == 2.1

@@ -388,34 +388,42 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
     }
 
 
-def index_scaled_probe_measure(spark, k: int, sf_dir: str) -> dict:
+def index_scaled_probe_measure(spark, k: int, sf_dir: str, base_row: dict) -> dict:
     """The OTHER axis of the incremental-probe story (the batch-scaled
     families hold the index fixed): a FIXED base batch probed against
     an index built from the x`k` corpus. Expected shapes under the
     perturbed replication: MinHash candidates/matches stay ~FLAT (the
     replicas are shingle-disjoint with the base batch by construction,
     so corpus growth may only add candidates through band-bucket
-    degeneration — exactly the failure the gate's <= 2*factor bound
-    would catch); IVF candidates grow ~linearly (probed-cell occupancy
-    is ~nprobe/k of the corpus — rotated replicas fill cells uniformly
-    but score ~orthogonal, so dup admissions stay ~flat). Neither may
-    ever approach a batch x corpus product. Per-scale indexes build
-    under SCALE_ROOT with the same build_minhash_index /
-    build_ivf_parquet_index writers the catalog entries persist."""
+    degeneration — caught by the FLAT_KEYS constant bound); IVF
+    candidates grow ~linearly (probed-cell occupancy is ~nprobe/k of
+    the corpus — rotated replicas fill cells uniformly but score
+    ~orthogonal, so dup admissions stay ~flat, also FLAT_KEYS-gated).
+    Neither may ever approach a batch x corpus product.
+
+    The measurement bodies ARE probe_scale_measure /
+    ann_probe_scale_measure at batch k=1 against a per-scale index (the
+    r8 rule: a re-implemented measurement desynchronizes from the real
+    workload), and at k=1 both axes coincide — this row's probe_* /
+    ann_probe_* values are the identical measurement, so they alias
+    (the q8 assert-then-alias precedent) instead of rebuilding the
+    base indexes and re-running the same joins."""
+    if k == 1:
+        return {
+            "ix_probe_candidates": base_row["probe_candidates"],
+            "ix_probe_matches": base_row["probe_matches"],
+            "ix_probe_wall_sec": base_row["probe_wall_sec"],
+            "ix_ann_candidates": base_row["ann_probe_candidates"],
+            "ix_ann_dup_queries": base_row["ann_probe_dup_queries"],
+            "ix_ann_wall_sec": base_row["ann_probe_wall_sec"],
+        }
     from nytimes_batch_processor_spark.operators.dedup import (
         _PROBE_BATCH_MOD,
-        _band_hash_cols,
         build_minhash_index,
-        minhash_signatures,
-        probe_candidate_pairs,
-        probe_minhash_index,
     )
     from nytimes_batch_processor_spark.operators.similarity import (
-        _IVF_FIXED_NPROBE,
-        _SIM_PROBE_DUP_COS,
         _SIM_PROBE_MOD,
         build_ivf_parquet_index,
-        probe_ivf_index,
     )
 
     mh_path = os.path.join(SCALE_ROOT, f"probe_index_x{k}")
@@ -425,17 +433,7 @@ def index_scaled_probe_measure(spark, k: int, sf_dir: str) -> dict:
         ),
         mh_path,
     )
-    batch_sigs = (
-        minhash_signatures(_probe_batch(spark, 1), "doc_id", "text")
-        .select("doc_id", "sig", *_band_hash_cols())
-        .localCheckpoint(eager=True)
-    )
-    index = spark.read.parquet(mh_path)
-    t0 = time.perf_counter()
-    n_matches = probe_minhash_index(index, batch_sigs).count()
-    mh_wall = round(time.perf_counter() - t0, 3)
-    n_cand = probe_candidate_pairs(index, batch_sigs).count()
-    batch_sigs.unpersist(blocking=False)
+    mh = probe_scale_measure(spark, 1, mh_path)
 
     ivf_path = os.path.join(SCALE_ROOT, f"ann_probe_index_x{k}")
     build_ivf_parquet_index(
@@ -444,29 +442,14 @@ def index_scaled_probe_measure(spark, k: int, sf_dir: str) -> dict:
         ),
         ivf_path,
     )
-    ann_batch = _ann_probe_batch(spark, 1).localCheckpoint(eager=True)
-    n_batch = ann_batch.count()
-    ann_index = spark.read.parquet(ivf_path)
-    t0 = time.perf_counter()
-    scored = probe_ivf_index(
-        ann_index, ann_batch, n_probe_rows=n_batch * _IVF_FIXED_NPROBE
-    )
-    ann_dup = (
-        scored.filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
-        .select("qid")
-        .distinct()
-        .count()
-    )
-    ann_wall = round(time.perf_counter() - t0, 3)
-    ann_cand = scored.count()
-    ann_batch.unpersist(blocking=False)
+    ann = ann_probe_scale_measure(spark, 1, ivf_path)
     return {
-        "ix_probe_candidates": n_cand,
-        "ix_probe_matches": n_matches,
-        "ix_probe_wall_sec": mh_wall,
-        "ix_ann_candidates": ann_cand,
-        "ix_ann_dup_queries": ann_dup,
-        "ix_ann_wall_sec": ann_wall,
+        "ix_probe_candidates": mh["probe_candidates"],
+        "ix_probe_matches": mh["probe_matches"],
+        "ix_probe_wall_sec": mh["probe_wall_sec"],
+        "ix_ann_candidates": ann["ann_probe_candidates"],
+        "ix_ann_dup_queries": ann["ann_probe_dup_queries"],
+        "ix_ann_wall_sec": ann["ann_probe_wall_sec"],
     }
 
 
@@ -598,9 +581,16 @@ COUNT_KEYS = (
     "probe_matches",
     "ann_probe_candidates",
     "ann_probe_dup_queries",
+    "ix_ann_candidates",
+)
+# Flat-expected counts: a FIXED batch against a grown corpus index may
+# not see its MinHash candidate/match mass move at all (shingle-disjoint
+# replicas), and ANN dup admissions are bounded by the batch — growth
+# here means band-bucket degeneration or an admission regression, which
+# the linear 2*factor bound would never catch. Gated at a CONSTANT 2x.
+FLAT_KEYS = (
     "ix_probe_candidates",
     "ix_probe_matches",
-    "ix_ann_candidates",
     "ix_ann_dup_queries",
 )
 WALL_KEYS = (
@@ -645,9 +635,12 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     # those to 1s would understate the recorded wall-growth ratios.
     ratios = {
         **{key: round(hi[key] / max(lo[key], 1), 2) for key in COUNT_KEYS},
+        **{key: round(hi[key] / max(lo[key], 1), 2) for key in FLAT_KEYS},
         **{key: round(hi[key] / max(lo[key], 1e-3), 2) for key in WALL_KEYS},
     }
-    linear_ok = all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS)
+    linear_ok = all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS) and all(
+        ratios[key] <= 2.0 for key in FLAT_KEYS
+    )
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
     return {
@@ -816,7 +809,8 @@ def main() -> None:
         row.update(probe_scale_measure(spark, k, index_path))
         row.update(ann_probe_scale_measure(spark, k, ann_index_path))
         # the index-scaled axis: FIXED base batch, x`k` corpus index
-        row.update(index_scaled_probe_measure(spark, k, sf_dir))
+        # (at x1 it aliases this row's probe_*/ann_probe_* measurement)
+        row.update(index_scaled_probe_measure(spark, k, sf_dir, row))
         row.update(merge_scale_measure(spark, k))
 
         results[f"x{k}"] = row
