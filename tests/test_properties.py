@@ -776,3 +776,68 @@ def test_quality_audit_verdicts_and_counts(spark, sf_dir):
         assert r.ok == (r.n_violations == 0), r
         assert r.n_checked == counts[r.tbl], r
         assert 0 <= r.n_violations <= r.n_checked, r
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+def test_probe_after_append_finds_every_admitted_doc(texts, mod_minus_one):
+    """Incremental-index admission invariant, for ARBITRARY tiny corpora
+    (the deterministic fixture round-trip lives in test_dedup_quality):
+    after append_to_minhash_index admits a batch, the very next probe
+    matches EVERY admitted doc (at minimum its own appended copy,
+    est_jaccard 1.0), and no pre-append match disappears — the index
+    only ever grows. Holds for any corpus/batch split, including an
+    empty corpus (first-ever batch against a schema-only index)."""
+    import tempfile
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _band_hash_cols,
+        append_to_minhash_index,
+        build_minhash_index,
+        minhash_signatures,
+        probe_minhash_index,
+    )
+
+    spark = _spark()
+    mod = mod_minus_one + 1
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    corpus = docs.filter(F.col("doc_id") % mod != 0)
+    batch = docs.filter(F.col("doc_id") % mod == 0)
+    path = tempfile.mkdtemp(prefix="mh_prop_")
+    build_minhash_index(corpus, path)
+
+    batch_sigs = minhash_signatures(batch, "doc_id", "text").select(
+        "doc_id", "sig", *_band_hash_cols()
+    )
+    before = {
+        (r["doc_id"], r["canon_id"])
+        for r in probe_minhash_index(
+            spark.read.parquet(path), batch_sigs
+        ).collect()
+    }
+    append_to_minhash_index(batch, path)
+    after = {
+        (r["doc_id"], r["canon_id"])
+        for r in probe_minhash_index(
+            spark.read.parquet(path), batch_sigs
+        ).collect()
+    }
+    assert before <= after, "append may never lose a pre-append match"
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert {q for q, _ in after} == batch_ids, (
+        f"admitted docs missing from post-append probe: "
+        f"{batch_ids - {q for q, _ in after}}"
+    )
