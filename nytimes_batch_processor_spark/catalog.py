@@ -101,49 +101,11 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r11: sim_ann_ivf_topk reshaped to the self-judging-boolean oracle
-    # (also auto-forced as never-hash-green, listed for the reader);
-    # approx_heavy_hitters_merge / text_bigram_lift switched their exact
-    # top-k from a global row_number window to orderBy().limit(k) +
-    # rank-the-survivors (values identical, plans re-verify).
-    # merge_cdc_upsert: merge_into_partitioned gained the premerge-aside
-    # heal (ADVICE r10 medium) — entry semantics unchanged, re-verify.
-    # The scan_*/table_*/ingest_* block: the round's self-review factored
-    # the warehouse scratch-path idiom (warehouse_scratch_path) and the
-    # shared derived-states oracle CTE/fixture out of these entries —
-    # semantics-preserving, but changed code re-verifies (the r4 lesson).
-    # (scan_jsonl_roundtrip / scan_orc_roundtrip, originally in this
-    # block, were consolidated into scan_text_formats_surface later in
-    # r11 — the new surface enters the window as never-swept instead.)
-    # sim_ann_ivf_fixed_topk / sim_ann_ivf_q8_serve: the late-r11
-    # self-review factored the centroid assignment / probe-cell ranking
-    # / oracle distance-literal idioms into _assign_cells,
-    # _ranked_probe_cells, _oracle_dist_list (bit-identical
-    # expressions, values unchanged) — changed code re-verifies.
-    # The dedup_*/graph_*/sim_ann_lsh/ivf_kmeans block: late-r11
-    # checkpoints.rotate moved to two-generation retention (ADVICE r10
-    # interleave hazard) — storage lifecycle only, values unchanged,
-    # but every entry rotating a checkpoint re-verifies.
-    11: (
-        "sim_ann_ivf_topk",
-        "sim_ann_ivf_fixed_topk",
-        "sim_ann_ivf_q8_serve",
-        "dedup_minhash_lsh",
-        "dedup_containment_prefix",
-        "dedup_resolve_surface",
-        "graph_pagerank_fixed",
-        "sim_ann_lsh_topk",
-        "ivf_kmeans_int_train",
-        "approx_heavy_hitters_merge",
-        "text_bigram_lift",
-        "merge_cdc_upsert",
-        "ingest_covid_states",
-        "ingest_lineage_audit",
-        "scan_xml_roundtrip",
-        "scan_binaryfile_metadata",
-        "scan_python_datasource_httpcsv",
-        "table_zorder_roundtrip",
-    ),
+    # r12 entries accumulate here as code changes this round; the r11
+    # block expired when CORRECTNESS_r11.json was recorded (the
+    # rnd < latest gate in tests/test_rotation.py) and was deleted as
+    # this round's first-commit hygiene step.
+    12: (),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
