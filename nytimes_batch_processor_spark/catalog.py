@@ -105,7 +105,18 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # block expired when CORRECTNESS_r11.json was recorded (the
     # rnd < latest gate in tests/test_rotation.py) and was deleted as
     # this round's first-commit hygiene step.
-    12: (),
+    # sim_ann_ivf_topk: ADVICE r11 — the in-query recall bound widened
+    # 0.5 -> 0.4 and the flag column renamed recall_ge_040 (schema
+    # change; the honest 0.5 bar moved to the pytest recall gate).
+    # dedup_incremental_probe / sim_incremental_probe: their
+    # session-cached index paths gained the per-app applicationId
+    # suffix (ADVICE r11 shared-warehouse race) — values unchanged,
+    # but changed code re-verifies (the r4 lesson).
+    12: (
+        "sim_ann_ivf_topk",
+        "dedup_incremental_probe",
+        "sim_incremental_probe",
+    ),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}

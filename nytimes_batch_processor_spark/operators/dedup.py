@@ -500,7 +500,7 @@ def minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _MINHASH_INDEX_CACHE.get(key)
     if path is None:
-        path = warehouse_scratch_path(spark, "minhash_index", sf_dir)
+        path = warehouse_scratch_path(spark, "minhash_index", sf_dir, per_app=True)
         t = load_tables(spark, sf_dir, "documents")
         corpus = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD != 0)
         build_minhash_index(corpus, path)

@@ -582,7 +582,7 @@ def ivf_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT CAST(vec_id AS BIGINT) AS query_id,
        CAST({k} AS BIGINT)    AS n_ann,
-       TRUE                   AS recall_ge_050,
+       TRUE                   AS recall_ge_040,
        TRUE                   AS scored_frac_le_60pct
 FROM embeddings WHERE vec_id < {nq}
 """.format(nq=N_QUERIES, k=TOP_K),
@@ -598,12 +598,17 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     - one row per query vector (absent row = ANN lost a query);
     - ``n_ann``: ANN results returned for the query (must be TOP_K —
       any short top-k list breaks the hash via the oracle's constant);
-    - ``recall_ge_050``: corpus-level recall@10 of the ANN pairs vs the
+    - ``recall_ge_040``: corpus-level recall@10 of the ANN pairs vs the
       in-query brute-force exact top-k (the same broadcast-query scoring
-      as `sim_cosine_topk_bruteforce`) is >= 0.5. Measured 0.58
-      (sf0.001) / 0.76 (sf0.01) on the worst-case random fixture, so the
-      bound holds with margin against k-means float-order wobble (the
-      same margin argument the pytest recall gate has used since r2);
+      as `sim_cosine_topk_bruteforce`) is >= 0.4. Measured 0.58
+      (sf0.001) / 0.76 (sf0.01) on the worst-case random fixture. The
+      driver-gate bound sits a full 0.18 below the worst measurement
+      (ADVICE r11: at 0.5 the sf0.001 margin was 0.08 — thin enough
+      that MLlib k-means float-order wobble could flip the hash in a
+      way indistinguishable from a regression); the honest 0.5 bar
+      lives in tests/test_dedup_quality.py's recall gate, where a
+      near-threshold value is printed and investigable rather than a
+      silent hash flip;
     - ``scored_frac_le_60pct``: scored candidates <= 60% of
       (queries x corpus) — the index must actually prune (measured
       ~30% scored at nprobe 4 of 16 cells).
@@ -644,7 +649,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall_row.crossJoin(F.broadcast(cand_row))
         .crossJoin(F.broadcast(corpus_row))
         .select(
-            (F.col("_recall") >= 0.5).alias("recall_ge_050"),
+            (F.col("_recall") >= 0.4).alias("recall_ge_040"),
             (
                 F.col("_n_scored") <= 0.6 * F.lit(N_QUERIES) * F.col("_n_corpus")
             ).alias("scored_frac_le_60pct"),
@@ -654,7 +659,7 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_ann")
     )
     return per_query.crossJoin(F.broadcast(flags)).select(
-        "query_id", "n_ann", "recall_ge_050", "scored_frac_le_60pct"
+        "query_id", "n_ann", "recall_ge_040", "scored_frac_le_60pct"
     )
 
 
@@ -1238,7 +1243,7 @@ def ivf_parquet_index_for(spark: SparkSession, sf_dir: str) -> str:
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _IVF_PARQUET_CACHE.get(key)
     if path is None:
-        path = warehouse_scratch_path(spark, "ivf_probe_index", sf_dir)
+        path = warehouse_scratch_path(spark, "ivf_probe_index", sf_dir, per_app=True)
         t = load_tables(spark, sf_dir, "embeddings")
         corpus = t.embeddings.filter(F.col("vec_id") % _SIM_PROBE_MOD != 0)
         build_ivf_parquet_index(corpus, path)

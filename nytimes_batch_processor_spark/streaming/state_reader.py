@@ -162,7 +162,11 @@ def rollback_checkpoint(
 
 
 def rollback_file_sink(
-    spark: SparkSession, sink_path: str, to_batch_id: int
+    spark: SparkSession,
+    sink_path: str,
+    to_batch_id: int,
+    *,
+    force_reconcile: bool = False,
 ) -> list[str]:
     """The SINK half of ``rollback_checkpoint`` for FILE sinks: trim the
     sink's own commit log (``_spark_metadata``) back to ``to_batch_id``
@@ -190,10 +194,13 @@ def rollback_file_sink(
     guessing. CRASH ORDER: log entries are deleted FIRST, highest batch
     id first, data files after — a kill at any point leaves the log a
     consistent prefix (worst case: orphaned data files no kept log
-    references, which log-honoring readers ignore and which a RE-RUN of
-    this function deletes — the final pass reconciles the directory
-    listing against the remaining log instead of trusting the dropped
-    entries' file lists), never a
+    references, which log-honoring readers ignore and which a RE-RUN
+    with ``force_reconcile=True`` deletes — the final pass reconciles
+    the directory listing against the remaining log instead of trusting
+    the dropped entries' file lists; the flag is required on re-run
+    because a rollback that drops no log entries otherwise refuses the
+    reconcile sweep, since against a live stream log-unreferenced files
+    are in-flight task output, not orphans — ADVICE r11), never a
     committed entry whose files are gone (that would both break reads
     AND make a restarted stream skip re-writing the batch, since the
     sink skips any batchId <= its log's latest entry). Works on any
@@ -223,6 +230,19 @@ def rollback_file_sink(
 
     dropped = {b: v for b, v in logs.items() if b > to_batch_id}
     kept = {b: v for b, v in logs.items() if b <= to_batch_id}
+    if not dropped and not force_reconcile:
+        # No-op rollback (to_batch_id >= the sink's latest committed
+        # batch): nothing to un-commit, so the reconcile pass below
+        # would ONLY delete log-unreferenced files — which, against a
+        # live stream, are in-flight task output about to be committed
+        # (ADVICE r11: nothing else enforces the documented
+        # stopped-stream precondition on this path). Deleting them here
+        # repairs nothing and can corrupt a running job, so refuse the
+        # sweep unless the caller explicitly asserts the stream is
+        # stopped and wants orphans cleaned (force_reconcile=True —
+        # e.g. re-running after a mid-rollback kill whose first attempt
+        # already trimmed the log to the target).
+        return []
     if dropped:
         # SAFETY: every batch 0..to_batch_id must still be covered by a
         # kept log — either its own entry, or a kept compact at a

@@ -54,14 +54,29 @@ CREATE TABLE IF NOT EXISTS {name} (
 """
 
 
-def warehouse_scratch_path(spark: SparkSession, name: str, sf_dir: str | None = None) -> str:
+def warehouse_scratch_path(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str | None = None,
+    *,
+    per_app: bool = False,
+) -> str:
     """Scratch path under the session warehouse for entry-staged data:
-    ``<warehouse>/engine_<name>[_<md5(sf_dir)[:12]>]``. Strips the
-    ``file:``/``file://`` scheme so Spark writers and plain-path readers
-    agree on the literal local path; keying by ``sf_dir`` prevents
-    concurrent invocations at different scale factors racing one shared
-    overwrite-then-read directory. ONE copy of the idiom (self-review
-    r11: it had been pasted verbatim at eight sites)."""
+    ``<warehouse>/engine_<name>[_<md5(sf_dir)[:12]>][_<appId>]``. Strips
+    the ``file:``/``file://`` scheme so Spark writers and plain-path
+    readers agree on the literal local path; keying by ``sf_dir``
+    prevents concurrent invocations at different scale factors racing
+    one shared overwrite-then-read directory. ONE copy of the idiom
+    (self-review r11: it had been pasted verbatim at eight sites).
+
+    ``per_app=True`` additionally keys by the Spark applicationId —
+    required for any path CACHED for the session's lifetime (the
+    persisted MinHash/IVF probe indexes): an entry-scoped scratch dir
+    is written and read within one invocation, but a session-cached
+    index is read for as long as the session lives, so two concurrent
+    applications sharing a warehouse dir at the same sf could race
+    one's build (mode=overwrite) against the other's probe reads
+    (ADVICE r11)."""
     warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
     for scheme in ("file://", "file:"):
         if warehouse.startswith(scheme):
@@ -69,6 +84,8 @@ def warehouse_scratch_path(spark: SparkSession, name: str, sf_dir: str | None = 
             break
     if sf_dir is not None:
         name = f"{name}_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+    if per_app:
+        name = f"{name}_{spark.sparkContext.applicationId}"
     return f"{warehouse}/engine_{name}"
 
 

@@ -4,7 +4,7 @@ Generated inputs are tiny; each example is one local Spark job."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from pyspark.sql import Window as W, functions as F
 
@@ -789,8 +789,9 @@ def test_quality_audit_verdicts_and_counts(spark, sf_dir):
         min_size=2,
         max_size=10,
     ),
-    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=0, max_value=4),
 )
+@example(texts=["alpha beta", "gamma delta"], mod_minus_one=0)
 def test_probe_after_append_finds_every_admitted_doc(texts, mod_minus_one):
     """Incremental-index admission invariant, for ARBITRARY tiny corpora
     (the deterministic fixture round-trip lives in test_dedup_quality):
@@ -798,7 +799,10 @@ def test_probe_after_append_finds_every_admitted_doc(texts, mod_minus_one):
     matches EVERY admitted doc (at minimum its own appended copy,
     est_jaccard 1.0), and no pre-append match disappears — the index
     only ever grows. Holds for any corpus/batch split, including an
-    empty corpus (first-ever batch against a schema-only index)."""
+    empty corpus: mod=1 (mod_minus_one=0) sends EVERY doc_id to the
+    batch side, so the build writes a schema-only index — the
+    first-ever-batch branch ADVICE r11 found the old mod>=2 generators
+    could never reach (doc_id 1 was always in the corpus)."""
     import tempfile
 
     from nytimes_batch_processor_spark.operators.dedup import (

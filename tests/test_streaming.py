@@ -1318,10 +1318,18 @@ def test_file_sink_rollback_compact_keeps_relisted_history(spark, tmp_path):
 
     # crash-retry reconcile: a mid-rollback kill can leave data files
     # whose log entries a previous attempt already deleted (no dropped
-    # log references them anymore) — a RE-RUN must still sweep them
+    # log references them anymore). A plain re-run drops no log entries,
+    # so it must REFUSE the reconcile sweep (against a live stream,
+    # log-unreferenced files are in-flight output — ADVICE r11); the
+    # explicit force_reconcile flag is the stopped-stream assertion
+    # that unlocks the orphan sweep.
     orphan = sink / "orphan.parquet"
     orphan.write_text("x")
-    removed2 = rollback_file_sink(spark, str(sink), to_batch_id=1)
+    assert rollback_file_sink(spark, str(sink), to_batch_id=1) == []
+    assert orphan.exists(), "no-op rollback must not touch unreferenced files"
+    removed2 = rollback_file_sink(
+        spark, str(sink), to_batch_id=1, force_reconcile=True
+    )
     assert [p.split("/")[-1] for p in removed2] == ["orphan.parquet"]
     assert not orphan.exists()
     assert os.path.exists(files["a"]) and os.path.exists(files["b"])
