@@ -482,8 +482,25 @@ def append_to_minhash_index(docs: DataFrame, path: str) -> None:
     next probe finds the admitted documents' bands immediately. At
     100 TB this is the steady-state write path (admission after
     `dedup_incremental_probe` says 'new'); periodic compaction of the
-    small appended files is `tables.compact_parquet`'s existing job."""
+    small appended files is `compact_minhash_index` below."""
     _write_minhash_index(docs, path, "append")
+
+
+def compact_minhash_index(spark: SparkSession, path: str, target_files: int = 8) -> int:
+    """MAINTENANCE for the append-grown MinHash index (VERDICT r11
+    item 2): every `append_to_minhash_index` adds a parquet file-set,
+    so an admission-heavy index accretes small files until every probe
+    wastes a scan task per tiny file. This rewrites the index down to
+    ``target_files`` via `tables.compact_parquet` (flat layout →
+    coalesce, no shuffle, atomic two-rename swap) and returns the
+    post-compaction file count. Probe results are BYTE-IDENTICAL
+    before/after — the index is a plain row set keyed by (doc_id, sig,
+    band hashes) and compaction only repacks rows into fewer files
+    (pinned by tests/test_sinks_tables.py). Run it between probe
+    windows, like any offline table maintenance."""
+    from ..tables import compact_parquet
+
+    return compact_parquet(spark, path, target_files)
 
 
 # (applicationId, sf_dir) -> index path; built once per session/corpus
@@ -664,6 +681,233 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias("n_matches"),
         )
     )
+
+
+def admit_minhash_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_docs: DataFrame,
+    admitted_path: str | None = None,
+) -> DataFrame:
+    """ONE near-dup ADMISSION step over the persisted MinHash index —
+    the composition VERDICT r11 item 3 asked for, shared verbatim by
+    the batch twin (`stream_admission_twin`) and the streaming sink
+    (`streaming.pipeline.foreach_batch_admission`): sign the arriving
+    batch map-only, probe the index (band equi-join, never
+    batch x corpus), canonicalize within the batch, admit what matched
+    nothing, and grow the index with the admissions. Returns the
+    batch's admission LEDGER ``(doc_id, status 'admitted'/'dup',
+    canon_id)``.
+
+    Semantics (the generalization of the reference's keyed
+    first-write-wins admission, W3 ``…kt:138-141``, from exact keys to
+    near-dup content):
+
+    - a doc is a DUP if it est-Jaccard>=0.9-matches anything already
+      in the index, OR a smaller-doc_id member of its own batch (the
+      standard canonicalize-by-min within-batch rule: if A was itself
+      rejected against the index, B~A is transitively a near-dup of
+      indexed content — admitting B would re-admit what A was rejected
+      for); ``canon_id`` is the minimum matched id across both sources;
+    - ADMITTED docs are appended to ``admitted_path`` (idempotent: a
+      doc_id already in the sink is anti-joined away, the W3 pattern)
+      and then to the index via `append_to_minhash_index`.
+
+    EXACTLY-ONCE story under foreachBatch's at-least-once replay — the
+    ordering is load-bearing, ledger -> SINK -> INDEX:
+
+    1. the ledger is pinned (eager localCheckpoint) BEFORE any write —
+       a lazy ledger evaluated after the index append would re-probe
+       the grown index and verdict every admission 'dup';
+    2. the sink write precedes the index append: a crash between them
+       replays the batch against an index that does NOT yet contain it
+       -> same admissions -> sink anti-join no-ops, index append
+       completes. The reverse order would lose documents (replay sees
+       the batch's own copies in the index, verdicts 'dup', and never
+       writes the sink);
+    3. a replay AFTER both writes verdicts every doc 'dup' against its
+       own indexed copy -> both writes no-op. Any crash point
+       converges to the same final sink + index state.
+
+    Scale: probe cost is O(batch bands x touched-bucket occupancy),
+    identical to `dedup_incremental_probe`; the within-batch
+    self-probe is batch x batch band-bucketed, negligible at CDC batch
+    sizes. Index small-file accretion (one file-set per admitted
+    batch) is `compact_minhash_index`'s job between probe windows."""
+    from ..ingest import target_exists
+
+    batch_sigs = (
+        minhash_signatures(batch_docs, "doc_id", "text")
+        .select("doc_id", "sig", *_band_hash_cols())
+        .localCheckpoint(eager=True)  # probed twice + admit join
+    )
+    index = spark.read.parquet(index_path)
+    idx_matches = probe_minhash_index(index, batch_sigs)
+    self_matches = probe_minhash_index(batch_sigs, batch_sigs).filter(
+        F.col("canon_id") < F.col("doc_id")
+    )
+    agg = (
+        idx_matches.unionByName(self_matches)
+        .groupBy("doc_id")
+        .agg(
+            F.min("canon_id").alias("canon_id"),
+            F.countDistinct("canon_id").alias("n_matches"),
+        )
+    )
+    ledger = (
+        batch_sigs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("canon_id").isNull(), F.lit("admitted"))
+            .otherwise(F.lit("dup"))
+            .alias("status"),
+            "canon_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+        )
+        .localCheckpoint(eager=True)  # pin verdicts BEFORE mutating state
+    )
+    admitted_ids = ledger.filter(F.col("status") == "admitted").select("doc_id")
+    admitted_docs = batch_docs.join(admitted_ids, "doc_id")
+    if admitted_path is not None:
+        if target_exists(spark, admitted_path):
+            existing = spark.read.parquet(admitted_path).select("doc_id")
+            to_insert = admitted_docs.join(existing, "doc_id", "left_anti")
+        else:
+            to_insert = admitted_docs
+        to_insert.write.mode("append").parquet(admitted_path)
+    append_to_minhash_index(admitted_docs, index_path)
+    return ledger
+
+
+# Admission-twin split over doc_id % 5: corpus = residue 4, the stream
+# = residues 0-3 in two micro-batches. Chosen by measurement (r12): the
+# small corpus leaves whole near-dup clusters inside the stream, so at
+# sf0.01 five-plus batch-1 verdicts depend ENTIRELY on batch-0
+# admissions having entered the index — a broken append flips their
+# status and the driver hash. (The first-draft 80%-corpus split left
+# every batch-0 admission a cluster singleton: zero growth signal.)
+_ADMIT_CORPUS_RES = 4
+_ADMIT_BATCHES = ((0, 1), (2, 3))
+
+
+def _admission_oracle() -> str:
+    """DuckDB twin of the two-micro-batch admission run: the sequential
+    index-growth semantics unrolled as CTEs — batch 0 probes the
+    initial corpus plus its own earlier members; batch 1 probes
+    corpus + batch-0 ADMISSIONS (m0's complement) + its own earlier
+    members. Rejected batch-0 docs are correctly invisible to batch 1
+    (they never entered the index)."""
+    agree = _minhash_agree_sql()
+    cor = _ADMIT_CORPUS_RES
+    b0 = ", ".join(map(str, _ADMIT_BATCHES[0]))
+    b1 = ", ".join(map(str, _ADMIT_BATCHES[1]))
+    return f"""WITH {_minhash_sig_ctes()},
+cand AS (
+    SELECT DISTINCT a.doc_id AS qid, b.doc_id AS cid
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id % 5 <> {cor} AND a.doc_id <> b.doc_id
+),
+ver AS (
+    SELECT c.qid, c.cid
+    FROM cand c
+    JOIN sigs s1 ON s1.doc_id = c.qid
+    JOIN sigs s2 ON s2.doc_id = c.cid
+    WHERE ({agree}) / {_MINHASH_PERMS}.0 >= 0.9
+),
+m0 AS (
+    SELECT qid, MIN(cid) AS canon_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM ver
+    WHERE qid % 5 IN ({b0})
+      AND (cid % 5 = {cor} OR (cid % 5 IN ({b0}) AND cid < qid))
+    GROUP BY qid
+),
+adm0 AS (
+    SELECT doc_id FROM sigs
+    WHERE doc_id % 5 IN ({b0}) AND doc_id NOT IN (SELECT qid FROM m0)
+),
+m1 AS (
+    SELECT qid, MIN(cid) AS canon_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM ver
+    WHERE qid % 5 IN ({b1})
+      AND (cid % 5 = {cor}
+           OR cid IN (SELECT doc_id FROM adm0)
+           OR (cid % 5 IN ({b1}) AND cid < qid))
+    GROUP BY qid
+)
+SELECT s.doc_id,
+       CAST(0 AS BIGINT) AS batch,
+       CASE WHEN m.canon_id IS NULL THEN 'admitted' ELSE 'dup' END AS status,
+       m.canon_id,
+       COALESCE(m.n_matches, CAST(0 AS BIGINT)) AS n_matches
+FROM sigs s LEFT JOIN m0 m ON m.qid = s.doc_id
+WHERE s.doc_id % 5 IN ({b0})
+UNION ALL
+SELECT s.doc_id,
+       CAST(1 AS BIGINT) AS batch,
+       CASE WHEN m.canon_id IS NULL THEN 'admitted' ELSE 'dup' END AS status,
+       m.canon_id,
+       COALESCE(m.n_matches, CAST(0 AS BIGINT)) AS n_matches
+FROM sigs s LEFT JOIN m1 m ON m.qid = s.doc_id
+WHERE s.doc_id % 5 IN ({b1})"""
+
+
+@query(
+    "stream_admission_twin",
+    tables=("documents",),
+    oracle=_admission_oracle(),
+)
+def stream_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING ADMISSION pipeline (VERDICT r11
+    item 3) — the production shape the reference's 15-minute loop
+    (deploy.sh:29) scales to: every arriving micro-batch probes the
+    persisted near-dup index, admits only what matched nothing, and
+    grows the index with its admissions, so later batches dedup
+    against earlier ones without any corpus rescan.
+
+    Derivation (both sides replay the sequential index growth):
+    initial corpus = documents with doc_id % 5 == 4, indexed fresh at
+    a per-invocation scratch path; two micro-batches (residues {0,1},
+    then {2,3}) run through `admit_minhash_batch` — the EXACT function
+    `streaming.pipeline.foreach_batch_admission` gives foreachBatch
+    (the real-stream run of the same composition lives in
+    tests/test_streaming.py). Output: the concatenated admission
+    ledgers, one row per batch doc (token-less docs excluded as in
+    every MinHash entry) — batch id, 'admitted'/'dup', canonical
+    matched id or NULL, match count. A batch-1 doc near-dupping a
+    batch-0 ADMISSION verdicts 'dup' (the index grew — measured 5+
+    batch-1 verdicts at sf0.01 flip on this alone, see
+    _ADMIT_CORPUS_RES); one near-dupping a batch-0 REJECT does not
+    match it (rejects never enter the index).
+
+    Scale: two probe-shaped jobs (band equi-joins) + two map-only
+    appends; nothing rescans the corpus. The streaming form inherits
+    exactly-once from `admit_minhash_batch`'s ledger->sink->index
+    ordering (see its docstring)."""
+    t = load_tables(spark, sf_dir, "documents")
+    from ..tables import warehouse_scratch_path
+
+    path = warehouse_scratch_path(spark, "admission_index", sf_dir, per_app=True)
+    build_minhash_index(
+        t.documents.filter(F.col("doc_id") % 5 == _ADMIT_CORPUS_RES), path
+    )
+    ledgers = []
+    for b, residues in enumerate(_ADMIT_BATCHES):
+        batch = t.documents.filter((F.col("doc_id") % 5).isin(*residues))
+        led = admit_minhash_batch(spark, path, batch)
+        ledgers.append(
+            led.select(
+                "doc_id",
+                F.lit(b).cast("long").alias("batch"),
+                "status",
+                "canon_id",
+                "n_matches",
+            )
+        )
+    return ledgers[0].unionByName(ledgers[1])
 
 
 _SIMHASH_BITS = 48  # stays clear of the long sign bit

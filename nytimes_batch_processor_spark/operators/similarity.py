@@ -1225,8 +1225,63 @@ def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
     re-assignment, and the next probe's cell join sees the admitted
     vectors immediately (their cells' directories just gained files).
     ``new_vectors`` carries the raw ``(vec_id, embedding)`` shape; the
-    steady-state write path after `sim_incremental_probe` says 'new'."""
+    steady-state write path after `sim_incremental_probe` says 'new'.
+    Periodic small-file compaction + the occupancy-skew check are
+    `compact_ivf_index` below."""
     _write_ivf_index(new_vectors, path, "append")
+
+
+# Occupancy-skew bound for a healthy IVF index: the probe's bounded-
+# broadcast/pruned-scan story assumes no cell dominates (a hot cell
+# makes every probe touching it scan ~that share of the corpus).
+# Uniform occupancy at _IVF_K=16 is 1/16 = 0.0625; the fixed spherical
+# centroids measure max shares 0.08-0.12 across the sf0.001/0.01/0.1
+# fixtures, so 4x uniform flags genuine drift-induced skew (a cell
+# absorbing a quarter of the corpus) without flaking on fixture noise.
+IVF_MAX_CELL_SHARE = 0.25
+
+
+def ivf_max_cell_share(index: DataFrame) -> float:
+    """Largest cell's share of a persisted IVF index's rows — the
+    occupancy-skew statistic `compact_ivf_index` and the scale gate's
+    ix_* family check against `IVF_MAX_CELL_SHARE`. One k-row
+    aggregate (k = number of cells), driver-side by construction."""
+    rows = index.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in rows)
+    return max(r["n"] for r in rows) / total if total else 0.0
+
+
+def compact_ivf_index(
+    spark: SparkSession, path: str, target_partitions: int = _IVF_K
+) -> dict:
+    """MAINTENANCE for the append-grown IVF index (VERDICT r11 item 2):
+    each `append_to_ivf_index` adds a file per touched cell directory,
+    and distribution drift can skew cell occupancy until a hot cell
+    degrades the probe's bounded-broadcast claim. This
+
+    1. rewrites the index via `tables.compact_parquet`, which detects
+       the ``cell=`` directory layout and re-emits it with the same
+       ``partitionBy`` (repartitioned BY the partition column, so each
+       cell directory compacts to ~one file) — CELL-PARTITION-
+       PRESERVING, so the probe's DPP-pruned cell join is untouched;
+    2. re-measures occupancy skew (`ivf_max_cell_share`) and reports
+       whether it still clears `IVF_MAX_CELL_SHARE` — past the bound
+       the right repair is re-training the quantizer (a rebuild with
+       fresh centroids), which compaction deliberately is not.
+
+    Probe results are BYTE-IDENTICAL before/after (pinned by
+    tests/test_sinks_tables.py): rows are repacked, values and the
+    partition layout unchanged. Returns ``{"n_files", "max_cell_share",
+    "occupancy_ok"}``."""
+    from ..tables import compact_parquet
+
+    n_files = compact_parquet(spark, path, target_partitions)
+    share = ivf_max_cell_share(spark.read.parquet(path))
+    return {
+        "n_files": n_files,
+        "max_cell_share": share,
+        "occupancy_ok": share <= IVF_MAX_CELL_SHARE,
+    }
 
 
 # (applicationId, sf_dir) -> index path; built once per session/corpus

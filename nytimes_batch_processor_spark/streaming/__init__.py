@@ -1,9 +1,11 @@
 from .pipeline import (
     deduped_stream,
     enriched_stream,
+    foreach_batch_admission,
     foreach_batch_upsert,
     sessionized_stream,
     stream_covid_ingest,
+    stream_document_admission,
     windowed_event_counts,
 )
 from .state_reader import (
@@ -17,6 +19,7 @@ from .stateful import running_user_totals
 __all__ = [
     "deduped_stream",
     "enriched_stream",
+    "foreach_batch_admission",
     "foreach_batch_upsert",
     "read_state",
     "rollback_checkpoint",
@@ -25,5 +28,6 @@ __all__ = [
     "sessionized_stream",
     "state_metadata",
     "stream_covid_ingest",
+    "stream_document_admission",
     "windowed_event_counts",
 ]

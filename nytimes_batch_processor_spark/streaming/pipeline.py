@@ -151,3 +151,49 @@ def enriched_stream(
 
     right = F.broadcast(dim) if hint_broadcast else dim
     return events.join(right, on, "left")
+
+
+def foreach_batch_admission(index_path: str, admitted_path: str):
+    """foreachBatch form of the near-dup ADMISSION pipeline (VERDICT
+    r11 item 3): each micro-batch of (doc_id, text) documents runs
+    `operators.dedup.admit_minhash_batch` — probe the persisted MinHash
+    index (band equi-join, never batch x corpus), drop near-dups of
+    indexed or earlier-in-batch content, upsert admissions into
+    ``admitted_path`` (first-write-wins by doc_id, the W3 pattern), and
+    grow the index with them so LATER micro-batches dedup against this
+    one without any corpus rescan. Exactly-once under foreachBatch's
+    at-least-once replay comes from admit_minhash_batch's
+    ledger -> sink -> index write ordering (see its docstring; the
+    batch-twin oracle for the semantics is the catalog's
+    `stream_admission_twin`)."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.dedup import admit_minhash_batch
+
+        admit_minhash_batch(
+            batch_df.sparkSession, index_path, batch_df, admitted_path
+        )
+
+    return _apply
+
+
+def stream_document_admission(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    admitted_path: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Streaming document admission: a JSONL file-source stream (new
+    files = new document batches, the reference's 15-minute-drop shape)
+    admitted through `foreach_batch_admission`. Caller starts it with
+    ``.trigger(availableNow=True).start()`` for the drain-and-stop run.
+    ``maxFilesPerTrigger 1`` keeps one dropped file = one admission
+    batch, so cross-file duplicates exercise the index-growth path
+    rather than collapsing into one within-batch dedup."""
+    raw = spark.readStream.schema("doc_id LONG, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(src_dir)
+    return raw.writeStream.foreachBatch(
+        foreach_batch_admission(index_path, admitted_path)
+    ).option("checkpointLocation", checkpoint_dir)

@@ -15,6 +15,7 @@ from scale_bench import (  # noqa: E402
     COUNT_KEYS,
     FLAT_KEYS,
     MERGE_EQ_KEYS,
+    OCCUPANCY_KEY,
     WALL_KEYS,
     compute_gate,
 )
@@ -28,6 +29,8 @@ def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int 
     row["cc_rounds"] = rounds
     # MERGE counters are scale-INVARIANT by design (fixed change batch)
     row.update({k: merge_parts for k in MERGE_EQ_KEYS})
+    # IVF occupancy skew: ~2x uniform (1/16), well inside the bound
+    row[OCCUPANCY_KEY] = 0.12
     return row
 
 
@@ -93,3 +96,25 @@ def test_flat_keys_gate_at_constant_bound():
     assert not out["linear_ok"]
     # ...even though 2.1x is far inside the LINEAR families' 20x bound
     assert out["ratios_x10_over_x1"]["ix_probe_candidates"] == 2.1
+
+
+def test_occupancy_gate_is_an_absolute_bound():
+    """The IVF occupancy check (VERDICT r11 item 2) gates every scale's
+    ix_ann_max_cell_share at the ABSOLUTE similarity.IVF_MAX_CELL_SHARE
+    bound — a hot cell breaks the probe's bounded-broadcast claim at
+    any scale, so a ratio bound (skew 'only' doubling) would miss an
+    index that was born skewed."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        IVF_MAX_CELL_SHARE,
+    )
+
+    ok_hi = _row(10)
+    ok_hi[OCCUPANCY_KEY] = IVF_MAX_CELL_SHARE  # at the bound: allowed
+    out = compute_gate({"x1": _row(1), "x10": ok_hi}, 10, "b")
+    assert out["occupancy_ok"] and out["linear_ok"]
+
+    # a skewed x1 index fails even when the x10 index is healthy
+    bad_lo = _row(1)
+    bad_lo[OCCUPANCY_KEY] = IVF_MAX_CELL_SHARE + 0.01
+    out = compute_gate({"x1": bad_lo, "x10": _row(10)}, 10, "b")
+    assert not out["occupancy_ok"] and not out["linear_ok"]

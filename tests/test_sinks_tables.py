@@ -10,6 +10,8 @@ from __future__ import annotations
 import os
 import sqlite3
 
+from pyspark.sql import functions as F
+
 SCHEMA = "date string, state string, fips int, cases long, deaths long"
 
 
@@ -777,3 +779,104 @@ def test_merge_into_partitioned_idempotent_replay(spark, tmp_path):
     assert stats["rows_deleted"] == 0  # already gone
     second = {tuple(r) for r in spark.read.parquet(path).collect()}
     assert first == second
+
+
+def test_index_compaction_preserves_probe_results(spark, sf_dir, tmp_path):
+    """Maintenance path for the incremental indexes (VERDICT r11
+    item 2): admission appends accrete one small file-set per batch, so
+    both index layouts get a compaction wrapper over compact_parquet.
+    The contract pinned here: after build + TWO appends, compaction
+    (a) leaves the probe result set BYTE-IDENTICAL (same rows, same
+    values — compaction repacks files, never rows), (b) reduces the
+    data-file count, and (c) for the IVF index, preserves the ``cell=``
+    partition layout (the DPP-pruned probe join depends on it) and
+    reports occupancy skew within IVF_MAX_CELL_SHARE."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _band_hash_cols,
+        append_to_minhash_index,
+        build_minhash_index,
+        compact_minhash_index,
+        minhash_signatures,
+        probe_minhash_index,
+    )
+    from nytimes_batch_processor_spark.operators.similarity import (
+        IVF_MAX_CELL_SHARE,
+        _as_double,
+        _norm,
+        append_to_ivf_index,
+        build_ivf_parquet_index,
+        compact_ivf_index,
+        probe_ivf_index,
+    )
+
+    def n_files(p):
+        return sum(
+            1
+            for root, _, fs in os.walk(p)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    # --- MinHash (flat layout) ---
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    mh_path = str(tmp_path / "mh_index")
+    build_minhash_index(docs.filter(F.col("doc_id") % 10 > 2), mh_path)
+    append_to_minhash_index(docs.filter(F.col("doc_id") % 10 == 1), mh_path)
+    append_to_minhash_index(docs.filter(F.col("doc_id") % 10 == 2), mh_path)
+    batch = (
+        minhash_signatures(
+            docs.filter(F.col("doc_id") % 10 == 0), "doc_id", "text"
+        )
+        .select("doc_id", "sig", *_band_hash_cols())
+        .localCheckpoint(eager=True)
+    )
+
+    def mh_probe():
+        return sorted(
+            (r["doc_id"], r["canon_id"])
+            for r in probe_minhash_index(
+                spark.read.parquet(mh_path), batch
+            ).collect()
+        )
+
+    before_rows, before_files = mh_probe(), n_files(mh_path)
+    assert before_files >= 3, "build + 2 appends must accrete file-sets"
+    n_after = compact_minhash_index(spark, mh_path, target_files=1)
+    assert n_after < before_files
+    assert n_files(mh_path) == n_after
+    assert mh_probe() == before_rows, "compaction changed probe results"
+
+    # --- IVF (cell-partitioned layout) ---
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf_path = str(tmp_path / "ivf_index")
+    build_ivf_parquet_index(emb.filter(F.col("vec_id") % 10 > 2), ivf_path)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 1), ivf_path)
+    append_to_ivf_index(emb.filter(F.col("vec_id") % 10 == 2), ivf_path)
+    qbatch = (
+        emb.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+        .localCheckpoint(eager=True)
+    )
+
+    def ivf_probe():
+        return sorted(
+            (r["qid"], r["nn_id"], r["cos_raw"])
+            for r in probe_ivf_index(
+                spark.read.parquet(ivf_path), qbatch
+            ).collect()
+        )
+
+    before_rows, before_files = ivf_probe(), n_files(ivf_path)
+    assert before_files >= 3
+    stats = compact_ivf_index(spark, ivf_path)
+    assert stats["n_files"] < before_files
+    assert ivf_probe() == before_rows, "compaction changed probe results"
+    # layout + occupancy: cell= dirs intact, skew within the bound
+    assert any(d.startswith("cell=") for d in os.listdir(ivf_path)), (
+        "compaction flattened the cell partitioning"
+    )
+    assert stats["occupancy_ok"], (
+        f"post-compaction occupancy {stats['max_cell_share']:.3f} exceeds "
+        f"{IVF_MAX_CELL_SHARE}"
+    )

@@ -388,7 +388,9 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
     }
 
 
-def index_scaled_probe_measure(spark, k: int, sf_dir: str, base_row: dict) -> dict:
+def index_scaled_probe_measure(
+    spark, k: int, sf_dir: str, base_row: dict, base_ann_index_path: str
+) -> dict:
     """The OTHER axis of the incremental-probe story (the batch-scaled
     families hold the index fixed): a FIXED base batch probed against
     an index built from the x`k` corpus. Expected shapes under the
@@ -407,7 +409,18 @@ def index_scaled_probe_measure(spark, k: int, sf_dir: str, base_row: dict) -> di
     workload), and at k=1 both axes coincide — this row's probe_* /
     ann_probe_* values are the identical measurement, so they alias
     (the q8 assert-then-alias precedent) instead of rebuilding the
-    base indexes and re-running the same joins."""
+    base indexes and re-running the same joins.
+
+    Each scale also records the built index's OCCUPANCY SKEW
+    (`ix_ann_max_cell_share`, the largest IVF cell's row share) —
+    gated in compute_gate at the absolute IVF_MAX_CELL_SHARE bound
+    (VERDICT r11 item 2: a hot cell degrades the probe's bounded-
+    broadcast claim, so the scale proof must show occupancy stays
+    bounded as the corpus grows, not just that candidates do)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        ivf_max_cell_share,
+    )
+
     if k == 1:
         return {
             "ix_probe_candidates": base_row["probe_candidates"],
@@ -416,6 +429,9 @@ def index_scaled_probe_measure(spark, k: int, sf_dir: str, base_row: dict) -> di
             "ix_ann_candidates": base_row["ann_probe_candidates"],
             "ix_ann_dup_queries": base_row["ann_probe_dup_queries"],
             "ix_ann_wall_sec": base_row["ann_probe_wall_sec"],
+            "ix_ann_max_cell_share": round(
+                ivf_max_cell_share(spark.read.parquet(base_ann_index_path)), 4
+            ),
         }
     from nytimes_batch_processor_spark.operators.dedup import (
         _PROBE_BATCH_MOD,
@@ -450,6 +466,9 @@ def index_scaled_probe_measure(spark, k: int, sf_dir: str, base_row: dict) -> di
         "ix_ann_candidates": ann["ann_probe_candidates"],
         "ix_ann_dup_queries": ann["ann_probe_dup_queries"],
         "ix_ann_wall_sec": ann["ann_probe_wall_sec"],
+        "ix_ann_max_cell_share": round(
+            ivf_max_cell_share(spark.read.parquet(ivf_path)), 4
+        ),
     }
 
 
@@ -618,6 +637,12 @@ MERGE_EQ_KEYS = (
     "merge_rows_upserted",
     "merge_rows_deleted",
 )
+# IVF occupancy skew: gated at an ABSOLUTE bound, not a ratio — the
+# probe's bounded-broadcast claim dies when any single cell absorbs
+# too large a corpus share, regardless of how the skew got there.
+# The bound lives next to the index code (similarity.IVF_MAX_CELL_SHARE
+# = 4x uniform at k=16); duplicated here as a literal would drift.
+OCCUPANCY_KEY = "ix_ann_max_cell_share"
 
 
 def compute_gate(results: dict, factor: int, base: str) -> dict:
@@ -629,6 +654,10 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     data may add ~log2(factor) rounds at the theoretical worst and
     anything past +4 means the rounds claim broke (O(n)
     diameter-walking would add thousands)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        IVF_MAX_CELL_SHARE,
+    )
+
     hi, lo = results[f"x{factor}"], results["x1"]
     # zero-denominator clamps: counts are integers (>= 1 meaningful);
     # walls are seconds where a sub-second x1 is real signal — clamping
@@ -643,6 +672,9 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     )
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
+    occupancy_ok = all(
+        row[OCCUPANCY_KEY] <= IVF_MAX_CELL_SHARE for row in results.values()
+    )
     return {
         "metric": "scale_growth_x%d_vs_x1" % factor,
         "value": max(ratios[key] for key in COUNT_KEYS),
@@ -653,7 +685,9 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "cc_rounds_x1_x%d" % factor: [lo["cc_rounds"], hi["cc_rounds"]],
         "rounds_ok": rounds_ok,
         "merge_ok": merge_ok,
-        "linear_ok": linear_ok and rounds_ok and merge_ok,
+        "occupancy_ok": occupancy_ok,
+        "occupancy_bound": IVF_MAX_CELL_SHARE,
+        "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok,
     }
 
 
@@ -810,7 +844,9 @@ def main() -> None:
         row.update(ann_probe_scale_measure(spark, k, ann_index_path))
         # the index-scaled axis: FIXED base batch, x`k` corpus index
         # (at x1 it aliases this row's probe_*/ann_probe_* measurement)
-        row.update(index_scaled_probe_measure(spark, k, sf_dir, row))
+        row.update(
+            index_scaled_probe_measure(spark, k, sf_dir, row, ann_index_path)
+        )
         row.update(merge_scale_measure(spark, k))
 
         results[f"x{k}"] = row
