@@ -325,6 +325,81 @@ def _two_batch_audited_fixture(spark: SparkSession, sf_dir: str, prefix: str) ->
     return target
 
 
+def _three_batch_audited_fixture(
+    spark: SparkSession, sf_dir: str, prefix: str
+) -> tuple[str, dict[int, str]]:
+    """The INTERIOR-rollback fixture: batch 1 = the high-priority slice,
+    batch 2 (the bad batch) re-delivers it plus the medium slice, batch
+    3 = the full snapshot in one file. Returns (target path, replay
+    sources for the later batches) — batch 2's own source dir is
+    deliberately NOT in the replay map: rolling IT back must not need
+    it."""
+    t = load_tables(spark, sf_dir, "orders")
+    derived = derive_states_fixture(t.orders)
+    workdir = tempfile.mkdtemp(prefix=prefix)
+    b1, b2, b3 = (os.path.join(workdir, f"batch{i}") for i in (1, 2, 3))
+    high = derived.filter(F.col("state").isin(*_HIGH_STATES))
+    med = derived.filter(F.col("state") == "3-MEDIUM")
+    _write_named_csv(high, b1, "batch_high.csv")
+    _write_named_csv(high, b2, "batch_high.csv")
+    _write_named_csv(med, b2, "batch_med.csv")
+    _write_named_csv(derived, b3, "batch_full.csv")
+    target = os.path.join(workdir, "covid_states_audited")
+    for i, d in ((1, b1), (2, b2), (3, b3)):
+        ingest_covid_csv_audited(spark, d, target, batch_id=i, has_county=False)
+    return target, {3: b3}
+
+
+@query(
+    "ingest_rollback_replay",
+    tables=("orders",),
+    oracle=f"""
+WITH derived AS (
+{_DERIVED_STATES_SQL}
+)
+SELECT CASE WHEN state IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 3 END AS batch_id,
+       CASE WHEN state IN ('1-URGENT', '2-HIGH') THEN 'batch_high.csv'
+            ELSE 'batch_full.csv' END                              AS source_file,
+       state,
+       CAST(COUNT(*) AS BIGINT)    AS n_rows,
+       CAST(SUM(cases) AS BIGINT)  AS cases_sum,
+       CAST(SUM(deaths) AS BIGINT) AS deaths_sum
+FROM derived
+GROUP BY 1, 2, 3
+""",
+)
+def ingest_rollback_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERIOR-batch rollback under the driver's gate (VERDICT r11
+    item 5): batch 1 ingests the high slice, batch 2 re-delivers it
+    plus the medium slice, batch 3 delivers the full snapshot — then
+    batch 2 is declared bad and `rollback_interior_batch` undoes it
+    while KEEPING batch 3, replaying batch 3 from its original source
+    files. The post-repair table must equal never-having-run batch 2:
+    high rows still (batch 1, batch_high.csv); the medium rows batch 2
+    introduced come BACK — re-attributed (batch 3, batch_full.csv),
+    because in the counterfactual batch 3 would have first-written
+    them; every other row is batch 3's. The oracle derives that end
+    state from the slice rule alone, so a delete-only rollback (medium
+    rows vanish), a replay that loses re-deliveries, or an identity
+    leak (medium rows keeping batch 2's id or file) each break the
+    hash.
+
+    Scale notes: the delete rewrites only the partitions batch 2's
+    rows live in; the replay's anti-join re-inserts exactly the
+    re-delivered rows (cost ∝ those rows, not the table); landing-zone
+    retention supplies the replay sources (`rollback_interior_batch`
+    docstring)."""
+    target, sources = _three_batch_audited_fixture(spark, sf_dir, "ingest_replay_")
+    rollback_interior_batch(spark, target, 2, sources, has_county=False)
+    return spark.read.parquet(target).groupBy(
+        "batch_id", "source_file", "state"
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cases").alias("cases_sum"),
+        F.sum("deaths").alias("deaths_sum"),
+    )
+
+
 @query(
     "ingest_lineage_audit",
     tables=("orders",),
@@ -382,13 +457,87 @@ def rollback_ingest_batch(spark: SparkSession, target_path: str, batch_id: int) 
     The inverse direction (undo batch N-1 but keep batch N) is NOT
     expressible this way: rows batch N re-delivered but batch N-1 wrote
     first would vanish with their first writer — rolling back an
-    interior batch needs the re-deliveries replayed afterwards, exactly
-    like the streaming repair replays post-rollback batches."""
+    interior batch needs the re-deliveries replayed afterwards
+    (`rollback_interior_batch` below), exactly like the streaming
+    repair replays post-rollback batches."""
     from .tables import delete_rows_partition_scoped
 
     return delete_rows_partition_scoped(
         spark, target_path, "date", F.col("batch_id") == batch_id
     )
+
+
+def rollback_interior_batch(
+    spark: SparkSession,
+    target_path: str,
+    batch_id: int,
+    replay_sources: dict[int, str],
+    *,
+    has_county: bool,
+) -> dict:
+    """Undo INTERIOR batch ``batch_id`` while KEEPING later batches —
+    the redelivery-replay direction `rollback_ingest_batch` documents
+    as inexpressible by deletion alone (VERDICT r11 item 5). Deleting
+    batch N-1's rows would also lose every row a LATER batch
+    re-delivered but N-1 first-wrote (first-write-wins pinned those
+    rows to N-1), so the repair is delete-then-replay:
+
+    1. enumerate later batches from the lineage column itself (one
+       column-pruned distinct over ``batch_id > batch_id``) and REFUSE
+       unless every one has a replay source in ``replay_sources`` —
+       a partial replay would silently lose the unreplayable batch's
+       re-deliveries;
+    2. delete EXACTLY batch ``batch_id``'s rows (the same partition-
+       scoped predicate delete as the exact-batch rollback — later
+       batches' rows are never touched);
+    3. re-run the audited ingest for each later batch in ascending
+       order from its ORIGINAL source files with its ORIGINAL batch
+       id: the upsert's anti-join re-inserts ONLY the rows the delete
+       removed that the later batch re-delivered, now attributed to
+       that batch — replay cost ∝ re-delivered rows, not table size.
+
+    First-write-wins makes the outcome exact, case by case: rows only
+    batch N-1 introduced are gone (nothing re-delivers them — and if a
+    later batch DID deliver one, it comes back under that batch, which
+    is precisely the counterfactual identity); rows N-1 first-wrote
+    but a later batch re-delivered return with the EARLIEST replaying
+    batch's identity (ascending order = the counterfactual first
+    writer); rows later batches introduced are untouched. The table
+    equals the state of NEVER HAVING RUN batch N-1, row for row
+    (pinned in tests/test_ingest.py against an independently built
+    counterfactual target, and by the `ingest_rollback_replay` oracle
+    entry).
+
+    ``replay_sources`` is the landing-zone retention contract: at
+    100 TB the ingest queue keeps source files addressable by batch
+    (the reference's published-CSV shape trivially does — the file
+    only grows in place). Returns ``{"rows_deleted",
+    "batches_replayed"}``."""
+    later = sorted(
+        r["batch_id"]
+        for r in spark.read.parquet(target_path)
+        .filter(F.col("batch_id") > batch_id)
+        .select("batch_id")
+        .distinct()
+        .collect()
+    )
+    missing = [b for b in later if b not in replay_sources]
+    if missing:
+        raise ValueError(
+            f"cannot roll back interior batch {batch_id}: later batches "
+            f"{missing} have no replay source — deleting without replaying "
+            "them would lose their re-delivered rows"
+        )
+    from .tables import delete_rows_partition_scoped
+
+    deleted = delete_rows_partition_scoped(
+        spark, target_path, "date", F.col("batch_id") == batch_id
+    )
+    for b in later:
+        ingest_covid_csv_audited(
+            spark, replay_sources[b], target_path, batch_id=b, has_county=has_county
+        )
+    return {"rows_deleted": deleted, "batches_replayed": len(later)}
 
 
 @query(

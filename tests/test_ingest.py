@@ -467,3 +467,66 @@ def test_rollback_ingest_batch_restores_prior_state(spark, tmp_path):
     # idempotent: nothing of batch 2 remains to delete
     assert rollback_ingest_batch(spark, target, 2) == 0
     assert {tuple(r) for r in spark.read.parquet(target).collect()} == after_b1
+
+
+def test_rollback_interior_batch_equals_counterfactual(spark, tmp_path):
+    """Interior rollback = delete + redelivery replay (VERDICT r11
+    item 5): after rolling back batch 2 while batch 3 exists, the
+    target's ROW SET (lineage columns included) equals a target built
+    by NEVER running batch 2 — re-delivered rows return under batch
+    3's identity, batch-2-only rows are gone, batch 3's own rows are
+    untouched. Also pins the refusal: a later batch without a replay
+    source must abort BEFORE deleting anything."""
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.ingest import (
+        ingest_covid_csv_audited,
+        rollback_interior_batch,
+    )
+
+    csv_b3 = """date,state,fips,cases,deaths
+2020-01-22,Washington,53,777,777
+2020-01-23,Washington,53,3,1
+2020-12-31,Guam,,777,7
+2020-02-01,Ohio,39,9,0
+"""
+    dirs = {}
+    for name, text in (("b1", STATES_CSV), ("b2", STATES_CSV_DAY2), ("b3", csv_b3)):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "drop.csv").write_text(text)
+        dirs[name] = str(d)
+
+    target = str(tmp_path / "audited")
+    for i, name in ((1, "b1"), (2, "b2"), (3, "b3")):
+        ingest_covid_csv_audited(
+            spark, dirs[name], target, batch_id=i, has_county=False
+        )
+
+    # refusal first: batch 3 unreplayable -> abort, table untouched
+    before = {tuple(r) for r in spark.read.parquet(target).collect()}
+    with _pytest.raises(ValueError, match="no replay source"):
+        rollback_interior_batch(spark, target, 2, {}, has_county=False)
+    assert {tuple(r) for r in spark.read.parquet(target).collect()} == before
+
+    stats = rollback_interior_batch(
+        spark, target, 2, {3: dirs["b3"]}, has_county=False
+    )
+    assert stats["batches_replayed"] == 1
+    got = {tuple(r) for r in spark.read.parquet(target).collect()}
+
+    # the counterfactual: an independent target where batch 2 never ran
+    cf = str(tmp_path / "counterfactual")
+    for i, name in ((1, "b1"), (3, "b3")):
+        ingest_covid_csv_audited(spark, dirs[name], cf, batch_id=i, has_county=False)
+    expected = {tuple(r) for r in spark.read.parquet(cf).collect()}
+    assert got == expected, (
+        f"only-rollback: {got - expected}\nonly-counterfactual: {expected - got}"
+    )
+    # the load-bearing case actually occurred: a row batch 2 introduced
+    # AND batch 3 re-delivered is present under batch 3's identity
+    by_key = {
+        (str(r["date"]), r["state"], r["fips"]): r["batch_id"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert by_key[("2020-01-23", "Washington", 53)] == 3
