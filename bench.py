@@ -59,7 +59,11 @@ HEADLINE = [
     # its docstring's measured cost model before reading it as a
     # regression.
     "sim_ann_ivf_q8_serve",
-    "stateful_running_totals_twin",
+    # r12: the two replay twins consolidated into one tagged surface
+    # (stateful_running_totals_twin + sessionize_timers_twin, -2/+1 for
+    # sweep-window capacity) — its wall is the SUM of the two branches
+    # earlier rounds timed separately (~1.1s + ~1.3s at sf0.1).
+    "stateful_twin_surface",
     # r7 addition: iterative graph workload (6 power-iteration steps,
     # localCheckpoint-truncated lineage — wall time is 6 join+agg rounds
     # over the ~600k-edge trade graph at sf0.1).
@@ -69,7 +73,6 @@ HEADLINE = [
     # timers twin is a grouped-map replay like the stateful twin above —
     # same per-group Python-dispatch cost model, see its docstring.
     "dedup_containment_prefix",
-    "sessionize_timers_twin",
     # r8: integer-Lloyd IVF training — two map-only assign passes + two
     # k*dim-row centroid updates with a driver-side divide, so its wall
     # is mostly fixed job overhead at sf0.1 (2k vectors).
@@ -86,6 +89,13 @@ HEADLINE = [
     # in-query exact-cosine admission verdicts and the per-query
     # rank/count window over the bounded candidate set.
     "sim_incremental_probe",
+    # r12: the streaming-admission batch twin — fresh index build over
+    # the 20% corpus slice + two sequential admission steps (probe,
+    # within-batch canonicalize, sink upsert, index append) per run;
+    # unlike the probe entries above, the index build is INSIDE the
+    # timed body (each admission run is a new index lifecycle), so its
+    # wall is build + 2 probes + 2 appends.
+    "stream_admission_twin",
 ]
 
 

@@ -1040,7 +1040,6 @@ def simhash_bands(simhash: DataFrame, band_bits: int) -> DataFrame:
     )
 
 
-@query("dedup_simhash", tables=("documents",), oracle=_simhash_oracle())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup — ORACLE-CHECKED: 48-bit deterministic simhash
     from portable (md5-based) token hashes, so DuckDB replays the exact
@@ -1075,10 +1074,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_embedding_cosine",
-    tables=("embeddings",),
-    oracle="""
+# DuckDB twin of the bounded-slice cosine pairs — the 'cosine' branch
+# oracle of `dedup_neardup_pairs_surface` (consolidated r12 alongside
+# the simhash branch, see that entry).
+_EMBED_COSINE_ORACLE = """
 WITH v AS (
     SELECT vec_id, label,
            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
@@ -1089,8 +1088,9 @@ SELECT a.vec_id AS id1, b.vec_id AS id2,
        ROUND(list_inner_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cosine
 FROM v a JOIN v b ON a.vec_id < b.vec_id
 WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= 0.35
-""",
-)
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup on a bounded slice (vec_id < 250):
     all-pairs cosine >= 0.35 via JVM-side higher-order functions
@@ -1123,6 +1123,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= 0.35)
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), ratio(F.col("cosine")).alias("cosine"))
     )
+
+
+@query(
+    "dedup_neardup_pairs_surface",
+    tables=("documents", "embeddings"),
+    oracle=f"""
+SELECT 'simhash' AS path, id1, id2, CAST(hamming AS DOUBLE) AS score
+FROM ({_simhash_oracle()})
+UNION ALL
+SELECT 'cosine' AS path, id1, id2, cosine AS score
+FROM ({_EMBED_COSINE_ORACLE})
+""",
+)
+def dedup_neardup_pairs_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two remaining standalone near-dup pair operators as one
+    tagged surface (r12 -2/+1 consolidation for EDF window capacity,
+    VERDICT r11 item 7 — `dedup_simhash` was its own entry since r2 and
+    `dedup_embedding_cosine` since r2; both functions remain the real
+    implementations with their full docstrings and the simhash
+    bit-degeneration scale gate in tools/scale_bench.py):
+
+    - path 'simhash': 48-bit deterministic SimHash pairs — 4x12-bit
+      band LSH candidates, Hamming <= 3 verification (score = the
+      Hamming distance);
+    - path 'cosine': all-pairs embedding cosine >= 0.35 on the bounded
+      vec_id < 250 slice (score = the cosine; the unbounded scale path
+      is the bucketed ANN family in operators/similarity.py).
+
+    Scale shapes are the branches' own: band-bucketed equi-join vs a
+    deliberately bounded quadratic slice."""
+    sim = dedup_simhash(spark, sf_dir).select(
+        F.lit("simhash").alias("path"),
+        "id1",
+        "id2",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    cos = dedup_embedding_cosine(spark, sf_dir).select(
+        F.lit("cosine").alias("path"),
+        "id1",
+        "id2",
+        F.col("cosine").alias("score"),
+    )
+    return sim.unionByName(cos)
 
 
 # Exact asymmetric-containment semantics on the bounded slice — the

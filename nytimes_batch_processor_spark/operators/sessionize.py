@@ -372,10 +372,10 @@ def _twin_replay(pdf):
     )
 
 
-@query(
-    "stateful_running_totals_twin",
-    tables=("events",),
-    oracle=f"""
+# DuckDB twin of the totals replay — the 'totals' branch oracle of
+# `stateful_twin_surface` (consolidated r12: -2/+1 surface merge for
+# EDF window capacity, VERDICT r11 item 7).
+_TOTALS_TWIN_ORACLE = f"""
 WITH ordered AS (
     SELECT user_id, event_id,
            CAST(floor(value * 100) AS BIGINT) AS cents,
@@ -394,8 +394,9 @@ SELECT user_id,
 FROM per_batch
 WINDOW w AS (PARTITION BY user_id ORDER BY batch_no
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-""",
-)
+"""
+
+
 def stateful_running_totals_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalence twin of the stateful streaming operator
     `streaming.running_user_totals` (applyInPandasWithState): each
@@ -1032,10 +1033,9 @@ def _timers_twin_replay(pdf):
     )
 
 
-@query(
-    "sessionize_timers_twin",
-    tables=("events",),
-    oracle=f"""
+# DuckDB twin of the timer-session replay — the 'timers' branch oracle
+# of `stateful_twin_surface` (consolidated r12, see _TOTALS_TWIN_ORACLE).
+_TIMERS_TWIN_ORACLE = f"""
 WITH e AS (
     SELECT user_id, event_id, epoch_us(ts) AS ts_us, CAST(ts AS DATE) AS day,
            CAST(floor(value * 100) AS BIGINT) AS cents
@@ -1091,8 +1091,9 @@ LEFT JOIN wm w ON w.day = n.next_day
 CROSS JOIN fin f
 WHERE n.next_day IS NOT NULL
    OR f.wm_final_us > n.session_end_us + {_TIMER_GAP_US}
-""",
-)
+"""
+
+
 def sessionize_timers_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-equivalence twin of the transformWithStateInPandas
     timer-session operator (`streaming.stateful.sessionize_with_timers`)
@@ -1181,3 +1182,63 @@ def timers_twin_frame(events: DataFrame) -> DataFrame:
         "user_id long, session_start_us long, session_end_us long, "
         "n_events long, total_cents long, close_reason string",
     )
+
+
+@query(
+    "stateful_twin_surface",
+    tables=("events",),
+    oracle=f"""
+SELECT 'totals' AS path, user_id,
+       batch_no                 AS k1,
+       CAST(NULL AS BIGINT)     AS k2,
+       n_events, total_cents,
+       CAST(NULL AS VARCHAR)    AS tag
+FROM ({_TOTALS_TWIN_ORACLE})
+UNION ALL
+SELECT 'timers' AS path, user_id,
+       session_start_us         AS k1,
+       session_end_us           AS k2,
+       n_events, total_cents,
+       close_reason             AS tag
+FROM ({_TIMERS_TWIN_ORACLE})
+""",
+)
+def stateful_twin_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH stateful-replay twins as one tagged surface (r12 -2/+1
+    consolidation for EDF window capacity, VERDICT r11 item 7 —
+    `stateful_running_totals_twin` and `sessionize_timers_twin` had
+    been separate entries since r6/r7; their full docstrings, replay
+    contracts, and scale notes live on those functions, which remain
+    the real implementations and keep their own plan/property pins):
+
+    - path 'totals': the applyInPandasWithState running-totals machine
+      (`streaming.running_user_totals`) replayed through `fold_totals`
+      in simulated 16-row micro-batches — every update-mode emission a
+      row (k1 = batch_no);
+    - path 'timers': the transformWithStateInPandas timer-session
+      machine replayed through `fold_session` under event-time-day
+      micro-batches, close_reason ('event'/'timer') in the hash
+      (k1/k2 = session bounds, tag = close_reason).
+
+    Both branches fold in integer cents (no float tolerance anywhere)
+    and share the `_bucketed_by_user` grouped-map dispatch — one
+    hash(user-bucket) shuffle each, the state store's own granularity."""
+    totals = stateful_running_totals_twin(spark, sf_dir).select(
+        F.lit("totals").alias("path"),
+        "user_id",
+        F.col("batch_no").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        "n_events",
+        "total_cents",
+        F.lit(None).cast("string").alias("tag"),
+    )
+    timers = sessionize_timers_twin(spark, sf_dir).select(
+        F.lit("timers").alias("path"),
+        "user_id",
+        F.col("session_start_us").alias("k1"),
+        F.col("session_end_us").alias("k2"),
+        "n_events",
+        "total_cents",
+        F.col("close_reason").alias("tag"),
+    )
+    return totals.unionByName(timers)

@@ -288,10 +288,14 @@ def test_stateful_twin_single_shuffle_on_user(spark, sf_dir):
     """The twin's only shuffle is the groupBy(user_id) feeding the
     Arrow grouped-map — the same key partitioning the streaming state
     store uses. A second exchange would mean the replay re-shuffles
-    its own output."""
-    from nytimes_batch_processor_spark.catalog import all_specs
+    its own output. (Pinned on the branch function — the consolidated
+    stateful_twin_surface entry unions two branches, so its plan
+    legitimately carries one exchange per branch.)"""
+    from nytimes_batch_processor_spark.operators.sessionize import (
+        stateful_running_totals_twin,
+    )
 
-    plan = physical_plan(all_specs()["stateful_running_totals_twin"].fn(spark, sf_dir))
+    plan = physical_plan(stateful_running_totals_twin(spark, sf_dir))
     # count tree nodes ("Exchange (n)"), not the repeated detail headers
     assert plan.count("Exchange (") == 1, plan
     assert "FlatMapGroupsInArrow" in plan or "FlatMapGroupsInPandas" in plan, plan
@@ -339,7 +343,7 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
 
     EXPECTED = {
         "agg_histogram_fixed_bins": 1,   # bin spine over an O(bins) agg
-        "sessionize_timers_twin": 1,     # watermark spine over O(days)
+        "stateful_twin_surface": 1,      # timers branch: watermark spine over O(days)
         "window_agg_surface": 1,         # grand-total denominator over 25-row agg (pct branch)
         "window_range_rolling_7d": 1,    # daily spine over O(days)
         "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)

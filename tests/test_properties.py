@@ -368,19 +368,21 @@ def test_twin_bucket_count_invariance(spark, sf_dir, monkeypatch):
     from nytimes_batch_processor_spark.operators import sessionize as S
 
     specs = all_specs()
-    names = [
-        "stateful_running_totals_twin",
-        "sessionize_timers_twin",
-        "stream_dedup_watermark_twin",
-    ]
+    # the totals/timers twins are branches of the consolidated
+    # stateful_twin_surface entry since r12 — drive the functions
+    fns = {
+        "stateful_running_totals_twin": S.stateful_running_totals_twin,
+        "sessionize_timers_twin": S.sessionize_timers_twin,
+        "stream_dedup_watermark_twin": specs["stream_dedup_watermark_twin"].fn,
+    }
     results = {}
     for n_buckets in (64, 3, 1):
         monkeypatch.setattr(S, "_TWIN_BUCKETS", n_buckets)
         results[n_buckets] = {
-            name: sorted(map(repr, specs[name].fn(spark, sf_dir).collect()))
-            for name in names
+            name: sorted(map(repr, fn(spark, sf_dir).collect()))
+            for name, fn in fns.items()
         }
-    for name in names:
+    for name in fns:
         assert results[64][name] == results[3][name] == results[1][name], (
             f"{name}: result depends on _TWIN_BUCKETS"
         )

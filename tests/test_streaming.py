@@ -367,11 +367,14 @@ def test_stateful_twin_final_state_equals_batch_groupby(spark):
     streaming state machine runs (streaming/stateful.py); its last
     emission per user must equal the plain batch aggregate — closing
     the loop: stream == batch groupBy (test above) == twin's final row
-    (here) == DuckDB oracle (test_oracle_parity)."""
-    from nytimes_batch_processor_spark.catalog import all_specs
+    (here) == DuckDB oracle (test_oracle_parity, via the consolidated
+    stateful_twin_surface entry since r12)."""
+    from nytimes_batch_processor_spark.operators.sessionize import (
+        stateful_running_totals_twin,
+    )
 
     sf = "/root/testdata/sf0.001"
-    twin = all_specs()["stateful_running_totals_twin"].fn(spark, sf).collect()
+    twin = stateful_running_totals_twin(spark, sf).collect()
     final = {}
     for r in twin:
         if r["user_id"] not in final or r["batch_no"] > final[r["user_id"]][0]:

@@ -27,7 +27,14 @@ axes:
   batch lands on x1/x2/x10 base tables whose replicas occupy DISJOINT
   month partitions — partitions_rewritten and row counters must be
   EXACTLY equal across scales (cost ∝ touched partitions, not table
-  size); wall is recorded for the ~flat read.
+  size); wall is recorded for the ~flat read;
+- the COMPOSED curation pipeline (`pipe_*`, r12): quality -> PII
+  redact -> incremental probe -> shard/pack manifest as ONE job over
+  the batch-scaled axis (fixed index) — every stage cardinality
+  linear in batch size, measured by the pipeline's own observe nodes;
+- IVF index occupancy (`ix_ann_max_cell_share`, r12): the built
+  index's largest cell share, gated at the ABSOLUTE
+  similarity.IVF_MAX_CELL_SHARE bound at every scale.
 
 The risk being measured: each of these builds a CANDIDATE SET via
 bucketing (LSH bands, hash tables, IVF cells, shingle equi-join). The
@@ -316,6 +323,43 @@ def probe_scale_measure(spark, k: int, index_path: str) -> dict:
     }
 
 
+def pipeline_scale_measure(spark, k: int, index_path: str) -> dict:
+    """End-to-end COMPOSED-pipeline family (VERDICT r11 item 4): the
+    full steady-state curation chain — quality -> PII redact ->
+    incremental near-dup probe -> per-shard pack/manifest — run as ONE
+    job over a x`k` arriving batch against the FIXED corpus index
+    (`operators.text.curate_admission_pipeline`, the exact composition,
+    not a re-implementation). Every stage cardinality must grow
+    linearly in batch size: the quality and redact passes are map-only,
+    the probe is the gated band equi-join, the manifest's single
+    shuffle is hash(shard). Stage counts come from the pipeline's own
+    observe nodes — measured DURING the timed pass, never a second
+    run."""
+    from nytimes_batch_processor_spark.operators.text import (
+        curate_admission_pipeline,
+    )
+
+    batch = _probe_batch(spark, k).localCheckpoint(eager=True)
+    n_batch = batch.count()
+    metrics: dict = {}
+    t0 = time.perf_counter()
+    manifest = curate_admission_pipeline(spark, index_path, batch, metrics_out=metrics)
+    manifest.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    obs = metrics["observations"]
+    q, a, m = obs["quality"].get, obs["admitted"].get, obs["manifest"].get
+    batch.unpersist(blocking=False)
+    return {
+        "pipe_batch_docs": n_batch,
+        "pipe_quality_docs": int(q["n"]),
+        "pipe_admitted_docs": int(a["n"]),
+        "pipe_manifest_rows": int(m["n"]),
+        "pipe_tokens": int(m["tokens"]),
+        "pipe_max_bin": int(m["max_bin"]),
+        "pipe_wall_sec": wall,
+    }
+
+
 def _ann_probe_batch(spark, k: int):
     """k replicas of the BASE embedding batch (vec_id % mod == 0), ids
     offset per replica, VECTORS UNCHANGED — every replica vector is a
@@ -601,6 +645,12 @@ COUNT_KEYS = (
     "ann_probe_candidates",
     "ann_probe_dup_queries",
     "ix_ann_candidates",
+    "pipe_batch_docs",
+    "pipe_quality_docs",
+    "pipe_admitted_docs",
+    "pipe_manifest_rows",
+    "pipe_tokens",
+    "pipe_max_bin",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
 # not see its MinHash candidate/match mass move at all (shingle-disjoint
@@ -626,6 +676,7 @@ WALL_KEYS = (
     "ix_probe_wall_sec",
     "ix_ann_wall_sec",
     "merge_wall_sec",
+    "pipe_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
@@ -842,6 +893,9 @@ def main() -> None:
         # batch vs month-disjoint replicated base table
         row.update(probe_scale_measure(spark, k, index_path))
         row.update(ann_probe_scale_measure(spark, k, ann_index_path))
+        # the composed end-to-end curation chain over the same
+        # batch-scaled axis and fixed index (VERDICT r11 item 4)
+        row.update(pipeline_scale_measure(spark, k, index_path))
         # the index-scaled axis: FIXED base batch, x`k` corpus index
         # (at x1 it aliases this row's probe_*/ann_probe_* measurement)
         row.update(
