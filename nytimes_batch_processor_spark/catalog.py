@@ -111,11 +111,18 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # dedup_incremental_probe / sim_incremental_probe: their
     # session-cached index paths gained the per-app applicationId
     # suffix (ADVICE r11 shared-warehouse race) — values unchanged,
-    # but changed code re-verifies (the r4 lesson).
+    # but changed code re-verifies (the r4 lesson). The self-review
+    # factoring block: export_train_shards -> shard_manifest_frame,
+    # text_pii_redact -> redact_pii, pipeline_curate_corpus ->
+    # quality_pass (bit-identical expressions shared with the composed
+    # pipeline; values unchanged, changed code re-verifies).
     12: (
         "sim_ann_ivf_topk",
         "dedup_incremental_probe",
         "sim_incremental_probe",
+        "export_train_shards",
+        "text_pii_redact",
+        "pipeline_curate_corpus",
     ),
 }
 

@@ -482,11 +482,18 @@ def rollback_interior_batch(
     re-delivered but N-1 first-wrote (first-write-wins pinned those
     rows to N-1), so the repair is delete-then-replay:
 
-    1. enumerate later batches from the lineage column itself (one
-       column-pruned distinct over ``batch_id > batch_id``) and REFUSE
-       unless every one has a replay source in ``replay_sources`` —
+    1. determine the later batches to replay as the UNION of (a) every
+       ``replay_sources`` key > ``batch_id`` and (b) every later batch
+       observed in the lineage column (one column-pruned distinct), and
+       REFUSE if any observed one is missing from ``replay_sources`` —
        a partial replay would silently lose the unreplayable batch's
-       re-deliveries;
+       re-deliveries. The union matters: a later batch whose rows were
+       ALL shadowed by earlier first-writers leaves no lineage row, so
+       the table alone cannot enumerate it — yet the counterfactual
+       needs it replayed (it would have first-written what N-1 did).
+       The caller's ingest ledger (here: ``replay_sources``) is the
+       source of truth for which batches ran; the lineage check is the
+       guard for ledger omissions that DID leave rows;
     2. delete EXACTLY batch ``batch_id``'s rows (the same partition-
        scoped predicate delete as the exact-batch rollback — later
        batches' rows are never touched);
@@ -513,21 +520,24 @@ def rollback_interior_batch(
     (the reference's published-CSV shape trivially does — the file
     only grows in place). Returns ``{"rows_deleted",
     "batches_replayed"}``."""
-    later = sorted(
+    observed = {
         r["batch_id"]
         for r in spark.read.parquet(target_path)
         .filter(F.col("batch_id") > batch_id)
         .select("batch_id")
         .distinct()
         .collect()
-    )
-    missing = [b for b in later if b not in replay_sources]
+    }
+    missing = sorted(b for b in observed if b not in replay_sources)
     if missing:
         raise ValueError(
             f"cannot roll back interior batch {batch_id}: later batches "
             f"{missing} have no replay source — deleting without replaying "
             "them would lose their re-delivered rows"
         )
+    # observed ∪ declared: a fully-shadowed later batch (zero surviving
+    # rows) is invisible to the lineage scan but still must replay
+    later = sorted(observed | {b for b in replay_sources if b > batch_id})
     from .tables import delete_rows_partition_scoped
 
     deleted = delete_rows_partition_scoped(

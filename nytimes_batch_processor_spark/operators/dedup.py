@@ -463,15 +463,25 @@ def build_minhash_index(docs: DataFrame, path: str) -> None:
 
 
 def _write_minhash_index(docs: DataFrame, path: str, mode: str) -> None:
-    """ONE copy of the index projection shared by build and append —
-    the schema (incl. the bigint id pin: mixed INT32/INT64 parquet
-    columns break reads over the combined file set) must never diverge
-    between the two writers."""
+    """Sign raw (doc_id, text) docs and write them through the ONE
+    index projection (`_write_minhash_index_sigs`)."""
     sig = minhash_signatures(docs, "doc_id", "text")
-    sig.select(
+    _write_minhash_index_sigs(
+        sig.select("doc_id", "sig", *_band_hash_cols()), path, mode
+    )
+
+
+def _write_minhash_index_sigs(sigs: DataFrame, path: str, mode: str) -> None:
+    """ONE copy of the index write shared by build, append, and
+    `admit_minhash_batch`'s already-signed path (which must not pay a
+    second signature pass over text it signed to probe) — the schema
+    (incl. the bigint id pin: mixed INT32/INT64 parquet columns break
+    reads over the combined file set) must never diverge between the
+    writers. ``sigs`` carries (doc_id, sig, bh0..bh{n})."""
+    sigs.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "sig",
-        *_band_hash_cols(),
+        *[F.col(f"bh{k}") for k in range(_MINHASH_BANDS)],
     ).write.mode(mode).parquet(path)
 
 
@@ -711,7 +721,9 @@ def admit_minhash_batch(
       for); ``canon_id`` is the minimum matched id across both sources;
     - ADMITTED docs are appended to ``admitted_path`` (idempotent: a
       doc_id already in the sink is anti-joined away, the W3 pattern)
-      and then to the index via `append_to_minhash_index`.
+      and then to the index — their ALREADY-COMPUTED signatures go
+      through `_write_minhash_index_sigs` directly, so admission never
+      re-signs text it just signed to probe.
 
     EXACTLY-ONCE story under foreachBatch's at-least-once replay — the
     ordering is load-bearing, ledger -> SINK -> INDEX:
@@ -770,15 +782,21 @@ def admit_minhash_batch(
         .localCheckpoint(eager=True)  # pin verdicts BEFORE mutating state
     )
     admitted_ids = ledger.filter(F.col("status") == "admitted").select("doc_id")
-    admitted_docs = batch_docs.join(admitted_ids, "doc_id")
     if admitted_path is not None:
+        admitted_docs = batch_docs.join(admitted_ids, "doc_id")
         if target_exists(spark, admitted_path):
             existing = spark.read.parquet(admitted_path).select("doc_id")
             to_insert = admitted_docs.join(existing, "doc_id", "left_anti")
         else:
             to_insert = admitted_docs
         to_insert.write.mode("append").parquet(admitted_path)
-    append_to_minhash_index(admitted_docs, index_path)
+    # the batch is already signed (and pinned) — append the admitted
+    # signatures directly instead of re-signing the text (self-review
+    # r12: the second signature pass doubled the steady-state write
+    # path's map work)
+    _write_minhash_index_sigs(
+        batch_sigs.join(admitted_ids, "doc_id"), index_path, "append"
+    )
     return ledger
 
 
@@ -887,10 +905,17 @@ def stream_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     appends; nothing rescans the corpus. The streaming form inherits
     exactly-once from `admit_minhash_batch`'s ledger->sink->index
     ordering (see its docstring)."""
-    t = load_tables(spark, sf_dir, "documents")
-    from ..tables import warehouse_scratch_path
+    import tempfile
 
-    path = warehouse_scratch_path(spark, "admission_index", sf_dir, per_app=True)
+    t = load_tables(spark, sf_dir, "documents")
+    # per-INVOCATION path (self-review r12): this index is MUTATED
+    # (overwrite build + two appends) every run, so even a per-app
+    # scratch path lets two concurrent invocations in one application
+    # corrupt each other (A's overwrite deletes files under B's probe;
+    # B's append flips A's batch-1 verdicts). The ingest entries'
+    # mkdtemp-per-invocation idiom makes the race impossible; results
+    # are path-independent, so determinism is untouched.
+    path = tempfile.mkdtemp(prefix="admission_index_")
     build_minhash_index(
         t.documents.filter(F.col("doc_id") % 5 == _ADMIT_CORPUS_RES), path
     )

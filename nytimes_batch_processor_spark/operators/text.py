@@ -282,10 +282,7 @@ def pipeline_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tokens"),
         F.length("text").cast("long").alias("n_chars"),
     )
-    quality = scored.filter(
-        (F.col("n_tokens") >= 5)
-        & (F.col("n_chars").cast("double") / F.col("n_tokens") < 15)
-    )
+    quality = scored.filter(quality_pass(F.col("n_tokens"), F.col("n_chars")))
     w = W.partitionBy("fp").orderBy(F.col("doc_id").asc())
     deduped = quality.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return deduped.groupBy("lang").agg(
@@ -918,6 +915,37 @@ _PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
 _PII_ID_RE = r"\d{3}-\d{2}-\d{4}"
 
 
+def redact_pii(col: F.Column) -> F.Column:
+    """ONE definition of the redaction chain (email -> phone -> id,
+    in that order — phone/id patterns overlap, so order is semantics),
+    shared by `text_pii_redact` and `curate_admission_pipeline`; a
+    divergent copy would let the composed pipeline apply different
+    scrubbing than the oracle-checked entry proves (self-review r12)."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        _PII_ID_RE,
+        "[ID]",
+    )
+
+
+# ONE definition of the curation quality rule (shared by
+# `pipeline_curate_corpus` and `curate_admission_pipeline`): keep docs
+# with >= 5 whitespace tokens whose chars-per-token ratio stays under
+# 15 (gibberish/binary-blob cut).
+_QUALITY_MIN_TOKENS = 5
+_QUALITY_MAX_CHARS_PER_TOKEN = 15
+
+
+def quality_pass(n_tokens: F.Column, n_chars: F.Column) -> F.Column:
+    return (n_tokens >= _QUALITY_MIN_TOKENS) & (
+        n_chars.cast("double") / n_tokens < _QUALITY_MAX_CHARS_PER_TOKEN
+    )
+
+
 @query(
     "text_pii_redact",
     tables=("documents",),
@@ -1043,17 +1071,12 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         _n(F.col("text"), _PII_PHONE_RE).alias("n_phones"),
         _n(F.col("text"), _PII_ID_RE).alias("n_ids"),
     )
-    rtext = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
-            _PII_PHONE_RE,
-            "[PHONE]",
-        ),
-        _PII_ID_RE,
-        "[ID]",
-    )
     redacted = counted.select(
-        "doc_id", "n_emails", "n_phones", "n_ids", rtext.alias("rtext")
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ids",
+        redact_pii(F.col("text")).alias("rtext"),
     )
     r = F.col("rtext")
     return redacted.select(
@@ -1109,7 +1132,6 @@ def curate_admission_pipeline(
 
     from .dedup import (
         _band_hash_cols,
-        _portable_token_hash,
         minhash_signatures,
         probe_minhash_index,
     )
@@ -1121,10 +1143,7 @@ def curate_admission_pipeline(
         F.size(toks).cast("long").alias("n_tokens_raw"),
         F.length("text").cast("long").alias("n_chars"),
     )
-    quality = scored.filter(
-        (F.col("n_tokens_raw") >= 5)
-        & (F.col("n_chars").cast("double") / F.col("n_tokens_raw") < 15)
-    )
+    quality = scored.filter(quality_pass(F.col("n_tokens_raw"), F.col("n_chars")))
     obs = {
         "quality": Observation(),
         "admitted": Observation(),
@@ -1133,16 +1152,7 @@ def curate_admission_pipeline(
     if metrics_out is not None:
         metrics_out["observations"] = obs
     quality = quality.observe(obs["quality"], F.count(F.lit(1)).alias("n"))
-    rtext = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL_RE, "[EMAIL]"),
-            _PII_PHONE_RE,
-            "[PHONE]",
-        ),
-        _PII_ID_RE,
-        "[ID]",
-    )
-    redacted = quality.select("doc_id", rtext.alias("text"))
+    redacted = quality.select("doc_id", redact_pii(F.col("text")).alias("text"))
     sigs = minhash_signatures(redacted, "doc_id", "text").select(
         "doc_id", "sig", *_band_hash_cols()
     )
@@ -1152,27 +1162,13 @@ def curate_admission_pipeline(
         obs["admitted"], F.count(F.lit(1)).alias("n")
     )
     rtoks = F.split(F.lower("text"), r"\s+")
-    sid = F.col("doc_id").cast("string")
-    base = admitted.select(
-        "doc_id",
-        F.size(F.filter(rtoks, lambda x: x != "")).cast("long").alias("n_tokens"),
-        (_portable_token_hash(F.concat(sid, F.lit(":shard"))) % _SHARD_COUNT)
-        .cast("long")
-        .alias("shard"),
-        _portable_token_hash(F.concat(sid, F.lit(":ord"))).alias("ohash"),
-    )
-    w = W.partitionBy("shard").orderBy("ohash", "doc_id")
-    manifest = base.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
-        "n_tokens",
-        F.coalesce(
-            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
-            F.lit(0),
+    manifest = shard_manifest_frame(
+        admitted.select(
+            "doc_id",
+            F.size(F.filter(rtoks, lambda x: x != ""))
+            .cast("long")
+            .alias("n_tokens"),
         )
-        .cast("long")
-        .alias("tok_offset"),
     ).withColumn(
         "bin_id", F.expr(f"tok_offset div {_PACK_CAPACITY}").cast("long")
     )
@@ -1185,6 +1181,42 @@ def curate_admission_pipeline(
 
 
 _SHARD_COUNT = 16  # at 100 TB pick ~#output-files (thousands) instead
+
+
+def shard_manifest_frame(docs: DataFrame) -> DataFrame:
+    """ONE copy of the shard-manifest derivation (self-review r12 —
+    shared by `export_train_shards` and `curate_admission_pipeline`,
+    so the composed pipeline can never emit a manifest whose shard
+    assignment or shuffle order drifts from the oracle-checked entry):
+    ``docs`` carries (doc_id, n_tokens); returns (doc_id, shard, pos,
+    n_tokens, tok_offset) — hash-bucket shard via the ``:shard``-salted
+    portable hash, deterministic pseudo-random within-shard order via
+    the independent ``:ord`` salt, exclusive token prefix-sum. BOTH
+    windows partition by shard: the single shuffle is hash(shard)."""
+    from .dedup import _portable_token_hash
+
+    sid = F.col("doc_id").cast("string")
+    base = docs.select(
+        "doc_id",
+        "n_tokens",
+        (_portable_token_hash(F.concat(sid, F.lit(":shard"))) % _SHARD_COUNT)
+        .cast("long")
+        .alias("shard"),
+        _portable_token_hash(F.concat(sid, F.lit(":ord"))).alias("ohash"),
+    )
+    w = W.partitionBy("shard").orderBy("ohash", "doc_id")
+    return base.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        "n_tokens",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tok_offset"),
+    )
 
 
 @query(
@@ -1231,28 +1263,13 @@ def export_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     60-bit md5 hash (`_portable_token_hash`) with independent `:shard` /
     `:ord` salts so DuckDB replays both the bucketing and the shuffle
     order exactly."""
-    from .dedup import _portable_token_hash
-
     t = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), r"\s+")
-    sid = F.col("doc_id").cast("string")
-    base = t.documents.select(
-        "doc_id",
-        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_tokens"),
-        (_portable_token_hash(F.concat(sid, F.lit(":shard"))) % _SHARD_COUNT)
-        .cast("long")
-        .alias("shard"),
-        _portable_token_hash(F.concat(sid, F.lit(":ord"))).alias("ohash"),
-    )
-    w = W.partitionBy("shard").orderBy("ohash", "doc_id")
-    return base.select(
-        "doc_id",
-        "shard",
-        F.row_number().over(w).cast("long").alias("pos"),
-        "n_tokens",
-        F.coalesce(
-            F.sum("n_tokens").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    return shard_manifest_frame(
+        t.documents.select(
+            "doc_id",
+            F.size(F.filter(toks, lambda x: x != ""))
+            .cast("long")
+            .alias("n_tokens"),
         )
-        .cast("long")
-        .alias("tok_offset"),
     )

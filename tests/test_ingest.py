@@ -530,3 +530,52 @@ def test_rollback_interior_batch_equals_counterfactual(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert by_key[("2020-01-23", "Washington", 53)] == 3
+
+
+def test_rollback_interior_batch_replays_fully_shadowed_batch(spark, tmp_path):
+    """The self-review r12 bug: a later batch whose rows were ALL
+    shadowed by earlier first-writers leaves zero lineage rows, so the
+    table alone cannot enumerate it — rollback must still replay it
+    (its source is declared in replay_sources), or the re-delivered
+    rows vanish with their deleted first writer."""
+    from nytimes_batch_processor_spark.ingest import (
+        ingest_covid_csv_audited,
+        rollback_interior_batch,
+    )
+
+    csv_b1 = "date,state,fips,cases,deaths\n2020-01-21,Washington,53,1,0\n"
+    csv_b2 = "date,state,fips,cases,deaths\n2020-01-22,Illinois,17,5,0\n"
+    # batch 3 re-delivers EXACTLY batches 1+2's rows: zero inserts,
+    # zero batch_id=3 lineage rows
+    csv_b3 = (
+        "date,state,fips,cases,deaths\n"
+        "2020-01-21,Washington,53,1,0\n"
+        "2020-01-22,Illinois,17,5,0\n"
+    )
+    dirs = {}
+    for name, text in (("b1", csv_b1), ("b2", csv_b2), ("b3", csv_b3)):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "drop.csv").write_text(text)
+        dirs[name] = str(d)
+    target = str(tmp_path / "audited")
+    for i, name in ((1, "b1"), (2, "b2"), (3, "b3")):
+        ingest_covid_csv_audited(
+            spark, dirs[name], target, batch_id=i, has_county=False
+        )
+    assert {r["batch_id"] for r in spark.read.parquet(target).collect()} == {1, 2}
+
+    stats = rollback_interior_batch(
+        spark, target, 2, {3: dirs["b3"]}, has_county=False
+    )
+    assert stats["batches_replayed"] == 1, "shadowed batch 3 must replay"
+    rows = {
+        ((str(r["date"]), r["state"], r["fips"]), r["batch_id"])
+        for r in spark.read.parquet(target).collect()
+    }
+    # Illinois came back under batch 3 (the counterfactual first
+    # writer); Washington stays batch 1
+    assert rows == {
+        (("2020-01-21", "Washington", 53), 1),
+        (("2020-01-22", "Illinois", 17), 3),
+    }, rows
