@@ -1206,16 +1206,28 @@ def build_ivf_parquet_index(corpus: DataFrame, path: str) -> None:
 
 
 def _write_ivf_index(vectors: DataFrame, path: str, mode: str) -> None:
-    """ONE copy of the index projection shared by build and append —
-    the schema (incl. the bigint id pin: an int-typed id would write an
-    INT32 parquet column next to INT64 originals and break mixed-file
-    reads) must never diverge between the two writers."""
+    """Normalize + assign raw (vec_id, embedding) vectors and write
+    them through the ONE index projection
+    (`_write_ivf_index_assigned`)."""
     centers = ivf_fixed_centers()
     v = vectors.select(
         F.col("vec_id").cast("long").alias("vec_id"),
         _as_double(F.col("embedding")).alias("e"),
     ).withColumn("nrm", _norm(F.col("e")))
-    _assign_cells(v, centers).write.mode(mode).partitionBy("cell").parquet(path)
+    _write_ivf_index_assigned(_assign_cells(v, centers), path, mode)
+
+
+def _write_ivf_index_assigned(assigned: DataFrame, path: str, mode: str) -> None:
+    """ONE copy of the index write shared by build, append, and
+    `admit_ivf_batch`'s already-assigned path (which must not pay a
+    second centroid-assignment pass over vectors it assigned to
+    probe) — the schema (incl. the bigint id pin: an int-typed id
+    would write an INT32 parquet column next to INT64 originals and
+    break mixed-file reads) must never diverge between the writers.
+    ``assigned`` carries (vec_id, e, nrm, cell)."""
+    assigned.select(
+        F.col("vec_id").cast("long").alias("vec_id"), "e", "nrm", "cell"
+    ).write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
@@ -1282,6 +1294,96 @@ def compact_ivf_index(
         "max_cell_share": share,
         "occupancy_ok": share <= IVF_MAX_CELL_SHARE,
     }
+
+
+def admit_ivf_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch_vectors: DataFrame,
+    admitted_path: str | None = None,
+) -> DataFrame:
+    """The ANN half of the streaming-admission composition — the
+    embedding twin of `operators.dedup.admit_minhash_batch`, sharing
+    its semantics and (load-bearing) write ordering: assign each
+    arriving (vec_id, embedding) its probe cells map-only, probe the
+    persisted cell-partitioned IVF index, verdict 'dup' when any
+    indexed vector (or a smaller-vec_id batch member — the
+    canonicalize-by-min within-batch rule) scores cosine >=
+    `_SIM_PROBE_DUP_COS`, upsert admissions into ``admitted_path``
+    (first-write-wins by vec_id), and append them to the index via
+    their ALREADY-COMPUTED cell assignment (`_write_ivf_index_assigned`
+    — no second argmin pass). Returns the ledger ``(vec_id, status
+    'admitted'/'dup', canon_id, n_matches)``.
+
+    Exactly-once under at-least-once replay is the same three-step
+    argument as the MinHash twin (ledger pinned before any write; sink
+    before index; a post-completion replay matches its own indexed
+    copies at cosine 1.0 and no-ops) — see admit_minhash_batch's
+    docstring for the case analysis. Scale: probe cost is
+    O(batch x nprobe-cell occupancy); the within-batch self-probe is
+    cell-bucketed batch x batch. Compaction/occupancy maintenance is
+    `compact_ivf_index`."""
+    from ..ingest import target_exists
+
+    centers = ivf_fixed_centers()
+    v = (
+        batch_vectors.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _as_double(F.col("embedding")).alias("e"),
+        )
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    assigned = _assign_cells(v, centers).localCheckpoint(eager=True)
+    index = spark.read.parquet(index_path)
+    idx_m = (
+        probe_ivf_index(index, assigned)
+        .filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
+        .select(F.col("qid").alias("vec_id"), F.col("nn_id").alias("canon_id"))
+    )
+    self_m = (
+        probe_ivf_index(assigned, assigned)
+        .filter(
+            (F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
+            & (F.col("nn_id") < F.col("qid"))
+        )
+        .select(F.col("qid").alias("vec_id"), F.col("nn_id").alias("canon_id"))
+    )
+    agg = (
+        idx_m.unionByName(self_m)
+        .groupBy("vec_id")
+        .agg(
+            F.min("canon_id").alias("canon_id"),
+            F.countDistinct("canon_id").alias("n_matches"),
+        )
+    )
+    ledger = (
+        assigned.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("canon_id").isNull(), F.lit("admitted"))
+            .otherwise(F.lit("dup"))
+            .alias("status"),
+            "canon_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+        )
+        .localCheckpoint(eager=True)  # pin verdicts BEFORE mutating state
+    )
+    admitted_ids = ledger.filter(F.col("status") == "admitted").select("vec_id")
+    if admitted_path is not None:
+        admitted_vecs = batch_vectors.join(admitted_ids, "vec_id")
+        if target_exists(spark, admitted_path):
+            existing = spark.read.parquet(admitted_path).select("vec_id")
+            to_insert = admitted_vecs.join(existing, "vec_id", "left_anti")
+        else:
+            to_insert = admitted_vecs
+        to_insert.write.mode("append").parquet(admitted_path)
+    _write_ivf_index_assigned(
+        assigned.join(admitted_ids, "vec_id"), index_path, "append"
+    )
+    return ledger
 
 
 # (applicationId, sf_dir) -> index path; built once per session/corpus

@@ -2,10 +2,12 @@ from .pipeline import (
     deduped_stream,
     enriched_stream,
     foreach_batch_admission,
+    foreach_batch_ann_admission,
     foreach_batch_upsert,
     sessionized_stream,
     stream_covid_ingest,
     stream_document_admission,
+    stream_embedding_admission,
     windowed_event_counts,
 )
 from .state_reader import (
@@ -20,6 +22,7 @@ __all__ = [
     "deduped_stream",
     "enriched_stream",
     "foreach_batch_admission",
+    "foreach_batch_ann_admission",
     "foreach_batch_upsert",
     "read_state",
     "rollback_checkpoint",
@@ -29,5 +32,6 @@ __all__ = [
     "state_metadata",
     "stream_covid_ingest",
     "stream_document_admission",
+    "stream_embedding_admission",
     "windowed_event_counts",
 ]

@@ -197,3 +197,41 @@ def stream_document_admission(
     return raw.writeStream.foreachBatch(
         foreach_batch_admission(index_path, admitted_path)
     ).option("checkpointLocation", checkpoint_dir)
+
+
+def foreach_batch_ann_admission(index_path: str, admitted_path: str):
+    """The embedding twin of `foreach_batch_admission`: each micro-batch
+    of (vec_id, embedding) rows runs
+    `operators.similarity.admit_ivf_batch` — probe the persisted
+    cell-partitioned IVF index, drop near-dups (cosine >= the admission
+    bar) of indexed or earlier-in-batch vectors, upsert admissions into
+    ``admitted_path``, grow the index under its cell partitioning.
+    Exactly-once from the same ledger -> sink -> index ordering."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.similarity import admit_ivf_batch
+
+        admit_ivf_batch(
+            batch_df.sparkSession, index_path, batch_df, admitted_path
+        )
+
+    return _apply
+
+
+def stream_embedding_admission(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    admitted_path: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Streaming embedding admission: a JSONL file-source stream of
+    (vec_id, embedding array) rows admitted through
+    `foreach_batch_ann_admission` — the ANN counterpart of
+    `stream_document_admission`, same drain-and-stop usage."""
+    raw = spark.readStream.schema(
+        "vec_id LONG, embedding ARRAY<DOUBLE>"
+    ).option("maxFilesPerTrigger", 1).json(src_dir)
+    return raw.writeStream.foreachBatch(
+        foreach_batch_ann_admission(index_path, admitted_path)
+    ).option("checkpointLocation", checkpoint_dir)

@@ -1427,3 +1427,94 @@ def test_stream_admission_dedups_across_microbatches(spark, tmp_path):
     ).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert {r["doc_id"] for r in spark.read.parquet(admitted_path).collect()} == {100, 201, 301}
+
+
+def test_ann_stream_admission_dedups_across_microbatches(spark, tmp_path):
+    """The embedding twin of the MinHash streaming admission: a JSONL
+    (vec_id, embedding) stream over a persisted cell-partitioned IVF
+    index must admit novel vectors, drop cosine-duplicates of the
+    corpus, of earlier batch members (smaller vec_id wins), and of an
+    EARLIER batch's admission (the grown index), and stay idempotent
+    under replay — with the index's cell= layout preserved across
+    appends."""
+    import json as _json
+    import os as _os
+    import time as _time
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        admit_ivf_batch,
+        build_ivf_parquet_index,
+    )
+    from nytimes_batch_processor_spark.streaming import (
+        stream_embedding_admission,
+    )
+
+    def vec(seed):
+        # deterministic 64-dim unit-ish vectors; distinct seeds are
+        # near-orthogonal (random signs), duplicates are exact copies
+        import hashlib
+
+        out = []
+        for i in range(64):
+            h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+            out.append(((h % 2000) - 1000) / 1000.0)
+        return out
+
+    corpus_v, novel_a, novel_b = vec("corpus"), vec("a"), vec("b")
+    corpus = spark.createDataFrame(
+        [(1, corpus_v), (2, vec("other"))],
+        "vec_id long, embedding array<double>",
+    )
+    index_path = str(tmp_path / "ivf_index")
+    build_ivf_parquet_index(corpus, index_path)
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    admitted_path = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    # batch 0: 100 novel; 101 dups the corpus (exact copy, cosine 1.0);
+    # 102 dups 100 within the batch
+    drop("a.json", [
+        {"vec_id": 100, "embedding": novel_a},
+        {"vec_id": 101, "embedding": corpus_v},
+        {"vec_id": 102, "embedding": novel_a},
+    ])
+    _time.sleep(1.1)
+    # batch 1: 200 dups batch 0's ADMISSION (index grew); 201 novel
+    drop("b.json", [
+        {"vec_id": 200, "embedding": novel_a},
+        {"vec_id": 201, "embedding": novel_b},
+    ])
+
+    q = stream_embedding_admission(
+        spark, str(src), index_path, admitted_path, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    admitted = {r["vec_id"] for r in spark.read.parquet(admitted_path).collect()}
+    assert admitted == {100, 201}, admitted
+    indexed = {r["vec_id"] for r in spark.read.parquet(index_path).collect()}
+    assert indexed == {1, 2, 100, 201}, indexed
+    # appends preserved the inverted-file layout
+    assert any(
+        d.startswith("cell=") for d in _os.listdir(index_path)
+    ), "append flattened the cell partitioning"
+
+    # replay idempotency: everything verdicts 'dup' against its own
+    # indexed copy; sink and index unchanged
+    batch0 = spark.createDataFrame(
+        [(100, novel_a), (101, corpus_v), (102, novel_a)],
+        "vec_id long, embedding array<double>",
+    )
+    ledger = admit_ivf_batch(spark, index_path, batch0, admitted_path)
+    assert {(r["vec_id"], r["status"]) for r in ledger.collect()} == {
+        (100, "dup"), (101, "dup"), (102, "dup"),
+    }
+    assert {r["vec_id"] for r in spark.read.parquet(admitted_path).collect()} == {100, 201}
+    assert {r["vec_id"] for r in spark.read.parquet(index_path).collect()} == {1, 2, 100, 201}
