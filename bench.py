@@ -50,9 +50,10 @@ def curation_pipeline(spark, sf_dir: str):
     from nytimes_batch_processor_spark.operators.text import (
         curate_admission_pipeline,
     )
+    from nytimes_batch_processor_spark.sources import load_tables
 
     index_path = minhash_index_for(spark, sf_dir)
-    batch = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    batch = load_tables(spark, sf_dir, "documents").documents.filter(
         F.col("doc_id") % _PROBE_BATCH_MOD == 0
     )
     return curate_admission_pipeline(spark, index_path, batch)

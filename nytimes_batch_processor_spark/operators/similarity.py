@@ -1208,12 +1208,20 @@ def build_ivf_parquet_index(corpus: DataFrame, path: str) -> None:
 def _write_ivf_index(vectors: DataFrame, path: str, mode: str) -> None:
     """Normalize + assign raw (vec_id, embedding) vectors and write
     them through the ONE index projection
-    (`_write_ivf_index_assigned`)."""
+    (`_write_ivf_index_assigned`). Zero/null-norm vectors are
+    UNINDEXABLE (cosine against them is undefined; under ANSI mode the
+    probe's division would throw on every later query touching their
+    cell — self-review r12) and are excluded here, at the single
+    chokepoint every index write passes through."""
     centers = ivf_fixed_centers()
-    v = vectors.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        _as_double(F.col("embedding")).alias("e"),
-    ).withColumn("nrm", _norm(F.col("e")))
+    v = (
+        vectors.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            _as_double(F.col("embedding")).alias("e"),
+        )
+        .withColumn("nrm", _norm(F.col("e")))
+        .filter(F.col("nrm") > 0.0)
+    )
     _write_ivf_index_assigned(_assign_cells(v, centers), path, mode)
 
 
@@ -1307,13 +1315,16 @@ def admit_ivf_batch(
     its semantics and (load-bearing) write ordering: assign each
     arriving (vec_id, embedding) its probe cells map-only, probe the
     persisted cell-partitioned IVF index, verdict 'dup' when any
-    indexed vector (or a smaller-vec_id batch member — the
-    canonicalize-by-min within-batch rule) scores cosine >=
-    `_SIM_PROBE_DUP_COS`, upsert admissions into ``admitted_path``
-    (first-write-wins by vec_id), and append them to the index via
-    their ALREADY-COMPUTED cell assignment (`_write_ivf_index_assigned`
-    — no second argmin pass). Returns the ledger ``(vec_id, status
-    'admitted'/'dup', canon_id, n_matches)``.
+    indexed vector or any OTHER batch member scores cosine >=
+    `_SIM_PROBE_DUP_COS` against it (within-batch pairs found in
+    either probe direction; the larger vec_id loses, canon_id = the
+    smaller), 'invalid' for zero/null-norm vectors (cosine undefined —
+    they never reach the probe, sink, or index), upsert admissions
+    into ``admitted_path`` (first-write-wins by vec_id), and append
+    them to the index via their ALREADY-COMPUTED cell assignment
+    (`_write_ivf_index_assigned` — no second argmin pass). Returns the
+    ledger ``(vec_id, status 'admitted'/'dup'/'invalid', canon_id,
+    n_matches)``.
 
     Exactly-once under at-least-once replay is the same three-step
     argument as the MinHash twin (ledger pinned before any write; sink
@@ -1333,20 +1344,43 @@ def admit_ivf_batch(
         )
         .withColumn("nrm", _norm(F.col("e")))
     )
-    assigned = _assign_cells(v, centers).localCheckpoint(eager=True)
+    # Degenerate vectors (zero/null norm — cosine undefined) are
+    # INVALID, not admitted: under ANSI mode the cosine division would
+    # throw, and inside foreachBatch that is a poison pill (replay
+    # re-crashes the same micro-batch forever — self-review r12). They
+    # get a visible ledger verdict and never reach the probe, the
+    # sink, or the index.
+    invalid = v.filter(F.col("nrm").isNull() | (F.col("nrm") <= 0.0)).select(
+        "vec_id",
+        F.lit("invalid").alias("status"),
+        F.lit(None).cast("long").alias("canon_id"),
+        F.lit(0).cast("long").alias("n_matches"),
+    )
+    valid = v.filter(F.col("nrm") > 0.0)
+    assigned = _assign_cells(valid, centers).localCheckpoint(eager=True)
     index = spark.read.parquet(index_path)
     idx_m = (
         probe_ivf_index(index, assigned)
         .filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
         .select(F.col("qid").alias("vec_id"), F.col("nn_id").alias("canon_id"))
     )
+    # Within-batch near-dups: the cell probe is DIRECTION-ASYMMETRIC
+    # (A's nprobe cells may reach B's cell while B's never reach A's —
+    # unlike the MinHash twin's symmetric band join), so keep a pair
+    # found in EITHER direction and canonicalize by id afterwards
+    # (self-review r12: filtering on nn_id < qid dropped ~12% of
+    # threshold-level pairs found only in the discarded direction and
+    # admitted both members).
     self_m = (
         probe_ivf_index(assigned, assigned)
         .filter(
             (F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
-            & (F.col("nn_id") < F.col("qid"))
+            & (F.col("nn_id") != F.col("qid"))
         )
-        .select(F.col("qid").alias("vec_id"), F.col("nn_id").alias("canon_id"))
+        .select(
+            F.greatest("qid", "nn_id").alias("vec_id"),
+            F.least("qid", "nn_id").alias("canon_id"),
+        )
     )
     agg = (
         idx_m.unionByName(self_m)
@@ -1369,6 +1403,7 @@ def admit_ivf_batch(
                 "n_matches"
             ),
         )
+        .unionByName(invalid)
         .localCheckpoint(eager=True)  # pin verdicts BEFORE mutating state
     )
     admitted_ids = ledger.filter(F.col("status") == "admitted").select("vec_id")

@@ -1518,3 +1518,97 @@ def test_ann_stream_admission_dedups_across_microbatches(spark, tmp_path):
     }
     assert {r["vec_id"] for r in spark.read.parquet(admitted_path).collect()} == {100, 201}
     assert {r["vec_id"] for r in spark.read.parquet(index_path).collect()} == {1, 2, 100, 201}
+
+    # a third drop continues from the checkpoint: 300 dups the grown
+    # index's 201; 301 is novel; 302 is a ZERO-NORM vector — the
+    # poison-pill case (cosine undefined, ANSI division throws): it
+    # must be verdicted 'invalid', never crash the micro-batch, and
+    # reach neither the sink nor the index
+    _time.sleep(1.1)
+    drop("c.json", [
+        {"vec_id": 300, "embedding": novel_b},
+        {"vec_id": 301, "embedding": vec("c")},
+        {"vec_id": 302, "embedding": [0.0] * 64},
+    ])
+    q = stream_embedding_admission(
+        spark, str(src), index_path, admitted_path, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert {r["vec_id"] for r in spark.read.parquet(admitted_path).collect()} == {100, 201, 301}
+    assert {r["vec_id"] for r in spark.read.parquet(index_path).collect()} == {1, 2, 100, 201, 301}
+
+
+def test_ann_admission_catches_asymmetric_within_batch_pairs(spark, tmp_path):
+    """Self-review r12 regression: the IVF cell probe is DIRECTION-
+    ASYMMETRIC (A's nprobe cells can reach B's cell while B's never
+    reach A's), and the first draft's ``nn_id < qid`` filter silently
+    dropped pairs found only in the discarded direction — both members
+    got admitted. The test CONSTRUCTS such a pair against the fixed
+    centroids (searching with the same argmin/probe/cosine math) with
+    ids ordered so only the formerly-discarded direction finds it, and
+    requires exactly one admission."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _IVF_FIXED_NPROBE,
+        _SIM_PROBE_DUP_COS,
+        admit_ivf_batch,
+        build_ivf_parquet_index,
+        ivf_fixed_centers,
+    )
+
+    centers = ivf_fixed_centers()
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    def nrm(a):
+        return sum(x * x for x in a) ** 0.5
+
+    def cell_and_probe(e):
+        d = [sum((x - c) ** 2 for x, c in zip(e, cv)) for cv in centers]
+        order = sorted(range(len(centers)), key=lambda i: (d[i], i))
+        return order[0], set(order[:_IVF_FIXED_NPROBE])
+
+    u = list(centers[0])
+    cu, pu = cell_and_probe(u)
+    w = None
+    for j in range(len(centers)):
+        if j in pu:
+            continue
+        for alpha in (0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+            cand = [alpha * a + b for a, b in zip(u, centers[j])]
+            cw, pw = cell_and_probe(cand)
+            cos = dot(u, cand) / (nrm(u) * nrm(cand))
+            if cw not in pu and cu in pw and cos >= _SIM_PROBE_DUP_COS:
+                w = cand
+                break
+        if w is not None:
+            break
+    assert w is not None, (
+        "no asymmetric pair constructible against the fixed centroids — "
+        "revisit the search grid"
+    )
+    # corpus: a centroid nearly orthogonal to both, so the index probe
+    # contributes no matches and the pair is decided WITHIN the batch
+    corpus_k = next(
+        k
+        for k in range(len(centers))
+        if abs(dot(centers[k], u)) / nrm(u) < 0.3
+        and abs(dot(centers[k], w)) / (nrm(centers[k]) * nrm(w)) < 0.3
+    )
+    index_path = str(tmp_path / "ivf_index")
+    build_ivf_parquet_index(
+        spark.createDataFrame(
+            [(1, list(centers[corpus_k]))], "vec_id long, embedding array<double>"
+        ),
+        index_path,
+    )
+    # w gets the SMALLER id: the pair is found only as (qid=w, nn_id=u)
+    # with nn_id > qid — exactly the direction the old filter dropped
+    batch = spark.createDataFrame(
+        [(10, w), (20, u)], "vec_id long, embedding array<double>"
+    )
+    ledger = {
+        (r["vec_id"], r["status"])
+        for r in admit_ivf_batch(spark, index_path, batch).collect()
+    }
+    assert ledger == {(10, "admitted"), (20, "dup")}, ledger
