@@ -1205,6 +1205,61 @@ def build_ivf_parquet_index(corpus: DataFrame, path: str) -> None:
     _write_ivf_index(corpus, path, "overwrite")
 
 
+_IVF_CENTROIDS_SIDECAR = "_centroids.json"
+
+
+def _ivf_sidecar(spark: SparkSession, path: str):
+    """(hadoop Path of the sidecar, its FileSystem)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_IVF_CENTROIDS_SIDECAR}"
+    )
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def save_ivf_centers(
+    spark: SparkSession, path: str, centers: list[list[float]]
+) -> None:
+    """Persist an index's TRAINED centroids next to its cell
+    directories (underscore-prefixed, so parquet readers and the
+    partition detector ignore it). The sidecar is the index's quantizer
+    DEFINITION: a reader probing with any other centroids probes the
+    wrong cells. A plain `build_ivf_parquet_index` carries no sidecar —
+    absence means the fixed quantizer (`load_ivf_centers`)."""
+    import json
+
+    p, fs = _ivf_sidecar(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(centers).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def load_ivf_centers(spark: SparkSession, path: str) -> list[list[float]]:
+    """The centroids index ``path`` was built with: the trained sidecar
+    when present (a `rebuild_ivf_index` product), else the fixed
+    quantizer."""
+    import json
+
+    p, fs = _ivf_sidecar(spark, path)
+    if not fs.exists(p):
+        return ivf_fixed_centers()
+    reader = spark._jvm.java.io.BufferedReader(
+        spark._jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    return [[float(x) for x in c] for c in json.loads("".join(lines))]
+
+
 def _write_ivf_index(vectors: DataFrame, path: str, mode: str) -> None:
     """Normalize + assign raw (vec_id, embedding) vectors and write
     them through the ONE index projection
@@ -1212,8 +1267,17 @@ def _write_ivf_index(vectors: DataFrame, path: str, mode: str) -> None:
     UNINDEXABLE (cosine against them is undefined; under ANSI mode the
     probe's division would throw on every later query touching their
     cell — self-review r12) and are excluded here, at the single
-    chokepoint every index write passes through."""
-    centers = ivf_fixed_centers()
+    chokepoint every index write passes through.
+
+    Quantizer selection: APPENDS assign with the index's OWN centroids
+    (`load_ivf_centers` — appending under foreign cells would corrupt a
+    rebuilt index's inverted file); a fresh overwrite build uses the
+    fixed quantizer, and Spark's overwrite of the directory removes any
+    stale trained sidecar with it."""
+    if mode == "append":
+        centers = load_ivf_centers(vectors.sparkSession, path)
+    else:
+        centers = ivf_fixed_centers()
     v = (
         vectors.select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -1295,10 +1359,94 @@ def compact_ivf_index(
     "occupancy_ok"}``."""
     from ..tables import compact_parquet
 
+    # the trained-centroid sidecar (if any) lives INSIDE the directory
+    # compact_parquet swaps out — carry it across, or the compacted
+    # index would silently fall back to the fixed quantizer and every
+    # later probe would hit the wrong cells
+    p, fs = _ivf_sidecar(spark, path)
+    trained = load_ivf_centers(spark, path) if fs.exists(p) else None
     n_files = compact_parquet(spark, path, target_partitions)
+    if trained is not None:
+        save_ivf_centers(spark, path, trained)
     share = ivf_max_cell_share(spark.read.parquet(path))
     return {
         "n_files": n_files,
+        "max_cell_share": share,
+        "occupancy_ok": share <= IVF_MAX_CELL_SHARE,
+    }
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    path: str,
+    k: int = _IVF_K,
+    seed: int = 42,
+    sample_cap: int = _IVF_SAMPLE_CAP,
+) -> dict:
+    """OCCUPANCY REPAIR — the maintenance step `compact_ivf_index`
+    points at when the skew check fails: distribution drift makes a
+    fixed quantizer's hot cell absorb the corpus, and compaction can
+    repack files but never re-place vectors. This retrains the coarse
+    quantizer on the index's CURRENT contents (the `ivf_build_index`
+    recipe: seeded MLlib KMeans over a deterministic hash-sample of at
+    most ``sample_cap`` rows — at 100 TB the retrain reads a bounded
+    sample plus one full assignment pass) and rewrites the inverted
+    file under the new cells: ``partitionBy("cell")`` into a temp dir
+    together with the trained-centroid sidecar, then the
+    `tables.compact_parquet` two-rename swap (crash-safe — the live
+    directory is either wholly old or wholly new, and a crash between
+    the renames restores from ``._prerebuild`` on the next run).
+    Later probes and admission appends pick the trained quantizer up
+    via `load_ivf_centers`, so the index stays self-describing.
+
+    NOT SQL-replayable (float k-means — the same reason
+    `sim_ann_ivf_topk` self-judges), so this is a pytest-gated
+    maintenance utility, not a catalog entry. Returns
+    ``{"n_vectors", "max_cell_share", "occupancy_ok"}``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + "._rebuilding")
+    old = jvm.org.apache.hadoop.fs.Path(path + "._prerebuild")
+    # crash recovery, the compact_parquet contract: path missing +
+    # ._prerebuild present = died between the two swap renames — the
+    # prerebuild dir IS the live index; restore it first
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(
+                f"crash recovery failed: could not restore {old} to {path}"
+            )
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+
+    rows = spark.read.parquet(path).select("vec_id", "e", "nrm")
+    n = rows.count()
+    train = rows
+    if n > sample_cap:
+        keep = int(1_000_000 * sample_cap / n)
+        train = rows.filter(
+            F.pmod(F.abs(F.xxhash64("vec_id")), F.lit(1_000_000)) < keep
+        )
+    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="fv", predictionCol="cell")
+    model = km.fit(train.select(array_to_vector("e").alias("fv")))
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    # write the full replacement (data + sidecar) into tmp BEFORE any
+    # rename, so the swap publishes quantizer and inverted file as one
+    _write_ivf_index_assigned(_assign_cells(rows, centers), str(tmp), "overwrite")
+    save_ivf_centers(spark, path + "._rebuilding", centers)
+    if not fs.rename(hpath, old):
+        raise IOError(f"rebuild swap failed: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"rebuild swap failed: could not promote {tmp}")
+    fs.delete(old, True)
+    share = ivf_max_cell_share(spark.read.parquet(path))
+    return {
+        "n_vectors": n,
         "max_cell_share": share,
         "occupancy_ok": share <= IVF_MAX_CELL_SHARE,
     }
@@ -1336,7 +1484,10 @@ def admit_ivf_batch(
     `compact_ivf_index`."""
     from ..ingest import target_exists
 
-    centers = ivf_fixed_centers()
+    # the index's OWN quantizer (trained sidecar after a rebuild, else
+    # fixed): assigning or probing with foreign centroids would hit the
+    # wrong cells
+    centers = load_ivf_centers(spark, index_path)
     v = (
         batch_vectors.select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -1360,7 +1511,7 @@ def admit_ivf_batch(
     assigned = _assign_cells(valid, centers).localCheckpoint(eager=True)
     index = spark.read.parquet(index_path)
     idx_m = (
-        probe_ivf_index(index, assigned)
+        probe_ivf_index(index, assigned, centers=centers)
         .filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
         .select(F.col("qid").alias("vec_id"), F.col("nn_id").alias("canon_id"))
     )
@@ -1372,7 +1523,7 @@ def admit_ivf_batch(
     # threshold-level pairs found only in the discarded direction and
     # admitted both members).
     self_m = (
-        probe_ivf_index(assigned, assigned)
+        probe_ivf_index(assigned, assigned, centers=centers)
         .filter(
             (F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
             & (F.col("nn_id") != F.col("qid"))
@@ -1444,7 +1595,10 @@ def ivf_parquet_index_for(spark: SparkSession, sf_dir: str) -> str:
 
 
 def probe_ivf_index(
-    index: DataFrame, batch: DataFrame, n_probe_rows: int | None = None
+    index: DataFrame,
+    batch: DataFrame,
+    n_probe_rows: int | None = None,
+    centers: list[list[float]] | None = None,
 ) -> DataFrame:
     """The candidate subplan of `sim_incremental_probe`: each batch
     vector's _IVF_FIXED_NPROBE nearest cells (ranked by the same fixed-
@@ -1462,8 +1616,14 @@ def probe_ivf_index(
     hint unconditionally would pin an arbitrarily large build side in
     every executor). Un-hinted, the optimizer/AQE still broadcasts
     while the batch fits and falls back to a shuffle join past that —
-    the same policy as `probe_minhash_index`."""
-    centers = ivf_fixed_centers()
+    the same policy as `probe_minhash_index`.
+
+    ``centers`` must be the centroids the index was BUILT with (default
+    the fixed quantizer; a rebuilt index's trained centroids come from
+    `load_ivf_centers`) — probing with foreign centroids silently
+    probes the wrong cells."""
+    if centers is None:
+        centers = ivf_fixed_centers()
     probes = batch.select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),

@@ -593,3 +593,105 @@ def test_index_append_is_found_by_next_probe(spark, sf_dir, tmp_path):
         .collect()[0]
     )
     assert best["nn_id"] == appended_id and best["cos_raw"] > 0.999999, best
+
+
+def test_rebuild_ivf_index_repairs_occupancy(spark, tmp_path):
+    """The occupancy REPAIR path (r12): a drifted corpus whose vectors
+    all land in one fixed-quantizer cell breaks IVF_MAX_CELL_SHARE —
+    compaction can't fix placement, so `rebuild_ivf_index` retrains
+    the quantizer on the index's own contents and rewrites the
+    inverted file. Post-rebuild: occupancy within the bound, the
+    trained sidecar self-describes the index, and the probe/admission
+    path keeps working against the new cells (including an append,
+    which must assign with the TRAINED centroids)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        IVF_MAX_CELL_SHARE,
+        admit_ivf_batch,
+        build_ivf_parquet_index,
+        ivf_fixed_centers,
+        ivf_max_cell_share,
+        load_ivf_centers,
+        rebuild_ivf_index,
+    )
+
+    centers = ivf_fixed_centers()
+    c0 = centers[0]
+    # 16 tight subclusters, every one within 0.3 of c0's centroid —
+    # the fixed quantizer puts ALL 400 vectors in cell 0 (share 1.0)
+    rows = []
+    vid = 0
+    for j in range(16):
+        for _ in range(25):
+            rows.append((vid, [a + 0.3 * b for a, b in zip(c0, centers[j])]))
+            vid += 1
+    path = str(tmp_path / "ivf")
+    build_ivf_parquet_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        path,
+    )
+    share0 = ivf_max_cell_share(spark.read.parquet(path))
+    assert share0 > IVF_MAX_CELL_SHARE, f"fixture not skewed: {share0}"
+
+    stats = rebuild_ivf_index(spark, path)
+    assert stats["n_vectors"] == 400
+    assert stats["occupancy_ok"], (
+        f"rebuild left occupancy at {stats['max_cell_share']:.3f}"
+    )
+    assert load_ivf_centers(spark, path) != ivf_fixed_centers(), (
+        "rebuilt index must carry its trained sidecar"
+    )
+
+    # probe correctness survives: an exact copy of an indexed vector is
+    # a dup at cosine 1.0 under the TRAINED cells
+    dup_batch = spark.createDataFrame(
+        [(9000, rows[37][1])], "vec_id long, embedding array<double>"
+    )
+    led = {
+        (r["vec_id"], r["status"])
+        for r in admit_ivf_batch(spark, path, dup_batch).collect()
+    }
+    assert led == {(9000, "dup")}, led
+    # ... and an admission appends under the trained cells: the NEXT
+    # probe of the same vector finds the appended copy
+    novel = [-x for x in c0]
+    nb = spark.createDataFrame(
+        [(9001, novel)], "vec_id long, embedding array<double>"
+    )
+    led = {
+        (r["vec_id"], r["status"])
+        for r in admit_ivf_batch(spark, path, nb).collect()
+    }
+    assert led == {(9001, "admitted")}, led
+    nb2 = spark.createDataFrame(
+        [(9002, novel)], "vec_id long, embedding array<double>"
+    )
+    led = {
+        (r["vec_id"], r["status"], r["canon_id"])
+        for r in admit_ivf_batch(spark, path, nb2).collect()
+    }
+    assert led == {(9002, "dup", 9001)}, led
+
+    # compaction must CARRY the trained sidecar across its swap — a
+    # compacted rebuilt index falling back to the fixed quantizer
+    # would probe the wrong cells from then on
+    from nytimes_batch_processor_spark.operators.similarity import (
+        compact_ivf_index,
+    )
+
+    trained = load_ivf_centers(spark, path)
+    stats = compact_ivf_index(spark, path)
+    assert stats["occupancy_ok"]
+    assert load_ivf_centers(spark, path) == trained, (
+        "trained sidecar lost across compaction"
+    )
+    led = {
+        (r["vec_id"], r["status"])
+        for r in admit_ivf_batch(
+            spark,
+            path,
+            spark.createDataFrame(
+                [(9003, novel)], "vec_id long, embedding array<double>"
+            ),
+        ).collect()
+    }
+    assert led == {(9003, "dup")}, led
