@@ -482,22 +482,33 @@ def ivf_build_index(
 
     `corpus` must have columns (vec_id, e: array<double>, nrm).
     """
+    centers, _ = _train_ivf_centers(corpus, k, seed, sample_cap)
+    assigned = _assign_cells(corpus, centers).localCheckpoint(eager=True)
+    return IvfIndex(centers, assigned)
+
+
+def _train_ivf_centers(
+    vectors: DataFrame, k: int, seed: int, sample_cap: int
+) -> tuple[list[list[float]], int]:
+    """ONE copy of the quantizer-training recipe (seeded MLlib KMeans
+    over a deterministic hash-sample of at most ``sample_cap`` rows),
+    shared by `ivf_build_index` and `rebuild_ivf_index` — the
+    sampling/seeding contract must not fork (self-review r12).
+    ``vectors`` carries (vec_id, e); returns (centers, row count)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    train = corpus
-    n = corpus.count()
+    train = vectors
+    n = vectors.count()
     if n > sample_cap:
         # Deterministic pseudo-random subset: hash the key, keep ~cap.
         keep = int(1_000_000 * sample_cap / n)
-        train = corpus.filter(
+        train = vectors.filter(
             F.pmod(F.abs(F.xxhash64("vec_id")), F.lit(1_000_000)) < keep
         )
     km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="fv", predictionCol="cell")
     model = km.fit(train.select(array_to_vector("e").alias("fv")))
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
-    assigned = _assign_cells(corpus, centers).localCheckpoint(eager=True)
-    return IvfIndex(centers, assigned)
+    return [[float(x) for x in c] for c in model.clusterCenters()], n
 
 
 # (applicationId, sf_dir, k) -> IvfIndex. Keyed by session so a stale
@@ -1272,12 +1283,19 @@ def _write_ivf_index(vectors: DataFrame, path: str, mode: str) -> None:
     Quantizer selection: APPENDS assign with the index's OWN centroids
     (`load_ivf_centers` — appending under foreign cells would corrupt a
     rebuilt index's inverted file); a fresh overwrite build uses the
-    fixed quantizer, and Spark's overwrite of the directory removes any
-    stale trained sidecar with it."""
+    fixed quantizer and DELETES any stale trained sidecar explicitly —
+    Spark's static overwrite would wipe it with the directory, but
+    under spark.sql.sources.partitionOverwriteMode=dynamic only cell=
+    partitions are replaced and a surviving sidecar would poison every
+    later read (self-review r12)."""
+    spark = vectors.sparkSession
     if mode == "append":
-        centers = load_ivf_centers(vectors.sparkSession, path)
+        centers = load_ivf_centers(spark, path)
     else:
         centers = ivf_fixed_centers()
+        p, fs = _ivf_sidecar(spark, path)
+        if fs.exists(p):
+            fs.delete(p, False)
     v = (
         vectors.select(
             F.col("vec_id").cast("long").alias("vec_id"),
@@ -1360,14 +1378,17 @@ def compact_ivf_index(
     from ..tables import compact_parquet
 
     # the trained-centroid sidecar (if any) lives INSIDE the directory
-    # compact_parquet swaps out — carry it across, or the compacted
-    # index would silently fall back to the fixed quantizer and every
-    # later probe would hit the wrong cells
-    p, fs = _ivf_sidecar(spark, path)
-    trained = load_ivf_centers(spark, path) if fs.exists(p) else None
-    n_files = compact_parquet(spark, path, target_partitions)
-    if trained is not None:
-        save_ivf_centers(spark, path, trained)
+    # compact_parquet swaps out — preserve_rootfiles copies it into the
+    # rewrite BEFORE the swap, so data and quantizer definition promote
+    # atomically (self-review r12: re-saving it after the swap left a
+    # crash window where the compacted index had lost its quantizer and
+    # every later probe would hit the wrong cells)
+    n_files = compact_parquet(
+        spark,
+        path,
+        target_partitions,
+        preserve_rootfiles=(_IVF_CENTROIDS_SIDECAR,),
+    )
     share = ivf_max_cell_share(spark.read.parquet(path))
     return {
         "n_files": n_files,
@@ -1401,49 +1422,50 @@ def rebuild_ivf_index(
 
     NOT SQL-replayable (float k-means — the same reason
     `sim_ann_ivf_topk` self-judges), so this is a pytest-gated
-    maintenance utility, not a catalog entry. Returns
-    ``{"n_vectors", "max_cell_share", "occupancy_ok"}``."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    maintenance utility, not a catalog entry. This is OFFLINE
+    maintenance (run it between probe/admission windows, like
+    compaction): a concurrent admission APPEND between the snapshot
+    read and the swap would be silently dropped by the rewrite, so the
+    function compares the directory's data files against its snapshot
+    just before committing and REFUSES (tmp deleted, index untouched)
+    if anything was appended meanwhile. Returns ``{"n_vectors",
+    "max_cell_share", "occupancy_ok"}``."""
+    from ..tables import _commit_swap, _swap_paths
 
+    path = path.rstrip("/")  # 'dir/' would make tmp/old its children
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = jvm.org.apache.hadoop.fs.Path(path + "._rebuilding")
-    old = jvm.org.apache.hadoop.fs.Path(path + "._prerebuild")
-    # crash recovery, the compact_parquet contract: path missing +
-    # ._prerebuild present = died between the two swap renames — the
-    # prerebuild dir IS the live index; restore it first
-    if not fs.exists(hpath) and fs.exists(old):
-        if not fs.rename(old, hpath):
-            raise IOError(
-                f"crash recovery failed: could not restore {old} to {path}"
-            )
-    for stale in (tmp, old):
-        if fs.exists(stale):
-            fs.delete(stale, True)
+    fs, hpath, tmp, old = _swap_paths(spark, path, "._rebuilding", "._prerebuild")
 
     rows = spark.read.parquet(path).select("vec_id", "e", "nrm")
-    n = rows.count()
-    train = rows
-    if n > sample_cap:
-        keep = int(1_000_000 * sample_cap / n)
-        train = rows.filter(
-            F.pmod(F.abs(F.xxhash64("vec_id")), F.lit(1_000_000)) < keep
-        )
-    km = KMeans(k=k, seed=seed, maxIter=10, featuresCol="fv", predictionCol="cell")
-    model = km.fit(train.select(array_to_vector("e").alias("fv")))
-    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    snapshot = {
+        jvm.org.apache.hadoop.fs.Path(u).toUri().getPath()
+        for u in rows.inputFiles()
+    }
+    centers, n = _train_ivf_centers(rows, k, seed, sample_cap)
     # write the full replacement (data + sidecar) into tmp BEFORE any
     # rename, so the swap publishes quantizer and inverted file as one
     _write_ivf_index_assigned(_assign_cells(rows, centers), str(tmp), "overwrite")
-    save_ivf_centers(spark, path + "._rebuilding", centers)
-    if not fs.rename(hpath, old):
-        raise IOError(f"rebuild swap failed: could not move {path} aside")
-    if not fs.rename(tmp, hpath):
-        fs.rename(old, hpath)  # roll back
-        raise IOError(f"rebuild swap failed: could not promote {tmp}")
-    fs.delete(old, True)
+    save_ivf_centers(spark, str(tmp), centers)
+
+    # refuse rather than lose: any data file appended since the
+    # snapshot would vanish in the swap while its ledger/sink rows
+    # survive — the silent-dup hole self-review r12 flagged
+    current = set()
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        name = p.getName()
+        if not name.startswith("_") and not name.startswith("."):
+            current.add(p.toUri().getPath())
+    appended = current - snapshot
+    if appended:
+        fs.delete(tmp, True)
+        raise RuntimeError(
+            f"rebuild aborted: {len(appended)} data file(s) were appended to "
+            f"{path} during the rebuild — swapping would silently drop those "
+            "rows; stop admissions (offline maintenance window) and re-run"
+        )
+    _commit_swap(fs, hpath, tmp, old, path)
     share = ivf_max_cell_share(spark.read.parquet(path))
     return {
         "n_vectors": n,

@@ -190,7 +190,48 @@ def _detect_partitions_with_leaf(
         cur = subdirs[0]
 
 
-def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> int:
+def _swap_paths(spark: SparkSession, path: str, tmp_suffix: str, old_suffix: str):
+    """Crash-recovery + stale-cleanup preamble of the two-rename swap —
+    ONE copy shared by `compact_parquet` and
+    `operators.similarity.rebuild_ivf_index` (self-review r12: the
+    protocol had been duplicated with only the suffixes renamed).
+    Returns ``(fs, live, tmp, old)`` ready for a fresh rewrite into
+    ``tmp``. ``path`` must already be slash-normalized (see callers)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path + tmp_suffix)
+    old = jvm.org.apache.hadoop.fs.Path(path + old_suffix)
+    # path missing + old present = a previous run died BETWEEN the two
+    # swap renames; the old dir IS the live data — restore, never delete
+    if not fs.exists(hpath) and fs.exists(old):
+        if not fs.rename(old, hpath):
+            raise IOError(f"crash recovery failed: could not restore {old} to {path}")
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    return fs, hpath, tmp, old
+
+
+def _commit_swap(fs, hpath, tmp, old, path: str) -> None:
+    """The two renames + rollback + cleanup half of the swap protocol
+    (see `_swap_paths`): any crash point leaves ``path`` wholly old or
+    wholly new."""
+    if not fs.rename(hpath, old):
+        raise IOError(f"swap failed: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"swap failed: could not promote {tmp}")
+    fs.delete(old, True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_partitions: int,
+    *,
+    preserve_rootfiles: tuple[str, ...] = (),
+) -> int:
     """Small-files compaction: rewrite a parquet dataset into few files
     and atomically swap it into place, PRESERVING the partition layout.
 
@@ -213,29 +254,19 @@ def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> i
     The swap is two renames through the Hadoop FileSystem API (atomic
     enough for a maintenance window on HDFS/local; object stores want a
     manifest/table format instead — this utility is the format-free
-    fallback).
+    fallback). The recovery/cleanup and rename protocol live in
+    `_swap_paths` / `_commit_swap` (shared with the IVF rebuild).
+
+    ``preserve_rootfiles`` names root-level metadata files (e.g. the
+    IVF index's ``_centroids.json`` sidecar) to COPY into the rewrite
+    before the swap — they ride the same atomic promotion as the data,
+    so a crash can never separate a dataset from its sidecar
+    (self-review r12: re-creating the sidecar after the swap left a
+    window where the compacted index had lost its quantizer).
     """
+    path = path.rstrip("/")  # 'dir/' would make tmp/old its children
     jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    tmp = jvm.org.apache.hadoop.fs.Path(path + "._compacting")
-    old = jvm.org.apache.hadoop.fs.Path(path + "._precompact")
-    # Crash recovery: a previously killed run can leave the temp dirs
-    # behind, and FileSystem.rename to an existing destination returns
-    # false — every later compaction of this path would then fail at the
-    # first swap. Both suffixes are reserved for this utility, so:
-    #  - path missing + ._precompact present = the run died BETWEEN the
-    #    two swap renames; the precompact dir IS the live data — restore
-    #    it first (never delete it);
-    #  - otherwise ._precompact is a leftover pre-compaction copy of a
-    #    completed swap, and ._compacting is a partial/orphaned rewrite
-    #    — both safe to remove.
-    if not fs.exists(hpath) and fs.exists(old):
-        if not fs.rename(old, hpath):
-            raise IOError(f"crash recovery failed: could not restore {old} to {path}")
-    for stale in (tmp, old):
-        if fs.exists(stale):
-            fs.delete(stale, True)
+    fs, hpath, tmp, old = _swap_paths(spark, path, "._compacting", "._precompact")
     part_cols, leaf_dir = _detect_partitions_with_leaf(spark, path)
     if part_cols:
         # Read partition values as VERBATIM strings for the roundtrip:
@@ -264,12 +295,18 @@ def compact_parquet(spark: SparkSession, path: str, target_partitions: int) -> i
         df = spark.read.parquet(path)
         writer = df.coalesce(target_partitions).write.mode("overwrite")
     writer.parquet(str(tmp))
-    if not fs.rename(hpath, old):
-        raise IOError(f"compaction swap failed: could not move {path} aside")
-    if not fs.rename(tmp, hpath):
-        fs.rename(old, hpath)  # roll back
-        raise IOError(f"compaction swap failed: could not promote {tmp}")
-    fs.delete(old, True)
+    for name in preserve_rootfiles:
+        src = jvm.org.apache.hadoop.fs.Path(f"{path}/{name}")
+        if fs.exists(src):
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs,
+                src,
+                fs,
+                jvm.org.apache.hadoop.fs.Path(f"{str(tmp)}/{name}"),
+                False,
+                spark._jsc.hadoopConfiguration(),
+            )
+    _commit_swap(fs, hpath, tmp, old, path)
     it = fs.listFiles(hpath, True)  # recursive: partitioned layouts nest
     n = 0
     while it.hasNext():

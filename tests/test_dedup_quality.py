@@ -632,7 +632,9 @@ def test_rebuild_ivf_index_repairs_occupancy(spark, tmp_path):
     share0 = ivf_max_cell_share(spark.read.parquet(path))
     assert share0 > IVF_MAX_CELL_SHARE, f"fixture not skewed: {share0}"
 
-    stats = rebuild_ivf_index(spark, path)
+    # trailing slash deliberately included: tmp/old swap paths must be
+    # siblings of the index, not children (self-review r12)
+    stats = rebuild_ivf_index(spark, path + "/")
     assert stats["n_vectors"] == 400
     assert stats["occupancy_ok"], (
         f"rebuild left occupancy at {stats['max_cell_share']:.3f}"
@@ -695,3 +697,46 @@ def test_rebuild_ivf_index_repairs_occupancy(spark, tmp_path):
         ).collect()
     }
     assert led == {(9003, "dup")}, led
+
+
+def test_rebuild_refuses_concurrent_append(spark, tmp_path, monkeypatch):
+    """Rebuild is OFFLINE maintenance: an admission append landing
+    between its snapshot read and its swap would be silently dropped by
+    the rewrite while the admitting ledger/sink keep the rows. The
+    function must detect the new file just before committing and REFUSE
+    — index untouched (the appended vector still probeable), temp dirs
+    cleaned up."""
+    import os
+
+    import pytest as _pytest
+
+    import nytimes_batch_processor_spark.operators.similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    S.build_ivf_parquet_index(emb.filter("vec_id % 10 != 0"), path)
+    late = emb.filter("vec_id % 10 = 0").limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    real = S._train_ivf_centers
+
+    def train_with_interleaved_append(vectors, k, seed, cap):
+        out = real(vectors, k, seed, cap)
+        S.append_to_ivf_index(late, path)  # the mid-rebuild admission
+        return out
+
+    monkeypatch.setattr(S, "_train_ivf_centers", train_with_interleaved_append)
+    with _pytest.raises(RuntimeError, match="appended"):
+        S.rebuild_ivf_index(spark, path)
+    # refused cleanly: appended vector still in the live index, no
+    # leftover swap dirs, and a retry AFTER the append (offline now)
+    # succeeds and keeps the row
+    ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert any(i >= 100000 for i in ids), "refusal must not lose the append"
+    assert not os.path.exists(path + "._rebuilding")
+    assert not os.path.exists(path + "._prerebuild")
+    monkeypatch.setattr(S, "_train_ivf_centers", real)
+    stats = S.rebuild_ivf_index(spark, path)
+    ids2 = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert ids2 == ids and stats["n_vectors"] == len(ids)
