@@ -1612,3 +1612,62 @@ def test_ann_admission_catches_asymmetric_within_batch_pairs(spark, tmp_path):
         for r in admit_ivf_batch(spark, index_path, batch).collect()
     }
     assert ledger == {(10, "admitted"), (20, "dup")}, ledger
+
+
+def test_admission_survives_index_compaction_between_drains(spark, tmp_path):
+    """The round's two maintenance stories composed: streaming
+    admission grows the index one file-set per batch; compaction runs
+    between drain windows (the stream is stopped — availableNow
+    drains); the NEXT drain must still dedup against everything
+    admitted before the compaction, and continue appending."""
+    import json as _json
+    import time as _time
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        build_minhash_index,
+        compact_minhash_index,
+    )
+    from nytimes_batch_processor_spark.streaming import (
+        stream_document_admission,
+    )
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    admitted_path = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    novel_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel_b = "one two three four five six seven eight nine ten"
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog tonight")],
+            "doc_id long, text string",
+        ),
+        index_path,
+    )
+    (src / "a.json").write_text(
+        _json.dumps({"doc_id": 100, "text": novel_a}) + "\n"
+    )
+    q = stream_document_admission(
+        spark, str(src), index_path, admitted_path, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    n_after = compact_minhash_index(spark, index_path, target_files=1)
+    assert n_after == 1
+
+    _time.sleep(1.1)
+    (src / "b.json").write_text(
+        _json.dumps({"doc_id": 200, "text": novel_a})
+        + "\n"
+        + _json.dumps({"doc_id": 201, "text": novel_b})
+        + "\n"
+    )
+    q = stream_document_admission(
+        spark, str(src), index_path, admitted_path, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    admitted = {r["doc_id"] for r in spark.read.parquet(admitted_path).collect()}
+    assert admitted == {100, 201}, admitted  # 200 deduped vs the COMPACTED index
+    indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert indexed == {1, 100, 201}, indexed
