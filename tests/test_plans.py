@@ -575,3 +575,37 @@ def test_sim_incremental_probe_index_is_dpp_pruned(spark, sf_dir):
     ]
     assert idx_scan, plan
     assert "struct<vec_id:bigint,e:array<double>,nrm:double>" in idx_scan[0], idx_scan
+
+
+def test_curation_pipeline_plan_shape(spark, sf_dir):
+    """The composed curation chain's 100 TB claims (r12), pinned as a
+    plan: quality + redact + signing fold into the map stages of the
+    probe's join inputs (no extra pass); the near-dup probe contributes
+    only hash/broadcast equi-joins (never a cartesian or nested-loop);
+    the manifest's TWO window functions fold into ONE Window node over
+    exactly ONE hash(shard) exchange (the export_train_shards shape);
+    and no Python eval node exists anywhere — the whole chain is
+    JVM-side."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _PROBE_BATCH_MOD,
+        minhash_index_for,
+    )
+    from nytimes_batch_processor_spark.operators.text import (
+        curate_admission_pipeline,
+    )
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    index_path = minhash_index_for(spark, sf_dir)
+    batch = load_tables(spark, sf_dir, "documents").documents.filter(
+        F.col("doc_id") % _PROBE_BATCH_MOD == 0
+    )
+    plan = physical_plan(curate_admission_pipeline(spark, index_path, batch))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert len(re.findall(r"hashpartitioning\(shard", plan)) == 1, plan
+    assert plan.count("Window (") == 1, plan
