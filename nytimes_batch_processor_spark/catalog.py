@@ -101,29 +101,11 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r12 entries accumulate here as code changes this round; the r11
-    # block expired when CORRECTNESS_r11.json was recorded (the
+    # r13 entries accumulate here as code changes this round; the r12
+    # block expired when CORRECTNESS_r12.json was recorded (the
     # rnd < latest gate in tests/test_rotation.py) and was deleted as
     # this round's first-commit hygiene step.
-    # sim_ann_ivf_topk: ADVICE r11 — the in-query recall bound widened
-    # 0.5 -> 0.4 and the flag column renamed recall_ge_040 (schema
-    # change; the honest 0.5 bar moved to the pytest recall gate).
-    # dedup_incremental_probe / sim_incremental_probe: their
-    # session-cached index paths gained the per-app applicationId
-    # suffix (ADVICE r11 shared-warehouse race) — values unchanged,
-    # but changed code re-verifies (the r4 lesson). The self-review
-    # factoring block: export_train_shards -> shard_manifest_frame,
-    # text_pii_redact -> redact_pii, pipeline_curate_corpus ->
-    # quality_pass (bit-identical expressions shared with the composed
-    # pipeline; values unchanged, changed code re-verifies).
-    12: (
-        "sim_ann_ivf_topk",
-        "dedup_incremental_probe",
-        "sim_incremental_probe",
-        "export_train_shards",
-        "text_pii_redact",
-        "pipeline_curate_corpus",
-    ),
+    13: (),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
