@@ -228,11 +228,14 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     return base.select("doc_id", sig.alias("sig"))
 
 
-def _minhash_sig_ctes() -> str:
+def _minhash_sig_ctes(source: str = "documents") -> str:
     """The docs/sigs/bands WITH-clause prefix of the DuckDB MinHash twin
     (tokenize -> md5-based token hash -> 32 permutation minima -> 4 band
     slices), shared by the corpus-pairs oracle below and the
-    incremental-probe oracle (`_minhash_probe_oracle`)."""
+    incremental-probe oracle (`_minhash_probe_oracle`). ``source`` is
+    the relation signed — ``documents`` for the corpus twins, or a
+    preceding CTE (e.g. the quality-filtered redacted batch the
+    composed-curation twin signs)."""
     p = _MINHASH_PRIME
     rpb = _MINHASH_PERMS // _MINHASH_BANDS
     sig_exprs = ",\n           ".join(
@@ -246,7 +249,7 @@ def _minhash_sig_ctes() -> str:
                            t -> t <> ''),
                t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % {p}
            ) AS th
-    FROM documents
+    FROM {source}
 ),
 sigs AS (
     SELECT doc_id, [{sig_exprs}] AS sig
@@ -693,6 +696,50 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _admission_ledger(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
+    """The LAZY admission-verdict plan over a signed batch — ONE copy
+    shared verbatim by `admit_minhash_batch` and
+    `operators.text.curate_admission_pipeline` (VERDICT r12 item 2: a
+    re-implemented copy in the composed pipeline is how the
+    within-batch blind spot happened). Probes ``batch_sigs`` against
+    the persisted ``index`` AND against itself (canonicalize-by-min:
+    a doc near-dupping a smaller-id batch member is a dup even if the
+    index missed both), returning one row per signed batch doc:
+    ``(doc_id, status 'admitted'/'dup', canon_id, n_matches)``.
+
+    Contract: ``batch_sigs`` must be PINNED (eager localCheckpoint) by
+    the caller — it is probed twice here and re-used for the admit
+    join — and the returned ledger must itself be pinned before any
+    index mutation (a lazy ledger re-evaluated after the append would
+    re-probe the grown index and verdict every admission 'dup')."""
+    idx_matches = probe_minhash_index(index, batch_sigs)
+    self_matches = probe_minhash_index(batch_sigs, batch_sigs).filter(
+        F.col("canon_id") < F.col("doc_id")
+    )
+    agg = (
+        idx_matches.unionByName(self_matches)
+        .groupBy("doc_id")
+        .agg(
+            F.min("canon_id").alias("canon_id"),
+            F.countDistinct("canon_id").alias("n_matches"),
+        )
+    )
+    return (
+        batch_sigs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("canon_id").isNull(), F.lit("admitted"))
+            .otherwise(F.lit("dup"))
+            .alias("status"),
+            "canon_id",
+            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
+                "n_matches"
+            ),
+        )
+    )
+
+
 def admit_minhash_batch(
     spark: SparkSession,
     index_path: str,
@@ -754,32 +801,8 @@ def admit_minhash_batch(
         .localCheckpoint(eager=True)  # probed twice + admit join
     )
     index = spark.read.parquet(index_path)
-    idx_matches = probe_minhash_index(index, batch_sigs)
-    self_matches = probe_minhash_index(batch_sigs, batch_sigs).filter(
-        F.col("canon_id") < F.col("doc_id")
-    )
-    agg = (
-        idx_matches.unionByName(self_matches)
-        .groupBy("doc_id")
-        .agg(
-            F.min("canon_id").alias("canon_id"),
-            F.countDistinct("canon_id").alias("n_matches"),
-        )
-    )
-    ledger = (
-        batch_sigs.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("canon_id").isNull(), F.lit("admitted"))
-            .otherwise(F.lit("dup"))
-            .alias("status"),
-            "canon_id",
-            F.coalesce(F.col("n_matches"), F.lit(0).cast("long")).alias(
-                "n_matches"
-            ),
-        )
-        .localCheckpoint(eager=True)  # pin verdicts BEFORE mutating state
+    ledger = _admission_ledger(index, batch_sigs).localCheckpoint(
+        eager=True  # pin verdicts BEFORE mutating state
     )
     admitted_ids = ledger.filter(F.col("status") == "admitted").select("doc_id")
     if admitted_path is not None:
