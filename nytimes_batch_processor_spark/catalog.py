@@ -101,11 +101,17 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r13 entries accumulate here as code changes this round; the r12
-    # block expired when CORRECTNESS_r12.json was recorded (the
+    # r14 entries accumulate here as code changes this round; the r13
+    # block expired when CORRECTNESS_r13.json was recorded (the
     # rnd < latest gate in tests/test_rotation.py) and was deleted as
     # this round's first-commit hygiene step.
-    13: (),
+    #
+    # stream_admission_twin is seeded up front: round 13 refactored the
+    # body of admit_minhash_batch (the _admission_ledger extraction)
+    # AFTER the r13 sweep recorded, so the twin's last hash-green row
+    # (r12) predates the code it now runs — the r4 lesson applies even
+    # to value-identical factorings (VERDICT r13 item 2).
+    14: ("stream_admission_twin",),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
