@@ -34,13 +34,17 @@ from nytimes_batch_processor_spark.session import get_spark
 def curation_pipeline(spark, sf_dir: str):
     """Bench-only wrapper for the COMPOSED curation chain (VERDICT r11
     item 4's 'natural bench flagship successor'): quality -> PII
-    redact -> incremental near-dup probe -> shard/pack manifest over
-    the doc_id%10==0 batch against the session-cached persisted index
-    (built once in warmup via minhash_index_for — the timed passes
-    measure the steady-state pipeline, exactly like the probe
-    entries). Not a catalog entry: its per-stage correctness is carried
-    by the entries it composes and the BENCH_sf1 pipe_* family; this
-    headline slot tracks its end-to-end wall per round."""
+    redact -> near-dup ADMISSION (index probe + within-batch
+    self-probe + index growth, r14) -> shard/pack manifest over the
+    doc_id%10==0 batch. The base corpus index is session-cached (built
+    once in warmup via minhash_index_for); because the pipeline now
+    GROWS its index, every pass admits against a fresh driver-side
+    clone — so the timed wall covers clone + admission writes +
+    manifest, the true steady-state cost of one arriving batch (it
+    rose vs the r13 probe-only semantics by design; see SURVEY §19
+    r14). Not a catalog entry: correctness is carried by
+    `curate_admission_twin` and the BENCH_sf1 pipe_* family; this
+    headline slot tracks the end-to-end wall per round."""
     from pyspark.sql import functions as F
 
     from nytimes_batch_processor_spark.operators.dedup import (
@@ -51,8 +55,9 @@ def curation_pipeline(spark, sf_dir: str):
         curate_admission_pipeline,
     )
     from nytimes_batch_processor_spark.sources import load_tables
+    from nytimes_batch_processor_spark.tables import clone_parquet_dir
 
-    index_path = minhash_index_for(spark, sf_dir)
+    index_path = clone_parquet_dir(minhash_index_for(spark, sf_dir))
     batch = load_tables(spark, sf_dir, "documents").documents.filter(
         F.col("doc_id") % _PROBE_BATCH_MOD == 0
     )

@@ -111,7 +111,10 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # AFTER the r13 sweep recorded, so the twin's last hash-green row
     # (r12) predates the code it now runs — the r4 lesson applies even
     # to value-identical factorings (VERDICT r13 item 2).
-    14: ("stream_admission_twin",),
+    # sim_incremental_probe: its oracle gained the nrm > 0 index parity
+    # filter (ADVICE r12, closed r14) — value-identical on the current
+    # fixture, but changed SQL re-verifies like changed code.
+    14: ("stream_admission_twin", "sim_incremental_probe"),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}

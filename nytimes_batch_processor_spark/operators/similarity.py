@@ -1424,12 +1424,14 @@ def rebuild_ivf_index(
     `sim_ann_ivf_topk` self-judges), so this is a pytest-gated
     maintenance utility, not a catalog entry. This is OFFLINE
     maintenance (run it between probe/admission windows, like
-    compaction): a concurrent admission APPEND between the snapshot
-    read and the swap would be silently dropped by the rewrite, so the
-    function compares the directory's data files against its snapshot
-    just before committing and REFUSES (tmp deleted, index untouched)
-    if anything was appended meanwhile. Returns ``{"n_vectors",
-    "max_cell_share", "occupancy_ok"}``."""
+    compaction): a concurrent admission APPEND during the rebuild would
+    be silently dropped by the rewrite, so the function refuses
+    TWICE (tmp deleted, index untouched): a cheap pre-check against the
+    snapshot before disturbing the live dir, and — closing the
+    check-then-act window between that listing and the swap (ADVICE
+    r12) — a re-verification of the FROZEN set-aside tree inside
+    `_commit_swap` itself, where a racing append can no longer hide.
+    Returns ``{"n_vectors", "max_cell_share", "occupancy_ok"}``."""
     from ..tables import _commit_swap, _swap_paths
 
     path = path.rstrip("/")  # 'dir/' would make tmp/old its children
@@ -1437,10 +1439,31 @@ def rebuild_ivf_index(
     fs, hpath, tmp, old = _swap_paths(spark, path, "._rebuilding", "._prerebuild")
 
     rows = spark.read.parquet(path).select("vec_id", "e", "nrm")
+    # snapshot as ROOT-RELATIVE paths: the in-swap re-verification
+    # lists the renamed-aside tree, whose absolute prefix differs
     snapshot = {
-        jvm.org.apache.hadoop.fs.Path(u).toUri().getPath()
+        jvm.org.apache.hadoop.fs.Path(u).toUri().getPath()[len(path) + 1 :]
         for u in rows.inputFiles()
     }
+
+    def _data_files(root) -> set:
+        rootlen = len(root.toUri().getPath()) + 1
+        out = set()
+        it = fs.listFiles(root, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            name = p.getName()
+            if not name.startswith("_") and not name.startswith("."):
+                out.add(p.toUri().getPath()[rootlen:])
+        return out
+
+    def _refuse(appended: set, where: str):
+        raise RuntimeError(
+            f"rebuild aborted: {len(appended)} data file(s) were appended to "
+            f"{path} {where} — swapping would silently drop those rows; "
+            "stop admissions (offline maintenance window) and re-run"
+        )
+
     centers, n = _train_ivf_centers(rows, k, seed, sample_cap)
     # write the full replacement (data + sidecar) into tmp BEFORE any
     # rename, so the swap publishes quantizer and inverted file as one
@@ -1449,23 +1472,22 @@ def rebuild_ivf_index(
 
     # refuse rather than lose: any data file appended since the
     # snapshot would vanish in the swap while its ledger/sink rows
-    # survive — the silent-dup hole self-review r12 flagged
-    current = set()
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        p = it.next().getPath()
-        name = p.getName()
-        if not name.startswith("_") and not name.startswith("."):
-            current.add(p.toUri().getPath())
-    appended = current - snapshot
+    # survive — the silent-dup hole self-review r12 flagged. Cheap
+    # pre-check first (aborts before the live dir is touched)...
+    appended = _data_files(hpath) - snapshot
     if appended:
         fs.delete(tmp, True)
-        raise RuntimeError(
-            f"rebuild aborted: {len(appended)} data file(s) were appended to "
-            f"{path} during the rebuild — swapping would silently drop those "
-            "rows; stop admissions (offline maintenance window) and re-run"
-        )
-    _commit_swap(fs, hpath, tmp, old, path)
+        _refuse(appended, "during the rebuild")
+
+    def _verify_frozen(old_path):
+        # ...then the authoritative check on the set-aside tree: an
+        # append that raced past the pre-check landed before the
+        # rename and is visible here; raising restores the old tree
+        late = _data_files(old_path) - snapshot
+        if late:
+            _refuse(late, "during the swap")
+
+    _commit_swap(fs, hpath, tmp, old, path, verify_old=_verify_frozen)
     share = ivf_max_cell_share(spark.read.parquet(path))
     return {
         "n_vectors": n,
@@ -1474,11 +1496,38 @@ def rebuild_ivf_index(
     }
 
 
+def maintain_ivf_index(spark: SparkSession, path: str) -> dict:
+    """The ONE offline-maintenance entrypoint for an append-grown IVF
+    index (VERDICT r12 item 6): compact the small files
+    (`compact_ivf_index`, cell-layout-preserving), and if the
+    post-compaction occupancy check fails — distribution drift made a
+    cell absorb more than `IVF_MAX_CELL_SHARE` of the corpus, which
+    file repacking can never fix — retrain and rewrite via
+    `rebuild_ivf_index` INSIDE the same maintenance window (the
+    rebuild's refuse-on-concurrent-append guards stay armed, so a
+    window violation aborts loudly rather than losing rows). Before
+    this existed, the repair was documented but unwired: compaction
+    reported ``occupancy_ok: False`` and the operator had to know to
+    call the rebuild by hand.
+
+    Returns the compaction report plus ``{"rebuilt": bool}`` and, when
+    rebuilt, the rebuild's own report under ``"rebuild"`` (its
+    ``occupancy_ok`` reflects the RETRAINED quantizer — k-means on the
+    drifted distribution, the best k cells can do)."""
+    report = compact_ivf_index(spark, path)
+    report["rebuilt"] = False
+    if not report["occupancy_ok"]:
+        report["rebuild"] = rebuild_ivf_index(spark, path)
+        report["rebuilt"] = True
+    return report
+
+
 def admit_ivf_batch(
     spark: SparkSession,
     index_path: str,
     batch_vectors: DataFrame,
     admitted_path: str | None = None,
+    batch_id: int | None = None,
 ) -> DataFrame:
     """The ANN half of the streaming-admission composition — the
     embedding twin of `operators.dedup.admit_minhash_batch`, sharing
@@ -1490,8 +1539,11 @@ def admit_ivf_batch(
     either probe direction; the larger vec_id loses, canon_id = the
     smaller), 'invalid' for zero/null-norm vectors (cosine undefined —
     they never reach the probe, sink, or index), upsert admissions
-    into ``admitted_path`` (first-write-wins by vec_id), and append
-    them to the index via their ALREADY-COMPUTED cell assignment
+    into ``admitted_path`` via `ingest.admit_sink_upsert` (O(1)
+    batch-partition write when ``batch_id`` is given — the
+    foreachBatch path — else the row-level first-write-wins
+    anti-join; see that helper for the replay case analysis), and
+    append them to the index via their ALREADY-COMPUTED cell assignment
     (`_write_ivf_index_assigned` — no second argmin pass). Returns the
     ledger ``(vec_id, status 'admitted'/'dup'/'invalid', canon_id,
     n_matches)``.
@@ -1504,7 +1556,7 @@ def admit_ivf_batch(
     O(batch x nprobe-cell occupancy); the within-batch self-probe is
     cell-bucketed batch x batch. Compaction/occupancy maintenance is
     `compact_ivf_index`."""
-    from ..ingest import target_exists
+    from ..ingest import admit_sink_upsert
 
     # the index's OWN quantizer (trained sidecar after a rebuild, else
     # fixed): assigning or probing with foreign centroids would hit the
@@ -1581,13 +1633,13 @@ def admit_ivf_batch(
     )
     admitted_ids = ledger.filter(F.col("status") == "admitted").select("vec_id")
     if admitted_path is not None:
-        admitted_vecs = batch_vectors.join(admitted_ids, "vec_id")
-        if target_exists(spark, admitted_path):
-            existing = spark.read.parquet(admitted_path).select("vec_id")
-            to_insert = admitted_vecs.join(existing, "vec_id", "left_anti")
-        else:
-            to_insert = admitted_vecs
-        to_insert.write.mode("append").parquet(admitted_path)
+        admit_sink_upsert(
+            spark,
+            batch_vectors.join(admitted_ids, "vec_id"),
+            admitted_path,
+            "vec_id",
+            batch_id=batch_id,
+        )
     _write_ivf_index_assigned(
         assigned.join(admitted_ids, "vec_id"), index_path, "append"
     )
@@ -1687,8 +1739,12 @@ d AS (
     FROM v
 ),
 idx AS (
+    -- nrm > 0 mirrors _write_ivf_index's zero/null-norm exclusion at
+    -- the Spark index-write chokepoint (ADVICE r12: without it, a
+    -- fixture gaining a zero-norm corpus vector would hash-diverge —
+    -- the Spark index drops it, the oracle's would keep it)
     SELECT vec_id, e, nrm, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
-    FROM d WHERE vec_id % {mod} <> 0
+    FROM d WHERE vec_id % {mod} <> 0 AND nrm > 0
 ),
 probe_cells AS (
     SELECT qid, cell FROM (

@@ -159,19 +159,26 @@ def foreach_batch_admission(index_path: str, admitted_path: str):
     `operators.dedup.admit_minhash_batch` — probe the persisted MinHash
     index (band equi-join, never batch x corpus), drop near-dups of
     indexed or earlier-in-batch content, upsert admissions into
-    ``admitted_path`` (first-write-wins by doc_id, the W3 pattern), and
-    grow the index with them so LATER micro-batches dedup against this
-    one without any corpus rescan. Exactly-once under foreachBatch's
-    at-least-once replay comes from admit_minhash_batch's
-    ledger -> sink -> index write ordering (see its docstring; the
-    batch-twin oracle for the semantics is the catalog's
-    `stream_admission_twin`)."""
+    ``admitted_path/batch_id=N`` (the O(1) idempotent batch-partition
+    sink of `ingest.admit_sink_upsert` — foreachBatch's batch_id is
+    exactly the replay-stable key that layout needs, and it takes the
+    per-micro-batch sink cost from an O(sink) anti-join scan to one
+    directory listing), and grow the index with them so LATER
+    micro-batches dedup against this one without any corpus rescan.
+    Exactly-once under foreachBatch's at-least-once replay comes from
+    admit_minhash_batch's ledger -> sink -> index write ordering (see
+    its docstring; the batch-twin oracle for the semantics is the
+    catalog's `stream_admission_twin`)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import admit_minhash_batch
 
         admit_minhash_batch(
-            batch_df.sparkSession, index_path, batch_df, admitted_path
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            admitted_path,
+            batch_id=batch_id,
         )
 
     return _apply
@@ -205,14 +212,20 @@ def foreach_batch_ann_admission(index_path: str, admitted_path: str):
     `operators.similarity.admit_ivf_batch` — probe the persisted
     cell-partitioned IVF index, drop near-dups (cosine >= the admission
     bar) of indexed or earlier-in-batch vectors, upsert admissions into
-    ``admitted_path``, grow the index under its cell partitioning.
-    Exactly-once from the same ledger -> sink -> index ordering."""
+    ``admitted_path/batch_id=N`` (the same O(1) idempotent
+    batch-partition sink as the document twin), grow the index under
+    its cell partitioning. Exactly-once from the same
+    ledger -> sink -> index ordering."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.similarity import admit_ivf_batch
 
         admit_ivf_batch(
-            batch_df.sparkSession, index_path, batch_df, admitted_path
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            admitted_path,
+            batch_id=batch_id,
         )
 
     return _apply

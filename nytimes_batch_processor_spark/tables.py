@@ -89,6 +89,31 @@ def warehouse_scratch_path(
     return f"{warehouse}/engine_{name}"
 
 
+def clone_parquet_dir(path: str) -> str:
+    """Driver-local copy of a parquet directory into a fresh private
+    scratch dir — the mutation-isolation idiom for anything that runs
+    an ADMISSION (index-growing) flow against a session-cached base
+    index (`stream_admission_twin`, the composed curation twin, the
+    bench/scale-gate pipeline wrappers). The base is built ONCE per
+    session (the expensive signature pass); each invocation mutates its
+    own clone, so repeated runs stay deterministic and concurrent
+    invocations cannot corrupt each other (the mkdtemp-per-invocation
+    rule from self-review r12: a shared per-app path is NOT enough once
+    the path is written to). Local-filesystem only by design — it
+    isolates test/bench invocations; a production admission pipeline
+    owns its index path and never clones it."""
+    import os
+    import shutil
+    import tempfile
+
+    dst = os.path.join(
+        tempfile.mkdtemp(prefix="engine_idxclone_"),
+        os.path.basename(path.rstrip("/")),
+    )
+    shutil.copytree(path, dst)
+    return dst
+
+
 def create_covid_tables(
     spark: SparkSession,
     states_table: str = "covid19_usa_by_states",
@@ -213,12 +238,36 @@ def _swap_paths(spark: SparkSession, path: str, tmp_suffix: str, old_suffix: str
     return fs, hpath, tmp, old
 
 
-def _commit_swap(fs, hpath, tmp, old, path: str) -> None:
+def _commit_swap(fs, hpath, tmp, old, path: str, verify_old=None) -> None:
     """The two renames + rollback + cleanup half of the swap protocol
     (see `_swap_paths`): any crash point leaves ``path`` wholly old or
-    wholly new."""
+    wholly new.
+
+    ``verify_old``, when given, is called with the set-aside ``old``
+    Path AFTER the first rename takes the live tree offline and BEFORE
+    the new tree is published — the last look at a FROZEN pre-swap
+    state (once the live dir is renamed aside, nothing more can land in
+    it). If it raises, the old tree is restored and ``tmp`` deleted.
+    This closes the check-then-act window ADVICE r12 flagged in
+    `rebuild_ivf_index`: an append landing between a pre-swap listing
+    and the rename is invisible to the pre-check but visible here. The
+    one residual race — a writer re-CREATING ``path`` in the instant
+    between the two renames — is inherent to lock-free filesystems and
+    stays covered by the callers' offline-maintenance-window
+    contract."""
     if not fs.rename(hpath, old):
         raise IOError(f"swap failed: could not move {path} aside")
+    if verify_old is not None:
+        try:
+            verify_old(old)
+        except Exception:
+            fs.delete(tmp, True)
+            if not fs.rename(old, hpath):
+                raise IOError(
+                    f"swap verify failed AND restore failed: live data is at "
+                    f"{old} — restore it manually"
+                )
+            raise
     if not fs.rename(tmp, hpath):
         fs.rename(old, hpath)  # roll back
         raise IOError(f"swap failed: could not promote {tmp}")

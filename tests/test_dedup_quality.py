@@ -740,3 +740,94 @@ def test_rebuild_refuses_concurrent_append(spark, tmp_path, monkeypatch):
     stats = S.rebuild_ivf_index(spark, path)
     ids2 = {r["vec_id"] for r in spark.read.parquet(path).collect()}
     assert ids2 == ids and stats["n_vectors"] == len(ids)
+
+
+def test_rebuild_refuses_append_racing_the_swap(spark, tmp_path, monkeypatch):
+    """ADVICE r12's residual window, closed r14: the pre-swap listing
+    is check-then-act — an append landing AFTER it but BEFORE the
+    rename-aside was still silently dropped. `_commit_swap` now
+    re-verifies the FROZEN set-aside tree between its two renames
+    (nothing can land in a renamed-aside dir), restores the old tree,
+    and aborts. Injected by wrapping tables._commit_swap to append a
+    vector just before the real swap runs — i.e. strictly after
+    rebuild's pre-check passed."""
+    import os
+
+    import pytest as _pytest
+
+    import nytimes_batch_processor_spark.operators.similarity as S
+    import nytimes_batch_processor_spark.tables as tables
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    S.build_ivf_parquet_index(emb.filter("vec_id % 10 != 0"), path)
+    late = emb.filter("vec_id % 10 = 0").limit(1).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+
+    real = tables._commit_swap
+
+    def racing_swap(fs, hpath, tmp, old, p, verify_old=None):
+        S.append_to_ivf_index(late, path)  # past the pre-check already
+        return real(fs, hpath, tmp, old, p, verify_old=verify_old)
+
+    monkeypatch.setattr(tables, "_commit_swap", racing_swap)
+    with _pytest.raises(RuntimeError, match="during the swap"):
+        S.rebuild_ivf_index(spark, path)
+    # restored cleanly: live index back in place WITH the racing
+    # append, no leftover swap dirs, and an offline retry succeeds
+    ids = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert any(i >= 100000 for i in ids), "restore must keep the append"
+    assert not os.path.exists(path + "._rebuilding")
+    assert not os.path.exists(path + "._prerebuild")
+    monkeypatch.setattr(tables, "_commit_swap", real)
+    stats = S.rebuild_ivf_index(spark, path)
+    ids2 = {r["vec_id"] for r in spark.read.parquet(path).collect()}
+    assert ids2 == ids and stats["n_vectors"] == len(ids)
+
+
+def test_maintain_ivf_index_compacts_then_rebuilds(spark, tmp_path):
+    """The ONE maintenance entrypoint (VERDICT r12 item 6): on a
+    drifted index whose occupancy fails AFTER compaction, it must run
+    the rebuild inside the same call — trained sidecar present,
+    occupancy repaired, rebuilt=True with the rebuild's report — and
+    on a healthy index it must compact only (rebuilt=False, fixed
+    quantizer untouched)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        IVF_MAX_CELL_SHARE,
+        build_ivf_parquet_index,
+        ivf_fixed_centers,
+        load_ivf_centers,
+        maintain_ivf_index,
+    )
+
+    # drifted: 16 tight subclusters all inside the fixed quantizer's
+    # cell 0 (the rebuild test's fixture)
+    centers = ivf_fixed_centers()
+    c0 = centers[0]
+    rows = []
+    vid = 0
+    for j in range(16):
+        for _ in range(25):
+            rows.append((vid, [a + 0.3 * b for a, b in zip(c0, centers[j])]))
+            vid += 1
+    drifted = str(tmp_path / "drifted")
+    build_ivf_parquet_index(
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>"),
+        drifted,
+    )
+    report = maintain_ivf_index(spark, drifted)
+    assert not report["occupancy_ok"], "compaction alone cannot fix placement"
+    assert report["rebuilt"] and report["rebuild"]["occupancy_ok"], report
+    assert report["rebuild"]["max_cell_share"] <= IVF_MAX_CELL_SHARE
+    assert load_ivf_centers(spark, drifted) != ivf_fixed_centers()
+
+    # healthy: the sf0.001 embedding corpus under the fixed quantizer
+    healthy = str(tmp_path / "healthy")
+    build_ivf_parquet_index(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+        healthy,
+    )
+    report = maintain_ivf_index(spark, healthy)
+    assert report["occupancy_ok"] and not report["rebuilt"], report
+    assert load_ivf_centers(spark, healthy) == ivf_fixed_centers()

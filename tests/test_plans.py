@@ -578,14 +578,21 @@ def test_sim_incremental_probe_index_is_dpp_pruned(spark, sf_dir):
 
 
 def test_curation_pipeline_plan_shape(spark, sf_dir):
-    """The composed curation chain's 100 TB claims (r12), pinned as a
-    plan: quality + redact + signing fold into the map stages of the
-    probe's join inputs (no extra pass); the near-dup probe contributes
-    only hash/broadcast equi-joins (never a cartesian or nested-loop);
-    the manifest's TWO window functions fold into ONE Window node over
-    exactly ONE hash(shard) exchange (the export_train_shards shape);
-    and no Python eval node exists anywhere — the whole chain is
-    JVM-side."""
+    """The composed curation chain's 100 TB claims (r12, reshaped by
+    the r14 admission semantics), pinned as plans. The pipeline now
+    runs in two pieces: the ADMISSION executes at call time (quality +
+    redact + signing fold into the signature pass feeding
+    `admit_minhash_batch`, whose probe-join shape is pinned by the
+    admission pytests and `_admission_ledger`'s oracle), and the
+    RETURNED manifest is a stable plan over the two pinned
+    (localCheckpoint) sets. Pins here: the admission's verdict ledger
+    plan contributes only hash/broadcast equi-joins (never a cartesian
+    or nested-loop) and no Python eval; the manifest's TWO window
+    functions fold into ONE Window node over exactly ONE hash(shard)
+    exchange (the export_train_shards shape), its admitted-ids join is
+    an equi-join against the pinned ledger (no corpus rescan — the
+    only scans are the two checkpointed RDDs), and no Python eval node
+    exists anywhere."""
     import re
 
     from pyspark.sql import functions as F
@@ -598,14 +605,37 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
         curate_admission_pipeline,
     )
     from nytimes_batch_processor_spark.sources import load_tables
+    from nytimes_batch_processor_spark.tables import clone_parquet_dir
 
-    index_path = minhash_index_for(spark, sf_dir)
+    # the pipeline GROWS its index since r14 — never hand it the
+    # session-cached shared one
+    index_path = clone_parquet_dir(minhash_index_for(spark, sf_dir))
     batch = load_tables(spark, sf_dir, "documents").documents.filter(
         F.col("doc_id") % _PROBE_BATCH_MOD == 0
     )
-    plan = physical_plan(curate_admission_pipeline(spark, index_path, batch))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    manifest = curate_admission_pipeline(spark, index_path, batch)
+    # the verdict plan admit_minhash_batch executes at call time, built
+    # lazily here over the same inputs (the returned ledger itself is
+    # pinned, so its plan is just the checkpoint scan)
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _admission_ledger,
+        _band_hash_cols,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(batch, "doc_id", "text").select(
+        "doc_id", "sig", *_band_hash_cols()
+    )
+    ledger_plan = physical_plan(
+        _admission_ledger(spark.read.parquet(index_path), sigs)
+    )
+    for plan in (ledger_plan, physical_plan(manifest)):
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    plan = physical_plan(manifest)
     assert len(re.findall(r"hashpartitioning\(shard", plan)) == 1, plan
     assert plan.count("Window (") == 1, plan
+    # no corpus/index rescan in the manifest: its only scans are the
+    # pinned (checkpointed) batch and ledger RDDs
+    assert "Scan parquet" not in plan, plan

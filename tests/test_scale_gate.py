@@ -14,8 +14,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 from scale_bench import (  # noqa: E402
     COUNT_KEYS,
     FLAT_KEYS,
+    FLAT_WALL_KEYS,
     MERGE_EQ_KEYS,
     OCCUPANCY_KEY,
+    PIPE_EQ_KEYS,
     WALL_KEYS,
     compute_gate,
 )
@@ -29,6 +31,11 @@ def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int 
     row["cc_rounds"] = rounds
     # MERGE counters are scale-INVARIANT by design (fixed change batch)
     row.update({k: merge_parts for k in MERGE_EQ_KEYS})
+    # composed-pipeline admitted set is scale-INVARIANT by design
+    # (replicas are within-batch dups of their base twins, r14)
+    row.update({k: 750 for k in PIPE_EQ_KEYS})
+    # flat-claimed walls (the O(1) admission sink step)
+    row.update({k: 1.2 for k in FLAT_WALL_KEYS})
     # IVF occupancy skew: ~2x uniform (1/16), well inside the bound
     row[OCCUPANCY_KEY] = 0.12
     return row
@@ -118,3 +125,30 @@ def test_occupancy_gate_is_an_absolute_bound():
     bad_lo[OCCUPANCY_KEY] = IVF_MAX_CELL_SHARE + 0.01
     out = compute_gate({"x1": bad_lo, "x10": _row(10)}, 10, "b")
     assert not out["occupancy_ok"] and not out["linear_ok"]
+
+
+def test_pipe_admitted_set_gate_demands_equality():
+    """The composed pipeline's admitted-set metrics gate on EQUALITY
+    (r14): a x10 batch of unperturbed id-offset replicas must admit
+    exactly the base set — a single surviving replica means the
+    within-batch self-probe broke, and under the pre-r14 probe-only
+    semantics these counts grew linearly (every duplicate shipped)."""
+    ok = compute_gate({"x1": _row(1), "x10": _row(10)}, 10, "b")
+    assert ok["linear_ok"]
+    bad_hi = _row(10)
+    bad_hi["pipe_admitted_docs"] += 1
+    out = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
+    assert not out["linear_ok"]
+
+
+def test_flat_wall_gate_catches_sink_scan_regression():
+    """adm_sink_wall_sec claims O(1) in sink size: gated at a CONSTANT
+    2x, so a reintroduced whole-sink anti-join scan (linear wall
+    growth, ~10x at x10) fails even though the generic wall families
+    would allow 20x."""
+    ok_hi = _row(10)
+    ok_hi["adm_sink_wall_sec"] = 2.4  # exactly 2x over the x1 1.2s
+    assert compute_gate({"x1": _row(1), "x10": ok_hi}, 10, "b")["linear_ok"]
+    bad_hi = _row(10)
+    bad_hi["adm_sink_wall_sec"] = 12.0  # O(sink) scan shape
+    assert not compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")["linear_ok"]

@@ -324,26 +324,35 @@ def probe_scale_measure(spark, k: int, index_path: str) -> dict:
 
 
 def pipeline_scale_measure(spark, k: int, index_path: str) -> dict:
-    """End-to-end COMPOSED-pipeline family (VERDICT r11 item 4): the
-    full steady-state curation chain — quality -> PII redact ->
-    incremental near-dup probe -> per-shard pack/manifest — run as ONE
-    job over a x`k` arriving batch against the FIXED corpus index
+    """End-to-end COMPOSED-pipeline family (VERDICT r11 item 4;
+    admission semantics r14): the full steady-state curation chain —
+    quality -> PII redact -> near-dup ADMISSION (index probe +
+    within-batch self-probe + index growth) -> per-shard pack/manifest
+    — run as ONE job over a x`k` arriving batch against a per-scale
+    CLONE of the fixed corpus index
     (`operators.text.curate_admission_pipeline`, the exact composition,
-    not a re-implementation). Every stage cardinality must grow
-    linearly in batch size: the quality and redact passes are map-only,
-    the probe is the gated band equi-join, the manifest's single
-    shuffle is hash(shard). Stage counts come from the pipeline's own
-    observe nodes — measured DURING the timed pass, never a second
-    run."""
+    not a re-implementation; the clone isolates the growth so x2/x10
+    never probe x1's admissions). Expected shape under the r14
+    semantics: batch and quality cardinalities grow linearly, but the
+    ADMITTED set is EXACTLY the base scale's at every k — every replica
+    doc is a true near-dup of its base twin (text unchanged, larger
+    id), so the within-batch self-probe must reject all k-1 copies and
+    canonicalize to the base id. Equality, not a ratio bound: one
+    admitted replica means the self-probe broke. Stage counts come
+    from the pipeline's own observe nodes — measured DURING the timed
+    pass, never a second run. The timed wall includes the admission
+    writes (sink-less here) and index append; the clone is outside."""
     from nytimes_batch_processor_spark.operators.text import (
         curate_admission_pipeline,
     )
+    from nytimes_batch_processor_spark.tables import clone_parquet_dir
 
     batch = _probe_batch(spark, k).localCheckpoint(eager=True)
     n_batch = batch.count()
+    idx = clone_parquet_dir(index_path)
     metrics: dict = {}
     t0 = time.perf_counter()
-    manifest = curate_admission_pipeline(spark, index_path, batch, metrics_out=metrics)
+    manifest = curate_admission_pipeline(spark, idx, batch, metrics_out=metrics)
     manifest.write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 3)
     obs = metrics["observations"]
@@ -357,6 +366,51 @@ def pipeline_scale_measure(spark, k: int, index_path: str) -> dict:
         "pipe_tokens": int(m["tokens"]),
         "pipe_max_bin": int(m["max_bin"]),
         "pipe_wall_sec": wall,
+    }
+
+
+def adm_sink_scale_measure(spark, k: int, index_path: str) -> dict:
+    """Admission SINK-SIZE family (VERDICT r12 item 4 / r13 item 5):
+    hold the batch AND the index fixed while the admitted sink grows
+    x1/x2/x10, and measure one `admit_minhash_batch` micro-batch with a
+    ``batch_id`` (the foreachBatch path). Since r14 the sink step is an
+    O(1) batch-partition write (`ingest.admit_sink_upsert`): per-batch
+    sink cost is one directory listing, so the admission wall must stay
+    FLAT as the sink grows — the pre-r14 row-level anti-join re-scanned
+    the whole sink every micro-batch and would grow linearly here.
+    The prebuilt sink holds k*4 committed batch partitions of base-
+    batch-sized filler; each timed run uses a fresh unused batch_id
+    (a reused id would take the committed-skip fast path and measure
+    nothing)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        admit_minhash_batch,
+    )
+    from nytimes_batch_processor_spark.tables import clone_parquet_dir
+
+    sink = os.path.join(SCALE_ROOT, f"adm_sink_x{k}")
+    base_batch = _probe_batch(spark, 1).localCheckpoint(eager=True)
+    if not os.path.exists(os.path.join(sink, "_FILLED")):
+        for b in range(4 * k):
+            base_batch.select(
+                (F.col("doc_id") + F.lit((b + 1) * _ID_STRIDE)).alias("doc_id"),
+                "text",
+            ).write.mode("overwrite").parquet(
+                os.path.join(sink, f"batch_id={b}")
+            )
+        open(os.path.join(sink, "_FILLED"), "w").close()
+    n_sink_rows = spark.read.parquet(sink).count()
+    idx = clone_parquet_dir(index_path)
+    walls = []
+    for run in range(2):
+        t0 = time.perf_counter()
+        admit_minhash_batch(
+            spark, idx, base_batch, sink, batch_id=100_000 + run
+        )
+        walls.append(round(time.perf_counter() - t0, 3))
+    base_batch.unpersist(blocking=False)
+    return {
+        "adm_sink_rows": n_sink_rows,
+        "adm_sink_wall_sec": min(walls),
     }
 
 
@@ -455,17 +509,25 @@ def index_scaled_probe_measure(
     (the q8 assert-then-alias precedent) instead of rebuilding the
     base indexes and re-running the same joins.
 
-    Each scale also records the built index's OCCUPANCY SKEW
+    Each scale also runs the ONE offline-maintenance entrypoint
+    (`maintain_ivf_index`, r14: compact -> occupancy check -> rebuild
+    if it fails) on its index and records the reported OCCUPANCY SKEW
     (`ix_ann_max_cell_share`, the largest IVF cell's row share) —
     gated in compute_gate at the absolute IVF_MAX_CELL_SHARE bound
     (VERDICT r11 item 2: a hot cell degrades the probe's bounded-
     broadcast claim, so the scale proof must show occupancy stays
-    bounded as the corpus grows, not just that candidates do)."""
+    bounded as the corpus grows, not just that candidates do). Routing
+    the measurement through maintenance means the gate exercises the
+    same compact(+rebuild-on-drift) path production runs between probe
+    windows — compaction is byte-identical to probes by contract, and
+    `ix_ann_maintenance_rebuilt` records whether the repair fired
+    (expected False on this fixture: share ~0.07 vs the 0.25 bound)."""
     from nytimes_batch_processor_spark.operators.similarity import (
-        ivf_max_cell_share,
+        maintain_ivf_index,
     )
 
     if k == 1:
+        maint = maintain_ivf_index(spark, base_ann_index_path)
         return {
             "ix_probe_candidates": base_row["probe_candidates"],
             "ix_probe_matches": base_row["probe_matches"],
@@ -473,9 +535,8 @@ def index_scaled_probe_measure(
             "ix_ann_candidates": base_row["ann_probe_candidates"],
             "ix_ann_dup_queries": base_row["ann_probe_dup_queries"],
             "ix_ann_wall_sec": base_row["ann_probe_wall_sec"],
-            "ix_ann_max_cell_share": round(
-                ivf_max_cell_share(spark.read.parquet(base_ann_index_path)), 4
-            ),
+            "ix_ann_max_cell_share": round(maint["max_cell_share"], 4),
+            "ix_ann_maintenance_rebuilt": maint["rebuilt"],
         }
     from nytimes_batch_processor_spark.operators.dedup import (
         _PROBE_BATCH_MOD,
@@ -502,6 +563,7 @@ def index_scaled_probe_measure(
         ),
         ivf_path,
     )
+    maint = maintain_ivf_index(spark, ivf_path)
     ann = ann_probe_scale_measure(spark, 1, ivf_path)
     return {
         "ix_probe_candidates": mh["probe_candidates"],
@@ -510,9 +572,8 @@ def index_scaled_probe_measure(
         "ix_ann_candidates": ann["ann_probe_candidates"],
         "ix_ann_dup_queries": ann["ann_probe_dup_queries"],
         "ix_ann_wall_sec": ann["ann_probe_wall_sec"],
-        "ix_ann_max_cell_share": round(
-            ivf_max_cell_share(spark.read.parquet(ivf_path)), 4
-        ),
+        "ix_ann_max_cell_share": round(maint["max_cell_share"], 4),
+        "ix_ann_maintenance_rebuilt": maint["rebuilt"],
     }
 
 
@@ -647,10 +708,6 @@ COUNT_KEYS = (
     "ix_ann_candidates",
     "pipe_batch_docs",
     "pipe_quality_docs",
-    "pipe_admitted_docs",
-    "pipe_manifest_rows",
-    "pipe_tokens",
-    "pipe_max_bin",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
 # not see its MinHash candidate/match mass move at all (shingle-disjoint
@@ -662,6 +719,25 @@ FLAT_KEYS = (
     "ix_probe_matches",
     "ix_ann_dup_queries",
 )
+# Composed-pipeline admitted-set invariants (r14, the self-probe
+# semantics): a x`k` batch of unperturbed id-offset replicas must admit
+# EXACTLY the base scale's set — every replica is a true near-dup of
+# its smaller-id base twin, so the within-batch self-probe rejects all
+# copies and the manifest over the admitted set is identical. Equality,
+# not a ratio bound: one surviving replica means the self-probe broke
+# (under the pre-r14 probe-only semantics these grew linearly — i.e.
+# every duplicate shipped to training).
+PIPE_EQ_KEYS = (
+    "pipe_admitted_docs",
+    "pipe_manifest_rows",
+    "pipe_tokens",
+    "pipe_max_bin",
+)
+# Walls whose claim is FLATNESS (an O(1)-in-the-scaled-axis step), so
+# the linear 2*factor wall bound would never catch a regression: gated
+# at a CONSTANT 2x like FLAT_KEYS, with the sub-second clamp of
+# WALL_KEYS.
+FLAT_WALL_KEYS = ("adm_sink_wall_sec",)
 WALL_KEYS = (
     "minhash_wall_sec",
     "ann_lsh_wall_sec",
@@ -717,9 +793,15 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         **{key: round(hi[key] / max(lo[key], 1), 2) for key in COUNT_KEYS},
         **{key: round(hi[key] / max(lo[key], 1), 2) for key in FLAT_KEYS},
         **{key: round(hi[key] / max(lo[key], 1e-3), 2) for key in WALL_KEYS},
+        **{key: round(hi[key] / max(lo[key], 1e-3), 2) for key in FLAT_WALL_KEYS},
+        # recorded for the artifact; GATED below as equality, not ratio
+        **{key: round(hi[key] / max(lo[key], 1), 2) for key in PIPE_EQ_KEYS},
     }
-    linear_ok = all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS) and all(
-        ratios[key] <= 2.0 for key in FLAT_KEYS
+    linear_ok = (
+        all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS)
+        and all(ratios[key] <= 2.0 for key in FLAT_KEYS)
+        and all(ratios[key] <= 2.0 for key in FLAT_WALL_KEYS)
+        and all(hi[key] == lo[key] for key in PIPE_EQ_KEYS)
     )
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
@@ -896,6 +978,9 @@ def main() -> None:
         # the composed end-to-end curation chain over the same
         # batch-scaled axis and fixed index (VERDICT r11 item 4)
         row.update(pipeline_scale_measure(spark, k, index_path))
+        # the admission SINK-SIZE axis: fixed batch + index, x`k` sink
+        # (VERDICT r12 item 4 — the O(1) batch-partition sink claim)
+        row.update(adm_sink_scale_measure(spark, k, index_path))
         # the index-scaled axis: FIXED base batch, x`k` corpus index
         # (at x1 it aliases this row's probe_*/ann_probe_* measurement)
         row.update(
