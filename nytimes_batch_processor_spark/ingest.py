@@ -77,14 +77,34 @@ def target_exists(spark: SparkSession, target_path: str) -> bool:
     return bool(fs.exists(path))
 
 
-def has_committed_files(spark: SparkSession, path: str) -> bool:
-    """True iff ``path`` exists and holds at least one COMMITTED data
-    file (any entry not starting with ``_``/``.``). A directory left
-    holding only ``_temporary`` contents by a crash mid-write is NOT
-    committed — distinguishing the two is what keeps the admission
-    sinks replayable (a bare ``fs.exists`` check calls such a husk
-    'existing', then fails parquet schema inference on every replay —
-    the poison pill ADVICE r12 flagged)."""
+def job_commit_succeeded(spark: SparkSession, path: str) -> bool:
+    """True iff a Spark write to ``path`` ran its job commit to
+    completion — i.e. the ``_SUCCESS`` marker exists. This is the ONLY
+    safe 'already written' test for an idempotent sink partition:
+
+    - a dir holding only ``_temporary`` contents (crash mid-task) has
+      no marker -> rewrite;
+    - a dir holding SOME part files but no marker (crash mid-JOB-commit,
+      after the committer moved task 1's output but before task 2's)
+      has no marker -> rewrite. The earlier draft checked for 'any
+      committed-looking data file', which called this half-published
+      state done and permanently dropped the missing tasks' rows
+      (self-review r14);
+    - a fully committed dir (marker present) -> skip.
+
+    If ``mapreduce.fileoutputcommitter.marksuccessfuljobs`` is disabled
+    the marker never appears and every replay rewrites — wasted work,
+    never lost rows (the overwrite is deterministic), which is the
+    right failure direction for an exactly-once sink."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_SUCCESS")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _flat_data_files_at_root(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` holds non-hidden data FILES directly at its
+    root — the flat (pre-batch-partition) admitted-sink layout."""
     jvm = spark._jvm
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -92,9 +112,14 @@ def has_committed_files(spark: SparkSession, path: str) -> bool:
         return False
     for st in fs.listStatus(p):
         name = st.getPath().getName()
-        if not (name.startswith("_") or name.startswith(".")):
+        if st.isFile() and not (name.startswith("_") or name.startswith(".")):
             return True
     return False
+
+
+# admitted-sink paths whose layout has been validated this process (the
+# flat-vs-partitioned guard in admit_sink_upsert runs once per path)
+_LAYOUT_CHECKED: set[str] = set()
 
 
 def admit_sink_upsert(
@@ -112,17 +137,21 @@ def admit_sink_upsert(
 
     - ``batch_id`` given (the foreachBatch streaming path, which always
       has one): admissions land under ``admitted_path/batch_id=N`` —
-      the standard idempotent-sink layout. A replay whose partition
-      already holds committed files skips the write entirely; an
-      uncommitted partition (crash mid-write left only ``_temporary``)
-      is rewritten with mode=overwrite. Per-micro-batch sink cost is
-      ONE directory listing — O(1) in sink size, closing the
-      O(corpus)-per-batch anti-join scan (VERDICT r12 item 4). Replay
-      case analysis composes with the caller's ledger->sink->index
-      ordering: a replay before the index append recomputes the SAME
-      admissions (partition committed -> skip, uncommitted ->
-      identical overwrite); a replay after it verdicts everything dup,
-      writes nothing, and the committed partition is untouched.
+      the standard idempotent-sink layout. A replay whose partition's
+      JOB COMMIT completed (``_SUCCESS`` marker — see
+      `job_commit_succeeded` for why any weaker file-presence test
+      loses rows on a mid-job-commit crash) skips the write entirely;
+      anything less is rewritten with mode=overwrite. Per-micro-batch
+      sink cost is ONE existence check — O(1) in sink size, closing
+      the O(corpus)-per-batch anti-join scan (VERDICT r12 item 4).
+      Replay case analysis composes with the caller's
+      ledger->sink->index ordering: a replay before the index append
+      recomputes the SAME admissions (partition committed -> skip,
+      anything less -> identical overwrite); a replay after it
+      verdicts everything dup, writes nothing, and the committed
+      partition is untouched. A sink carrying the legacy FLAT layout
+      at its root is REFUSED loudly (mixed layouts break partition
+      discovery for every later read — migrate or start a new path).
 
     - ``batch_id`` None (ad-hoc batch callers): the row-level
       first-write-wins anti-join against the whole sink — O(sink) per
@@ -137,8 +166,20 @@ def admit_sink_upsert(
     The two layouts must not be mixed on one sink path (partitioned vs
     flat parquet)."""
     if batch_id is not None:
+        # layout guard ONCE per sink per process (a per-batch root
+        # listing would re-introduce an O(#partitions) metadata cost)
+        if admitted_path not in _LAYOUT_CHECKED and _flat_data_files_at_root(
+            spark, admitted_path
+        ):
+            raise ValueError(
+                f"admitted sink {admitted_path} holds flat (un-partitioned) "
+                "data files at its root; writing batch_id= partitions next "
+                "to them would break partition discovery for every later "
+                "read — migrate the sink or use a fresh path"
+            )
+        _LAYOUT_CHECKED.add(admitted_path)
         part_dir = os.path.join(admitted_path, f"batch_id={batch_id}")
-        if has_committed_files(spark, part_dir):
+        if job_commit_succeeded(spark, part_dir):
             return
         admitted_rows.write.mode("overwrite").parquet(part_dir)
         return

@@ -1440,9 +1440,14 @@ def rebuild_ivf_index(
 
     rows = spark.read.parquet(path).select("vec_id", "e", "nrm")
     # snapshot as ROOT-RELATIVE paths: the in-swap re-verification
-    # lists the renamed-aside tree, whose absolute prefix differs
+    # lists the renamed-aside tree, whose absolute prefix differs.
+    # The root prefix comes from the HADOOP path, never the raw
+    # argument (self-review r14: a scheme-qualified 'file:/...' or
+    # double-slash argument would mis-slice every snapshot entry and
+    # turn the refusal guard into an unconditional spurious abort)
+    rootlen0 = len(hpath.toUri().getPath()) + 1
     snapshot = {
-        jvm.org.apache.hadoop.fs.Path(u).toUri().getPath()[len(path) + 1 :]
+        jvm.org.apache.hadoop.fs.Path(u).toUri().getPath()[rootlen0:]
         for u in rows.inputFiles()
     }
 
@@ -1510,15 +1515,24 @@ def maintain_ivf_index(spark: SparkSession, path: str) -> dict:
     reported ``occupancy_ok: False`` and the operator had to know to
     call the rebuild by hand.
 
-    Returns the compaction report plus ``{"rebuilt": bool}`` and, when
-    rebuilt, the rebuild's own report under ``"rebuild"`` (its
-    ``occupancy_ok`` reflects the RETRAINED quantizer — k-means on the
-    drifted distribution, the best k cells can do)."""
+    The report's top-level ``max_cell_share``/``occupancy_ok`` describe
+    the index AS LEFT BY MAINTENANCE (post-rebuild when the repair
+    fired — a caller gating on the top-level numbers must never see the
+    pre-repair failure the call just fixed; self-review r14). When
+    rebuilt: ``rebuilt`` is True, the drifted share is kept under
+    ``pre_rebuild_max_cell_share``, and the rebuild's own report under
+    ``"rebuild"`` (its ``occupancy_ok`` reflects the RETRAINED
+    quantizer — k-means on the drifted distribution, the best k cells
+    can do)."""
     report = compact_ivf_index(spark, path)
     report["rebuilt"] = False
     if not report["occupancy_ok"]:
-        report["rebuild"] = rebuild_ivf_index(spark, path)
+        rebuild = rebuild_ivf_index(spark, path)
         report["rebuilt"] = True
+        report["rebuild"] = rebuild
+        report["pre_rebuild_max_cell_share"] = report["max_cell_share"]
+        report["max_cell_share"] = rebuild["max_cell_share"]
+        report["occupancy_ok"] = rebuild["occupancy_ok"]
     return report
 
 

@@ -101,16 +101,23 @@ def clone_parquet_dir(path: str) -> str:
     rule from self-review r12: a shared per-app path is NOT enough once
     the path is written to). Local-filesystem only by design — it
     isolates test/bench invocations; a production admission pipeline
-    owns its index path and never clones it."""
+    owns its index path and never clones it.
+
+    Clones are removed at interpreter exit (self-review r14: bench's
+    warmup + 3 timed passes clone per pass, and nothing else ever
+    deleted them — a round's runs would accrete dead index copies in
+    /tmp). Eager deletion is NOT safe in general: callers return lazy
+    DataFrames, and only the caller knows whether every read of the
+    clone has been pinned away."""
+    import atexit
     import os
     import shutil
     import tempfile
 
-    dst = os.path.join(
-        tempfile.mkdtemp(prefix="engine_idxclone_"),
-        os.path.basename(path.rstrip("/")),
-    )
+    root = tempfile.mkdtemp(prefix="engine_idxclone_")
+    dst = os.path.join(root, os.path.basename(path.rstrip("/")))
     shutil.copytree(path, dst)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
     return dst
 
 
@@ -261,12 +268,16 @@ def _commit_swap(fs, hpath, tmp, old, path: str, verify_old=None) -> None:
         try:
             verify_old(old)
         except Exception:
-            fs.delete(tmp, True)
+            # restore FIRST, clean up tmp second: the reverse order
+            # leaves `path` absent if the delete throws or the process
+            # dies between the two steps (self-review r14) — the
+            # no-live-dir window must be exactly the one rename
             if not fs.rename(old, hpath):
                 raise IOError(
                     f"swap verify failed AND restore failed: live data is at "
                     f"{old} — restore it manually"
                 )
+            fs.delete(tmp, True)
             raise
     if not fs.rename(tmp, hpath):
         fs.rename(old, hpath)  # roll back

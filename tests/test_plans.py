@@ -629,11 +629,12 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     ledger_plan = physical_plan(
         _admission_ledger(spark.read.parquet(index_path), sigs)
     )
-    for plan in (ledger_plan, physical_plan(manifest)):
+    man_plan = physical_plan(manifest)
+    for plan in (ledger_plan, man_plan):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
-    plan = physical_plan(manifest)
+    plan = man_plan
     assert len(re.findall(r"hashpartitioning\(shard", plan)) == 1, plan
     assert plan.count("Window (") == 1, plan
     # no corpus/index rescan in the manifest: its only scans are the

@@ -1817,3 +1817,46 @@ def test_admit_sink_batch_partition_is_o1_and_idempotent(spark, tmp_path):
     admit_sink_upsert(spark, rows1, str(sink), "doc_id", batch_id=1)
     got = {(r["doc_id"], r["batch_id"]) for r in spark.read.parquet(str(sink)).collect()}
     assert got == {(10, 0), (11, 0), (20, 1)}
+
+
+def test_admit_sink_batch_path_refuses_flat_legacy_sink(spark, tmp_path):
+    """Layout-migration guard (self-review r14): a pre-r14 sink holds
+    flat part files at its root; resuming a stream (batch_id layout)
+    over it would write batch_id= dirs next to them and break partition
+    discovery for every later read. The batch path must refuse loudly
+    instead. A partial JOB commit (part file present, no _SUCCESS) must
+    also NOT count as committed — the replay rewrites it rather than
+    dropping the missing tasks' rows."""
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.ingest import (
+        admit_sink_upsert,
+        job_commit_succeeded,
+    )
+
+    rows = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    flat = str(tmp_path / "flat_sink")
+    rows.write.parquet(flat)  # the legacy layout
+    with _pytest.raises(ValueError, match="flat"):
+        admit_sink_upsert(spark, rows, flat, "doc_id", batch_id=0)
+
+    # mid-JOB-commit husk: a data file exists but no _SUCCESS marker —
+    # not committed, so the replay overwrites (converging) instead of
+    # skipping (losing the other tasks' rows)
+    sink = tmp_path / "sink"
+    part = sink / "batch_id=0"
+    part.mkdir(parents=True)
+    both = spark.createDataFrame(
+        [(10, "x"), (11, "y")], "doc_id long, text string"
+    )
+    both.coalesce(1).write.mode("overwrite").parquet(str(part) + ".stage")
+    import shutil as _sh
+    import glob as _glob
+
+    staged = _glob.glob(str(part) + ".stage/part-*.parquet")[0]
+    _sh.copy(staged, str(part / "part-00000.parquet"))  # one task's output, no marker
+    assert not job_commit_succeeded(spark, str(part))
+    admit_sink_upsert(spark, both, str(sink), "doc_id", batch_id=0)
+    got = {r["doc_id"] for r in spark.read.parquet(str(sink)).collect()}
+    assert got == {10, 11}, got
+    assert job_commit_succeeded(spark, str(part))

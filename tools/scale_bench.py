@@ -400,13 +400,27 @@ def adm_sink_scale_measure(spark, k: int, index_path: str) -> dict:
         open(os.path.join(sink, "_FILLED"), "w").close()
     n_sink_rows = spark.read.parquet(sink).count()
     idx = clone_parquet_dir(index_path)
+    # fresh batch_ids past anything already in the persisted sink, and
+    # the timed partitions removed afterwards (self-review r14: a
+    # hardcoded id against the .scaledata-persisted sink would take
+    # the committed-skip fast path on every run after the first —
+    # the exact measure-nothing trap the docstring warns about — and
+    # leaked timed rows would inflate the next run's n_sink_rows)
+    import shutil
+
+    next_id = 1 + max(
+        (int(d.split("=", 1)[1]) for d in os.listdir(sink) if d.startswith("batch_id=")),
+        default=0,
+    )
     walls = []
     for run in range(2):
         t0 = time.perf_counter()
         admit_minhash_batch(
-            spark, idx, base_batch, sink, batch_id=100_000 + run
+            spark, idx, base_batch, sink, batch_id=next_id + run
         )
         walls.append(round(time.perf_counter() - t0, 3))
+    for run in range(2):
+        shutil.rmtree(os.path.join(sink, f"batch_id={next_id + run}"), ignore_errors=True)
     base_batch.unpersist(blocking=False)
     return {
         "adm_sink_rows": n_sink_rows,
@@ -455,10 +469,17 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
     from nytimes_batch_processor_spark.operators.similarity import (
         _IVF_FIXED_NPROBE,
         _SIM_PROBE_DUP_COS,
+        load_ivf_centers,
         probe_ivf_index,
     )
 
     index = spark.read.parquet(index_path)
+    # the index's OWN quantizer (the admit_ivf_batch rule): since r14
+    # the maintenance entrypoint may have REBUILT this index with
+    # trained centroids, and probing a trained index with the fixed
+    # centers silently hits the wrong cells (self-review r14); with no
+    # sidecar this IS ivf_fixed_centers, the entry's own path
+    centers = load_ivf_centers(spark, index_path)
     batch = _ann_probe_batch(spark, k).localCheckpoint(eager=True)
     n_batch = batch.count()  # known batch size -> honest broadcast bound
     # time ONE probe only (the self-review r11 rule), and time the
@@ -468,7 +489,7 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
     # candidate cardinality re-runs the join OUTSIDE the window.
     t0 = time.perf_counter()
     scored = probe_ivf_index(
-        index, batch, n_probe_rows=n_batch * _IVF_FIXED_NPROBE
+        index, batch, n_probe_rows=n_batch * _IVF_FIXED_NPROBE, centers=centers
     )
     n_dup = (
         scored.filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
