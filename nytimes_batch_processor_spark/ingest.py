@@ -164,7 +164,17 @@ def admit_sink_upsert(
       principle: never swallow a failure into 'dedup disabled').
 
     The two layouts must not be mixed on one sink path (partitioned vs
-    flat parquet)."""
+    flat parquet).
+
+    Maintenance constraint: the per-partition ``_SUCCESS`` markers ARE
+    the idempotency ledger — a rewrite that drops them (e.g.
+    `tables.compact_parquet`, which re-emits the partition layout but
+    leaves one marker at the ROOT) makes every batch partition look
+    un-committed again, and a subsequent replay of an already-indexed
+    batch would overwrite it with the EMPTY admitted set (the docs are
+    all dup against their own indexed copies by then). Compact this
+    sink only with a partition-marker-preserving rewrite, or only for
+    batches the stream's checkpoint can no longer replay."""
     if batch_id is not None:
         # layout guard ONCE per sink per process (a per-batch root
         # listing would re-introduce an O(#partitions) metadata cost)
