@@ -172,9 +172,9 @@ def admit_sink_upsert(
     leaves one marker at the ROOT) makes every batch partition look
     un-committed again, and a subsequent replay of an already-indexed
     batch would overwrite it with the EMPTY admitted set (the docs are
-    all dup against their own indexed copies by then). Compact this
-    sink only with a partition-marker-preserving rewrite, or only for
-    batches the stream's checkpoint can no longer replay."""
+    all dup against their own indexed copies by then). Use
+    `compact_admitted_sink`, whose per-partition rewrite publishes each
+    partition's own marker atomically with its data."""
     if batch_id is not None:
         # layout guard ONCE per sink per process (a per-batch root
         # listing would re-introduce an O(#partitions) metadata cost)
@@ -200,6 +200,100 @@ def admit_sink_upsert(
         )
         to_insert = admitted_rows.join(existing, key, "left_anti")
     to_insert.write.mode("append").parquet(admitted_path)
+
+
+def compact_admitted_sink(
+    spark: SparkSession, admitted_path: str, target_files: int = 1
+) -> dict:
+    """MARKER-PRESERVING small-files compaction for the
+    batch-partitioned admitted sink (r14): steady-state streaming
+    admission writes one file-set per micro-batch, so the sink accretes
+    small files exactly like the indexes do — but `tables.compact_parquet`
+    must NOT be used here, because its partition-layout rewrite leaves
+    ONE ``_SUCCESS`` at the root while `admit_sink_upsert`'s idempotency
+    test is the PER-PARTITION marker: every batch would look
+    un-committed again, and a checkpoint-reset replay of an
+    already-indexed batch would overwrite its partition with the empty
+    admitted set (see admit_sink_upsert's maintenance constraint).
+
+    This compacts partition BY partition: each ``batch_id=N`` dir with
+    more than ``target_files`` data files is rewritten (coalesced) into
+    a HIDDEN sibling tmp dir — whose own ``_SUCCESS`` marker Spark
+    writes as part of the rewrite, BEFORE any rename — then two-rename
+    swapped into place via `tables._commit_swap`. At every crash point
+    a partition is therefore wholly old (marked) or wholly new
+    (marked); the idempotency ledger is never stripped. The tmp/old
+    names are dot-prefixed (``.compact_tmp_batch_id=N``) rather than
+    the index compaction's ``<path>._suffix`` shape: a crash-stranded
+    ``batch_id=N._compacting`` dir would contain ``=`` and poison the
+    sink's partition discovery until cleanup, while a dot-prefixed dir
+    is invisible to readers. A partition left missing by a crash
+    between the two renames is restored from its old dir on the next
+    run (the `_swap_paths` recovery rule, applied per partition).
+
+    Offline maintenance, like the index compactions: do not run it
+    concurrently with the writing stream. Returns
+    ``{"partitions_compacted", "files_before", "files_after"}``."""
+    from .tables import _commit_swap
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(admitted_path)
+    fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _hidden(kind: str, part: str):
+        return jvm.org.apache.hadoop.fs.Path(
+            f"{admitted_path.rstrip('/')}/.compact_{kind}_{part}"
+        )
+
+    # crash recovery first: a partition missing with its old dir
+    # present means a previous run died between the two swap renames —
+    # the old dir IS the live (marked) data; restore before anything
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".compact_old_"):
+            part = name[len(".compact_old_"):]
+            live = jvm.org.apache.hadoop.fs.Path(
+                f"{admitted_path.rstrip('/')}/{part}"
+            )
+            if not fs.exists(live):
+                if not fs.rename(st.getPath(), live):
+                    raise IOError(
+                        f"sink compaction recovery failed: could not "
+                        f"restore {name} to {part}"
+                    )
+
+    stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        if not st.isDirectory():
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(st.getPath())
+            if f.isFile()
+            and not f.getPath().getName().startswith("_")
+            and not f.getPath().getName().startswith(".")
+        )
+        stats["files_before"] += n_files
+        if n_files <= target_files:
+            stats["files_after"] += n_files
+            continue
+        tmp, old = _hidden("tmp", name), _hidden("old", name)
+        for stale in (tmp, old):
+            if fs.exists(stale):
+                fs.delete(stale, True)
+        pdir = st.getPath().toUri().getPath()
+        # the rewrite itself creates tmp's _SUCCESS — the marker is in
+        # place before the swap publishes anything
+        spark.read.parquet(pdir).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(str(tmp))
+        _commit_swap(fs, st.getPath(), tmp, old, pdir)
+        stats["partitions_compacted"] += 1
+        stats["files_after"] += target_files
+    return stats
 
 
 def upsert_append(new_rows: DataFrame, target_path: str, keys: list[str]) -> None:

@@ -1860,3 +1860,64 @@ def test_admit_sink_batch_path_refuses_flat_legacy_sink(spark, tmp_path):
     got = {r["doc_id"] for r in spark.read.parquet(str(sink)).collect()}
     assert got == {10, 11}, got
     assert job_commit_succeeded(spark, str(part))
+
+
+def test_compact_admitted_sink_preserves_markers(spark, tmp_path):
+    """Sink compaction must keep the PER-PARTITION _SUCCESS markers the
+    idempotency test reads (r14): after compacting, every batch
+    partition is still 'committed' (a replay with different rows still
+    skips), rows are byte-identical, files are fewer, and a partition
+    stranded mid-swap (live dir missing, hidden old dir present) is
+    restored on the next run."""
+    from nytimes_batch_processor_spark.ingest import (
+        admit_sink_upsert,
+        compact_admitted_sink,
+        job_commit_succeeded,
+    )
+
+    sink = str(tmp_path / "admitted")
+    for b in range(3):
+        rows = spark.createDataFrame(
+            [(b * 10 + i, f"doc {b}-{i}") for i in range(8)],
+            "doc_id long, text string",
+        ).repartition(4)  # multiple part files per batch partition
+        admit_sink_upsert(spark, rows, sink, "doc_id", batch_id=b)
+
+    before = sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    stats = compact_admitted_sink(spark, sink)
+    assert stats["partitions_compacted"] == 3, stats
+    assert stats["files_after"] < stats["files_before"], stats
+    after = sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert after == before
+    for b in range(3):
+        assert job_commit_succeeded(spark, f"{sink}/batch_id={b}"), b
+    # the idempotency ledger survived: a replay of batch 1 with
+    # DIFFERENT rows must still skip (partition untouched)
+    other = spark.createDataFrame([(99, "z")], "doc_id long, text string")
+    admit_sink_upsert(spark, other, sink, "doc_id", batch_id=1)
+    assert sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    ) == before
+    # a second compaction is a no-op (already at target)
+    stats = compact_admitted_sink(spark, sink)
+    assert stats["partitions_compacted"] == 0, stats
+
+    # crash between the two swap renames: live partition gone, old dir
+    # holds the (marked) data -> next run restores it before compacting
+    import os as _os
+
+    _os.rename(f"{sink}/batch_id=2", f"{sink}/.compact_old_batch_id=2")
+    assert {r["batch_id"] for r in spark.read.parquet(sink).collect()} == {0, 1}
+    compact_admitted_sink(spark, sink)
+    assert sorted(
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    ) == before
+    assert job_commit_succeeded(spark, f"{sink}/batch_id=2")
