@@ -250,6 +250,12 @@ def compact_admitted_sink(
     # the old dir IS the live (marked) data; restore before anything
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        if name.startswith(".compact_tmp_"):
+            # tmp is never the live data (the swap promotes it in the
+            # same call that wrote it): at recovery time it is always a
+            # crash leftover
+            fs.delete(st.getPath(), True)
+            continue
         if name.startswith(".compact_old_"):
             part = name[len(".compact_old_"):]
             live = jvm.org.apache.hadoop.fs.Path(
@@ -261,6 +267,12 @@ def compact_admitted_sink(
                         f"sink compaction recovery failed: could not "
                         f"restore {name} to {part}"
                     )
+            else:
+                # live partition present -> the old dir is a stale
+                # leftover from a crash AFTER the swap completed; a
+                # skipped (already-compact) partition would otherwise
+                # carry it forever
+                fs.delete(st.getPath(), True)
 
     stats = {"partitions_compacted": 0, "files_before": 0, "files_after": 0}
     for st in fs.listStatus(root):

@@ -1915,9 +1915,15 @@ def test_compact_admitted_sink_preserves_markers(spark, tmp_path):
 
     _os.rename(f"{sink}/batch_id=2", f"{sink}/.compact_old_batch_id=2")
     assert {r["batch_id"] for r in spark.read.parquet(sink).collect()} == {0, 1}
+    # ...plus the two stale-leftover shapes: a tmp dir (always garbage)
+    # and an old dir whose live partition exists (post-swap crash)
+    _os.makedirs(f"{sink}/.compact_tmp_batch_id=0")
+    _os.makedirs(f"{sink}/.compact_old_batch_id=1")
     compact_admitted_sink(spark, sink)
     assert sorted(
         (r["doc_id"], r["text"], r["batch_id"])
         for r in spark.read.parquet(sink).collect()
     ) == before
     assert job_commit_succeeded(spark, f"{sink}/batch_id=2")
+    assert not _os.path.exists(f"{sink}/.compact_tmp_batch_id=0")
+    assert not _os.path.exists(f"{sink}/.compact_old_batch_id=1")
