@@ -1568,7 +1568,14 @@ def admit_ivf_batch(
     copies at cosine 1.0 and no-ops) — see admit_minhash_batch's
     docstring for the case analysis. Scale: probe cost is
     O(batch x nprobe-cell occupancy); the within-batch self-probe is
-    cell-bucketed batch x batch. Compaction/occupancy maintenance is
+    cell-bucketed batch x batch. Unlike the MinHash twin's r14
+    single-tagged-probe fold, the two probes here stay SEPARATE on
+    purpose: the index probe's scan is the DPP-pruned cell-partitioned
+    parquet read, and a corpus ∪ batch union on the candidate side
+    would put a Union above the scan and forfeit the partition pruning
+    — re-reading the whole corpus index per micro-batch to save one
+    join pipeline is a bad trade (the MinHash index has no pruned-scan
+    shape to lose). Compaction/occupancy maintenance is
     `compact_ivf_index`."""
     from ..ingest import admit_sink_upsert
 
