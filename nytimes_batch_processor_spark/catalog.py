@@ -114,14 +114,7 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # sim_incremental_probe: its oracle gained the nrm > 0 index parity
     # filter (ADVICE r12, closed r14) — value-identical on the current
     # fixture, but changed SQL re-verifies like changed code.
-    # dedup_incremental_probe: probe_minhash_index/probe_candidate_pairs
-    # gained the carry_cols passthrough (default path value-identical —
-    # the r4 rule: semantics-preserving changes re-verify anyway).
-    14: (
-        "stream_admission_twin",
-        "sim_incremental_probe",
-        "dedup_incremental_probe",
-    ),
+    14: ("stream_admission_twin", "sim_incremental_probe"),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}

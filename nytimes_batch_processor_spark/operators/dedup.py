@@ -538,23 +538,13 @@ def minhash_index_for(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
-def probe_candidate_pairs(
-    index: DataFrame,
-    batch_sigs: DataFrame,
-    carry_cols: tuple[str, ...] = (),
-) -> DataFrame:
+def probe_candidate_pairs(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
     """The candidate subplan of `probe_minhash_index`: distinct
     (qid, cid) batch x index pairs sharing >= 1 band bucket, each
     emitted from its FIRST colliding band (no distinct needed — the
     `dedup_minhash_lsh` trick). Factored out so tools/scale_bench.py
     counts the EXACT subplan the operator runs (the r8 lesson: a
-    re-implemented measurement desynchronizes from the real workload).
-
-    ``carry_cols`` names extra ``index``-side columns passed through to
-    the output (r14: the admission ledger tags a corpus ∪ batch union
-    with an origin flag and probes it ONCE instead of running two
-    probes — see `_admission_ledger`). The default keeps every existing
-    caller's plan byte-identical."""
+    re-implemented measurement desynchronizes from the real workload)."""
     names = [f"bh{k}" for k in range(_MINHASH_BANDS)]
     explode = F.posexplode(F.array(*[F.col(n) for n in names])).alias(
         "band", "band_hash"
@@ -567,7 +557,6 @@ def probe_candidate_pairs(
     c = index.select(
         F.col("doc_id").alias("cid"),
         *[F.col(n).alias(f"c{n}") for n in names],
-        *[F.col(n) for n in carry_cols],
         explode,
     )
     first_band = F.lit(False)
@@ -584,33 +573,23 @@ def probe_candidate_pairs(
             & (F.col("q.band_hash") == F.col("c.band_hash")),
         )
         .filter(first_band)
-        .select("qid", "cid", *carry_cols)
+        .select("qid", "cid")
     )
 
 
-def probe_minhash_index(
-    index: DataFrame,
-    batch_sigs: DataFrame,
-    carry_cols: tuple[str, ...] = (),
-) -> DataFrame:
+def probe_minhash_index(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
     """Probe a signed batch against a persisted corpus index: band
     bucket equi-join ONLY (batch bands x index bands on (band,
     band_hash)) — never batch x corpus, never corpus x corpus — then
     one est-Jaccard verification per distinct candidate pair via the
     first-colliding-band emission trick of `dedup_minhash_lsh`.
-    Returns verified (doc_id, canon_id) matches with est_jaccard >= 0.9,
-    plus any ``carry_cols`` passed through from the index side (see
-    `probe_candidate_pairs`; note a cid present TWICE on the candidate
-    side — e.g. a replayed doc whose copy is in both the index and the
-    tagged batch union — yields one row per copy, so aggregating
-    callers must count DISTINCT canon ids, which `_admission_ledger`
-    always did).
+    Returns verified (doc_id, canon_id) matches with est_jaccard >= 0.9.
 
     Scale: probe cost is O(batch bands x bucket occupancy). The corpus
     contributes only the buckets the batch touches — on a cluster the
     index table is bucketed by band hash, so the join co-locates
     without shuffling the index."""
-    cand = probe_candidate_pairs(index, batch_sigs, carry_cols)
+    cand = probe_candidate_pairs(index, batch_sigs)
     qs = batch_sigs.select(F.col("doc_id").alias("qid"), F.col("sig").alias("qsig"))
     cs = index.select(F.col("doc_id").alias("cid"), F.col("sig").alias("csig"))
     est = (
@@ -620,13 +599,9 @@ def probe_minhash_index(
     return (
         cand.join(qs, "qid")
         .join(cs, "cid")
-        .select("qid", "cid", *carry_cols, est.alias("est_jaccard"))
+        .select("qid", "cid", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.9)
-        .select(
-            F.col("qid").alias("doc_id"),
-            F.col("cid").alias("canon_id"),
-            *carry_cols,
-        )
+        .select(F.col("qid").alias("doc_id"), F.col("cid").alias("canon_id"))
     )
 
 
@@ -735,34 +710,21 @@ def _admission_ledger(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
     ``(doc_id, status 'admitted'/'dup', canon_id, n_matches)``.
 
     Contract: ``batch_sigs`` must be PINNED (eager localCheckpoint) by
-    the caller — it feeds both sides of the probe and the admit join —
-    and the returned ledger must itself be pinned before any index
-    mutation (a lazy ledger re-evaluated after the append would
-    re-probe the grown index and verdict every admission 'dup').
-
-    ONE probe, not two (r14): the candidate side is the tagged
-    corpus ∪ batch union, so the batch's bands explode once and the
-    band join / est-verify pipeline runs once — measured value-identical
-    to the former separate index-probe + self-probe pair and ~35%
-    faster on the verdict step at sf0.1 (0.53s -> 0.34s warm). The
-    keep-filter replays the two former match sets exactly: an
-    index-side match always counts (including a replayed doc matching
-    its OWN indexed copy — the exactly-once no-op case), a batch-side
-    match only from a smaller doc_id (canonicalize-by-min; also drops
-    the trivial self-pair). A doc present on BOTH sides yields one
-    match row per copy; countDistinct collapses them (see
-    `probe_minhash_index`)."""
-    cols = ["doc_id", "sig", *[f"bh{k}" for k in range(_MINHASH_BANDS)]]
-    tagged = index.select(*cols, F.lit(True).alias("_idx")).unionByName(
-        batch_sigs.select(*cols, F.lit(False).alias("_idx"))
+    the caller — it is probed twice here and re-used for the admit
+    join — and the returned ledger must itself be pinned before any
+    index mutation (a lazy ledger re-evaluated after the append would
+    re-probe the grown index and verdict every admission 'dup')."""
+    idx_matches = probe_minhash_index(index, batch_sigs)
+    self_matches = probe_minhash_index(batch_sigs, batch_sigs).filter(
+        F.col("canon_id") < F.col("doc_id")
     )
-    matches = probe_minhash_index(tagged, batch_sigs, carry_cols=("_idx",))
-    kept = matches.filter(
-        F.col("_idx") | (F.col("canon_id") < F.col("doc_id"))
-    )
-    agg = kept.groupBy("doc_id").agg(
-        F.min("canon_id").alias("canon_id"),
-        F.countDistinct("canon_id").alias("n_matches"),
+    agg = (
+        idx_matches.unionByName(self_matches)
+        .groupBy("doc_id")
+        .agg(
+            F.min("canon_id").alias("canon_id"),
+            F.countDistinct("canon_id").alias("n_matches"),
+        )
     )
     return (
         batch_sigs.select("doc_id")
