@@ -713,7 +713,17 @@ def _admission_ledger(index: DataFrame, batch_sigs: DataFrame) -> DataFrame:
     the caller — it is probed twice here and re-used for the admit
     join — and the returned ledger must itself be pinned before any
     index mutation (a lazy ledger re-evaluated after the append would
-    re-probe the grown index and verdict every admission 'dup')."""
+    re-probe the grown index and verdict every admission 'dup').
+
+    TWO probes on purpose — do not fold them into one tagged
+    corpus ∪ batch probe (tried and reverted, r14): the fold is
+    value-identical and ~35% faster at x1, but the union erases the
+    per-side size statistics, the est-verify joins lose their
+    broadcast strategy, and the candidate mass gets SHUFFLED instead —
+    measured 5x slower at the scale gate's x10 batch (pipe_wall
+    5.7s -> 28.5s, linear_ok=False). Separate probes keep the index a
+    stats-bearing parquet scan and the batch a bounded broadcast
+    side."""
     idx_matches = probe_minhash_index(index, batch_sigs)
     self_matches = probe_minhash_index(batch_sigs, batch_sigs).filter(
         F.col("canon_id") < F.col("doc_id")
