@@ -101,20 +101,11 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r14 entries accumulate here as code changes this round; the r13
-    # block expired when CORRECTNESS_r13.json was recorded (the
+    # r15 entries accumulate here as code changes this round; the r14
+    # block expired when CORRECTNESS_r14.json was recorded (the
     # rnd < latest gate in tests/test_rotation.py) and was deleted as
     # this round's first-commit hygiene step.
-    #
-    # stream_admission_twin is seeded up front: round 13 refactored the
-    # body of admit_minhash_batch (the _admission_ledger extraction)
-    # AFTER the r13 sweep recorded, so the twin's last hash-green row
-    # (r12) predates the code it now runs — the r4 lesson applies even
-    # to value-identical factorings (VERDICT r13 item 2).
-    # sim_incremental_probe: its oracle gained the nrm > 0 index parity
-    # filter (ADVICE r12, closed r14) — value-identical on the current
-    # fixture, but changed SQL re-verifies like changed code.
-    14: ("stream_admission_twin", "sim_incremental_probe"),
+    15: (),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
