@@ -168,7 +168,14 @@ def foreach_batch_admission(index_path: str, admitted_path: str):
     Exactly-once under foreachBatch's at-least-once replay comes from
     admit_minhash_batch's ledger -> sink -> index write ordering (see
     its docstring; the batch-twin oracle for the semantics is the
-    catalog's `stream_admission_twin`)."""
+    catalog's `stream_admission_twin`).
+
+    Sink uniqueness is CONTENT-level, not key-level (ADVICE r14): a
+    doc_id re-arriving in a later micro-batch with text divergent
+    enough to clear the near-dup threshold is a fresh admission into
+    that batch's partition, so the sink can hold one doc_id in two
+    batch partitions — see `ingest.admit_sink_upsert`'s uniqueness
+    note for the rationale and the latest-batch-wins read recipe."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.dedup import admit_minhash_batch
@@ -215,7 +222,9 @@ def foreach_batch_ann_admission(index_path: str, admitted_path: str):
     ``admitted_path/batch_id=N`` (the same O(1) idempotent
     batch-partition sink as the document twin), grow the index under
     its cell partitioning. Exactly-once from the same
-    ledger -> sink -> index ordering."""
+    ledger -> sink -> index ordering; same CONTENT-level (not
+    key-level) cross-batch sink uniqueness — see
+    `foreach_batch_admission` / `ingest.admit_sink_upsert`."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..operators.similarity import admit_ivf_batch

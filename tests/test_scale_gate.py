@@ -152,3 +152,24 @@ def test_flat_wall_gate_catches_sink_scan_regression():
     bad_hi = _row(10)
     bad_hi["adm_sink_wall_sec"] = 12.0  # O(sink) scan shape
     assert not compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")["linear_ok"]
+
+
+def test_flat_wall_gate_floors_subsecond_noise():
+    """The flat-wall gate decides linear_ok, and the measured walls are
+    sub-second — so the RATIO is computed on floored values (ADVICE
+    r14): a 0.2s->0.55s GC jitter (2.75x raw) must pass, while a
+    genuine O(sink) regression (0.4s -> 4s) still fails. The raw
+    un-floored ratio stays recorded in the artifact for trend reading."""
+    lo = _row(1)
+    lo["adm_sink_wall_sec"] = 0.2
+    noisy_hi = _row(10)
+    noisy_hi["adm_sink_wall_sec"] = 0.55  # 2.75x raw, pure jitter scale
+    gate = compute_gate({"x1": lo, "x10": noisy_hi}, 10, "b")
+    assert gate["linear_ok"], gate
+    assert gate["ratios_x10_over_x1"]["adm_sink_wall_sec"] == 2.75
+
+    lo2 = _row(1)
+    lo2["adm_sink_wall_sec"] = 0.4
+    bad_hi = _row(10)
+    bad_hi["adm_sink_wall_sec"] = 4.0  # past the floor: real regression
+    assert not compute_gate({"x1": lo2, "x10": bad_hi}, 10, "b")["linear_ok"]

@@ -1403,13 +1403,18 @@ def test_stream_admission_dedups_across_microbatches(spark, tmp_path):
     indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
     assert indexed == {1, 2, 100, 201}, indexed
 
-    # replay idempotency: re-admitting batch 0 verdicts everything
-    # 'dup' against its own indexed copy — sink and index unchanged
+    # replay idempotency: re-admitting batch 0 WITH its batch_id (the
+    # shape a real foreachBatch replay always has — the flat ad-hoc
+    # mode on a stream's partitioned sink is refused since r15's
+    # mirror guard) verdicts everything 'dup' against its own indexed
+    # copy — sink and index unchanged
     batch0 = spark.createDataFrame(
         [(100, novel_a), (101, corpus_text), (102, novel_a)],
         "doc_id long, text string",
     )
-    ledger = admit_minhash_batch(spark, index_path, batch0, admitted_path)
+    ledger = admit_minhash_batch(
+        spark, index_path, batch0, admitted_path, batch_id=0
+    )
     assert {(r["doc_id"], r["status"]) for r in ledger.collect()} == {
         (100, "dup"), (101, "dup"), (102, "dup"),
     }
@@ -1507,12 +1512,13 @@ def test_ann_stream_admission_dedups_across_microbatches(spark, tmp_path):
     ), "append flattened the cell partitioning"
 
     # replay idempotency: everything verdicts 'dup' against its own
-    # indexed copy; sink and index unchanged
+    # indexed copy; sink and index unchanged (batch_id=0, the real
+    # foreachBatch replay shape — see the MinHash twin's note)
     batch0 = spark.createDataFrame(
         [(100, novel_a), (101, corpus_v), (102, novel_a)],
         "vec_id long, embedding array<double>",
     )
-    ledger = admit_ivf_batch(spark, index_path, batch0, admitted_path)
+    ledger = admit_ivf_batch(spark, index_path, batch0, admitted_path, batch_id=0)
     assert {(r["vec_id"], r["status"]) for r in ledger.collect()} == {
         (100, "dup"), (101, "dup"), (102, "dup"),
     }
@@ -1927,3 +1933,173 @@ def test_compact_admitted_sink_preserves_markers(spark, tmp_path):
     assert job_commit_succeeded(spark, f"{sink}/batch_id=2")
     assert not _os.path.exists(f"{sink}/.compact_tmp_batch_id=0")
     assert not _os.path.exists(f"{sink}/.compact_old_batch_id=1")
+
+
+def test_admit_sink_flat_path_refuses_partitioned_sink(spark, tmp_path):
+    """The mirror of the flat-legacy refusal (ADVICE r14): an ad-hoc
+    BATCH caller (batch_id=None) on a sink a stream already partitioned
+    would append flat part files at the partition root — the same
+    mixed-layout corruption, from the other direction. And the layout
+    cache must be keyed per MODE: a flat-mode validation pass on an
+    empty path must not pre-approve a later batch-mode write onto the
+    flat files that pass just created."""
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.ingest import admit_sink_upsert
+
+    rows = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    sink = str(tmp_path / "part_sink")
+    admit_sink_upsert(spark, rows, sink, "doc_id", batch_id=0)
+    with _pytest.raises(ValueError, match="partitioned"):
+        admit_sink_upsert(spark, rows, sink, "doc_id")
+
+    # mode-keyed cache: flat mode validates + writes flat files first;
+    # the batch mode's own guard must still fire (a shared per-path
+    # cache entry would skip it and corrupt the sink)
+    flat_first = str(tmp_path / "flat_first")
+    admit_sink_upsert(spark, rows, flat_first, "doc_id")
+    with _pytest.raises(ValueError, match="flat"):
+        admit_sink_upsert(spark, rows, flat_first, "doc_id", batch_id=0)
+    # trailing-slash variant hits the same (normalized) cache entry and
+    # the same refusal — not a fresh un-guarded path
+    with _pytest.raises(ValueError, match="flat"):
+        admit_sink_upsert(spark, rows, flat_first + "/", "doc_id", batch_id=0)
+
+
+def test_compact_admitted_sink_files_after_is_recounted(spark, tmp_path):
+    """files_after must COUNT the swapped-in partition's data files,
+    not assume target_files (ADVICE r14): coalesce(n) emits one file
+    per non-empty input partition, and Spark's small-file packing reads
+    many tiny part files as few input partitions — so a compaction with
+    a large target_files still produces few files, and the assumption
+    would report files_after > files_before."""
+    import glob as _glob
+
+    from nytimes_batch_processor_spark.ingest import (
+        admit_sink_upsert,
+        compact_admitted_sink,
+    )
+
+    sink = str(tmp_path / "admitted")
+    rows = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(64)], "doc_id long, text string"
+    ).repartition(8)  # 8 tiny part files in the partition
+    admit_sink_upsert(spark, rows, sink, "doc_id", batch_id=0)
+    stats = compact_admitted_sink(spark, sink, target_files=6)
+    actual = len(
+        [
+            p
+            for p in _glob.glob(f"{sink}/batch_id=0/*")
+            if not _glob.os.path.basename(p).startswith(("_", "."))
+        ]
+    )
+    assert stats["partitions_compacted"] == 1, stats
+    assert stats["files_after"] == actual, (stats, actual)
+    assert stats["files_after"] <= stats["files_before"], stats
+
+
+def test_migrate_admitted_sink_lifts_flat_layout(spark, tmp_path):
+    """`migrate_admitted_sink` (VERDICT r14 item 4): a legacy flat sink
+    moves into the batch-partitioned layout in place — all legacy rows
+    under the reserved batch_id=-1 partition with its own _SUCCESS
+    marker — after which streaming admission (batch mode) proceeds and
+    replay stays idempotent; the flat mode now refuses. A root holding
+    both layouts WITHOUT a migration manifest is refused."""
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.ingest import (
+        admit_sink_upsert,
+        job_commit_succeeded,
+        migrate_admitted_sink,
+    )
+
+    sink = str(tmp_path / "legacy")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    b = spark.createDataFrame([(3, "c")], "doc_id long, text string")
+    admit_sink_upsert(spark, a, sink, "doc_id")  # flat appends
+    admit_sink_upsert(spark, b, sink, "doc_id")
+    with _pytest.raises(ValueError, match="flat"):
+        admit_sink_upsert(spark, a, sink, "doc_id", batch_id=0)
+
+    report = migrate_admitted_sink(spark, sink)
+    assert report["status"] == "migrated", report
+    assert report["files_migrated"] >= 2, report
+    assert job_commit_succeeded(spark, f"{sink}/batch_id=-1")
+    got = {
+        (r["doc_id"], r["text"], r["batch_id"])
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {(1, "a", -1), (2, "b", -1), (3, "c", -1)}
+
+    # the stream continues where the refusal used to dead-end
+    rows0 = spark.createDataFrame([(10, "x")], "doc_id long, text string")
+    admit_sink_upsert(spark, rows0, sink, "doc_id", batch_id=0)
+    # replay with different rows: committed partition untouched
+    other = spark.createDataFrame([(99, "z")], "doc_id long, text string")
+    admit_sink_upsert(spark, other, sink, "doc_id", batch_id=0)
+    got = {(r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, -1), (2, -1), (3, -1), (10, 0)}
+    with _pytest.raises(ValueError, match="partitioned"):
+        admit_sink_upsert(spark, rows0, sink, "doc_id")
+    # re-running the migration on the now-partitioned sink is a no-op
+    assert migrate_admitted_sink(spark, sink)["status"] == "already_partitioned"
+
+    # genuinely mixed (no manifest): refuse, never guess
+    import shutil as _sh
+    import glob as _glob
+
+    mixed = str(tmp_path / "mixed")
+    admit_sink_upsert(spark, rows0, mixed, "doc_id", batch_id=0)
+    part_file = _glob.glob(f"{mixed}/batch_id=0/part-*.parquet")[0]
+    _sh.copy(part_file, f"{mixed}/part-rogue.parquet")
+    with _pytest.raises(ValueError, match="manifest"):
+        migrate_admitted_sink(spark, mixed)
+
+
+def test_migrate_admitted_sink_crash_recovery(spark, tmp_path):
+    """Both migration crash points converge on re-run: (a) crashed
+    AFTER publishing the legacy partition but before deleting the
+    manifested flat files -> the re-run finishes the cleanup without
+    duplicating rows; (b) crashed BEFORE publish (manifest + tmp
+    leftovers, no committed partition) -> the re-run discards partials
+    and migrates fresh from the intact flat files."""
+    import os as _os
+
+    from nytimes_batch_processor_spark.ingest import (
+        admit_sink_upsert,
+        migrate_admitted_sink,
+    )
+
+    # (a) post-publish crash: build the exact on-disk state by hand
+    sink = str(tmp_path / "post_publish")
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+    admit_sink_upsert(spark, rows, sink, "doc_id")  # flat files
+    flat_names = sorted(
+        n for n in _os.listdir(sink) if not n.startswith(("_", "."))
+    )
+    spark.read.parquet(sink).write.parquet(f"{sink}/batch_id=-1")
+    with open(f"{sink}/.migrate_manifest", "w") as f:
+        f.write("\n".join(flat_names) + "\n")
+    report = migrate_admitted_sink(spark, sink)
+    assert report["status"] == "recovered", report
+    assert not _os.path.exists(f"{sink}/.migrate_manifest")
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, -1), (2, -1)], got  # no duplicated legacy rows
+
+    # (b) pre-publish crash: manifest + junk tmp, no committed partition
+    sink2 = str(tmp_path / "pre_publish")
+    admit_sink_upsert(spark, rows, sink2, "doc_id")
+    flat_names2 = sorted(
+        n for n in _os.listdir(sink2) if not n.startswith(("_", "."))
+    )
+    with open(f"{sink2}/.migrate_manifest", "w") as f:
+        f.write("\n".join(flat_names2) + "\n")
+    _os.makedirs(f"{sink2}/.migrate_tmp")
+    report = migrate_admitted_sink(spark, sink2)
+    assert report["status"] == "migrated", report
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink2).collect()
+    )
+    assert got == [(1, -1), (2, -1)], got

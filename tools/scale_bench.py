@@ -756,9 +756,15 @@ PIPE_EQ_KEYS = (
 )
 # Walls whose claim is FLATNESS (an O(1)-in-the-scaled-axis step), so
 # the linear 2*factor wall bound would never catch a regression: gated
-# at a CONSTANT 2x like FLAT_KEYS, with the sub-second clamp of
-# WALL_KEYS.
+# at a CONSTANT 2x like FLAT_KEYS. Unlike WALL_KEYS (recorded, never
+# gated), these ratios DECIDE linear_ok — and the measured walls are
+# sub-second, where ordinary JVM/GC noise can double a raw ratio. The
+# gate therefore floors BOTH sides at FLAT_WALL_FLOOR_SEC before
+# dividing (ADVICE r14): a 0.3s->0.7s jitter passes, while a genuine
+# O(sink) regression (0.5s -> multi-second at x10 sinks) still trips.
+# The raw un-floored ratio stays in the artifact for trend reading.
 FLAT_WALL_KEYS = ("adm_sink_wall_sec",)
+FLAT_WALL_FLOOR_SEC = 0.5
 WALL_KEYS = (
     "minhash_wall_sec",
     "ann_lsh_wall_sec",
@@ -818,10 +824,17 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         # recorded for the artifact; GATED below as equality, not ratio
         **{key: round(hi[key] / max(lo[key], 1), 2) for key in PIPE_EQ_KEYS},
     }
+    # gated flat-wall ratio: floored both sides so sub-second GC noise
+    # cannot flip the boolean (the recorded `ratios` entry stays raw)
+    floored_flat_walls = {
+        key: max(hi[key], FLAT_WALL_FLOOR_SEC)
+        / max(lo[key], FLAT_WALL_FLOOR_SEC)
+        for key in FLAT_WALL_KEYS
+    }
     linear_ok = (
         all(ratios[key] <= 2.0 * factor for key in COUNT_KEYS)
         and all(ratios[key] <= 2.0 for key in FLAT_KEYS)
-        and all(ratios[key] <= 2.0 for key in FLAT_WALL_KEYS)
+        and all(floored_flat_walls[key] <= 2.0 for key in FLAT_WALL_KEYS)
         and all(hi[key] == lo[key] for key in PIPE_EQ_KEYS)
     )
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
