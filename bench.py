@@ -129,6 +129,13 @@ HEADLINE = [
     # timed body (each admission run is a new index lifecycle), so its
     # wall is build + 2 probes + 2 appends.
     "stream_admission_twin",
+    # r15: span-level exact-substring dedup — K-token window hashing
+    # (map-only md5 over each 25-token window), ONE exchange on the
+    # window hash for the frequency valve + self-join, diagonal-island
+    # merge to maximal spans. Wall is dominated by the window md5 pass
+    # (~K x corpus text bytes hashed), the deliberate portable-hash
+    # trade documented in exact_substring_windows.
+    "dedup_exact_substring_spans",
 ]
 
 

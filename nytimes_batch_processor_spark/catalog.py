@@ -105,7 +105,11 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # block expired when CORRECTNESS_r14.json was recorded (the
     # rnd < latest gate in tests/test_rotation.py) and was deleted as
     # this round's first-commit hygiene step.
-    15: (),
+    # curate_admission_twin: its pipeline's flat-mode sink writes now
+    # run the r15 mirror layout guard + mode-keyed cache in
+    # ingest.admit_sink_upsert — value-identical, but changed code on
+    # the entry's execution path re-verifies (the r4 lesson).
+    15: ("curate_admission_twin",),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}

@@ -516,6 +516,71 @@ def compact_minhash_index(spark: SparkSession, path: str, target_files: int = 8)
     return compact_parquet(spark, path, target_files)
 
 
+# Probe-cost bound for the band-bucket health check below — the MinHash
+# analogue of similarity.IVF_MAX_CELL_SHARE: the probe is an equi-join
+# on (band, band_hash), so its per-bucket cost is |index bucket| x
+# |batch bucket|, and one bucket holding a quarter of the index makes
+# every probe against it a quarter-corpus scan regardless of how
+# balanced the rest is.
+MINHASH_MAX_BUCKET_SHARE = 0.25
+
+
+def minhash_band_health(spark: SparkSession, path: str) -> dict:
+    """Band-bucket occupancy of a persisted MinHash index: the largest
+    (band, band_hash) bucket's share of index rows, ONE distributed
+    aggregation (explode the 4 flat band-hash columns -> per-bucket
+    counts -> 1-row max/sum fold; the collect is a bounded single-row
+    driver fold, never the bucket table)."""
+    idx = spark.read.parquet(path)
+    banded = idx.select(
+        F.posexplode(
+            F.array(*[F.col(f"bh{k}") for k in range(_MINHASH_BANDS)])
+        ).alias("band", "bh")
+    )
+    row = (
+        banded.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("max_bucket"), F.sum("c").alias("total"))
+        .collect()[0]
+    )
+    n = int(row["total"] or 0) // _MINHASH_BANDS
+    share = (int(row["max_bucket"]) / n) if n else 0.0
+    return {
+        "rows": n,
+        "max_bucket_rows": int(row["max_bucket"] or 0),
+        "max_bucket_share": round(share, 4),
+        "bucket_ok": share <= MINHASH_MAX_BUCKET_SHARE,
+    }
+
+
+def maintain_minhash_index(
+    spark: SparkSession, path: str, target_files: int = 8
+) -> dict:
+    """The ONE offline-maintenance entrypoint for an append-grown
+    MinHash index (VERDICT r14 item 6 — parity with
+    `similarity.maintain_ivf_index`, so operators need not know which
+    index type wants which maintenance): compact the per-admission
+    small files (`compact_minhash_index`, probe-byte-identical by
+    contract), then report band-bucket health (`minhash_band_health`).
+
+    Unlike the IVF twin there is NO automatic repair stage, because a
+    hot band bucket has no retrain analogue — the band keys are
+    content hashes, not a trained partitioning. ``bucket_ok: False``
+    means one of two operator-actionable causes: (a) the admission
+    threshold is letting near-identical content mass into the index
+    (the index is doing exactly its job — tighten the admission bar or
+    dedup the backlog), or (b) the corpus outgrew the fixed band width
+    and random collisions are pooling (the simhash width policy
+    applies: more/wider bands, i.e. a parameter change plus
+    `build_minhash_index` from the source corpus — a re-SIGN, not
+    something maintenance can do from the index alone, since the
+    stored band hashes are one-way)."""
+    files_after = compact_minhash_index(spark, path, target_files)
+    report = minhash_band_health(spark, path)
+    report["files_after"] = files_after
+    return report
+
+
 # (applicationId, sf_dir) -> index path; built once per session/corpus
 # like ivf_index_for, so repeated probes (bench, driver re-runs) measure
 # the PROBE, not an index rebuild.
@@ -1622,3 +1687,215 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checkpoints.rotate("dedup.containment_sh", sh)
     return containment_prefix_pairs(sh)
+
+
+# --- span-level exact-substring dedup (VERDICT r14 item 1) -----------------
+#
+# Doc-level resemblance (MinHash, SimHash, containment) PROVABLY misses
+# the ExactSubstr class of duplication: a ~K-token passage shared
+# VERBATIM by two otherwise-different documents moves token-set Jaccard
+# by ~K/|doc| — far under every near-dup threshold — yet is exactly the
+# boilerplate/quotation mass a training-data pipeline must find. The
+# reference's keyed dedup model (ON CONFLICT on whole rows,
+# NytimesBatchProcessorApplication.kt:138-141) generalizes worst to this
+# class: its unit of identity is the whole record. This operator's unit
+# is the K-token window.
+
+_XSUB_WINDOW = 25  # tokens per window: spans shorter than this are noise
+# Boilerplate valve: a window hash occurring more than this many times
+# corpus-wide is dropped BEFORE the collision self-join. This is the
+# operator's structural linearity guarantee — candidate pairs are
+# bounded by CAP * surviving windows, so a hot header/footer repeated
+# across millions of docs cannot go quadratic (the same discipline
+# suffix-array ExactSubstr deduplicators apply to super-frequent
+# substrings). Spans inside capped boilerplate are a reporting choice,
+# not a dedup signal.
+_XSUB_MAX_FREQ = 64
+
+
+def exact_substring_windows(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, h): one row per K-token sliding window, pos 1-based
+    in FILTERED token order, h = the portable 60-bit md5 window hash
+    (`conv(substr(md5(window_text), 1, 15), 16, 10)` — the
+    `_portable_token_hash` construction over the space-joined window, so
+    DuckDB replays it verbatim). Shared by the catalog entry and the
+    scale gate's xsub family.
+
+    Scale shape: MAP-ONLY — tokenize once into a materialized array
+    column (the codegen CSE lesson at `minhash_signatures`), then ONE
+    transform(sequence(...)) builds all windows and explode streams them
+    out; no shuffle until the frequency count. md5-per-window re-hashes
+    each token K times versus a rolling polynomial hash's once, but
+    stays engine-portable (oracle-replayable) and embarrassingly
+    parallel — CPU on the map side is the cheapest resource at 100 TB;
+    a Karp-Rabin prefix-sum rolling hash over `_portable_token_hash`
+    values is the drop-in upgrade if window hashing ever dominates a
+    profile."""
+    k = _XSUB_WINDOW
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    docs = documents.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") >= k
+    )
+    win = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+        lambda i: F.struct(
+            i.cast("bigint").alias("pos"),
+            F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice("toks", i, k), " ")), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("bigint")
+            .alias("h"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(win).alias("w")).select(
+        "doc_id", "w.pos", "w.h"
+    )
+
+
+def exact_substring_survivors(documents: DataFrame) -> DataFrame:
+    """Windows surviving the collision prefilter: corpus-wide window
+    frequency in [2, _XSUB_MAX_FREQ]. The >= 2 bound is a pure
+    optimization (a once-occurring window cannot collide — at corpus
+    scale this discards the overwhelming majority of windows BEFORE the
+    self-join materializes anything); the <= CAP bound is semantics
+    (the boilerplate valve above, mirrored in the oracle). ONE shuffle:
+    the frequency count partitions by h, which is exactly the
+    self-join's key, so the join downstream reuses the partitioning
+    instead of re-exchanging."""
+    freq = F.count(F.lit(1)).over(W.partitionBy("h"))
+    return (
+        exact_substring_windows(documents)
+        .withColumn("_c", freq)
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= _XSUB_MAX_FREQ))
+        .drop("_c")
+    )
+
+
+def exact_substring_spans(surv: DataFrame) -> DataFrame:
+    """Maximal shared spans from surviving windows: equi-join on the
+    window hash (id1 < id2 — cross-doc only), then merge ADJACENT
+    collisions on each alignment diagonal (pos1 - pos2) into maximal
+    runs via the islands trick (pos1 - row_number() is constant exactly
+    on consecutive pos1 runs). A shared passage of L >= K tokens
+    surfaces as one span row (id1, id2, start1, start2, span_len = L):
+    its L - K + 1 windows all collide on one diagonal and merge.
+
+    Shuffle ledger: the self-join reuses the survivors' h-partitioning;
+    the islands window + groupBy repartition by (id1, id2, diag) —
+    collision rows only, already capped linear by the frequency valve.
+    Hash collisions (60-bit truncated md5) merge unrelated spans at
+    ~2^-60 per pair — the same accepted risk as the MinHash band
+    oracle's list-equality note."""
+    k = _XSUB_WINDOW
+    a, b = surv.alias("a"), surv.alias("b")
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id1"),
+            F.col("b.doc_id").alias("id2"),
+            F.col("a.pos").alias("pos1"),
+            F.col("b.pos").alias("pos2"),
+        )
+    )
+    # project diag BEFORE the window and partition the window on the
+    # projected COLUMN: partitioning on the raw pos1-pos2 expression
+    # gives the window an internal _w0 attribute the downstream groupBy
+    # cannot match, forcing a second full exchange of the collision set
+    # (measured in the executed plan); on the shared column the groupBy
+    # keys are a superset of the window's partitioning and reuse it.
+    withdiag = cand.select(
+        "id1", "id2", "pos1", "pos2", (F.col("pos1") - F.col("pos2")).alias("diag")
+    )
+    rw = W.partitionBy("id1", "id2", "diag").orderBy("pos1")
+    runs = withdiag.select(
+        "id1",
+        "id2",
+        "pos1",
+        "pos2",
+        "diag",
+        (F.col("pos1") - F.row_number().over(rw)).alias("island"),
+    )
+    return (
+        runs.groupBy("id1", "id2", "diag", "island")
+        .agg(
+            F.min("pos1").alias("start1"),
+            F.min("pos2").alias("start2"),
+            (F.max("pos1") - F.min("pos1") + F.lit(k))
+            .cast("bigint")
+            .alias("span_len"),
+        )
+        .select("id1", "id2", "start1", "start2", "span_len")
+    )
+
+
+def _xsub_oracle() -> str:
+    k, cap = _XSUB_WINDOW, _XSUB_MAX_FREQ
+    return f"""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+),
+win AS (
+    SELECT doc_id, pos,
+           CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+    FROM docs, unnest(generate_series(1, len(toks) - {k - 1})) AS g(pos)
+    WHERE len(toks) >= {k}
+),
+surv AS (
+    SELECT * FROM win QUALIFY count(*) OVER (PARTITION BY h) <= {cap}
+),
+cand AS (
+    SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS pos1, b.pos AS pos2
+    FROM surv a JOIN surv b USING (h)
+    WHERE a.doc_id < b.doc_id
+),
+runs AS (
+    SELECT id1, id2, pos1, pos2, pos1 - pos2 AS diag,
+           pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS island
+    FROM cand
+)
+SELECT id1, id2,
+       CAST(MIN(pos1) AS BIGINT) AS start1,
+       CAST(MIN(pos2) AS BIGINT) AS start2,
+       CAST(MAX(pos1) - MIN(pos1) + {k} AS BIGINT) AS span_len
+FROM runs GROUP BY id1, id2, diag, island
+"""
+
+
+@query("dedup_exact_substring_spans", tables=("documents",), oracle=_xsub_oracle())
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level EXACT-substring dedup, ORACLE-CHECKED end to end: find
+    every maximal >= K-token passage shared verbatim between two
+    documents and report it as (id1, id2, start1, start2, span_len) —
+    token-granular, 1-based, over whitespace-filtered lowercase tokens.
+    Removal is the downstream consumer's choice (cut the span from the
+    higher-id doc, drop the doc, or weight it), exactly as in
+    suffix-array ExactSubstr pipelines; this operator's contract is the
+    span REPORT.
+
+    Pipeline: K-token sliding windows hashed portably
+    (`exact_substring_windows`, map-only) -> corpus-wide frequency
+    valve in [2, CAP] (`exact_substring_survivors`, the ONE exchange on
+    h; the >= 2 side discards all non-colliding windows before any join)
+    -> window-hash equi-join, cross-doc pairs only -> diagonal islands
+    merge to maximal spans (`exact_substring_spans`).
+
+    RETENTION CONTRACT (checkpoints.rotate, key "dedup.xsub_surv"): the
+    survivor table is localCheckpoint'ed so the self-join's two sides
+    read the pinned result instead of re-running tokenize + K-fold md5
+    twice; two generations stay live."""
+    t = load_tables(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    surv = (
+        exact_substring_survivors(t.documents)
+        .repartition(n_part, "h")
+        .localCheckpoint(eager=True)
+    )
+    checkpoints.rotate("dedup.xsub_surv", surv)
+    return exact_substring_spans(surv)

@@ -1183,8 +1183,26 @@ def curate_admission_pipeline(
     admitted = redacted.join(admitted_ids, "doc_id").observe(
         obs["admitted"], F.count(F.lit(1)).alias("n")
     )
+    manifest = manifest_from_admitted(admitted)
+    return manifest.observe(
+        obs["manifest"],
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("bin_id").alias("max_bin"),
+    )
+
+
+def manifest_from_admitted(admitted: DataFrame) -> DataFrame:
+    """(doc_id, text) admitted docs -> the packed-shard training
+    manifest with bin ids. ONE copy of the tokenize-count + shard +
+    bin derivation (the r12 one-manifest rule), shared by
+    `curate_admission_pipeline` and the streaming wrapper
+    `streaming.pipeline.foreach_batch_curation` — which rebuilds the
+    manifest from the COMMITTED admitted-sink partition so a replay
+    after a mid-chain crash derives it from published state, never
+    from a re-verdicted (now all-dup) ledger."""
     rtoks = F.split(F.lower("text"), r"\s+")
-    manifest = shard_manifest_frame(
+    return shard_manifest_frame(
         admitted.select(
             "doc_id",
             F.size(F.filter(rtoks, lambda x: x != ""))
@@ -1193,12 +1211,6 @@ def curate_admission_pipeline(
         )
     ).withColumn(
         "bin_id", F.expr(f"tok_offset div {_PACK_CAPACITY}").cast("long")
-    )
-    return manifest.observe(
-        obs["manifest"],
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_tokens").alias("tokens"),
-        F.max("bin_id").alias("max_bin"),
     )
 
 

@@ -3,9 +3,11 @@ from .pipeline import (
     enriched_stream,
     foreach_batch_admission,
     foreach_batch_ann_admission,
+    foreach_batch_curation,
     foreach_batch_upsert,
     sessionized_stream,
     stream_covid_ingest,
+    stream_curation,
     stream_document_admission,
     stream_embedding_admission,
     windowed_event_counts,
@@ -23,6 +25,7 @@ __all__ = [
     "enriched_stream",
     "foreach_batch_admission",
     "foreach_batch_ann_admission",
+    "foreach_batch_curation",
     "foreach_batch_upsert",
     "read_state",
     "rollback_checkpoint",
@@ -31,6 +34,7 @@ __all__ = [
     "sessionized_stream",
     "state_metadata",
     "stream_covid_ingest",
+    "stream_curation",
     "stream_document_admission",
     "stream_embedding_admission",
     "windowed_event_counts",

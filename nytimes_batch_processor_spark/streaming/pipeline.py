@@ -213,6 +213,93 @@ def stream_document_admission(
     ).option("checkpointLocation", checkpoint_dir)
 
 
+def foreach_batch_curation(
+    index_path: str, admitted_path: str, manifest_path: str
+):
+    """foreachBatch form of the COMPOSED curation pipeline (VERDICT r14
+    item 3 — the steady-state production shape of
+    `operators.text.curate_admission_pipeline`): each micro-batch runs
+    quality -> redact -> admission (ledger -> sink -> index, the
+    exactly-once ordering of `admit_minhash_batch`) and then publishes
+    that batch's training manifest under
+    ``manifest_path/batch_id=N`` with the same ``_SUCCESS``-marker
+    idempotency as the admitted sink.
+
+    Crash convergence — the manifest is NOT the pipeline's returned
+    plan but is REBUILT from the committed admitted-sink partition
+    (`manifest_from_admitted` over the sink rows):
+
+    - manifest partition committed -> the whole batch fully published;
+      the replay is ONE existence check (the fast path);
+    - crash anywhere inside the admission -> `admit_minhash_batch`'s
+      own replay analysis converges the sink/index; the re-run ledger
+      may verdict everything 'dup' (the batch is indexed by then), but
+      the manifest derives from the SINK partition — which holds the
+      original admitted rows — so it publishes the correct rows, not
+      the empty re-verdicted set (deriving from the returned plan
+      would ship an EMPTY manifest in exactly that crash window);
+    - crash between sink commit and manifest write -> same: re-run
+      skips the committed sink write and rebuilds the manifest from it.
+
+    The sink-partition read uses an explicit schema so a zero-admission
+    batch (empty committed partition) reads as empty instead of failing
+    inference, mirroring `admit_sink_upsert`'s legacy-read rule."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..ingest import job_commit_succeeded
+        from ..operators.text import (
+            curate_admission_pipeline,
+            manifest_from_admitted,
+        )
+
+        spark = batch_df.sparkSession
+        man_part = f"{manifest_path.rstrip('/')}/batch_id={batch_id}"
+        if job_commit_succeeded(spark, man_part):
+            return
+        # admission runs AT CALL TIME (the pipeline pins its ledger);
+        # the returned manifest plan is deliberately discarded — see
+        # the crash analysis above
+        curate_admission_pipeline(
+            spark,
+            index_path,
+            batch_df,
+            admitted_path=admitted_path,
+            batch_id=batch_id,
+        )
+        sink_part = f"{admitted_path.rstrip('/')}/batch_id={batch_id}"
+        admitted = spark.read.schema("doc_id long, text string").parquet(
+            sink_part
+        )
+        manifest_from_admitted(admitted).write.mode("overwrite").parquet(
+            man_part
+        )
+
+    return _apply
+
+
+def stream_curation(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    admitted_path: str,
+    manifest_path: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Streaming composed curation: the JSONL document stream of
+    `stream_document_admission` routed through the FULL curation chain
+    (`foreach_batch_curation`) — one dropped file = one curated batch
+    with its own committed manifest partition. Caller starts it with
+    ``.trigger(availableNow=True).start()`` for the drain-and-stop
+    run; a killed-and-restarted run resumes from the checkpoint and
+    converges via the per-partition markers."""
+    raw = spark.readStream.schema("doc_id LONG, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(src_dir)
+    return raw.writeStream.foreachBatch(
+        foreach_batch_curation(index_path, admitted_path, manifest_path)
+    ).option("checkpointLocation", checkpoint_dir)
+
+
 def foreach_batch_ann_admission(index_path: str, admitted_path: str):
     """The embedding twin of `foreach_batch_admission`: each micro-batch
     of (vec_id, embedding) rows runs

@@ -836,3 +836,152 @@ def test_maintain_ivf_index_compacts_then_rebuilds(spark, tmp_path):
     report = maintain_ivf_index(spark, healthy)
     assert report["occupancy_ok"] and not report["rebuilt"], report
     assert load_ivf_centers(spark, healthy) == ivf_fixed_centers()
+
+
+def _xsub_spans(spark, rows):
+    """Run the exact-substring span pipeline over constructed docs."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_survivors,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["id1"], r["id2"], r["start1"], r["start2"], r["span_len"])
+        for r in exact_substring_spans(
+            exact_substring_survivors(docs)
+        ).collect()
+    }
+
+
+def test_exact_substring_span_geometry(spark):
+    """The constructed shared-passage cases doc-level resemblance
+    misses (VERDICT r14 item 1): a 40-token verbatim passage inside two
+    otherwise token-disjoint documents must surface as ONE maximal span
+    with token-exact offsets; sharing one token short of the K=25
+    window must surface as NOTHING; and a passage repeated TWICE inside
+    one doc against a single copy in another yields one span per
+    alignment diagonal."""
+    passage = " ".join(f"p{i}" for i in range(40))
+    # doc 1: 10 unique lead tokens -> passage starts at pos 11
+    # doc 2: 2 unique lead tokens  -> passage starts at pos 3
+    doc1 = " ".join(f"a{i}" for i in range(10)) + " " + passage + " " + " ".join(
+        f"b{i}" for i in range(7)
+    )
+    doc2 = "c0 c1 " + passage + " " + " ".join(f"d{i}" for i in range(5))
+    assert _xsub_spans(spark, [(1, doc1), (2, doc2)]) == {(1, 2, 11, 3, 40)}
+
+    # token-set Jaccard of the pair above is ~40/97 ~ 0.41 — far below
+    # every near-dup bar in this repo: the class only THIS operator finds
+
+    # one token short of a window: no span
+    short = " ".join(f"s{i}" for i in range(24))
+    assert (
+        _xsub_spans(
+            spark,
+            [(1, "x0 x1 " + short + " x2 x3"), (2, "y0 " + short + " y1 y2")],
+        )
+        == set()
+    )
+
+    # internal repetition: doc 1 carries the 25-token block twice
+    # (positions 1 and 31), doc 2 once (position 6) -> two diagonals,
+    # two spans
+    block = " ".join(f"q{i}" for i in range(25))
+    filler = " ".join(f"f{i}" for i in range(5))
+    doc1 = block + " " + filler + " " + block
+    doc2 = " ".join(f"g{i}" for i in range(5)) + " " + block
+    assert _xsub_spans(spark, [(1, doc1), (2, doc2)]) == {
+        (1, 2, 1, 6, 25),
+        (1, 2, 31, 6, 25),
+    }
+
+
+def test_exact_substring_three_way_and_boilerplate_valve(spark):
+    """A passage shared by three docs reports all three pairs; a window
+    hotter than _XSUB_MAX_FREQ corpus-wide is dropped by the frequency
+    valve BEFORE the self-join (the structural linearity guarantee), so
+    a 66-doc boilerplate block yields zero spans while 3 docs of the
+    same shape yield all C(3,2)."""
+    from nytimes_batch_processor_spark.operators.dedup import _XSUB_MAX_FREQ
+
+    passage = " ".join(f"p{i}" for i in range(25))
+
+    def doc(i):
+        return (i, f"lead{i}a lead{i}b " + passage + f" tail{i}")
+
+    three = _xsub_spans(spark, [doc(i) for i in range(3)])
+    assert three == {
+        (0, 1, 3, 3, 25),
+        (0, 2, 3, 3, 25),
+        (1, 2, 3, 3, 25),
+    }
+
+    n_hot = _XSUB_MAX_FREQ + 2  # 66 occurrences of every passage window
+    assert _xsub_spans(spark, [doc(i) for i in range(n_hot)]) == set()
+
+
+def test_maintain_minhash_index_compacts_and_reports_health(spark, tmp_path):
+    """`maintain_minhash_index` (r15 — the MinHash parity of
+    maintain_ivf_index): one offline call compacts the per-admission
+    small files (probe results byte-identical) and reports band-bucket
+    occupancy; a boilerplate-flooded index trips bucket_ok while a
+    diverse one passes."""
+    import glob as _glob
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        MINHASH_MAX_BUCKET_SHARE,
+        append_to_minhash_index,
+        build_minhash_index,
+        maintain_minhash_index,
+        probe_minhash_index,
+        minhash_signatures,
+        _band_hash_cols,
+    )
+
+    # diverse corpus: unique token streams -> every band bucket is tiny
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}_{j}" for j in range(12))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "mh_index")
+    build_minhash_index(docs.filter("doc_id < 20"), path)
+    for lo in (20, 25, 30, 35):
+        append_to_minhash_index(
+            docs.filter(f"doc_id >= {lo} and doc_id < {lo + 5}"), path
+        )
+    files_before = len(
+        [
+            p
+            for p in _glob.glob(f"{path}/*")
+            if not _glob.os.path.basename(p).startswith(("_", "."))
+        ]
+    )
+    # probe results must be byte-identical across maintenance
+    batch = docs.filter("doc_id % 7 = 0")
+    sigs = minhash_signatures(batch, "doc_id", "text").select(
+        "doc_id", "sig", *_band_hash_cols()
+    ).localCheckpoint(eager=True)
+    before = sorted(
+        map(tuple, probe_minhash_index(spark.read.parquet(path), sigs).collect())
+    )
+    report = maintain_minhash_index(spark, path, target_files=2)
+    assert report["files_after"] <= 2 < files_before
+    assert report["rows"] == 40
+    assert report["bucket_ok"] and report["max_bucket_share"] <= MINHASH_MAX_BUCKET_SHARE
+    after = sorted(
+        map(tuple, probe_minhash_index(spark.read.parquet(path), sigs).collect())
+    )
+    assert after == before
+
+    # boilerplate flood: every doc identical -> all 4 bands collapse to
+    # one bucket each -> share 1.0, bucket_ok False (report-only; the
+    # docstring's two operator actions apply)
+    flood = spark.createDataFrame(
+        [(i, "same exact boilerplate text in every single doc") for i in range(30)],
+        "doc_id long, text string",
+    )
+    fpath = str(tmp_path / "mh_flood")
+    build_minhash_index(flood, fpath)
+    freport = maintain_minhash_index(spark, fpath)
+    assert freport["max_bucket_share"] == 1.0 and not freport["bucket_ok"]

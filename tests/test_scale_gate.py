@@ -16,6 +16,7 @@ from scale_bench import (  # noqa: E402
     FLAT_KEYS,
     FLAT_WALL_KEYS,
     MERGE_EQ_KEYS,
+    MH_OCCUPANCY_KEY,
     OCCUPANCY_KEY,
     PIPE_EQ_KEYS,
     WALL_KEYS,
@@ -38,6 +39,8 @@ def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int 
     row.update({k: 1.2 for k in FLAT_WALL_KEYS})
     # IVF occupancy skew: ~2x uniform (1/16), well inside the bound
     row[OCCUPANCY_KEY] = 0.12
+    # MinHash band-bucket skew: a healthy admitted index (r15 twin axis)
+    row[MH_OCCUPANCY_KEY] = 0.05
     return row
 
 
@@ -173,3 +176,23 @@ def test_flat_wall_gate_floors_subsecond_noise():
     bad_hi = _row(10)
     bad_hi["adm_sink_wall_sec"] = 4.0  # past the floor: real regression
     assert not compute_gate({"x1": lo2, "x10": bad_hi}, 10, "b")["linear_ok"]
+
+
+def test_mh_bucket_occupancy_gate_is_an_absolute_bound():
+    """The MinHash twin of the occupancy axis (r15): every scale's
+    ix_mh_max_bucket_share is gated at the absolute
+    dedup.MINHASH_MAX_BUCKET_SHARE — a hot (band, band_hash) bucket
+    breaks the probe's bounded-join claim exactly like a hot IVF cell."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        MINHASH_MAX_BUCKET_SHARE,
+    )
+
+    ok_hi = _row(10)
+    ok_hi[MH_OCCUPANCY_KEY] = MINHASH_MAX_BUCKET_SHARE  # at the bound
+    out = compute_gate({"x1": _row(1), "x10": ok_hi}, 10, "b")
+    assert out["occupancy_ok"] and out["linear_ok"]
+
+    bad_hi = _row(10)
+    bad_hi[MH_OCCUPANCY_KEY] = MINHASH_MAX_BUCKET_SHARE + 0.01
+    out = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
+    assert not out["occupancy_ok"] and not out["linear_ok"]

@@ -2103,3 +2103,118 @@ def test_migrate_admitted_sink_crash_recovery(spark, tmp_path):
         (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink2).collect()
     )
     assert got == [(1, -1), (2, -1)], got
+
+
+def test_stream_curation_composes_and_recovers(spark, tmp_path):
+    """The streaming wrapper of the COMPOSED curation pipeline (VERDICT
+    r14 item 3): a JSONL document stream runs quality -> redact ->
+    admission -> per-batch committed manifest. Checks: (a) quality-fail
+    docs never reach sink/manifest/index; (b) near-dups of the corpus,
+    of the batch, and of EARLIER batches' admissions are dropped;
+    (c) each manifest partition holds exactly its batch's admitted
+    set; (d) a zero-admission batch publishes an EMPTY committed
+    manifest (the explicit-schema read path); (e) a restart on the
+    same checkpoint is a pure fast-path no-op; (f) the
+    crash-window replay (manifest partition lost + checkpoint wiped)
+    rebuilds the manifest from the COMMITTED sink partition — the
+    original admitted rows, not the re-verdicted (all-dup, empty)
+    ledger."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+
+    from nytimes_batch_processor_spark.ingest import job_commit_succeeded
+    from nytimes_batch_processor_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from nytimes_batch_processor_spark.streaming import stream_curation
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    admitted_path = str(tmp_path / "admitted")
+    manifest_path = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus_text = "the quick brown fox jumps over the lazy dog tonight"
+    novel_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    novel_b = "one two three four five six seven eight nine ten"
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, corpus_text), (2, "totally different words about spark engines")],
+            "doc_id long, text string",
+        ),
+        index_path,
+    )
+
+    def drop(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    def run():
+        q = stream_curation(
+            spark, str(src), index_path, admitted_path, manifest_path, ckpt
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    # batch 0: 100 novel (admit); 101 corpus dup (drop); 102 quality-fail
+    # (4 tokens < the 5-token bar — dropped BEFORE admission)
+    drop("a.json", [
+        {"doc_id": 100, "text": novel_a},
+        {"doc_id": 101, "text": corpus_text},
+        {"doc_id": 102, "text": "too few tokens here"},
+    ])
+    _time.sleep(1.1)  # distinct mtimes: file order = batch order
+    # batch 1: 200 dups batch 0's admission (grown index); 201 novel
+    drop("b.json", [
+        {"doc_id": 200, "text": novel_a},
+        {"doc_id": 201, "text": novel_b},
+    ])
+    _time.sleep(1.1)
+    # batch 2: only a corpus dup -> ZERO admissions
+    drop("c.json", [{"doc_id": 300, "text": corpus_text}])
+    run()
+
+    sink = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(admitted_path).collect()
+    }
+    assert sink == {(100, 0), (201, 1)}, sink
+    manifest = {
+        (r["doc_id"], r["n_tokens"], r["batch_id"])
+        for r in spark.read.parquet(manifest_path).collect()
+    }
+    assert manifest == {(100, 10, 0), (201, 10, 1)}, manifest
+    # the zero-admission batch still published a COMMITTED empty manifest
+    assert job_commit_succeeded(spark, f"{manifest_path}/batch_id=2")
+    indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert indexed == {1, 2, 100, 201}, indexed  # 102 never indexed
+
+    # (e) restart on the same checkpoint: nothing to do, nothing changes
+    run()
+    assert {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(manifest_path).collect()
+    } == {(100, 0), (201, 1)}
+
+    # (f) crash window: manifest 0 lost, checkpoint wiped -> the replay
+    # re-runs batch 0, whose ledger now verdicts everything 'dup' (the
+    # docs are indexed); the manifest MUST come from the committed sink
+    # partition — doc 100 — not the empty re-verdicted admitted set
+    _shutil.rmtree(f"{manifest_path}/batch_id=0")
+    _shutil.rmtree(ckpt)
+    run()
+    manifest = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(manifest_path).collect()
+    }
+    assert manifest == {(100, 0), (201, 1)}, manifest
+    # sink and index untouched by the full replay
+    assert {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(admitted_path).collect()
+    } == {(100, 0), (201, 1)}
+    assert {
+        r["doc_id"] for r in spark.read.parquet(index_path).collect()
+    } == {1, 2, 100, 201}

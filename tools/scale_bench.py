@@ -508,7 +508,12 @@ def ann_probe_scale_measure(spark, k: int, index_path: str) -> dict:
 
 
 def index_scaled_probe_measure(
-    spark, k: int, sf_dir: str, base_row: dict, base_ann_index_path: str
+    spark,
+    k: int,
+    sf_dir: str,
+    base_row: dict,
+    base_ann_index_path: str,
+    base_mh_index_path: str,
 ) -> dict:
     """The OTHER axis of the incremental-probe story (the batch-scaled
     families hold the index fixed): a FIXED base batch probed against
@@ -543,12 +548,19 @@ def index_scaled_probe_measure(
     windows — compaction is byte-identical to probes by contract, and
     `ix_ann_maintenance_rebuilt` records whether the repair fired
     (expected False on this fixture: share ~0.07 vs the 0.25 bound)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        maintain_minhash_index,
+    )
     from nytimes_batch_processor_spark.operators.similarity import (
         maintain_ivf_index,
     )
 
     if k == 1:
         maint = maintain_ivf_index(spark, base_ann_index_path)
+        # the MinHash twin of the maintenance axis (r15): ONE
+        # entrypoint per index type, both exercised per scale; the
+        # band-bucket share is gated absolutely like the IVF cell share
+        mh_maint = maintain_minhash_index(spark, base_mh_index_path)
         return {
             "ix_probe_candidates": base_row["probe_candidates"],
             "ix_probe_matches": base_row["probe_matches"],
@@ -558,6 +570,7 @@ def index_scaled_probe_measure(
             "ix_ann_wall_sec": base_row["ann_probe_wall_sec"],
             "ix_ann_max_cell_share": round(maint["max_cell_share"], 4),
             "ix_ann_maintenance_rebuilt": maint["rebuilt"],
+            "ix_mh_max_bucket_share": mh_maint["max_bucket_share"],
         }
     from nytimes_batch_processor_spark.operators.dedup import (
         _PROBE_BATCH_MOD,
@@ -575,6 +588,7 @@ def index_scaled_probe_measure(
         ),
         mh_path,
     )
+    mh_maint = maintain_minhash_index(spark, mh_path)
     mh = probe_scale_measure(spark, 1, mh_path)
 
     ivf_path = os.path.join(SCALE_ROOT, f"ann_probe_index_x{k}")
@@ -595,6 +609,41 @@ def index_scaled_probe_measure(
         "ix_ann_wall_sec": ann["ann_probe_wall_sec"],
         "ix_ann_max_cell_share": round(maint["max_cell_share"], 4),
         "ix_ann_maintenance_rebuilt": maint["rebuilt"],
+        "ix_mh_max_bucket_share": mh_maint["max_bucket_share"],
+    }
+
+
+def xsub_scale_measure(spark, sf_dir: str) -> dict:
+    """Exact-substring span family (r15): survivor windows (frequency
+    valve in [2, CAP]), window-hash collision candidates, and merged
+    maximal spans must all grow LINEARLY over the token-perturbed
+    replicated corpus — replicas are window-disjoint with each other by
+    construction, so each replica reproduces exactly the base corpus's
+    internal collisions. Super-linear candidates here mean the
+    frequency valve or the 60-bit window hash broke (the banding-
+    discipline analogue for the exact-match family: the valve, not a
+    width policy, is what bounds the self-join)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_survivors,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    surv = exact_substring_survivors(docs).localCheckpoint(eager=True)
+    n_surv = surv.count()
+    a, b = surv.alias("a"), surv.alias("b")
+    n_cand = (
+        a.join(b, "h").filter(F.col("a.doc_id") < F.col("b.doc_id")).count()
+    )
+    n_spans = exact_substring_spans(surv).count()
+    wall = round(time.perf_counter() - t0, 3)
+    surv.unpersist(blocking=False)
+    return {
+        "xsub_surviving_windows": n_surv,
+        "xsub_candidates": n_cand,
+        "xsub_spans": n_spans,
+        "xsub_wall_sec": wall,
     }
 
 
@@ -729,6 +778,9 @@ COUNT_KEYS = (
     "ix_ann_candidates",
     "pipe_batch_docs",
     "pipe_quality_docs",
+    "xsub_surviving_windows",
+    "xsub_candidates",
+    "xsub_spans",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
 # not see its MinHash candidate/match mass move at all (shingle-disjoint
@@ -780,6 +832,7 @@ WALL_KEYS = (
     "ix_ann_wall_sec",
     "merge_wall_sec",
     "pipe_wall_sec",
+    "xsub_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
@@ -797,6 +850,12 @@ MERGE_EQ_KEYS = (
 # The bound lives next to the index code (similarity.IVF_MAX_CELL_SHARE
 # = 4x uniform at k=16); duplicated here as a literal would drift.
 OCCUPANCY_KEY = "ix_ann_max_cell_share"
+# ... and the MinHash twin (r15): the hottest (band, band_hash) bucket's
+# row share, reported by dedup.maintain_minhash_index — a hot bucket
+# makes every probe against it a |bucket|-sized scan, the same
+# bounded-broadcast death as a hot IVF cell. Bound:
+# dedup.MINHASH_MAX_BUCKET_SHARE.
+MH_OCCUPANCY_KEY = "ix_mh_max_bucket_share"
 
 
 def compute_gate(results: dict, factor: int, base: str) -> dict:
@@ -808,6 +867,9 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     data may add ~log2(factor) rounds at the theoretical worst and
     anything past +4 means the rounds claim broke (O(n)
     diameter-walking would add thousands)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        MINHASH_MAX_BUCKET_SHARE,
+    )
     from nytimes_batch_processor_spark.operators.similarity import (
         IVF_MAX_CELL_SHARE,
     )
@@ -840,7 +902,9 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
     occupancy_ok = all(
-        row[OCCUPANCY_KEY] <= IVF_MAX_CELL_SHARE for row in results.values()
+        row[OCCUPANCY_KEY] <= IVF_MAX_CELL_SHARE
+        and row[MH_OCCUPANCY_KEY] <= MINHASH_MAX_BUCKET_SHARE
+        for row in results.values()
     )
     return {
         "metric": "scale_growth_x%d_vs_x1" % factor,
@@ -854,6 +918,7 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "merge_ok": merge_ok,
         "occupancy_ok": occupancy_ok,
         "occupancy_bound": IVF_MAX_CELL_SHARE,
+        "mh_bucket_bound": MINHASH_MAX_BUCKET_SHARE,
         "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok,
     }
 
@@ -1018,9 +1083,14 @@ def main() -> None:
         # the index-scaled axis: FIXED base batch, x`k` corpus index
         # (at x1 it aliases this row's probe_*/ann_probe_* measurement)
         row.update(
-            index_scaled_probe_measure(spark, k, sf_dir, row, ann_index_path)
+            index_scaled_probe_measure(
+                spark, k, sf_dir, row, ann_index_path, index_path
+            )
         )
         row.update(merge_scale_measure(spark, k))
+        # the exact-substring span family over the full per-scale corpus
+        # (r15: windows/candidates/spans linear under the frequency valve)
+        row.update(xsub_scale_measure(spark, sf_dir))
 
         results[f"x{k}"] = row
         print(f"x{k}: {row}", file=sys.stderr)
