@@ -105,10 +105,13 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # block expired when CORRECTNESS_r14.json was recorded (the
     # rnd < latest gate in tests/test_rotation.py) and was deleted as
     # this round's first-commit hygiene step.
-    # curate_admission_twin: its pipeline's flat-mode sink writes now
-    # run the r15 mirror layout guard + mode-keyed cache in
-    # ingest.admit_sink_upsert — value-identical, but changed code on
-    # the entry's execution path re-verifies (the r4 lesson).
+    # curate_admission_twin: curate_admission_pipeline's manifest
+    # derivation was factored into the shared manifest_from_admitted
+    # (r15, for the streaming wrapper) — value-identical, but changed
+    # code on the entry's execution path re-verifies (the r4 lesson).
+    # NOT the sink-guard change: the twin calls the pipeline without an
+    # admitted_path, so admit_sink_upsert never runs on its path
+    # (self-review r15 corrected this comment's first draft).
     15: ("curate_admission_twin",),
 }
 

@@ -408,9 +408,13 @@ def migrate_admitted_sink(
     Offline maintenance (never run against a live writer), crash-safe
     and re-run-convergent via a hidden root manifest:
 
-    1. ``.migrate_manifest`` is written FIRST, naming every flat data
-       file being migrated — it is what distinguishes 'crashed
-       mid-migration' from 'genuinely mixed layout' on re-run;
+    1. ``.migrate_manifest`` is written FIRST, recording the target
+       partition id on its header line plus every flat data file being
+       migrated — it is what distinguishes 'crashed mid-migration' from
+       'genuinely mixed layout' on re-run, and recovery reads the id
+       FROM the manifest, so a re-run invoked with a different
+       ``legacy_batch_id`` still converges the crashed migration
+       instead of deleting its own breadcrumb (self-review r15);
     2. the flat rows are rewritten into a hidden tmp dir (Spark writes
        the tmp's ``_SUCCESS`` before any rename), then one rename
        publishes it as the legacy partition;
@@ -424,6 +428,15 @@ def migrate_admitted_sink(
     was never produced by this tool — refused loudly, because deleting
     those flat rows would be silent data loss. Returns
     ``{"status", "files_migrated", "legacy_batch_id"}``."""
+    if legacy_batch_id >= 0:
+        # foreachBatch ids are non-negative: a legacy partition at e.g.
+        # batch_id=0 would make stream batch 0's committed-marker check
+        # see the LEGACY rows as its own completed write and silently
+        # skip — the no-collision guarantee only holds below zero
+        raise ValueError(
+            f"legacy_batch_id must be negative (got {legacy_batch_id}): "
+            "non-negative ids collide with future stream batch ids"
+        )
     jvm = spark._jvm
     root = jvm.org.apache.hadoop.fs.Path(admitted_path)
     fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -438,8 +451,6 @@ def migrate_admitted_sink(
         )
 
     manifest, tmp = _p(".migrate_manifest"), _p(".migrate_tmp")
-    part_name = f"batch_id={legacy_batch_id}"
-    part = _p(part_name)
 
     def _flat_names() -> list[str]:
         return sorted(
@@ -460,24 +471,33 @@ def migrate_admitted_sink(
     if fs.exists(manifest):
         stream = fs.open(manifest)
         try:
-            # small file: one name per line, written by this tool
+            # small file: a 'batch_id=<n>' header line then one flat
+            # file name per line, written by this tool
             raw = bytes(stream.readAllBytes()).decode("utf-8")
         finally:
             stream.close()
-        names = [line for line in raw.splitlines() if line]
-        if job_commit_succeeded(spark, str(part)):
+        lines = [line for line in raw.splitlines() if line]
+        # recovery is keyed to the id RECORDED at crash time, never the
+        # current call's argument (which may differ)
+        rec_id = int(lines[0].split("=", 1)[1])
+        names = lines[1:]
+        rec_part = _p(f"batch_id={rec_id}")
+        if job_commit_succeeded(spark, str(rec_part)):
             # crashed between publish and cleanup — finish the cleanup
             _cleanup(names)
             if fs.exists(tmp):
                 fs.delete(tmp, True)
             return {"status": "recovered", "files_migrated": len(names),
-                    "legacy_batch_id": legacy_batch_id}
+                    "legacy_batch_id": rec_id}
         # crashed before publish: the flat files are still the live
         # data — discard partials and fall through to a fresh attempt
-        for stale in (tmp, part):
+        for stale in (tmp, rec_part):
             if fs.exists(stale):
                 fs.delete(stale, True)
         fs.delete(manifest, False)
+
+    part_name = f"batch_id={legacy_batch_id}"
+    part = _p(part_name)
 
     flat = _flat_names()
     if not flat:
@@ -493,7 +513,11 @@ def migrate_admitted_sink(
     if fs.exists(tmp):
         fs.delete(tmp, True)
     out = fs.create(manifest, True)
-    out.write(("\n".join(flat) + "\n").encode("utf-8"))
+    out.write(
+        (f"batch_id={legacy_batch_id}\n" + "\n".join(flat) + "\n").encode(
+            "utf-8"
+        )
+    )
     out.close()
     # the flat read is schema-inferred from committed footers (these
     # files were published by append-mode writes, never a crash husk —

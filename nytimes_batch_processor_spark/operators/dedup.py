@@ -1717,8 +1717,13 @@ def exact_substring_windows(documents: DataFrame) -> DataFrame:
     """(doc_id, pos, h): one row per K-token sliding window, pos 1-based
     in FILTERED token order, h = the portable 60-bit md5 window hash
     (`conv(substr(md5(window_text), 1, 15), 16, 10)` — the
-    `_portable_token_hash` construction over the space-joined window, so
-    DuckDB replays it verbatim). Shared by the catalog entry and the
+    `_portable_token_hash` construction over the space-joined window
+    WITHOUT that helper's mod-(2^31-1) reduction: the full 60 bits keep
+    the collision odds at ~2^-60 where a 31-bit key would collide
+    constantly at corpus scale (the `_simhash_token_hash` width lesson)
+    — a consolidation pass must NOT 'deduplicate' this into a
+    `_portable_token_hash` call or every hash diverges from the DuckDB
+    oracle's un-reduced CAST. Shared by the catalog entry and the
     scale gate's xsub family.
 
     Scale shape: MAP-ONLY — tokenize once into a materialized array
@@ -1775,24 +1780,15 @@ def exact_substring_survivors(documents: DataFrame) -> DataFrame:
     )
 
 
-def exact_substring_spans(surv: DataFrame) -> DataFrame:
-    """Maximal shared spans from surviving windows: equi-join on the
-    window hash (id1 < id2 — cross-doc only), then merge ADJACENT
-    collisions on each alignment diagonal (pos1 - pos2) into maximal
-    runs via the islands trick (pos1 - row_number() is constant exactly
-    on consecutive pos1 runs). A shared passage of L >= K tokens
-    surfaces as one span row (id1, id2, start1, start2, span_len = L):
-    its L - K + 1 windows all collide on one diagonal and merge.
-
-    Shuffle ledger: the self-join reuses the survivors' h-partitioning;
-    the islands window + groupBy repartition by (id1, id2, diag) —
-    collision rows only, already capped linear by the frequency valve.
-    Hash collisions (60-bit truncated md5) merge unrelated spans at
-    ~2^-60 per pair — the same accepted risk as the MinHash band
-    oracle's list-equality note."""
-    k = _XSUB_WINDOW
+def exact_substring_candidates(surv: DataFrame) -> DataFrame:
+    """(id1, id2, pos1, pos2) window-hash collisions across docs
+    (id1 < id2) — the self-join stage of the span pipeline, split out
+    so the scale gate can count candidates and merge spans over ONE
+    executed join (self-review r15: measuring them as two separate
+    plans ran the dominant join twice inside the timed window). The
+    join reuses the survivors' h-partitioning."""
     a, b = surv.alias("a"), surv.alias("b")
-    cand = (
+    return (
         a.join(b, "h")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
@@ -1802,6 +1798,22 @@ def exact_substring_spans(surv: DataFrame) -> DataFrame:
             F.col("b.pos").alias("pos2"),
         )
     )
+
+
+def merge_collision_spans(cand: DataFrame) -> DataFrame:
+    """Merge ADJACENT collisions on each alignment diagonal
+    (pos1 - pos2) into maximal runs via the islands trick
+    (pos1 - row_number() is constant exactly on consecutive pos1
+    runs). A shared passage of L >= K tokens surfaces as one span row
+    (id1, id2, start1, start2, span_len = L): its L - K + 1 windows
+    all collide on one diagonal and merge.
+
+    Shuffle ledger: ONE exchange by (id1, id2, diag) — collision rows
+    only, already capped linear by the frequency valve — shared by the
+    islands window and the final groupBy. Hash collisions (60-bit
+    truncated md5) merge unrelated spans at ~2^-60 per pair — the same
+    accepted risk as the MinHash band oracle's list-equality note."""
+    k = _XSUB_WINDOW
     # project diag BEFORE the window and partition the window on the
     # projected COLUMN: partitioning on the raw pos1-pos2 expression
     # gives the window an internal _w0 attribute the downstream groupBy
@@ -1831,6 +1843,13 @@ def exact_substring_spans(surv: DataFrame) -> DataFrame:
         )
         .select("id1", "id2", "start1", "start2", "span_len")
     )
+
+
+def exact_substring_spans(surv: DataFrame) -> DataFrame:
+    """Maximal shared spans from surviving windows — the composition
+    `merge_collision_spans(exact_substring_candidates(surv))`; see the
+    two stages for the join/merge semantics and shuffle ledger."""
+    return merge_collision_spans(exact_substring_candidates(surv))
 
 
 def _xsub_oracle() -> str:

@@ -2044,6 +2044,12 @@ def test_migrate_admitted_sink_lifts_flat_layout(spark, tmp_path):
     # re-running the migration on the now-partitioned sink is a no-op
     assert migrate_admitted_sink(spark, sink)["status"] == "already_partitioned"
 
+    # a non-negative legacy id would collide with future stream batch
+    # ids (the committed-marker check would treat legacy rows as stream
+    # batch N's own completed write): refused up front
+    with _pytest.raises(ValueError, match="negative"):
+        migrate_admitted_sink(spark, sink, legacy_batch_id=0)
+
     # genuinely mixed (no manifest): refuse, never guess
     import shutil as _sh
     import glob as _glob
@@ -2079,9 +2085,13 @@ def test_migrate_admitted_sink_crash_recovery(spark, tmp_path):
     )
     spark.read.parquet(sink).write.parquet(f"{sink}/batch_id=-1")
     with open(f"{sink}/.migrate_manifest", "w") as f:
-        f.write("\n".join(flat_names) + "\n")
-    report = migrate_admitted_sink(spark, sink)
+        f.write("batch_id=-1\n" + "\n".join(flat_names) + "\n")
+    # recovery keys on the id RECORDED in the manifest — a re-run with
+    # a DIFFERENT legacy id must converge the crashed -1 migration, not
+    # delete its breadcrumb and refuse (self-review r15)
+    report = migrate_admitted_sink(spark, sink, legacy_batch_id=-5)
     assert report["status"] == "recovered", report
+    assert report["legacy_batch_id"] == -1, report
     assert not _os.path.exists(f"{sink}/.migrate_manifest")
     got = sorted(
         (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink).collect()
@@ -2095,7 +2105,7 @@ def test_migrate_admitted_sink_crash_recovery(spark, tmp_path):
         n for n in _os.listdir(sink2) if not n.startswith(("_", "."))
     )
     with open(f"{sink2}/.migrate_manifest", "w") as f:
-        f.write("\n".join(flat_names2) + "\n")
+        f.write("batch_id=-1\n" + "\n".join(flat_names2) + "\n")
     _os.makedirs(f"{sink2}/.migrate_tmp")
     report = migrate_admitted_sink(spark, sink2)
     assert report["status"] == "migrated", report

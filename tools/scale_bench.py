@@ -624,21 +624,24 @@ def xsub_scale_measure(spark, sf_dir: str) -> dict:
     discipline analogue for the exact-match family: the valve, not a
     width policy, is what bounds the self-join)."""
     from nytimes_batch_processor_spark.operators.dedup import (
-        exact_substring_spans,
+        exact_substring_candidates,
         exact_substring_survivors,
+        merge_collision_spans,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.perf_counter()
     surv = exact_substring_survivors(docs).localCheckpoint(eager=True)
     n_surv = surv.count()
-    a, b = surv.alias("a"), surv.alias("b")
-    n_cand = (
-        a.join(b, "h").filter(F.col("a.doc_id") < F.col("b.doc_id")).count()
-    )
-    n_spans = exact_substring_spans(surv).count()
+    # ONE executed self-join: candidates pinned, counted, then merged —
+    # counting candidates and spans as two separate plans would run the
+    # dominant join twice inside the timed window (self-review r15)
+    cand = exact_substring_candidates(surv).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    n_spans = merge_collision_spans(cand).count()
     wall = round(time.perf_counter() - t0, 3)
     surv.unpersist(blocking=False)
+    cand.unpersist(blocking=False)
     return {
         "xsub_surviving_windows": n_surv,
         "xsub_candidates": n_cand,
