@@ -1852,6 +1852,54 @@ def exact_substring_spans(surv: DataFrame) -> DataFrame:
     return merge_collision_spans(exact_substring_candidates(surv))
 
 
+def strip_shared_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
+    """One concrete consumer of the span report: CUT every reported
+    span from the HIGHER-id document of each pair (the span stays in
+    the lower-id doc — the same smaller-id-wins convention as the
+    admission canonicalizer), returning (doc_id, text, n_tokens_cut).
+
+    Contract: the output text is the NORMALIZED token stream
+    (lowercased, single-spaced, empty tokens dropped) for EVERY doc —
+    the coordinate system the span report is expressed in; returning
+    original text for untouched docs would make the output's
+    normalization depend on whether a doc happened to share a passage.
+    Overlapping spans (one passage reported against several peers, or
+    adjacent maximal runs) compose naturally: a token is dropped when
+    ANY cut covers its position, so double-counting is impossible.
+
+    Scale shape: spans aggregate per victim doc (collect_list over the
+    span rows — bounded by the frequency valve), one left join into
+    the corpus, then a per-row position mask entirely in higher-order
+    functions (transform + exists — O(tokens x cuts) per doc, JVM-side,
+    no UDF). Docs with no cuts skip the mask via the null guard."""
+    per_doc = spans.groupBy(F.col("id2").alias("doc_id")).agg(
+        F.collect_list(F.struct("start2", "span_len")).alias("cuts")
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    docs = documents.select("doc_id", toks.alias("toks"))
+    joined = docs.join(per_doc, "doc_id", "left")
+    # positions are 1-based, matching the span report
+    indexed = F.transform(
+        F.col("toks"), lambda t, i: F.struct(t.alias("t"), (i + 1).alias("p"))
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            "cuts",
+            lambda c: (s["p"] >= c["start2"])
+            & (s["p"] < c["start2"] + c["span_len"]),
+        ),
+    )
+    surviving = F.when(F.col("cuts").isNull(), F.col("toks")).otherwise(
+        F.transform(kept, lambda s: s["t"])
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(surviving, " ").alias("text"),
+        (F.size("toks") - F.size(surviving)).cast("long").alias("n_tokens_cut"),
+    )
+
+
 def _xsub_oracle() -> str:
     k, cap = _XSUB_WINDOW, _XSUB_MAX_FREQ
     return f"""

@@ -985,3 +985,38 @@ def test_maintain_minhash_index_compacts_and_reports_health(spark, tmp_path):
     build_minhash_index(flood, fpath)
     freport = maintain_minhash_index(spark, fpath)
     assert freport["max_bucket_share"] == 1.0 and not freport["bucket_ok"]
+
+
+def test_strip_shared_spans_cuts_victim_only(spark):
+    """`strip_shared_spans`: every reported span is removed from the
+    HIGHER-id doc only; overlapping cuts (one passage shared with two
+    peers) never double-count; span-free docs pass through as the
+    normalized token stream with zero tokens cut."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_survivors,
+        strip_shared_spans,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(30))
+    doc1 = "a0 a1 " + passage + " a2"
+    doc2 = "b0 " + passage + " b1 b2 b3"
+    doc3 = "c0 c1 c2 " + passage
+    solo = " ".join(f"s{i}" for i in range(8)) + "  EXTRA   Spaced"
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2), (3, doc3), (9, solo)],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(exact_substring_survivors(docs))
+    # pairs (1,2), (1,3), (2,3): doc 2 is cut once (vs 1), doc 3 is cut
+    # by BOTH (1,3) and (2,3) on the same positions — overlap composes
+    assert {(r["id1"], r["id2"]) for r in spans.collect()} == {
+        (1, 2), (1, 3), (2, 3),
+    }
+    out = {r["doc_id"]: r for r in strip_shared_spans(docs, spans).collect()}
+    assert out[1]["text"] == doc1.lower() and out[1]["n_tokens_cut"] == 0
+    assert out[2]["text"] == "b0 b1 b2 b3" and out[2]["n_tokens_cut"] == 30
+    assert out[3]["text"] == "c0 c1 c2" and out[3]["n_tokens_cut"] == 30
+    # span-free doc: normalized stream (lowercase, single-spaced), 0 cut
+    assert out[9]["text"] == " ".join(f"s{i}" for i in range(8)) + " extra spaced"
+    assert out[9]["n_tokens_cut"] == 0
