@@ -178,21 +178,37 @@ def test_flat_wall_gate_floors_subsecond_noise():
     assert not compute_gate({"x1": lo2, "x10": bad_hi}, 10, "b")["linear_ok"]
 
 
-def test_mh_bucket_occupancy_gate_is_an_absolute_bound():
-    """The MinHash twin of the occupancy axis (r15): every scale's
-    ix_mh_max_bucket_share is gated at the absolute
-    dedup.MINHASH_MAX_BUCKET_SHARE — a hot (band, band_hash) bucket
-    breaks the probe's bounded-join claim exactly like a hot IVF cell."""
+def test_mh_bucket_occupancy_gate_is_absolute_or_nonconcentrating():
+    """The MinHash occupancy axis (r15): a scale passes when its
+    hottest band-bucket share is inside the healthy absolute bound
+    (dedup.MINHASH_MAX_BUCKET_SHARE) OR no more concentrated than the
+    base fixture (x1 share * 1.2). MinHash buckets are content-defined
+    — the dup-heavy fixture's raw corpus index legitimately measures
+    ~0.35 at x1 — so the gated SCALE claim is that growth must not
+    POOL random collisions into buckets (hash-width degeneration),
+    while the absolute bound stays the admission-maintained-index
+    contract."""
     from nytimes_batch_processor_spark.operators.dedup import (
         MINHASH_MAX_BUCKET_SHARE,
     )
 
-    ok_hi = _row(10)
-    ok_hi[MH_OCCUPANCY_KEY] = MINHASH_MAX_BUCKET_SHARE  # at the bound
-    out = compute_gate({"x1": _row(1), "x10": ok_hi}, 10, "b")
+    # dup-heavy base (above the absolute bound) diluting with growth:
+    # the fixture's real shape — passes
+    lo = _row(1)
+    lo[MH_OCCUPANCY_KEY] = 0.35
+    hi = _row(10)
+    hi[MH_OCCUPANCY_KEY] = 0.06
+    out = compute_gate({"x1": lo, "x10": hi}, 10, "b")
     assert out["occupancy_ok"] and out["linear_ok"]
 
-    bad_hi = _row(10)
-    bad_hi[MH_OCCUPANCY_KEY] = MINHASH_MAX_BUCKET_SHARE + 0.01
-    out = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
+    # healthy absolute values everywhere: passes regardless of ratio
+    hi2 = _row(10)
+    hi2[MH_OCCUPANCY_KEY] = MINHASH_MAX_BUCKET_SHARE
+    assert compute_gate({"x1": _row(1), "x10": hi2}, 10, "b")["occupancy_ok"]
+
+    # concentration: x10 share both above the bound AND above
+    # x1 * 1.2 — random collisions pooling, fails
+    hi3 = _row(10)
+    hi3[MH_OCCUPANCY_KEY] = 0.5
+    out = compute_gate({"x1": lo, "x10": hi3}, 10, "b")
     assert not out["occupancy_ok"] and not out["linear_ok"]
