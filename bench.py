@@ -136,6 +136,12 @@ HEADLINE = [
     # (~K x corpus text bytes hashed), the deliberate portable-hash
     # trade documented in exact_substring_windows.
     "dedup_exact_substring_spans",
+    # r15 (late): the incremental half — fixed batch windows broadcast
+    # into a DPP-pruned bucket join against the persisted window index
+    # (built once per session in warmup via window_index_for), spans
+    # merged from the collision set. The timed passes measure the
+    # PROBE, the production steady state.
+    "dedup_incremental_spans",
 ]
 
 

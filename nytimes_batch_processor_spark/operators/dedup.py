@@ -1907,6 +1907,184 @@ def strip_shared_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     )
 
 
+# Bucket count for the persisted window index's partition layout: the
+# probe joins on (hb, h), so hb = pmod(h, _XSUB_BUCKETS) is what lets
+# dynamic partition pruning cut the index scan to the batch's buckets.
+# 64 keeps directory counts trivial locally; at 100 TB pick thousands
+# (the same dial as the IVF cell count).
+_XSUB_BUCKETS = 64
+
+
+def build_window_index(docs: DataFrame, path: str) -> None:
+    """Build and PERSIST the ExactSubstr window index: one parquet row
+    per K-token window (doc_id, pos, h), partitioned by the hash
+    bucket ``hb = pmod(h, _XSUB_BUCKETS)`` — the suffix-array analogue
+    as a TABLE LAYOUT (the `build_minhash_index` /
+    `build_ivf_parquet_index` pattern, third instance). Built once per
+    corpus version (map-only window pass + one window-frequency
+    exchange), appended to as batches are admitted, probed by every
+    arriving batch without re-windowing the corpus.
+
+    The boilerplate valve applies AT BUILD TIME: windows whose corpus
+    frequency exceeds `_XSUB_MAX_FREQ` are not indexed (a batch window
+    matching them would explode candidates for content no one would
+    cut span-by-span — it's corpus boilerplate). Unlike the corpus
+    self-join there is NO >= 2 prefilter: a once-occurring corpus
+    window must stay probe-able, since the collision partner arrives
+    in a FUTURE batch. Appends can drift a window's true frequency
+    past the valve (the build snapshot is what's enforced); a rebuild
+    re-applies it — the same freshness contract as the IVF sidecar's
+    trained quantizer."""
+    win = exact_substring_windows(docs)
+    freq = F.count(F.lit(1)).over(W.partitionBy("h"))
+    surv = (
+        win.withColumn("_c", freq)
+        .filter(F.col("_c") <= _XSUB_MAX_FREQ)
+        .drop("_c")
+    )
+    surv.withColumn(
+        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
+    ).write.mode("overwrite").partitionBy("hb").parquet(path)
+
+
+def append_to_window_index(docs: DataFrame, path: str) -> None:
+    """Admit a batch INTO the persisted window index: the same map-only
+    window pass, appended under the existing ``hb`` partitioning — the
+    next probe's bucket join sees the admitted documents' windows
+    immediately. No per-append frequency valve (it would need a
+    corpus-wide count per micro-batch); the build-time snapshot holds
+    until the next rebuild."""
+    exact_substring_windows(docs).withColumn(
+        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
+    ).write.mode("append").partitionBy("hb").parquet(path)
+
+
+def probe_window_index(
+    index: DataFrame, batch_docs: DataFrame, hint_broadcast: bool = True
+) -> DataFrame:
+    """Maximal shared spans between a NEW batch and the INDEXED corpus:
+    batch windows (map-only) equi-joined on (hb, h) against the
+    bucket-partitioned index — with the batch side broadcast, the join
+    plants a dynamic-partition-pruning subquery on ``hb`` and the index
+    scan reads only the batch's buckets, never the corpus (plan-pinned
+    in tests/test_plans.py). Candidates feed the same
+    `merge_collision_spans` as the corpus self-join. Output rows are
+    DIRECTIONAL: id1 = the batch doc, id2 = the indexed doc
+    (self-matches excluded, so a probe replay after an append finds
+    peers, not the doc's own indexed copy).
+
+    ``hint_broadcast=False`` for an unbounded ad-hoc batch: the join
+    falls back to shuffle (both sides exchange on the hash — no
+    pruning, but no driver-OOM trap), the `enriched_stream` dial."""
+    # hb INT on both sides: the partition column reads back as int, and
+    # a bigint probe key would wrap the pruning expression in a cast
+    bw = exact_substring_windows(batch_docs).withColumn(
+        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
+    )
+    b = F.broadcast(bw) if hint_broadcast else bw
+    cand = (
+        index.alias("i")
+        .join(b.alias("b"), ["hb", "h"])
+        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("b.doc_id").alias("id1"),
+            F.col("i.doc_id").alias("id2"),
+            F.col("b.pos").alias("pos1"),
+            F.col("i.pos").alias("pos2"),
+        )
+    )
+    return merge_collision_spans(cand)
+
+
+# (applicationId, sf_dir) -> window index path; built once per
+# session/corpus like minhash_index_for, so repeated probes measure the
+# PROBE, not an index rebuild.
+_WINDOW_INDEX_CACHE: dict[tuple[str, str], str] = {}
+
+
+def window_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the persisted corpus window index (docs with doc_id %
+    _PROBE_BATCH_MOD != 0), building it on first use per session."""
+    from ..tables import warehouse_scratch_path
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _WINDOW_INDEX_CACHE.get(key)
+    if path is None:
+        path = warehouse_scratch_path(spark, "window_index", sf_dir, per_app=True)
+        t = load_tables(spark, sf_dir, "documents")
+        corpus = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD != 0)
+        build_window_index(corpus, path)
+        _WINDOW_INDEX_CACHE[key] = path
+    return path
+
+
+def _xsub_probe_oracle() -> str:
+    k, cap, mod = _XSUB_WINDOW, _XSUB_MAX_FREQ, _PROBE_BATCH_MOD
+    return f"""
+WITH docs AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM documents
+),
+win AS (
+    SELECT doc_id, pos,
+           CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+    FROM docs, unnest(generate_series(1, len(toks) - {k - 1})) AS g(pos)
+    WHERE len(toks) >= {k}
+),
+idx AS (
+    SELECT * FROM win WHERE doc_id % {mod} != 0
+    QUALIFY count(*) OVER (PARTITION BY h) <= {cap}
+),
+bw AS (SELECT * FROM win WHERE doc_id % {mod} = 0),
+cand AS (
+    SELECT b.doc_id AS id1, i.doc_id AS id2, b.pos AS pos1, i.pos AS pos2
+    FROM bw b JOIN idx i USING (h)
+    WHERE i.doc_id <> b.doc_id
+),
+runs AS (
+    SELECT id1, id2, pos1, pos2, pos1 - pos2 AS diag,
+           pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS island
+    FROM cand
+)
+SELECT id1, id2,
+       CAST(MIN(pos1) AS BIGINT) AS start1,
+       CAST(MIN(pos2) AS BIGINT) AS start2,
+       CAST(MAX(pos1) - MIN(pos1) + {k} AS BIGINT) AS span_len
+FROM runs GROUP BY id1, id2, diag, island
+"""
+
+
+@query(
+    "dedup_incremental_spans",
+    tables=("documents",),
+    oracle=_xsub_probe_oracle(),
+)
+def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ExactSubstr admission — the span-level member of the
+    incremental-index family (`dedup_incremental_probe` opened it for
+    MinHash, `sim_incremental_probe` for embeddings; this closes it for
+    exact substrings): probe a NEW batch of documents against the
+    PERSISTED corpus window index and report every maximal >= K-token
+    passage a batch doc shares verbatim with an indexed doc. Production
+    pipelines never re-window the corpus per arriving batch; they keep
+    the window table bucket-partitioned and answer "does anything we
+    already hold contain these passages?" with a pruned bucket join.
+
+    Derivation (both sides SQL-replayed end to end): corpus = doc_id %
+    10 != 0, windowed + frequency-valved once per session
+    (`window_index_for`); batch = doc_id % 10 == 0, windowed at probe
+    time; spans via the shared `merge_collision_spans`. The probe's
+    index scan is DPP-pruned to the batch's hash buckets (plan-pinned);
+    an admitted batch appends its windows under the same bucket layout
+    (`append_to_window_index`, round-trip pytest: the very next probe
+    finds spans against appended docs)."""
+    t = load_tables(spark, sf_dir, "documents")
+    index = spark.read.parquet(window_index_for(spark, sf_dir))
+    batch = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0)
+    return probe_window_index(index, batch)
+
+
 def _xsub_oracle() -> str:
     k, cap = _XSUB_WINDOW, _XSUB_MAX_FREQ
     return f"""

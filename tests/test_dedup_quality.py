@@ -1020,3 +1020,77 @@ def test_strip_shared_spans_cuts_victim_only(spark):
     # span-free doc: normalized stream (lowercase, single-spaced), 0 cut
     assert out[9]["text"] == " ".join(f"s{i}" for i in range(8)) + " extra spaced"
     assert out[9]["n_tokens_cut"] == 0
+
+
+def test_window_index_probe_append_roundtrip(spark, tmp_path):
+    """The incremental ExactSubstr probe (r15): a batch doc sharing a
+    passage with an INDEXED doc reports the span with token-exact
+    geometry; corpus boilerplate past the build-time frequency valve is
+    never indexed (probe finds nothing); an admitted batch's windows
+    append under the bucket layout and the VERY NEXT probe finds spans
+    against the appended doc — while a probe replay of that same batch
+    never matches its own indexed copy (self-matches excluded)."""
+    import os as _os
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _XSUB_MAX_FREQ,
+        append_to_window_index,
+        build_window_index,
+        probe_window_index,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [
+            (1, "a0 a1 a2 " + passage + " a3"),
+            (2, " ".join(f"u{j}" for j in range(30))),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "window_index")
+    build_window_index(corpus, path)
+    assert any(
+        d.startswith("hb=") for d in _os.listdir(path)
+    ), "index lost its bucket partitioning"
+
+    index = spark.read.parquet(path)
+    batch = spark.createDataFrame(
+        [(100, "b0 " + passage + " b1 b2")], "doc_id long, text string"
+    )
+    spans = {
+        tuple(r) for r in probe_window_index(index, batch).collect()
+    }
+    assert spans == {(100, 1, 2, 4, 40)}, spans
+
+    # boilerplate valve at build time: a passage appearing in more than
+    # _XSUB_MAX_FREQ corpus docs is not indexed at all
+    hot = " ".join(f"h{i}" for i in range(25))
+    flood = spark.createDataFrame(
+        [(i, f"lead{i} " + hot) for i in range(_XSUB_MAX_FREQ + 2)],
+        "doc_id long, text string",
+    )
+    fpath = str(tmp_path / "flood_index")
+    build_window_index(flood, fpath)
+    probe = spark.createDataFrame(
+        [(500, "x0 " + hot + " x1")], "doc_id long, text string"
+    )
+    assert probe_window_index(spark.read.parquet(fpath), probe).count() == 0
+
+    # admit the batch: its windows append; the next probe (a NEW doc
+    # sharing the passage) reports spans against BOTH doc 1 and the
+    # appended doc 100
+    append_to_window_index(batch, path)
+    index = spark.read.parquet(path)
+    batch2 = spark.createDataFrame(
+        [(200, passage + " c0")], "doc_id long, text string"
+    )
+    spans2 = {
+        tuple(r) for r in probe_window_index(index, batch2).collect()
+    }
+    assert spans2 == {(200, 1, 1, 4, 40), (200, 100, 1, 2, 40)}, spans2
+    # replay of the admitted batch: its own indexed copy is excluded —
+    # only the original peer (doc 1) reports
+    replay = {
+        tuple(r) for r in probe_window_index(index, batch).collect()
+    }
+    assert replay == {(100, 1, 2, 4, 40)}, replay

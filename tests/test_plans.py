@@ -640,3 +640,17 @@ def test_curation_pipeline_plan_shape(spark, sf_dir):
     # no corpus/index rescan in the manifest: its only scans are the
     # pinned (checkpointed) batch and ledger RDDs
     assert "Scan parquet" not in plan, plan
+
+
+def test_window_index_probe_is_dpp_pruned(spark, sf_dir):
+    """The incremental ExactSubstr probe's 100 TB claims, pinned as a
+    plan (r15): the bucket-partitioned window-index scan carries a
+    DYNAMIC PARTITION PRUNING filter on hb (only the batch's hash
+    buckets are read — the corpus window table is never scanned
+    whole), and the batch windows broadcast into the bucket equi-join
+    (the index never shuffles)."""
+    from nytimes_batch_processor_spark.catalog import all_specs
+
+    plan = physical_plan(all_specs()["dedup_incremental_spans"].fn(spark, sf_dir))
+    assert "dynamicpruningexpression(hb" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

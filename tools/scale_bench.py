@@ -613,6 +613,61 @@ def index_scaled_probe_measure(
     }
 
 
+def window_probe_scale_measure(spark, k: int, sf_dir: str) -> dict:
+    """The index-scaled axis of the ExactSubstr story (r15): the FIXED
+    base batch (BASE corpus, doc_id % mod == 0) probed against a window
+    index built from the x`k` corpus. Perturbed replicas share no
+    windows with the base batch, so collision candidates and merged
+    spans must stay FLAT (FLAT_KEYS) — growth means hash pooling. The
+    candidate join executes ONCE (pinned, counted, then merged — the
+    r15 double-join lesson); the join itself is probe_window_index's
+    exact subplan shape (bucketed equi-join, batch side broadcast)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _PROBE_BATCH_MOD,
+        _XSUB_BUCKETS,
+        build_window_index,
+        exact_substring_windows,
+        merge_collision_spans,
+    )
+
+    idx_path = os.path.join(SCALE_ROOT, f"window_index_x{k}")
+    build_window_index(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % _PROBE_BATCH_MOD != 0
+        ),
+        idx_path,
+    )
+    batch = spark.read.parquet(f"{BASE}/documents.parquet").filter(
+        F.col("doc_id") % _PROBE_BATCH_MOD == 0
+    )
+    index = spark.read.parquet(idx_path)
+    t0 = time.perf_counter()
+    bw = exact_substring_windows(batch).withColumn(
+        "hb", (F.pmod("h", F.lit(_XSUB_BUCKETS))).cast("int")
+    )
+    cand = (
+        index.alias("i")
+        .join(F.broadcast(bw).alias("b"), ["hb", "h"])
+        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("b.doc_id").alias("id1"),
+            F.col("i.doc_id").alias("id2"),
+            F.col("b.pos").alias("pos1"),
+            F.col("i.pos").alias("pos2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_cand = cand.count()
+    n_spans = merge_collision_spans(cand).count()
+    wall = round(time.perf_counter() - t0, 3)
+    cand.unpersist(blocking=False)
+    return {
+        "ix_xsub_candidates": n_cand,
+        "ix_xsub_spans": n_spans,
+        "ix_xsub_wall_sec": wall,
+    }
+
+
 def xsub_scale_measure(spark, sf_dir: str) -> dict:
     """Exact-substring span family (r15): survivor windows (frequency
     valve in [2, CAP]), window-hash collision candidates, and merged
@@ -794,6 +849,12 @@ FLAT_KEYS = (
     "ix_probe_candidates",
     "ix_probe_matches",
     "ix_ann_dup_queries",
+    # r15: fixed base batch vs the per-scale WINDOW index — perturbed
+    # replicas are window-disjoint with the base batch, so collision
+    # candidates and merged spans must hold flat; growth here means the
+    # 60-bit window hash started pooling random collisions
+    "ix_xsub_candidates",
+    "ix_xsub_spans",
 )
 # Composed-pipeline admitted-set invariants (r14, the self-probe
 # semantics): a x`k` batch of unperturbed id-offset replicas must admit
@@ -836,6 +897,7 @@ WALL_KEYS = (
     "merge_wall_sec",
     "pipe_wall_sec",
     "xsub_wall_sec",
+    "ix_xsub_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
@@ -1111,6 +1173,9 @@ def main() -> None:
         # the exact-substring span family over the full per-scale corpus
         # (r15: windows/candidates/spans linear under the frequency valve)
         row.update(xsub_scale_measure(spark, sf_dir))
+        # ... and its index-scaled axis: fixed base batch vs the x`k`
+        # window index (r15: candidates/spans FLAT)
+        row.update(window_probe_scale_measure(spark, k, sf_dir))
 
         results[f"x{k}"] = row
         print(f"x{k}: {row}", file=sys.stderr)
