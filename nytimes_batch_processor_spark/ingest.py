@@ -478,9 +478,17 @@ def migrate_admitted_sink(
             stream.close()
         lines = [line for line in raw.splitlines() if line]
         # recovery is keyed to the id RECORDED at crash time, never the
-        # current call's argument (which may differ)
-        rec_id = int(lines[0].split("=", 1)[1])
-        names = lines[1:]
+        # current call's argument (which may differ). Degenerate shapes
+        # (self-review r15): an EMPTY manifest (crashed between create
+        # and write — nothing was published yet, the publish happens
+        # strictly after the manifest write) carries no names and no
+        # id; a headerless manifest (the first r15 format) is all
+        # names, migrated under the then-only default id -1.
+        if lines and lines[0].startswith("batch_id="):
+            rec_id = int(lines[0].split("=", 1)[1])
+            names = lines[1:]
+        else:
+            rec_id, names = -1, lines
         rec_part = _p(f"batch_id={rec_id}")
         if job_commit_succeeded(spark, str(rec_part)):
             # crashed between publish and cleanup — finish the cleanup

@@ -1830,6 +1830,13 @@ def merge_collision_spans(cand: DataFrame) -> DataFrame:
     withdiag = cand.select(
         "id1", "id2", "pos1", "pos2", (F.col("pos1") - F.col("pos2")).alias("diag")
     )
+    # dense_rank, NOT row_number (self-review r15): on distinct pos1
+    # runs they are identical, but a DUPLICATED candidate row (e.g. a
+    # replayed append wrote a doc's windows twice) gets the same rank
+    # as its twin under dense_rank — row_number would assign rn, rn+1
+    # to the two copies and fragment every later island on the
+    # diagonal into wrong short spans. The groupBy then absorbs the
+    # duplicates (min/max are duplicate-blind).
     rw = W.partitionBy("id1", "id2", "diag").orderBy("pos1")
     runs = withdiag.select(
         "id1",
@@ -1837,7 +1844,7 @@ def merge_collision_spans(cand: DataFrame) -> DataFrame:
         "pos1",
         "pos2",
         "diag",
-        (F.col("pos1") - F.row_number().over(rw)).alias("island"),
+        (F.col("pos1") - F.dense_rank().over(rw)).alias("island"),
     )
     return (
         runs.groupBy("id1", "id2", "diag", "island")
@@ -1915,6 +1922,18 @@ def strip_shared_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
 _XSUB_BUCKETS = 64
 
 
+def _with_bucket(windows: DataFrame) -> DataFrame:
+    """ONE copy of the bucket idiom: ``hb = pmod(h, _XSUB_BUCKETS)``
+    cast to INT — the partition column reads back as int, and a bigint
+    probe key would wrap the DPP pruning expression in a cast (the
+    plan pin checks only the catalog probe's path, so a pasted copy
+    dropping the cast elsewhere would silently disable pruning there —
+    the r11 eight-sites lesson)."""
+    return windows.withColumn(
+        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
+    )
+
+
 def build_window_index(docs: DataFrame, path: str) -> None:
     """Build and PERSIST the ExactSubstr window index: one parquet row
     per K-token window (doc_id, pos, h), partitioned by the hash
@@ -1942,9 +1961,7 @@ def build_window_index(docs: DataFrame, path: str) -> None:
         .filter(F.col("_c") <= _XSUB_MAX_FREQ)
         .drop("_c")
     )
-    surv.withColumn(
-        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
-    ).write.mode("overwrite").partitionBy("hb").parquet(path)
+    _with_bucket(surv).write.mode("overwrite").partitionBy("hb").parquet(path)
 
 
 def append_to_window_index(docs: DataFrame, path: str) -> None:
@@ -1954,9 +1971,33 @@ def append_to_window_index(docs: DataFrame, path: str) -> None:
     immediately. No per-append frequency valve (it would need a
     corpus-wide count per micro-batch); the build-time snapshot holds
     until the next rebuild."""
-    exact_substring_windows(docs).withColumn(
-        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
-    ).write.mode("append").partitionBy("hb").parquet(path)
+    _with_bucket(exact_substring_windows(docs)).write.mode(
+        "append"
+    ).partitionBy("hb").parquet(path)
+
+
+def probe_window_candidates(
+    index: DataFrame, batch_docs: DataFrame, hint_broadcast: bool = True
+) -> DataFrame:
+    """The probe's candidate stage — batch windows bucketed and joined
+    (hb, h) against the index, directional (id1 = batch doc, id2 =
+    indexed doc), self-matches excluded. ONE copy shared by
+    `probe_window_index` and the scale gate's measure (self-review r15:
+    a hand-copied join body in the measure would silently diverge from
+    the production subplan it claims to pin)."""
+    bw = _with_bucket(exact_substring_windows(batch_docs))
+    b = F.broadcast(bw) if hint_broadcast else bw
+    return (
+        index.alias("i")
+        .join(b.alias("b"), ["hb", "h"])
+        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("b.doc_id").alias("id1"),
+            F.col("i.doc_id").alias("id2"),
+            F.col("b.pos").alias("pos1"),
+            F.col("i.pos").alias("pos2"),
+        )
+    )
 
 
 def probe_window_index(
@@ -1976,24 +2017,9 @@ def probe_window_index(
     ``hint_broadcast=False`` for an unbounded ad-hoc batch: the join
     falls back to shuffle (both sides exchange on the hash — no
     pruning, but no driver-OOM trap), the `enriched_stream` dial."""
-    # hb INT on both sides: the partition column reads back as int, and
-    # a bigint probe key would wrap the pruning expression in a cast
-    bw = exact_substring_windows(batch_docs).withColumn(
-        "hb", F.pmod("h", F.lit(_XSUB_BUCKETS)).cast("int")
+    return merge_collision_spans(
+        probe_window_candidates(index, batch_docs, hint_broadcast)
     )
-    b = F.broadcast(bw) if hint_broadcast else bw
-    cand = (
-        index.alias("i")
-        .join(b.alias("b"), ["hb", "h"])
-        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.col("b.doc_id").alias("id1"),
-            F.col("i.doc_id").alias("id2"),
-            F.col("b.pos").alias("pos1"),
-            F.col("i.pos").alias("pos2"),
-        )
-    )
-    return merge_collision_spans(cand)
 
 
 # (applicationId, sf_dir) -> window index path; built once per
@@ -2044,7 +2070,7 @@ cand AS (
 ),
 runs AS (
     SELECT id1, id2, pos1, pos2, pos1 - pos2 AS diag,
-           pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS island
+           pos1 - DENSE_RANK() OVER (PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS island
     FROM cand
 )
 SELECT id1, id2,
@@ -2109,7 +2135,7 @@ cand AS (
 ),
 runs AS (
     SELECT id1, id2, pos1, pos2, pos1 - pos2 AS diag,
-           pos1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS island
+           pos1 - DENSE_RANK() OVER (PARTITION BY id1, id2, pos1 - pos2 ORDER BY pos1) AS island
     FROM cand
 )
 SELECT id1, id2,

@@ -1094,3 +1094,39 @@ def test_window_index_probe_append_roundtrip(spark, tmp_path):
         tuple(r) for r in probe_window_index(index, batch).collect()
     }
     assert replay == {(100, 1, 2, 4, 40)}, replay
+
+
+def test_merge_spans_immune_to_duplicated_candidates(spark, tmp_path):
+    """A replayed append writes a doc's windows twice; the islands
+    merge must still report ONE exact maximal span (self-review r15:
+    row_number fragmented duplicated diagonals into wrong short spans —
+    dense_rank gives twin rows the same rank, and the groupBy absorbs
+    the duplicates)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        append_to_window_index,
+        build_window_index,
+        probe_window_index,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(40))
+    path = str(tmp_path / "dup_index")
+    corpus = spark.createDataFrame(
+        [(1, "a0 a1 " + passage)], "doc_id long, text string"
+    )
+    build_window_index(corpus, path)
+    # replayed admission: the same doc's windows appended TWICE
+    admitted = spark.createDataFrame(
+        [(50, passage + " z0 z1")], "doc_id long, text string"
+    )
+    append_to_window_index(admitted, path)
+    append_to_window_index(admitted, path)
+    probe = spark.createDataFrame(
+        [(100, "b0 b1 b2 " + passage)], "doc_id long, text string"
+    )
+    spans = {
+        tuple(r)
+        for r in probe_window_index(spark.read.parquet(path), probe).collect()
+    }
+    # doc 50's duplicated windows: still exactly ONE maximal 40-token
+    # span against it (and one against doc 1)
+    assert spans == {(100, 1, 4, 3, 40), (100, 50, 4, 1, 40)}, spans

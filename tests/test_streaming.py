@@ -2228,3 +2228,44 @@ def test_stream_curation_composes_and_recovers(spark, tmp_path):
     assert {
         r["doc_id"] for r in spark.read.parquet(index_path).collect()
     } == {1, 2, 100, 201}
+
+
+def test_migrate_recovery_tolerates_degenerate_manifests(spark, tmp_path):
+    """Self-review r15: recovery must not crash on (a) a HEADERLESS
+    manifest (the first r15 format — names only, recovered under the
+    then-only default id -1) or (b) an EMPTY manifest (crashed between
+    create and write: nothing was published, so the re-run restarts
+    cleanly from the intact flat files)."""
+    import os as _os
+
+    from nytimes_batch_processor_spark.ingest import (
+        admit_sink_upsert,
+        migrate_admitted_sink,
+    )
+
+    rows = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+
+    # (a) headerless manifest + committed legacy partition
+    sink = str(tmp_path / "headerless")
+    admit_sink_upsert(spark, rows, sink, "doc_id")
+    names = sorted(n for n in _os.listdir(sink) if not n.startswith(("_", ".")))
+    spark.read.parquet(sink).write.parquet(f"{sink}/batch_id=-1")
+    with open(f"{sink}/.migrate_manifest", "w") as f:
+        f.write("\n".join(names) + "\n")
+    report = migrate_admitted_sink(spark, sink)
+    assert report["status"] == "recovered" and report["legacy_batch_id"] == -1
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, -1), (2, -1)], got
+
+    # (b) empty manifest, nothing published: restart from flat files
+    sink2 = str(tmp_path / "emptymanifest")
+    admit_sink_upsert(spark, rows, sink2, "doc_id")
+    open(f"{sink2}/.migrate_manifest", "w").close()
+    report = migrate_admitted_sink(spark, sink2)
+    assert report["status"] == "migrated", report
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink2).collect()
+    )
+    assert got == [(1, -1), (2, -1)], got

@@ -624,10 +624,9 @@ def window_probe_scale_measure(spark, k: int, sf_dir: str) -> dict:
     exact subplan shape (bucketed equi-join, batch side broadcast)."""
     from nytimes_batch_processor_spark.operators.dedup import (
         _PROBE_BATCH_MOD,
-        _XSUB_BUCKETS,
         build_window_index,
-        exact_substring_windows,
         merge_collision_spans,
+        probe_window_candidates,
     )
 
     idx_path = os.path.join(SCALE_ROOT, f"window_index_x{k}")
@@ -642,20 +641,11 @@ def window_probe_scale_measure(spark, k: int, sf_dir: str) -> dict:
     )
     index = spark.read.parquet(idx_path)
     t0 = time.perf_counter()
-    bw = exact_substring_windows(batch).withColumn(
-        "hb", (F.pmod("h", F.lit(_XSUB_BUCKETS))).cast("int")
-    )
-    cand = (
-        index.alias("i")
-        .join(F.broadcast(bw).alias("b"), ["hb", "h"])
-        .filter(F.col("i.doc_id") != F.col("b.doc_id"))
-        .select(
-            F.col("b.doc_id").alias("id1"),
-            F.col("i.doc_id").alias("id2"),
-            F.col("b.pos").alias("pos1"),
-            F.col("i.pos").alias("pos2"),
-        )
-        .localCheckpoint(eager=True)
+    # the REAL production candidate subplan (probe_window_candidates —
+    # the shared stage probe_window_index composes), pinned once and
+    # fed to both counts
+    cand = probe_window_candidates(index, batch).localCheckpoint(
+        eager=True
     )
     n_cand = cand.count()
     n_spans = merge_collision_spans(cand).count()
