@@ -479,16 +479,23 @@ def migrate_admitted_sink(
         lines = [line for line in raw.splitlines() if line]
         # recovery is keyed to the id RECORDED at crash time, never the
         # current call's argument (which may differ). Degenerate shapes
-        # (self-review r15): an EMPTY manifest (crashed between create
-        # and write — nothing was published yet, the publish happens
-        # strictly after the manifest write) carries no names and no
-        # id; a headerless manifest (the first r15 format) is all
-        # names, migrated under the then-only default id -1.
+        # (self-review r15, both passes): an EMPTY or header-TRUNCATED
+        # manifest ('batch_id=' with the value lost mid-flush) means
+        # the write buffer died before the manifest was complete — and
+        # the manifest is written strictly BEFORE anything is published,
+        # so nothing was: restart from the intact flat files. A
+        # HEADERLESS manifest (the first r15 format) is all names; that
+        # format's migrations published under the CALLER-SUPPLIED id
+        # (its recovery contract was a same-args re-run), so recover
+        # under the current call's id rather than assuming -1.
         if lines and lines[0].startswith("batch_id="):
-            rec_id = int(lines[0].split("=", 1)[1])
-            names = lines[1:]
+            try:
+                rec_id = int(lines[0].split("=", 1)[1])
+                names = lines[1:]
+            except ValueError:
+                rec_id, names = legacy_batch_id, []
         else:
-            rec_id, names = -1, lines
+            rec_id, names = legacy_batch_id, lines
         rec_part = _p(f"batch_id={rec_id}")
         if job_commit_succeeded(spark, str(rec_part)):
             # crashed between publish and cleanup — finish the cleanup

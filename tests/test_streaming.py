@@ -2245,17 +2245,35 @@ def test_migrate_recovery_tolerates_degenerate_manifests(spark, tmp_path):
 
     rows = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
 
-    # (a) headerless manifest + committed legacy partition
+    # (a) headerless manifest + committed legacy partition: the FIRST
+    # r15 format published under the CALLER-SUPPLIED id and its
+    # recovery contract was a same-args re-run — so a crash under a
+    # custom id recovers under that id, never a hard-coded -1
+    # (self-review r15 pass 3)
     sink = str(tmp_path / "headerless")
     admit_sink_upsert(spark, rows, sink, "doc_id")
     names = sorted(n for n in _os.listdir(sink) if not n.startswith(("_", ".")))
-    spark.read.parquet(sink).write.parquet(f"{sink}/batch_id=-1")
+    spark.read.parquet(sink).write.parquet(f"{sink}/batch_id=-2")
     with open(f"{sink}/.migrate_manifest", "w") as f:
         f.write("\n".join(names) + "\n")
-    report = migrate_admitted_sink(spark, sink)
-    assert report["status"] == "recovered" and report["legacy_batch_id"] == -1
+    report = migrate_admitted_sink(spark, sink, legacy_batch_id=-2)
+    assert report["status"] == "recovered" and report["legacy_batch_id"] == -2
     got = sorted(
         (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, -2), (2, -2)], got
+
+    # (a2) truncated header ('batch_id=' with the value lost mid-flush):
+    # written strictly before anything publishes, so the re-run
+    # restarts cleanly instead of wedging on int('')
+    sink3 = str(tmp_path / "truncated")
+    admit_sink_upsert(spark, rows, sink3, "doc_id")
+    with open(f"{sink3}/.migrate_manifest", "w") as f:
+        f.write("batch_id=\n")
+    report = migrate_admitted_sink(spark, sink3)
+    assert report["status"] == "migrated", report
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink3).collect()
     )
     assert got == [(1, -1), (2, -1)], got
 
