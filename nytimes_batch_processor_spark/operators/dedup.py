@@ -2022,6 +2022,88 @@ def probe_window_index(
     )
 
 
+def maintain_window_index(spark: SparkSession, path: str) -> dict:
+    """The ONE offline-maintenance entrypoint for an append-grown
+    window index (parity with `maintain_minhash_index` /
+    `similarity.maintain_ivf_index`): a single atomic tree rewrite that
+
+    1. drops exact duplicate window rows — a replayed
+       `append_to_window_index` writes a doc's windows twice;
+       correctness-neutral for span merging (`merge_collision_spans`
+       is dense_rank-immune by design) but wasted scan bytes forever;
+    2. RE-APPLIES the build-time frequency valve over the grown corpus
+       — appends bypass it by design (a corpus-wide count per
+       micro-batch would defeat the O(batch) append), so boilerplate
+       arriving incrementally drifts past `_XSUB_MAX_FREQ` until this
+       runs. The valve's global semantics parallelize per partition
+       for free: ``hb = pmod(h, B)`` confines every occurrence of a
+       window hash to ONE bucket directory;
+    3. repacks the per-append small files under the same ``hb=``
+       layout, so the probe's DPP pruning is untouched.
+
+    Offline window discipline: the rewrite snapshots the live file set
+    and REFUSES — restore-and-abort, never silent row loss — if an
+    append lands between snapshot and swap (`_commit_swap(verify_old=)`
+    re-checks the FROZEN set-aside tree, the `rebuild_ivf_index`
+    pattern). Returns ``{"rows_before", "rows_after",
+    "dropped_duplicates", "valved_out"}``."""
+    from ..tables import _commit_swap, _swap_paths
+
+    path = path.rstrip("/")
+    jvm = spark._jvm
+    fs, hpath, tmp, old = _swap_paths(
+        spark, path, "._maintaining", "._premaintain"
+    )
+    idx = spark.read.parquet(path).select("doc_id", "pos", "h")
+    rootlen0 = len(hpath.toUri().getPath()) + 1
+    snapshot = {
+        jvm.org.apache.hadoop.fs.Path(u).toUri().getPath()[rootlen0:]
+        for u in idx.inputFiles()
+    }
+    rows_before = idx.count()
+    deduped = idx.dropDuplicates(["doc_id", "pos", "h"]).localCheckpoint(
+        eager=True
+    )
+    n_dedup = deduped.count()
+    freq = F.count(F.lit(1)).over(W.partitionBy("h"))
+    valved = (
+        deduped.withColumn("_c", freq)
+        .filter(F.col("_c") <= _XSUB_MAX_FREQ)
+        .drop("_c")
+    )
+    _with_bucket(valved).write.mode("overwrite").partitionBy("hb").parquet(
+        str(tmp)
+    )
+    rows_after = spark.read.parquet(str(tmp)).count()
+    deduped.unpersist(blocking=False)
+
+    def _verify_frozen(old_path):
+        rootlen = len(old_path.toUri().getPath()) + 1
+        live = set()
+        it = fs.listFiles(old_path, True)
+        while it.hasNext():
+            p = it.next().getPath()
+            name = p.getName()
+            if not name.startswith("_") and not name.startswith("."):
+                live.add(p.toUri().getPath()[rootlen:])
+        appended = live - snapshot
+        if appended:
+            raise RuntimeError(
+                f"window-index maintenance aborted: {len(appended)} data "
+                f"file(s) were appended to {path} during the rewrite — "
+                "swapping would silently drop those rows; stop admissions "
+                "(offline maintenance window) and re-run"
+            )
+
+    _commit_swap(fs, hpath, tmp, old, path, verify_old=_verify_frozen)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "dropped_duplicates": rows_before - n_dedup,
+        "valved_out": n_dedup - rows_after,
+    }
+
+
 # (applicationId, sf_dir) -> window index path; built once per
 # session/corpus like minhash_index_for, so repeated probes measure the
 # PROBE, not an index rebuild.

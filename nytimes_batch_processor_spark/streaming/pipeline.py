@@ -300,6 +300,77 @@ def stream_curation(
     ).option("checkpointLocation", checkpoint_dir)
 
 
+def foreach_batch_window_admission(index_path: str, spans_path: str):
+    """foreachBatch form of the incremental ExactSubstr story (r15):
+    each micro-batch of (doc_id, text) documents is probed against the
+    persisted window index for maximal shared spans vs PREVIOUSLY
+    indexed documents, its windows are appended under the index's
+    bucket layout, and the batch's span report publishes under
+    ``spans_path/batch_id=N`` with the ``_SUCCESS``-marker idempotency
+    of the other streaming sinks. The span report is ADVISORY (the
+    ExactSubstr contract — removal is the consumer's choice), so
+    nothing is dropped: every batch doc's windows are admitted.
+
+    Determinism under replay — the probe excludes the WHOLE batch's
+    doc ids from the index side (one broadcast anti-join), not just
+    per-row self-matches: a replay that crashed after the index append
+    re-probes with the batch already indexed, and excluding only
+    self-matches would surface within-batch pairs the original run
+    never emitted. 'Spans vs previously indexed docs' is the invariant
+    both runs compute.
+
+    Crash convergence: committed span partition -> whole batch done
+    (one existence check); crash after the append -> the replay
+    re-probes identically (above), RE-APPENDS — at-least-once, so the
+    index may hold duplicate window rows, which are correctness-neutral
+    for span merging (`merge_collision_spans` is dense_rank-immune by
+    design) and reclaimed by `maintain_window_index` — then publishes
+    the span partition."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        from ..ingest import job_commit_succeeded
+        from ..operators.dedup import (
+            append_to_window_index,
+            probe_window_index,
+        )
+
+        spark = batch_df.sparkSession
+        part = f"{spans_path.rstrip('/')}/batch_id={batch_id}"
+        if job_commit_succeeded(spark, part):
+            return
+        batch = batch_df.localCheckpoint(eager=True)  # file-source read once
+        index = spark.read.parquet(index_path).join(
+            F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
+        )
+        spans = probe_window_index(index, batch)
+        append_to_window_index(batch, index_path)
+        spans.write.mode("overwrite").parquet(part)
+
+    return _apply
+
+
+def stream_span_reports(
+    spark: SparkSession,
+    src_dir: str,
+    index_path: str,
+    spans_path: str,
+    checkpoint_dir: str,
+) -> DataStreamWriter:
+    """Streaming ExactSubstr span reporting: the JSONL document stream
+    of `stream_document_admission` routed through
+    `foreach_batch_window_admission` — one dropped file = one probed +
+    indexed batch with its own committed span-report partition. Same
+    drain-and-stop usage as the other streams."""
+    raw = spark.readStream.schema("doc_id LONG, text STRING").option(
+        "maxFilesPerTrigger", 1
+    ).json(src_dir)
+    return raw.writeStream.foreachBatch(
+        foreach_batch_window_admission(index_path, spans_path)
+    ).option("checkpointLocation", checkpoint_dir)
+
+
 def foreach_batch_ann_admission(index_path: str, admitted_path: str):
     """The embedding twin of `foreach_batch_admission`: each micro-batch
     of (vec_id, embedding) rows runs

@@ -1130,3 +1130,93 @@ def test_merge_spans_immune_to_duplicated_candidates(spark, tmp_path):
     # doc 50's duplicated windows: still exactly ONE maximal 40-token
     # span against it (and one against doc 1)
     assert spans == {(100, 1, 4, 3, 40), (100, 50, 4, 1, 40)}, spans
+
+
+def test_maintain_window_index_reapplies_valve(spark, tmp_path):
+    """Appends bypass the build-time frequency valve by design
+    (O(batch) appends); `maintain_window_index` re-applies it over the
+    grown corpus — boilerplate that drifted past _XSUB_MAX_FREQ
+    incrementally is reclaimed, and a later probe of that boilerplate
+    finds nothing, while legitimate shared passages survive."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _XSUB_MAX_FREQ,
+        append_to_window_index,
+        build_window_index,
+        maintain_window_index,
+        probe_window_index,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(25))
+    hot = " ".join(f"h{i}" for i in range(25))
+    path = str(tmp_path / "drift_index")
+    build_window_index(
+        spark.createDataFrame(
+            [(1, "a0 " + passage), (2, "b0 b1 " + hot)],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    # boilerplate arrives incrementally: after these appends `hot`
+    # occurs in _XSUB_MAX_FREQ + 2 docs — past the valve, but appends
+    # never check it
+    flood = spark.createDataFrame(
+        [(10 + i, f"lead{i} " + hot) for i in range(_XSUB_MAX_FREQ + 1)],
+        "doc_id long, text string",
+    )
+    append_to_window_index(flood, path)
+    report = maintain_window_index(spark, path)
+    assert report["dropped_duplicates"] == 0
+    assert report["valved_out"] == _XSUB_MAX_FREQ + 2, report
+    probe = spark.createDataFrame(
+        [(900, "x0 " + hot), (901, passage + " y0")],
+        "doc_id long, text string",
+    )
+    spans = {
+        tuple(r)
+        for r in probe_window_index(spark.read.parquet(path), probe).collect()
+    }
+    assert spans == {(901, 1, 1, 2, 25)}, spans
+
+
+def test_maintain_window_index_refuses_racing_append(spark, tmp_path, monkeypatch):
+    """The maintenance rewrite's offline-window guard: an append
+    landing between the snapshot and the swap is caught by the frozen
+    set-aside re-verification inside _commit_swap — the live tree is
+    restored (WITH the racing append), no swap dirs leak, and an
+    offline retry succeeds."""
+    import os
+
+    import pytest as _pytest
+
+    import nytimes_batch_processor_spark.operators.dedup as D
+    import nytimes_batch_processor_spark.tables as tables
+
+    passage = " ".join(f"p{i}" for i in range(25))
+    path = str(tmp_path / "raced_index")
+    D.build_window_index(
+        spark.createDataFrame(
+            [(1, "a0 " + passage), (2, "b0 " + passage)],
+            "doc_id long, text string",
+        ),
+        path,
+    )
+    late = spark.createDataFrame(
+        [(999, passage + " z0")], "doc_id long, text string"
+    )
+    real = tables._commit_swap
+
+    def racing_swap(fs, hpath, tmp, old, p, verify_old=None):
+        D.append_to_window_index(late, path)  # past any pre-check
+        return real(fs, hpath, tmp, old, p, verify_old=verify_old)
+
+    monkeypatch.setattr(tables, "_commit_swap", racing_swap)
+    with _pytest.raises(RuntimeError, match="during the rewrite"):
+        D.maintain_window_index(spark, path)
+    ids = {r["doc_id"] for r in spark.read.parquet(path).collect()}
+    assert 999 in ids, "restore must keep the racing append"
+    assert not os.path.exists(path + "._maintaining")
+    assert not os.path.exists(path + "._premaintain")
+    monkeypatch.setattr(tables, "_commit_swap", real)
+    report = D.maintain_window_index(spark, path)
+    assert report["dropped_duplicates"] == 0
+    assert {r["doc_id"] for r in spark.read.parquet(path).collect()} == ids

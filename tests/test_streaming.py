@@ -2287,3 +2287,120 @@ def test_migrate_recovery_tolerates_degenerate_manifests(spark, tmp_path):
         (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink2).collect()
     )
     assert got == [(1, -1), (2, -1)], got
+
+
+def test_stream_span_reports_vs_previously_indexed(spark, tmp_path):
+    """The streaming ExactSubstr wrapper (r15): per-batch span reports
+    are computed against PREVIOUSLY indexed docs only (within-batch
+    pairs excluded — the whole-batch anti-join that makes replay
+    deterministic), every batch's windows are admitted, a later batch
+    reports spans against an earlier batch's docs, replay from a wiped
+    checkpoint converges (committed partitions skipped; the
+    at-least-once re-append's duplicate windows are span-neutral), and
+    maintain_window_index reclaims the duplicates without changing any
+    probe result."""
+    import json as _json
+    import shutil as _shutil
+    import time as _time
+
+    from nytimes_batch_processor_spark.ingest import job_commit_succeeded
+    from nytimes_batch_processor_spark.operators.dedup import (
+        build_window_index,
+        maintain_window_index,
+        probe_window_index,
+    )
+    from nytimes_batch_processor_spark.streaming import stream_span_reports
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    index_path = str(tmp_path / "window_index")
+    spans_path = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+
+    passage = " ".join(f"p{i}" for i in range(30))
+    other = " ".join(f"q{i}" for i in range(30))
+    build_window_index(
+        spark.createDataFrame(
+            [(1, "c0 c1 " + passage)], "doc_id long, text string"
+        ),
+        index_path,
+    )
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    def run():
+        q = stream_span_reports(
+            spark, str(src), index_path, spans_path, ckpt
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(180)
+
+    # batch 0: 100 shares the passage with CORPUS doc 1 (span); 101 and
+    # 102 share `other` WITH EACH OTHER only (within-batch -> NO span)
+    drop("a.json", [
+        {"doc_id": 100, "text": "x0 " + passage},
+        {"doc_id": 101, "text": other + " y0"},
+        {"doc_id": 102, "text": "z0 z1 " + other},
+    ])
+    _time.sleep(1.1)
+    # batch 1: 200 shares `other` with batch 0's docs (now indexed)
+    drop("b.json", [{"doc_id": 200, "text": other}])
+    run()
+
+    s0 = {
+        tuple(r)
+        for r in spark.read.schema(
+            "id1 long, id2 long, start1 long, start2 long, span_len long"
+        ).parquet(f"{spans_path}/batch_id=0").collect()
+    }
+    assert s0 == {(100, 1, 2, 3, 30)}, s0
+    s1 = {
+        tuple(r)
+        for r in spark.read.schema(
+            "id1 long, id2 long, start1 long, start2 long, span_len long"
+        ).parquet(f"{spans_path}/batch_id=1").collect()
+    }
+    assert s1 == {(200, 101, 1, 1, 30), (200, 102, 1, 3, 30)}, s1
+    indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert indexed == {1, 100, 101, 102, 200}, indexed
+
+    # replay from a wiped checkpoint: committed partitions short-circuit
+    rows_before_replay = spark.read.parquet(index_path).count()
+    _shutil.rmtree(ckpt)
+    run()
+    assert spark.read.parquet(index_path).count() == rows_before_replay
+    # crash-window replay: span partition 1 lost -> re-probe re-appends
+    # (duplicate windows) but reports the SAME spans
+    _shutil.rmtree(f"{spans_path}/batch_id=1")
+    _shutil.rmtree(ckpt)
+    run()
+    assert {
+        tuple(r)
+        for r in spark.read.schema(
+            "id1 long, id2 long, start1 long, start2 long, span_len long"
+        ).parquet(f"{spans_path}/batch_id=1").collect()
+    } == s1
+    assert job_commit_succeeded(spark, f"{spans_path}/batch_id=1")
+    dup_rows = spark.read.parquet(index_path).count()
+    assert dup_rows > rows_before_replay  # at-least-once append
+
+    # maintenance reclaims the duplicates; probe results are unchanged
+    probe = spark.createDataFrame(
+        [(900, other + " w0 w1")], "doc_id long, text string"
+    )
+    before = {
+        tuple(r)
+        for r in probe_window_index(
+            spark.read.parquet(index_path), probe
+        ).collect()
+    }
+    report = maintain_window_index(spark, index_path)
+    assert report["dropped_duplicates"] == dup_rows - rows_before_replay
+    assert report["rows_after"] == rows_before_replay - report["valved_out"]
+    after = {
+        tuple(r)
+        for r in probe_window_index(
+            spark.read.parquet(index_path), probe
+        ).collect()
+    }
+    assert after == before

@@ -625,6 +625,7 @@ def window_probe_scale_measure(spark, k: int, sf_dir: str) -> dict:
     from nytimes_batch_processor_spark.operators.dedup import (
         _PROBE_BATCH_MOD,
         build_window_index,
+        maintain_window_index,
         merge_collision_spans,
         probe_window_candidates,
     )
@@ -635,6 +636,15 @@ def window_probe_scale_measure(spark, k: int, sf_dir: str) -> dict:
             F.col("doc_id") % _PROBE_BATCH_MOD != 0
         ),
         idx_path,
+    )
+    # the ONE maintenance entrypoint runs per scale, like the MinHash
+    # and IVF twins — the probe below measures the MAINTAINED index (a
+    # fresh build has nothing to dedupe or re-valve, so this also pins
+    # maintenance as a no-op on healthy indexes at every scale)
+    maint = maintain_window_index(spark, idx_path)
+    assert maint["dropped_duplicates"] == 0 and maint["valved_out"] == 0, (
+        f"window-index maintenance on a FRESH x{k} build reclaimed rows "
+        f"({maint}) — build and maintenance valve semantics diverged"
     )
     batch = spark.read.parquet(f"{BASE}/documents.parquet").filter(
         F.col("doc_id") % _PROBE_BATCH_MOD == 0
