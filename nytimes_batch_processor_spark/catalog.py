@@ -101,18 +101,11 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r15 entries accumulate here as code changes this round; the r14
-    # block expired when CORRECTNESS_r14.json was recorded (the
-    # rnd < latest gate in tests/test_rotation.py) and was deleted as
-    # this round's first-commit hygiene step.
-    # curate_admission_twin: curate_admission_pipeline's manifest
-    # derivation was factored into the shared manifest_from_admitted
-    # (r15, for the streaming wrapper) — value-identical, but changed
-    # code on the entry's execution path re-verifies (the r4 lesson).
-    # NOT the sink-guard change: the twin calls the pipeline without an
-    # admitted_path, so admit_sink_upsert never runs on its path
-    # (self-review r15 corrected this comment's first draft).
-    15: ("curate_admission_twin",),
+    # r16 entries accumulate here as code changes this round; the r15
+    # block (curate_admission_twin, for the manifest_from_admitted
+    # factoring) expired when CORRECTNESS_r15.json was recorded — the
+    # entry is hash-green in that sweep — and was deleted as this
+    # round's first-commit hygiene step.
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
