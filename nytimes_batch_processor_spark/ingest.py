@@ -248,7 +248,18 @@ def admit_sink_upsert(
                     "partition discovery for every later read — run "
                     "migrate_admitted_sink(spark, path) or use a fresh path"
                 )
+            # caching BEFORE the write is sound for this mode's own
+            # fact ('no flat files at root'): a batch write — failed or
+            # not — never creates flat root files; the only event that
+            # stales it is a successful FLAT write, which discards this
+            # entry below.
             _LAYOUT_CHECKED.add(("batch", cache_key))
+        # The sink is (about to be) batch-partitioned: a standing flat
+        # pass is stale from here on, even on the replay-skip path — an
+        # empty flat append in this process followed by a partition
+        # COMMITTED BY ANOTHER PROCESS would otherwise leave the flat
+        # entry live with batch_id= dirs on disk (ADVICE r15).
+        _LAYOUT_CHECKED.discard(("flat", cache_key))
         part_dir = os.path.join(admitted_path, f"batch_id={batch_id}")
         if job_commit_succeeded(spark, part_dir):
             return
@@ -265,7 +276,6 @@ def admit_sink_upsert(
                 "partition discovery for every later read — pass the "
                 "stream's batch_id, or use a fresh path for ad-hoc batches"
             )
-        _LAYOUT_CHECKED.add(("flat", cache_key))
     to_insert = admitted_rows
     if target_exists(spark, admitted_path):
         existing = spark.read.schema(f"{key} {key_type}").parquet(
@@ -273,6 +283,13 @@ def admit_sink_upsert(
         )
         to_insert = admitted_rows.join(existing, key, "left_anti")
     to_insert.write.mode("append").parquet(admitted_path)
+    # Cache the flat pass only AFTER the append lands (ADVICE r15: a
+    # validate-then-fail — or an empty append that leaves no root data
+    # file — must not stand as a pass across a later partitioned write),
+    # and stale the batch entry: this write may have just created the
+    # flat root files the batch guard's cached 'no flat files' denies.
+    _LAYOUT_CHECKED.add(("flat", cache_key))
+    _LAYOUT_CHECKED.discard(("batch", cache_key))
 
 
 def compact_admitted_sink(
@@ -496,6 +513,41 @@ def migrate_admitted_sink(
                 rec_id, names = legacy_batch_id, []
         else:
             rec_id, names = legacy_batch_id, lines
+            # The headerless format cannot tell us the crashed call's
+            # id. If that run already PUBLISHED under a different id,
+            # assuming the current argument would read 'not committed',
+            # delete the only breadcrumb, and strand duplicated rows
+            # (flat files + the published partition) behind the
+            # mixed-layout refusal (ADVICE r15). The published
+            # partition is findable: migration ids are negative and
+            # stream ids non-negative, so any COMMITTED negative
+            # partition is a migration's. Exactly one -> recover under
+            # it; more than one is a state this tool never produces ->
+            # refuse, naming the manifest, instead of guessing.
+            if not job_commit_succeeded(spark, str(_p(f"batch_id={rec_id}"))):
+                negs = []
+                for st in fs.listStatus(root):
+                    nm = st.getPath().getName()
+                    if not (st.isDirectory() and nm.startswith("batch_id=-")):
+                        continue
+                    try:
+                        neg = int(nm.split("=", 1)[1])
+                    except ValueError:
+                        continue
+                    if job_commit_succeeded(spark, str(st.getPath())):
+                        negs.append(neg)
+                negs.sort()
+                if len(negs) == 1:
+                    rec_id = negs[0]
+                elif len(negs) > 1:
+                    raise ValueError(
+                        f"admitted sink {admitted_path} holds a headerless "
+                        f"migration manifest ({manifest}) and MULTIPLE "
+                        f"committed negative batch partitions {negs}; the "
+                        "crashed migration's id cannot be recovered — "
+                        "resolve by hand (the manifest lists the flat "
+                        "files the crashed run was migrating)"
+                    )
         rec_part = _p(f"batch_id={rec_id}")
         if job_commit_succeeded(spark, str(rec_part)):
             # crashed between publish and cleanup — finish the cleanup

@@ -1976,6 +1976,27 @@ def append_to_window_index(docs: DataFrame, path: str) -> None:
     ).partitionBy("hb").parquet(path)
 
 
+def window_index_or_empty(
+    spark: SparkSession, path: str, docs_like: DataFrame
+) -> DataFrame:
+    """Read the persisted window index — or, when ``path`` does not
+    exist yet, an EMPTY window frame with the index's exact schema
+    (derived from the production window builder over ``docs_like``'s
+    zero-row slice, so the two can never drift). This is the fresh-
+    deployment bootstrap (ADVICE r15): the first micro-batch of
+    `stream_span_reports` probes against nothing, reports no spans,
+    and its own `append_to_window_index` CREATES the index under the
+    standard ``hb=`` bucket layout — no `build_window_index`
+    precondition. A pre-built corpus index, when one exists, is still
+    the right starting point (its build-time frequency valve filters
+    corpus boilerplate; appends bypass the valve by design)."""
+    from ..ingest import target_exists
+
+    if target_exists(spark, path):
+        return spark.read.parquet(path)
+    return _with_bucket(exact_substring_windows(docs_like.limit(0)))
+
+
 def probe_window_candidates(
     index: DataFrame, batch_docs: DataFrame, hint_broadcast: bool = True
 ) -> DataFrame:

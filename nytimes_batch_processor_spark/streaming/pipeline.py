@@ -325,7 +325,14 @@ def foreach_batch_window_admission(index_path: str, spans_path: str):
     index may hold duplicate window rows, which are correctness-neutral
     for span merging (`merge_collision_spans` is dense_rank-immune by
     design) and reclaimed by `maintain_window_index` — then publishes
-    the span partition."""
+    the span partition.
+
+    Fresh deployment (ADVICE r15): no pre-built window index is
+    required — an absent ``index_path`` bootstraps as an empty window
+    frame (`window_index_or_empty`), so batch 0 reports no spans and
+    its own append creates the index; `build_window_index` remains the
+    right starting point when a corpus pre-exists (its build-time
+    frequency valve filters boilerplate that appends never re-check)."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
@@ -334,6 +341,7 @@ def foreach_batch_window_admission(index_path: str, spans_path: str):
         from ..operators.dedup import (
             append_to_window_index,
             probe_window_index,
+            window_index_or_empty,
         )
 
         spark = batch_df.sparkSession
@@ -341,7 +349,7 @@ def foreach_batch_window_admission(index_path: str, spans_path: str):
         if job_commit_succeeded(spark, part):
             return
         batch = batch_df.localCheckpoint(eager=True)  # file-source read once
-        index = spark.read.parquet(index_path).join(
+        index = window_index_or_empty(spark, index_path, batch).join(
             F.broadcast(batch.select("doc_id")), "doc_id", "left_anti"
         )
         spans = probe_window_index(index, batch)

@@ -212,3 +212,18 @@ def test_mh_bucket_occupancy_gate_is_absolute_or_nonconcentrating():
     hi3[MH_OCCUPANCY_KEY] = 0.5
     out = compute_gate({"x1": lo, "x10": hi3}, 10, "b")
     assert not out["occupancy_ok"] and not out["linear_ok"]
+
+    # base-scale degeneracy (ADVICE r15): a hash already pooled at x1
+    # holds ~1.0 at EVERY scale — perfectly "non-concentrating", so the
+    # relative arm alone passes it; the hard degeneracy ceiling fails it
+    lo4, hi4 = _row(1), _row(10)
+    lo4[MH_OCCUPANCY_KEY] = 0.98
+    hi4[MH_OCCUPANCY_KEY] = 0.98
+    out = compute_gate({"x1": lo4, "x10": hi4}, 10, "b")
+    assert not out["occupancy_ok"] and not out["linear_ok"]
+    # ...and the ceiling leaves the real fixture's dup-heavy base
+    # (~0.35, diluting) untouched: just-under-ceiling base still passes
+    lo5, hi5 = _row(1), _row(10)
+    lo5[MH_OCCUPANCY_KEY] = 0.55
+    hi5[MH_OCCUPANCY_KEY] = 0.3
+    assert compute_gate({"x1": lo5, "x10": hi5}, 10, "b")["occupancy_ok"]

@@ -1998,6 +1998,66 @@ def test_compact_admitted_sink_files_after_is_recounted(spark, tmp_path):
     assert stats["files_after"] <= stats["files_before"], stats
 
 
+def test_admit_sink_flat_cache_entry_lands_after_the_write(spark, tmp_path):
+    """ADVICE r15: the flat-mode layout pass must be cached AFTER the
+    append lands, and each mode's write must stale the other mode's
+    entry. Two leak shapes, both previously standing passes:
+
+    1. an EMPTY flat append — measured: Spark still writes one (empty)
+       root part file, so the later batch write refuses on the REAL
+       listing; pinned here so the guard's premise ('flat data files at
+       root') stays observable, not assumed;
+    2. a flat append that FAILS mid-write after validation — no
+       standing pass may survive; the later batch write must succeed
+       and the flat mode must then re-check and refuse.
+    """
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.ingest import admit_sink_upsert
+
+    rows = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+
+    # shape 1: empty flat append, then a batch write at the same path —
+    # the empty append leaves a real (empty) root part file, so the
+    # batch guard refuses on the listing itself
+    sink = str(tmp_path / "empty_flat_first")
+    empty = rows.where(F.lit(False))
+    admit_sink_upsert(spark, empty, sink, "doc_id")
+    with _pytest.raises(ValueError, match="flat"):
+        admit_sink_upsert(spark, rows, sink, "doc_id", batch_id=0)
+
+    # shape 2: flat append validates but the write itself fails — no
+    # standing pass may survive the failure
+    sink2 = str(tmp_path / "failed_flat_first")
+    poisoned = rows.withColumn(
+        "boom",
+        F.when(F.col("doc_id") >= 0, F.raise_error(F.lit("injected"))),
+    )
+    with _pytest.raises(Exception, match="injected"):
+        admit_sink_upsert(spark, poisoned, sink2, "doc_id")
+    admit_sink_upsert(spark, rows, sink2, "doc_id", batch_id=0)
+    with _pytest.raises(ValueError, match="partitioned"):
+        admit_sink_upsert(spark, rows, sink2, "doc_id")
+
+    # and the flat->batch stale direction: a successful FLAT append must
+    # discard a standing batch-mode 'no flat files' pass (stale-entry
+    # injection — end-to-end the batch dir debris of a failed batch
+    # write already trips the flat guard, so the cache shape is planted
+    # directly, the advice's 'failure after the cache add' case)
+    from nytimes_batch_processor_spark.ingest import (
+        _LAYOUT_CHECKED,
+        _norm_sink_path,
+    )
+
+    sink3 = str(tmp_path / "stale_batch_then_flat")
+    _LAYOUT_CHECKED.add(("batch", _norm_sink_path(sink3)))
+    admit_sink_upsert(spark, rows, sink3, "doc_id")  # flat files land
+    assert ("batch", _norm_sink_path(sink3)) not in _LAYOUT_CHECKED
+    with _pytest.raises(ValueError, match="flat"):
+        admit_sink_upsert(spark, rows, sink3, "doc_id", batch_id=1)
+
+
 def test_migrate_admitted_sink_lifts_flat_layout(spark, tmp_path):
     """`migrate_admitted_sink` (VERDICT r14 item 4): a legacy flat sink
     moves into the batch-partitioned layout in place — all legacy rows
@@ -2263,6 +2323,47 @@ def test_migrate_recovery_tolerates_degenerate_manifests(spark, tmp_path):
     )
     assert got == [(1, -2), (2, -2)], got
 
+    # (a1b) headerless manifest + committed partition, re-run with a
+    # DIFFERENT id than the crashed run used (ADVICE r15): the re-run
+    # must find the committed negative partition and finish ITS
+    # cleanup — not read 'not committed' under its own id, delete the
+    # manifest breadcrumb, and strand duplicated rows behind the
+    # mixed-layout refusal
+    import pytest as _pytest
+
+    sinkb = str(tmp_path / "headerless_otherid")
+    admit_sink_upsert(spark, rows, sinkb, "doc_id")
+    names_b = sorted(
+        n for n in _os.listdir(sinkb) if not n.startswith(("_", "."))
+    )
+    spark.read.parquet(sinkb).write.parquet(f"{sinkb}/batch_id=-7")
+    with open(f"{sinkb}/.migrate_manifest", "w") as f:
+        f.write("\n".join(names_b) + "\n")
+    report = migrate_admitted_sink(spark, sinkb)  # default id -1, not -7
+    assert report["status"] == "recovered" and report["legacy_batch_id"] == -7
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sinkb).collect()
+    )
+    assert got == [(1, -7), (2, -7)], got
+
+    # (a1c) headerless manifest + TWO committed negative partitions:
+    # unrecoverable ambiguity this tool never produces — refuse loudly
+    # (naming the manifest) and leave every breadcrumb in place
+    sinkc = str(tmp_path / "headerless_ambiguous")
+    admit_sink_upsert(spark, rows, sinkc, "doc_id")
+    names_c = sorted(
+        n for n in _os.listdir(sinkc) if not n.startswith(("_", "."))
+    )
+    spark.read.parquet(sinkc).write.parquet(f"{sinkc}/batch_id=-7")
+    spark.read.parquet(sinkc).write.parquet(f"{sinkc}/batch_id=-8")
+    with open(f"{sinkc}/.migrate_manifest", "w") as f:
+        f.write("\n".join(names_c) + "\n")
+    with _pytest.raises(ValueError, match="migrate_manifest"):
+        migrate_admitted_sink(spark, sinkc)
+    assert _os.path.exists(f"{sinkc}/.migrate_manifest")
+    for n in names_c:
+        assert _os.path.exists(f"{sinkc}/{n}"), n
+
     # (a2) truncated header ('batch_id=' with the value lost mid-flush):
     # written strictly before anything publishes, so the re-run
     # restarts cleanly instead of wedging on int('')
@@ -2404,3 +2505,56 @@ def test_stream_span_reports_vs_previously_indexed(spark, tmp_path):
         ).collect()
     }
     assert after == before
+
+
+def test_stream_span_reports_bootstraps_fresh_index(spark, tmp_path):
+    """ADVICE r15: stream_span_reports on a FRESH deployment — no
+    build_window_index call, no index path on disk — must not fail on
+    its first micro-batch. Batch 0 probes an empty bootstrap frame
+    (zero spans) and its own append CREATES the index under the hb=
+    bucket layout; batch 1 then reports spans against batch 0's docs,
+    proving the bootstrapped index is the same probe-able shape a
+    built one has."""
+    import json as _json
+    import time as _time
+
+    from nytimes_batch_processor_spark.ingest import job_commit_succeeded
+    from nytimes_batch_processor_spark.streaming import stream_span_reports
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    index_path = str(tmp_path / "window_index")  # never created
+    spans_path = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+
+    passage = " ".join(f"p{i}" for i in range(30))
+
+    def drop(name, rows):
+        (src / name).write_text("\n".join(_json.dumps(r) for r in rows) + "\n")
+
+    drop("a.json", [{"doc_id": 100, "text": "x0 x1 " + passage}])
+    _time.sleep(1.1)
+    drop("b.json", [{"doc_id": 200, "text": passage + " y0"}])
+    q = stream_span_reports(
+        spark, str(src), index_path, spans_path, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    schema = "id1 long, id2 long, start1 long, start2 long, span_len long"
+    s0 = spark.read.schema(schema).parquet(f"{spans_path}/batch_id=0").collect()
+    assert s0 == [], s0
+    assert job_commit_succeeded(spark, f"{spans_path}/batch_id=0")
+    s1 = {
+        tuple(r)
+        for r in spark.read.schema(schema)
+        .parquet(f"{spans_path}/batch_id=1")
+        .collect()
+    }
+    assert s1 == {(200, 100, 1, 3, 30)}, s1
+    # the bootstrapped index carries the standard bucket layout
+    idx = spark.read.parquet(index_path)
+    assert {"doc_id", "pos", "h", "hb"} <= set(idx.columns)
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        100,
+        200,
+    }

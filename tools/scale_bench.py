@@ -931,9 +931,15 @@ OCCUPANCY_KEY = "ix_ann_max_cell_share"
 # (dedup.MINHASH_MAX_BUCKET_SHARE — the admission-maintained-index
 # contract, pytest-pinned via the boilerplate flood) or no more
 # concentrated than the base fixture (x1 share * 1.2). Measured here:
-# 0.35 -> 0.20 -> 0.06, monotone dilution.
+# 0.35 -> 0.20 -> 0.06, monotone dilution. The relative arm alone
+# cannot see a hash ALREADY degenerate at the base scale — a ~1.0
+# share at every scale is "non-concentrating" — so a hard degeneracy
+# ceiling caps it (ADVICE r15): 0.6 sits ~1.7x above the measured
+# dup-heavy base (drift room) and far below the one-bucket pool a
+# width failure produces.
 MH_OCCUPANCY_KEY = "ix_mh_max_bucket_share"
 MH_CONCENTRATION_SLACK = 1.2
+MH_DEGENERACY_CEILING = 0.6
 
 
 def compute_gate(results: dict, factor: int, base: str) -> dict:
@@ -982,6 +988,10 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     mh_base = lo[MH_OCCUPANCY_KEY]
     occupancy_ok = all(
         row[OCCUPANCY_KEY] <= IVF_MAX_CELL_SHARE
+        # degeneracy ceiling FIRST (ADVICE r15): the relative arm is
+        # measured against the base share, so a hash already pooled at
+        # x1 (~1.0 everywhere) would otherwise read non-concentrating
+        and row[MH_OCCUPANCY_KEY] <= MH_DEGENERACY_CEILING
         and (
             row[MH_OCCUPANCY_KEY] <= MINHASH_MAX_BUCKET_SHARE
             or row[MH_OCCUPANCY_KEY] <= mh_base * MH_CONCENTRATION_SLACK
@@ -1001,6 +1011,7 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "occupancy_ok": occupancy_ok,
         "occupancy_bound": IVF_MAX_CELL_SHARE,
         "mh_bucket_bound": MINHASH_MAX_BUCKET_SHARE,
+        "mh_degeneracy_ceiling": MH_DEGENERACY_CEILING,
         "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok,
     }
 
