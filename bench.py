@@ -142,6 +142,11 @@ HEADLINE = [
     # merged from the collision set. The timed passes measure the
     # PROBE, the production steady state.
     "dedup_incremental_spans",
+    # r16: semantic (embedding-cosine) dedup — map-only 2-nearest-cell
+    # assignment (one F.expr centroid literal), ONE exchange for the
+    # within-shared-cell exact-cosine self-join (~500k candidate pairs
+    # x 64-dim dot at sf0.1 under k=16), min-id verdict groupBy.
+    "dedup_semantic_embedding",
 ]
 
 

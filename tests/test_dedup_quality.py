@@ -1220,3 +1220,47 @@ def test_maintain_window_index_refuses_racing_append(spark, tmp_path, monkeypatc
     report = D.maintain_window_index(spark, path)
     assert report["dropped_duplicates"] == 0
     assert {r["doc_id"] for r in spark.read.parquet(path).collect()} == ids
+
+
+def test_semdedup_verdicts_vs_bruteforce(spark, duck, sf_dir):
+    """Semantic dedup (r16): within-shared-cell compares are EXACT
+    cosine, so every 'drop' must be a true brute-force near-dup
+    (precision 1.0 by construction — pinned, not assumed), and the
+    2-nearest-cell multi-assignment must recover a solid fraction of
+    the brute-force drop set on the no-cluster random fixture
+    (measured 0.48 pair recall / higher verdict recall at sf0.01;
+    single-cell measures 0.20 — the recall lever the docstring
+    claims). canon_id is a LOWER id for drops and NULL for keeps."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        SEMDEDUP_COS,
+        dedup_semantic_embedding,
+    )
+
+    truth_drops = {
+        r[0]
+        for r in duck.execute(
+            f"""
+            WITH v AS (
+                SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                       sqrt(list_sum(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+                FROM embeddings
+            )
+            SELECT DISTINCT b.vec_id
+            FROM v a JOIN v b ON a.vec_id < b.vec_id AND a.nrm > 0 AND b.nrm > 0
+            WHERE list_inner_product(a.e, b.e) / (a.nrm * b.nrm) >= {SEMDEDUP_COS!r}
+            """
+        ).fetchall()
+    }
+    rows = dedup_semantic_embedding(spark, sf_dir).collect()
+    drops = {r["vec_id"] for r in rows if r["status"] == "drop"}
+    assert drops <= truth_drops, drops - truth_drops  # precision 1.0
+    recall = len(drops & truth_drops) / len(truth_drops)
+    print(f"semdedup verdict recall vs brute force: {recall:.3f}")
+    assert recall >= 0.4, recall
+    for r in rows:
+        if r["status"] == "drop":
+            assert r["canon_id"] is not None and r["canon_id"] < r["vec_id"], r
+            assert r["n_dups"] >= 1, r
+        else:
+            assert r["canon_id"] is None and r["n_dups"] == 0, r

@@ -705,6 +705,55 @@ def xsub_scale_measure(spark, sf_dir: str) -> dict:
     }
 
 
+def semdedup_scale_measure(spark, sf_dir: str, k: int) -> dict:
+    """SemDedup family (r16): the full per-scale embedding corpus under
+    the k ∝ N bounded-cell-size policy — 16*k fixed centroids at scale
+    x`k` (`ivf_fixed_centers` generates any k deterministically), so
+    the mean cell holds ~125 vectors at every scale and the within-
+    shared-cell candidate volume (sum over cells of |c|^2, the
+    SemDedup cost model) must track ~linear. The CATALOG entry stays
+    at k=16 — the size its oracle replays; this family gates the
+    production policy its docstring claims. Dup pairs are ~linear too:
+    circular rotation is an isometry, so every replica reproduces the
+    base corpus's internal near-dup pairs exactly, and cross-replica
+    chance pairs scale with candidates. Counts come from ONE executed
+    candidate plan (the xsub one-join rule); the wall covers the whole
+    assign -> compare -> verdict chain."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        SEMDEDUP_COS,
+        _as_double,
+        _norm,
+        ivf_fixed_centers,
+        semdedup_assigned,
+        semdedup_candidate_pairs,
+    )
+
+    vec = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    centers = ivf_fixed_centers(16 * k, 64)
+    t0 = time.perf_counter()
+    assigned = semdedup_assigned(vec, centers)
+    cand = semdedup_candidate_pairs(assigned).localCheckpoint(eager=True)
+    n_cand = cand.count()
+    dup = cand.filter(F.col("cos_raw") >= SEMDEDUP_COS).select("id1", "id2")
+    n_pairs = dup.distinct().count()
+    # verdict stage over the pinned candidates (the groupBy the entry
+    # runs), closing the timed chain
+    n_drops = dup.select("id2").distinct().count()
+    wall = round(time.perf_counter() - t0, 3)
+    cand.unpersist(blocking=False)
+    return {
+        "sem_cells": 16 * k,
+        "sem_candidates": n_cand,
+        "sem_dup_pairs": n_pairs,
+        "sem_drops": n_drops,
+        "sem_wall_sec": wall,
+    }
+
+
 def merge_scale_measure(spark, k: int) -> dict:
     """MERGE family (VERDICT r10 item 5): a FIXED change batch (derived
     from replica 0 only) merged into a x`k` base table whose replicas
@@ -839,6 +888,11 @@ COUNT_KEYS = (
     "xsub_surviving_windows",
     "xsub_candidates",
     "xsub_spans",
+    # r16: SemDedup under the k ∝ N bounded-cell-size policy — see
+    # semdedup_scale_measure for why every one of these is ~linear
+    "sem_candidates",
+    "sem_dup_pairs",
+    "sem_drops",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
 # not see its MinHash candidate/match mass move at all (shingle-disjoint
@@ -898,6 +952,7 @@ WALL_KEYS = (
     "pipe_wall_sec",
     "xsub_wall_sec",
     "ix_xsub_wall_sec",
+    "sem_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
@@ -1184,6 +1239,9 @@ def main() -> None:
         # the exact-substring span family over the full per-scale corpus
         # (r15: windows/candidates/spans linear under the frequency valve)
         row.update(xsub_scale_measure(spark, sf_dir))
+        # the SemDedup family over the full per-scale corpus under the
+        # k ∝ N bounded-cell-size policy (r16)
+        row.update(semdedup_scale_measure(spark, sf_dir, k))
         # ... and its index-scaled axis: fixed base batch vs the x`k`
         # window index (r15: candidates/spans FLAT)
         row.update(window_probe_scale_measure(spark, k, sf_dir))
