@@ -152,7 +152,12 @@ def _norm_sink_path(path: str) -> str:
 # 'no flat files', flat mode checks 'no batch_id= dirs' — and each
 # mode's own writes change the fact the OTHER mode needs to re-check,
 # so a shared per-path entry would let a flat append pre-validate a
-# later partitioned write onto the files it just created.
+# later partitioned write onto the files it just created. Lifecycle
+# (ADVICE r15): the FLAT entry lands only after its append succeeds (a
+# validate-then-fail must not stand as a pass), and each mode's path
+# discards the OTHER mode's entry — flat on write success, batch as
+# soon as the mode is entered (its partitions may have been committed
+# by another process while a stale flat pass stood).
 _LAYOUT_CHECKED: set[tuple[str, str]] = set()
 
 

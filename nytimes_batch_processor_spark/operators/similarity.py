@@ -1898,11 +1898,22 @@ def semdedup_assigned(
 ) -> DataFrame:
     """Multi-assignment stage: (vec_id, e, nrm, cells = the n_assign
     nearest cell ids, nearest first) for every non-zero-norm vector —
-    MAP-ONLY (the centroid tensor is one F.expr literal), checkpointed
-    once so both sides of the pair self-join scan the same blocks."""
+    one round-robin exchange + the map-only assignment (the centroid
+    tensor is one F.expr literal), checkpointed once so both sides of
+    the pair self-join scan the same blocks. The repartition is
+    load-bearing, not cosmetic: under the local AQE plan the compare
+    stage is a BroadcastHashJoin whose parallelism is the PROBE side's
+    partitioning, and a small parquet corpus scans as 1-2 partitions —
+    which serializes the whole O(sum |c|^2) exact-cosine compare onto
+    one core (measured at sf0.1: 5.8s -> 0.46s for the pair stage at
+    32 slots, the entry's dominant cost). At cluster scale the join is
+    an SMJ exchanging on `cell` and sizes itself; the round-robin
+    spread only has to fix the broadcast-plan case."""
     ranked = F.slice(_ranked_probe_cells(centers), 1, n_assign)
+    sc = vectors.sparkSession.sparkContext
     assigned = (
         vectors.filter(F.col("nrm") > 0)
+        .repartition(sc.defaultParallelism)
         .select("vec_id", "e", "nrm", ranked.alias("cells"))
         .localCheckpoint(eager=True)
     )

@@ -713,11 +713,13 @@ def semdedup_scale_measure(spark, sf_dir: str, k: int) -> dict:
     shared-cell candidate volume (sum over cells of |c|^2, the
     SemDedup cost model) must track ~linear. The CATALOG entry stays
     at k=16 — the size its oracle replays; this family gates the
-    production policy its docstring claims. Dup pairs are ~linear too:
-    circular rotation is an isometry, so every replica reproduces the
-    base corpus's internal near-dup pairs exactly, and cross-replica
-    chance pairs scale with candidates. Counts come from ONE executed
-    candidate plan (the xsub one-join rule); the wall covers the whole
+    production policy its docstring claims. Dup pairs are recorded but
+    NOT gated — see the COUNT_KEYS note: at this fixture's 0.35 bar
+    the true above-bar pair set grows ~quadratically (chance mass),
+    and smaller cells enrich the hit rate per candidate, so yield
+    rising super-linearly at LINEAR candidate cost is the operator
+    working, not breaking. Counts come from ONE executed candidate
+    plan (the xsub one-join rule); the wall covers the whole
     assign -> compare -> verdict chain."""
     from nytimes_batch_processor_spark.operators.similarity import (
         SEMDEDUP_COS,
@@ -888,10 +890,20 @@ COUNT_KEYS = (
     "xsub_surviving_windows",
     "xsub_candidates",
     "xsub_spans",
-    # r16: SemDedup under the k ∝ N bounded-cell-size policy — see
-    # semdedup_scale_measure for why every one of these is ~linear
+    # r16: SemDedup under the k ∝ N bounded-cell-size policy. Gated:
+    # candidates (the COST model — measured exactly 10.0x at x10) and
+    # drops (bounded by the vector count, which grows x factor).
+    # sem_dup_pairs is RECORDED but deliberately NOT gated: the first
+    # wiring gated it linear and the x10 run failed at 30.5x — the
+    # fixture telling the truth, not a regression. At the 0.35 bar
+    # (~2.8 sigma on this no-cluster fixture) the corpus's true
+    # above-bar pair set grows ~quadratically (chance mass ∝ N^2),
+    # and tighter cells under k ∝ N ENRICH the linear candidate
+    # stream's hit rate (measured 0.41% at k=16 -> 1.24% at k=160) —
+    # the operator finding MORE of the real pairs at the SAME linear
+    # cost. Yield converging toward the quadratic truth is success;
+    # only the candidate volume is a scale claim.
     "sem_candidates",
-    "sem_dup_pairs",
     "sem_drops",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
