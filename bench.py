@@ -147,6 +147,14 @@ HEADLINE = [
     # within-shared-cell exact-cosine self-join (~500k candidate pairs
     # x 64-dim dot at sf0.1 under k=16), min-id verdict groupBy.
     "dedup_semantic_embedding",
+    # r16 (late): the ANN admission twin — like stream_admission_twin,
+    # each run is TWO full admission lifecycles (clone the session-
+    # cached corpus index, then per batch: pinned assignment, DPP cell
+    # probe, within-batch self-probe, ledger checkpoint, sink-less
+    # admit, index append at precomputed cells) — ~a dozen small jobs,
+    # so its ~7s at sf0.1 is fixed lifecycle overhead + genuine
+    # admission cost, not a scan problem.
+    "stream_ann_admission_twin",
 ]
 
 

@@ -1603,7 +1603,17 @@ def admit_ivf_batch(
         F.lit(0).cast("long").alias("n_matches"),
     )
     valid = v.filter(F.col("nrm") > 0.0)
-    assigned = _assign_cells(valid, centers).localCheckpoint(eager=True)
+    # Round-robin the batch to session parallelism before the pinned
+    # assignment: a small file-source micro-batch scans as ONE
+    # partition, and both probes' exact-cosine evaluation parallelism
+    # is the probe side's partitioning under the broadcast plan — the
+    # `semdedup_assigned` lesson (r16), measured here 11s -> ~1s per
+    # admit call at sf0.1.
+    sc = valid.sparkSession.sparkContext
+    assigned = (
+        _assign_cells(valid.repartition(sc.defaultParallelism), centers)
+        .localCheckpoint(eager=True)
+    )
     index = spark.read.parquet(index_path)
     idx_m = (
         probe_ivf_index(index, assigned, centers=centers)
@@ -2100,3 +2110,190 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("nrm", _norm(F.col("e")))
     return semdedup_verdicts(v, ivf_fixed_centers())
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN admission — the oracle-backed batch twin (r16)
+# ---------------------------------------------------------------------------
+
+_ANN_ADMIT_CORPUS_RES = 4  # corpus slice: vec_id % 5 == 4
+_ANN_ADMIT_BATCHES = ((0, 1), (2, 3))  # two micro-batches by residue
+_ANN_ADMIT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def ann_admission_index_for(spark: SparkSession, sf_dir: str) -> str:
+    """Session-cached IVF parquet index over the ADMISSION corpus slice
+    (vec_id % 5 == _ANN_ADMIT_CORPUS_RES) — the embedding analogue of
+    `dedup.admission_corpus_index_for`, so repeated twin invocations
+    (bench passes, driver re-runs) clone a prebuilt index instead of
+    re-running the corpus argmin pass inside the timed body."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _ANN_ADMIT_CACHE.get(key)
+    if path is None:
+        from ..tables import warehouse_scratch_path
+
+        path = warehouse_scratch_path(
+            spark, "ann_admission_index", sf_dir, per_app=True
+        )
+        t = load_tables(spark, sf_dir, "embeddings")
+        build_ivf_parquet_index(
+            t.embeddings.filter(
+                F.col("vec_id") % 5 == _ANN_ADMIT_CORPUS_RES
+            ),
+            path,
+        )
+        _ANN_ADMIT_CACHE[key] = path
+    return path
+
+
+def _ann_admission_oracle(
+    k: int = _IVF_K, nprobe: int = _IVF_FIXED_NPROBE
+) -> str:
+    """DuckDB twin of `stream_ann_admission_twin`: the fixed-centroid
+    distance literals (bit-identical assignment + probe ranking — the
+    `_sim_probe_oracle` construction), with the SEQUENTIAL index-growth
+    semantics unrolled — batch 0 probes the corpus index, its
+    admissions join the index (at their already-computed argmin cells),
+    batch 1 probes the grown index; within-batch pairs are kept when
+    found in EITHER probe direction and canonicalized greatest->least,
+    exactly the `admit_ivf_batch` asymmetric-probe rule."""
+    centers = ivf_fixed_centers(k, 64)
+    ds = _oracle_dist_list(centers)
+    cor = _ANN_ADMIT_CORPUS_RES
+    b0 = ", ".join(map(str, _ANN_ADMIT_BATCHES[0]))
+    b1 = ", ".join(map(str, _ANN_ADMIT_BATCHES[1]))
+    bar = _SIM_PROBE_DUP_COS
+    return f"""
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+           sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id, e, nrm,
+        [{ds}] AS ds
+    FROM v WHERE nrm > 0
+),
+a AS (
+    SELECT vec_id, e, nrm, CAST(list_position(ds, list_min(ds)) - 1 AS INT) AS cell
+    FROM d
+),
+pc AS (
+    SELECT vec_id AS qid, cell FROM (
+        SELECT d.vec_id, CAST(i.i - 1 AS INT) AS cell,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.vec_id ORDER BY ds[i.i] ASC, i.i ASC
+               ) AS rnk_c
+        FROM d CROSS JOIN (SELECT unnest(generate_series(1, {k})) AS i) i
+    ) WHERE rnk_c <= {nprobe}
+),
+idx0 AS (SELECT * FROM a WHERE vec_id % 5 = {cor}),
+bat0 AS (SELECT * FROM a WHERE vec_id % 5 IN ({b0})),
+m0 AS (
+    SELECT vec_id, MIN(canon_id) AS canon_id,
+           CAST(COUNT(DISTINCT canon_id) AS BIGINT) AS n_matches
+    FROM (
+        SELECT p.qid AS vec_id, x.vec_id AS canon_id
+        FROM pc p JOIN bat0 q ON q.vec_id = p.qid
+        JOIN idx0 x ON x.cell = p.cell
+        WHERE list_inner_product(q.e, x.e) / (q.nrm * x.nrm) >= {bar!r}
+        UNION ALL
+        SELECT GREATEST(p.qid, x.vec_id) AS vec_id,
+               LEAST(p.qid, x.vec_id) AS canon_id
+        FROM pc p JOIN bat0 q ON q.vec_id = p.qid
+        JOIN bat0 x ON x.cell = p.cell AND x.vec_id <> p.qid
+        WHERE list_inner_product(q.e, x.e) / (q.nrm * x.nrm) >= {bar!r}
+    ) GROUP BY vec_id
+),
+led0 AS (
+    SELECT b.vec_id, CAST(0 AS BIGINT) AS batch,
+           CASE WHEN g.canon_id IS NULL THEN 'admitted' ELSE 'dup' END AS status,
+           g.canon_id,
+           COALESCE(g.n_matches, CAST(0 AS BIGINT)) AS n_matches
+    FROM bat0 b LEFT JOIN m0 g ON g.vec_id = b.vec_id
+),
+idx1 AS (
+    SELECT * FROM idx0
+    UNION ALL
+    SELECT a.* FROM a JOIN led0 l ON l.vec_id = a.vec_id AND l.status = 'admitted'
+),
+bat1 AS (SELECT * FROM a WHERE vec_id % 5 IN ({b1})),
+m1 AS (
+    SELECT vec_id, MIN(canon_id) AS canon_id,
+           CAST(COUNT(DISTINCT canon_id) AS BIGINT) AS n_matches
+    FROM (
+        SELECT p.qid AS vec_id, x.vec_id AS canon_id
+        FROM pc p JOIN bat1 q ON q.vec_id = p.qid
+        JOIN idx1 x ON x.cell = p.cell
+        WHERE list_inner_product(q.e, x.e) / (q.nrm * x.nrm) >= {bar!r}
+        UNION ALL
+        SELECT GREATEST(p.qid, x.vec_id) AS vec_id,
+               LEAST(p.qid, x.vec_id) AS canon_id
+        FROM pc p JOIN bat1 q ON q.vec_id = p.qid
+        JOIN bat1 x ON x.cell = p.cell AND x.vec_id <> p.qid
+        WHERE list_inner_product(q.e, x.e) / (q.nrm * x.nrm) >= {bar!r}
+    ) GROUP BY vec_id
+),
+led1 AS (
+    SELECT b.vec_id, CAST(1 AS BIGINT) AS batch,
+           CASE WHEN g.canon_id IS NULL THEN 'admitted' ELSE 'dup' END AS status,
+           g.canon_id,
+           COALESCE(g.n_matches, CAST(0 AS BIGINT)) AS n_matches
+    FROM bat1 b LEFT JOIN m1 g ON g.vec_id = b.vec_id
+)
+SELECT * FROM led0
+UNION ALL SELECT * FROM led1
+UNION ALL
+SELECT vec_id,
+       CAST(CASE WHEN vec_id % 5 IN ({b0}) THEN 0 ELSE 1 END AS BIGINT) AS batch,
+       'invalid' AS status, CAST(NULL AS BIGINT) AS canon_id,
+       CAST(0 AS BIGINT) AS n_matches
+FROM v WHERE vec_id % 5 <> {cor} AND (nrm IS NULL OR nrm <= 0)"""
+
+
+@query(
+    "stream_ann_admission_twin",
+    tables=("embeddings",),
+    oracle=_ann_admission_oracle(),
+)
+def stream_ann_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAMING ANN ADMISSION pipeline — the
+    embedding counterpart of `dedup.stream_admission_twin`, closing
+    the one asymmetry between the two admission halves: the MinHash
+    chain had a hash-green catalog twin since r12 while
+    `admit_ivf_batch` was pytest-only. Initial corpus = embeddings
+    with vec_id % 5 == 4, indexed once per session
+    (`ann_admission_index_for`) and CLONED per invocation (the index
+    grows every run — the r14 `stream_admission_twin` lesson); two
+    micro-batches (residues {0,1}, then {2,3}) run through
+    `admit_ivf_batch` — the EXACT function
+    `streaming.pipeline.foreach_batch_ann_admission` gives
+    foreachBatch. Output: the concatenated admission ledgers (vec_id,
+    batch, status 'admitted'/'dup'/'invalid', canon_id, n_matches).
+    A batch-1 vector near-dupping a batch-0 ADMISSION verdicts 'dup'
+    (the index grew); one near-dupping a batch-0 REJECT does not
+    match it (rejects never enter the index) — both replayed
+    sequentially by the oracle's idx0 -> idx1 CTE chain.
+
+    Scale: two DPP-pruned cell-probe jobs + two map-only appends at
+    already-computed assignments; nothing rescans the corpus (the
+    `ann_probe_*` and `ix_ann_*` BENCH_sf1 families gate the probe's
+    both axes)."""
+    from ..tables import clone_parquet_dir
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    path = clone_parquet_dir(ann_admission_index_for(spark, sf_dir))
+    ledgers = []
+    for b, residues in enumerate(_ANN_ADMIT_BATCHES):
+        batch = t.embeddings.filter((F.col("vec_id") % 5).isin(*residues))
+        led = admit_ivf_batch(spark, path, batch)
+        ledgers.append(
+            led.select(
+                "vec_id",
+                F.lit(b).cast("long").alias("batch"),
+                "status",
+                "canon_id",
+                "n_matches",
+            )
+        )
+    return ledgers[0].unionByName(ledgers[1])
