@@ -847,3 +847,200 @@ def test_probe_after_append_finds_every_admitted_doc(texts, mod_minus_one):
         f"admitted docs missing from post-append probe: "
         f"{batch_ids - {q for q, _ in after}}"
     )
+
+
+# --- ExactSubstr spans vs a quadratic-DP ground truth (r16) ------------------
+
+_xs_tok = st.sampled_from(["a", "b", "c"])
+
+
+@st.composite
+def _xsub_corpus(draw):
+    """2-4 docs built around (slices of) one base passage, with random
+    pre/suffixes — so shared runs >= K arise by construction, may
+    EXTEND past the planted slice when affix tokens happen to line up
+    (exercising maximality), and multi-diagonal / multi-pair shapes
+    all occur. Alphabet of 3 keeps accidental 25-token matches
+    negligible while letting boundaries collide."""
+    base = draw(st.lists(_xs_tok, min_size=30, max_size=42))
+    docs = {}
+    for i in range(draw(st.integers(min_value=2, max_value=4))):
+        mode = draw(st.integers(min_value=0, max_value=2))
+        pre = draw(st.lists(_xs_tok, min_size=0, max_size=8))
+        suf = draw(st.lists(_xs_tok, min_size=0, max_size=8))
+        if mode == 0:
+            mid = list(base)
+        elif mode == 1:
+            s = draw(st.integers(min_value=0, max_value=max(0, len(base) - 25)))
+            ln = draw(st.integers(min_value=25, max_value=len(base) - s))
+            mid = base[s : s + ln]
+        else:
+            mid = draw(st.lists(_xs_tok, min_size=25, max_size=40))
+        docs[i] = pre + mid + suf
+    return docs
+
+
+def _brute_max_runs(docs: dict, k: int) -> set:
+    """All maximal cross-doc shared token runs of length >= k, by the
+    classic O(n*m) common-extension DP — maximal on both ends (the DP
+    resets at a start mismatch; the end check requires a boundary or a
+    mismatch at the next position). 1-based starts, matching the
+    operator's contract."""
+    out = set()
+    ids = sorted(docs)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = docs[ids[x]], docs[ids[y]]
+            la, lb = len(a), len(b)
+            L = [[0] * (lb + 1) for _ in range(la + 1)]
+            for i in range(1, la + 1):
+                for j in range(1, lb + 1):
+                    if a[i - 1] == b[j - 1]:
+                        L[i][j] = L[i - 1][j - 1] + 1
+            for i in range(1, la + 1):
+                for j in range(1, lb + 1):
+                    run = L[i][j]
+                    if run >= k and (
+                        i == la or j == lb or a[i] != b[j]
+                    ):
+                        out.add((ids[x], ids[y], i - run + 1, j - run + 1, run))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_xsub_corpus())
+def test_exact_substring_spans_match_bruteforce(docs):
+    """The whole span chain (windows -> frequency valve -> hash
+    equi-join -> diagonal-island merge) must equal the quadratic DP's
+    maximal shared runs on every generated corpus — the property the
+    constructed-geometry pytests sample, proven here over arbitrary
+    shapes. Corpora whose window frequency would trip the boilerplate
+    valve are excluded (the valve's own semantics are pinned by the
+    66-doc flood test); the >= 2 survivor prefilter is invisible to
+    the DP by construction (a shared run's windows occur >= 2 times)."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _XSUB_MAX_FREQ,
+        _XSUB_WINDOW,
+        exact_substring_candidates,
+        exact_substring_survivors,
+        merge_collision_spans,
+    )
+
+    k = _XSUB_WINDOW
+    freq = Counter(
+        tuple(toks[p : p + k])
+        for toks in docs.values()
+        for p in range(len(toks) - k + 1)
+    )
+    assume(not freq or max(freq.values()) <= _XSUB_MAX_FREQ)
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id1"], r["id2"], r["start1"], r["start2"], r["span_len"])
+        for r in merge_collision_spans(
+            exact_substring_candidates(exact_substring_survivors(df))
+        ).collect()
+    }
+    assert got == _brute_max_runs(docs, k)
+
+
+# --- SemDedup verdicts vs the exact shared-cell characterization (r16) -------
+
+
+@st.composite
+def _sem_vectors(draw):
+    """4-14 vectors of dim 8 with quarter-integer components (exact in
+    binary floating point, so the Python reference arithmetic below is
+    bit-comparable to Spark's fold) — including possible zero vectors,
+    which must be EXCLUDED, not misjudged."""
+    n = draw(st.integers(min_value=4, max_value=14))
+    comp = st.integers(min_value=-8, max_value=8)
+    return [
+        [c / 4.0 for c in draw(st.tuples(*[comp] * 8))] for _ in range(n)
+    ]
+
+
+@settings(max_examples=6, deadline=None)
+@given(_sem_vectors())
+def test_semdedup_verdicts_match_characterization(vecs):
+    """semdedup_verdicts == the exact characterization 'drop iff some
+    lower-id vector shares one of the 2 nearest cells and scores
+    cosine >= bar', with canon = the minimum such id and n_dups their
+    distinct count — computed by a left-to-right Python reference
+    (same IEEE order as Spark's aggregate fold and the same
+    (distance, cell-id) tie-break as _ranked_probe_cells). Proves
+    completeness (every shared-cell pair found), soundness (nothing
+    else), zero-vector exclusion, and the generality of the operator
+    over a non-default quantizer (k=4, dim=8)."""
+    import math
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        SEMDEDUP_COS,
+        ivf_fixed_centers,
+        semdedup_verdicts,
+    )
+
+    centers = ivf_fixed_centers(4, 8)
+
+    def cells2(v):
+        ds = []
+        for ci, c in enumerate(centers):
+            s = 0.0
+            for a, b in zip(v, c):
+                s += (a - b) * (a - b)
+            ds.append((s, ci))
+        ds.sort()
+        return [ci for _, ci in ds[:2]]
+
+    def norm(v):
+        s = 0.0
+        for a in v:
+            s += a * a
+        return math.sqrt(s)
+
+    def cos(u, v):
+        s = 0.0
+        for a, b in zip(u, v):
+            s += a * b
+        return s / (norm(u) * norm(v))
+
+    valid = {i: v for i, v in enumerate(vecs) if norm(v) > 0}
+    cells = {i: cells2(v) for i, v in valid.items()}
+    expected = {}
+    for j, vj in valid.items():
+        matches = {
+            i
+            for i, vi in valid.items()
+            if i < j
+            and set(cells[i]) & set(cells[j])
+            and cos(vi, vj) >= SEMDEDUP_COS
+        }
+        expected[j] = (
+            cells[j][0],
+            "drop" if matches else "keep",
+            min(matches) if matches else None,
+            len(matches),
+        )
+
+    spark = _spark()
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    vdf = df.selectExpr("vec_id", "embedding AS e").withColumn(
+        "nrm",
+        F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x)),
+    )
+    got = {
+        r["vec_id"]: (r["cell"], r["status"], r["canon_id"], r["n_dups"])
+        for r in semdedup_verdicts(vdf, centers).collect()
+    }
+    assert got == expected
