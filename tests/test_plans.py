@@ -654,3 +654,53 @@ def test_window_index_probe_is_dpp_pruned(spark, sf_dir):
     plan = physical_plan(all_specs()["dedup_incremental_spans"].fn(spark, sf_dir))
     assert "dynamicpruningexpression(hb" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semdedup_assignment_is_distributed(spark, sf_dir):
+    """The r16 perf lesson, pinned as a regression test: the
+    checkpointed semdedup assignment (and admit_ivf_batch's batch
+    assignment, same fix) must carry the session's parallelism — a
+    small parquet corpus scans as 1-2 partitions, and since the
+    compare stage's parallelism under the AQE broadcast plan is the
+    PROBE side's partitioning, dropping the round-robin repartition
+    silently serializes the whole exact-cosine compare onto one core
+    (measured 5.8s -> 0.46s at sf0.1 for the pair stage). Pinned via
+    the checkpointed frame's partition count, which is exactly what
+    the join inherits."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _as_double,
+        _norm,
+        ivf_fixed_centers,
+        semdedup_assigned,
+    )
+
+    t = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vec = t.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    assigned = semdedup_assigned(vec, ivf_fixed_centers())
+    expected = spark.sparkContext.defaultParallelism
+    got = assigned.rdd.getNumPartitions()
+    assert got == expected, (
+        f"semdedup assignment has {got} partitions (session parallelism "
+        f"{expected}) — the compare stage would run that many cores wide"
+    )
+
+
+def test_semdedup_pair_stage_plan_shape(spark, sf_dir):
+    """The semdedup compare is ONE equi-join on `cell` over the
+    checkpointed assignment (broadcast locally via AQE; SMJ on cell at
+    scale) with the cosine evaluated as a join-adjacent predicate —
+    never a cross product — and the verdict aggregation keys on the
+    pair columns (the distinct-agg expansion), never on an
+    unpartitioned window."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        dedup_semantic_embedding,
+    )
+
+    df = dedup_semantic_embedding(spark, sf_dir)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("WindowExec") == 0 or "No Partition Defined" not in plan
