@@ -1866,6 +1866,45 @@ def exact_substring_spans(surv: DataFrame) -> DataFrame:
     return merge_collision_spans(exact_substring_candidates(surv))
 
 
+def intradoc_survivors(documents: DataFrame) -> DataFrame:
+    """Windows surviving the PER-DOC collision prefilter: frequency of
+    the window hash WITHIN ITS OWN DOCUMENT in [2, _XSUB_MAX_FREQ].
+    The cross-doc valve does not apply here — corpus boilerplate is
+    irrelevant to whether a doc repeats ITSELF — and the per-doc cap
+    plays the same structural role (a doc repeating one phrase
+    hundreds of times is intra-doc boilerplate whose pair count would
+    go quadratic in the repeat count). The >= 2 side is the same pure
+    optimization: a window unique within its doc cannot self-collide."""
+    freq = F.count(F.lit(1)).over(W.partitionBy("doc_id", "h"))
+    return (
+        exact_substring_windows(documents)
+        .withColumn("_c", freq)
+        .filter((F.col("_c") >= 2) & (F.col("_c") <= _XSUB_MAX_FREQ))
+        .drop("_c")
+    )
+
+
+def intradoc_candidates(surv: DataFrame) -> DataFrame:
+    """(id1 = id2 = doc_id, pos1 < pos2) window-hash collisions WITHIN
+    one document — the id1/id2 doubling is deliberate, so the shared
+    `merge_collision_spans` (islands on the (id1, id2, diag) key)
+    applies verbatim. The join key is (doc_id, h): every candidate is
+    doc-LOCAL, so at scale this stage is embarrassingly parallel per
+    document — no cross-doc data movement exists anywhere in the
+    chain, unlike the corpus self-join."""
+    a, b = surv.alias("a"), surv.alias("b")
+    return (
+        a.join(b, ["doc_id", "h"])
+        .filter(F.col("a.pos") < F.col("b.pos"))
+        .select(
+            F.col("doc_id").alias("id1"),
+            F.col("doc_id").alias("id2"),
+            F.col("a.pos").alias("pos1"),
+            F.col("b.pos").alias("pos2"),
+        )
+    )
+
+
 def strip_shared_spans(documents: DataFrame, spans: DataFrame) -> DataFrame:
     """One concrete consumer of the span report: CUT every reported
     span from the HIGHER-id document of each pair (the span stays in
@@ -2280,3 +2319,126 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     checkpoints.rotate("dedup.xsub_surv", surv)
     return exact_substring_spans(surv)
+
+
+def _intradoc_oracle() -> str:
+    k, cap, echo = _XSUB_WINDOW, _XSUB_MAX_FREQ, _INTRADOC_ECHO
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks0
+    FROM documents
+),
+docs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 AND len(toks0) >= {echo}
+                THEN list_concat(toks0, list_slice(toks0, 1, {echo}))
+                ELSE toks0 END AS toks
+    FROM raw
+),
+win AS (
+    SELECT doc_id, pos,
+           CAST(concat('0x', substr(md5(array_to_string(list_slice(toks, pos, pos + {k - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+    FROM docs, unnest(generate_series(1, len(toks) - {k - 1})) AS g(pos)
+    WHERE len(toks) >= {k}
+),
+surv AS (
+    SELECT * FROM win
+    QUALIFY count(*) OVER (PARTITION BY doc_id, h) BETWEEN 2 AND {cap}
+),
+cand AS (
+    SELECT a.doc_id, a.pos AS pos1, b.pos AS pos2
+    FROM surv a JOIN surv b ON a.doc_id = b.doc_id AND a.h = b.h
+    WHERE a.pos < b.pos
+),
+runs AS (
+    SELECT doc_id, pos1, pos2, pos1 - pos2 AS diag,
+           pos1 - DENSE_RANK() OVER (PARTITION BY doc_id, pos1 - pos2 ORDER BY pos1) AS island
+    FROM cand
+)
+SELECT doc_id,
+       CAST(MIN(pos1) AS BIGINT) AS start1,
+       CAST(MIN(pos2) AS BIGINT) AS start2,
+       CAST(MAX(pos1) - MIN(pos1) + {k} AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, diag, island
+"""
+
+
+_INTRADOC_ECHO = 30  # tokens echoed to plant the template-repeat shape
+
+
+def _intradoc_echo_docs(documents: DataFrame) -> DataFrame:
+    """Deterministic derivation planting realistic SELF-repetition: for
+    doc_id % 7 == 0 (with >= _INTRADOC_ECHO tokens), the document's
+    first _INTRADOC_ECHO tokens are appended at its end — the
+    template-at-top-and-bottom shape (nav headers, boilerplate
+    footers, generation loops) this operator exists to locate. The
+    driver fixtures contain no natural >= K-token self-repetition, so
+    without the derivation the entry would be VACUOUSLY green (the
+    tests' EMPTY_OK gate exists to refuse exactly that); the echo is
+    built token-identically in the oracle, the same derived-input
+    discipline as the ingest entries' derived CSVs. Docs untouched by
+    the echo still flow through the full chain and must report
+    NOTHING — absence is half the checked contract."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    echoed = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.array_join(F.slice(toks, 1, _INTRADOC_ECHO), " "),
+    )
+    cond = (F.col("doc_id") % 7 == 0) & (F.size(toks) >= _INTRADOC_ECHO)
+    return documents.withColumn(
+        "text", F.when(cond, echoed).otherwise(F.col("text"))
+    )
+
+
+@query("dedup_intradoc_spans", tables=("documents",), oracle=_intradoc_oracle())
+def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-span report: every maximal >= K-token
+    passage a document repeats VERBATIM inside itself, as (doc_id,
+    start1, start2, span_len) with start1 < start2 (token-granular,
+    1-based, same normalized token coordinates as
+    `dedup_exact_substring_spans`). This locates what
+    `text_repetition_ratio` only measures — the within-page template
+    headers, duplicated paragraphs, and generation loops that
+    repetition-ratio filters score but cannot excise; a span report
+    makes surgical removal (the `strip_shared_spans` pattern) possible
+    instead of dropping the whole document. Input is the
+    `_intradoc_echo_docs` derivation (the fixtures carry no natural
+    self-repetition — see its docstring for the vacuity argument).
+
+    Pipeline: the same map-only window pass, a PER-DOC frequency
+    valve (`intradoc_survivors` — corpus boilerplate is irrelevant to
+    self-repetition, and the per-doc cap bounds the quadratic a
+    phrase-spamming doc would otherwise produce), a (doc_id, h)
+    self-join (`intradoc_candidates` — every candidate is doc-LOCAL,
+    so the stage is embarrassingly parallel per document with zero
+    cross-doc movement), and the SHARED `merge_collision_spans`
+    diagonal-islands merge (id1 = id2 = doc_id makes it apply
+    verbatim). Self-overlapping periodicity is handled by the math: a
+    period-p repetition surfaces as one maximal span per lag, the
+    standard repeated-substring decomposition.
+
+    Scale: candidates <= CAP x |doc windows| per document,
+    independent across documents; both exchanges key on doc-local
+    columns ((doc_id, h) then (doc, diag)), so a doc-partitioned
+    corpus runs the whole chain map-side. Retention: same
+    checkpoints.rotate discipline as the cross-doc entry, key
+    "dedup.intradoc_surv"."""
+    t = load_tables(spark, sf_dir, "documents")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    surv = (
+        intradoc_survivors(_intradoc_echo_docs(t.documents))
+        .repartition(n_part, "doc_id", "h")
+        .localCheckpoint(eager=True)
+    )
+    checkpoints.rotate("dedup.intradoc_surv", surv)
+    return (
+        merge_collision_spans(intradoc_candidates(surv))
+        .select(
+            F.col("id1").alias("doc_id"),
+            "start1",
+            "start2",
+            "span_len",
+        )
+    )

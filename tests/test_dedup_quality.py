@@ -1264,3 +1264,90 @@ def test_semdedup_verdicts_vs_bruteforce(spark, duck, sf_dir):
             assert r["n_dups"] >= 1, r
         else:
             assert r["canon_id"] is None and r["n_dups"] == 0, r
+
+
+def _intradoc_spans(spark, rows):
+    """Run the intra-doc span chain over constructed docs (no echo
+    derivation — these docs carry their own repetition)."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        intradoc_candidates,
+        intradoc_survivors,
+        merge_collision_spans,
+    )
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    return {
+        (r["id1"], r["start1"], r["start2"], r["span_len"])
+        for r in merge_collision_spans(
+            intradoc_candidates(intradoc_survivors(docs))
+        ).collect()
+    }
+
+
+def test_intradoc_span_geometry(spark):
+    """Constructed within-doc repetition (r16): a 30-token block
+    repeated at positions 1 and 41 reports exactly (1, 41, 30); a
+    24-token repeat (one short of K) reports nothing; a doc with no
+    repetition reports nothing even when ANOTHER doc shares its text
+    (cross-doc sharing is the sibling operator's job — per-doc
+    valve + doc-local join must not see it); a period-5 run reports
+    one maximal span per lag (the repeated-substring decomposition);
+    and a phrase repeated past the per-doc valve cap yields zero
+    (intra-doc boilerplate, deliberately refused)."""
+    from nytimes_batch_processor_spark.operators.dedup import _XSUB_MAX_FREQ
+
+    block = " ".join(f"q{i}" for i in range(30))
+    filler = " ".join(f"f{i}" for i in range(10))
+    doc = block + " " + filler + " " + block
+    assert _intradoc_spans(spark, [(1, doc)]) == {(1, 1, 41, 30)}
+
+    short = " ".join(f"s{i}" for i in range(24))
+    assert _intradoc_spans(spark, [(1, short + " x0 " + short)]) == set()
+
+    # cross-doc sharing is invisible to the intra-doc chain
+    passage = " ".join(f"p{i}" for i in range(40))
+    assert (
+        _intradoc_spans(spark, [(1, "a0 " + passage), (2, "b0 " + passage)])
+        == set()
+    )
+
+    # period-5 repetition, 50 tokens: tokens 1..45 == tokens 6..50 at
+    # lag 5 (one maximal span), lag 10 gives 1..40 == 11..50, ...;
+    # every lag multiple of 5 with >= 25 shared tokens reports once
+    period = " ".join(f"w{i % 5}" for i in range(50))
+    got = _intradoc_spans(spark, [(1, period)])
+    expected = set()
+    for lag in range(5, 50, 5):
+        run = 50 - lag
+        if run >= 25:
+            expected.add((1, 1, 1 + lag, run))
+    # lag produces (start1=1, start2=1+lag)? merge keys diag=pos1-pos2
+    # = -lag with pos1 the EARLIER position: start1=1, start2=1+lag
+    assert got == expected, (got, expected)
+
+    # per-doc valve: one 25-token phrase repeated 70 times -> every
+    # window's in-doc frequency is ~70 > cap -> zero spans
+    phrase = " ".join(f"z{i}" for i in range(25))
+    flood = " ".join([phrase] * 70)
+    assert _XSUB_MAX_FREQ < 70
+    assert _intradoc_spans(spark, [(1, flood)]) == set()
+
+
+def test_intradoc_entry_is_nonvacuous_and_echo_shaped(spark, sf_dir):
+    """The catalog entry's echo derivation must produce a NON-EMPTY
+    span report (the vacuity the EMPTY_OK gate refuses) whose rows are
+    exactly the planted template echoes: doc_id % 7 == 0, start1 = 1,
+    span_len >= the echo length (>= because a coincidental token after
+    the echo may extend the run — maximality is the contract)."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _INTRADOC_ECHO,
+        dedup_intradoc_spans,
+    )
+
+    rows = dedup_intradoc_spans(spark, sf_dir).collect()
+    assert rows, "echo derivation produced no spans — entry is vacuous"
+    for r in rows:
+        assert r["doc_id"] % 7 == 0, r
+        assert r["start1"] == 1 and r["span_len"] >= _INTRADOC_ECHO, r

@@ -1044,3 +1044,75 @@ def test_semdedup_verdicts_match_characterization(vecs):
         for r in semdedup_verdicts(vdf, centers).collect()
     }
     assert got == expected
+
+
+@st.composite
+def _intradoc_doc(draw):
+    """One doc assembled from segments that may repeat a base slice —
+    self-repetition arises by construction; pre/mid/suffix tokens may
+    extend or merge runs (maximality exercised)."""
+    base = draw(st.lists(_xs_tok, min_size=25, max_size=38))
+    parts = []
+    for _ in range(draw(st.integers(min_value=2, max_value=3))):
+        if draw(st.booleans()):
+            s = draw(st.integers(min_value=0, max_value=max(0, len(base) - 25)))
+            ln = draw(st.integers(min_value=25, max_value=len(base) - s))
+            parts.append(base[s : s + ln])
+        else:
+            parts.append(draw(st.lists(_xs_tok, min_size=0, max_size=12)))
+    return [t for p in parts for t in p]
+
+
+def _brute_intradoc_runs(toks: list, k: int) -> set:
+    """Maximal self-repeats of length >= k: the same common-extension
+    DP over (toks, toks) restricted to i < j (earlier occurrence
+    first), maximal at both ends."""
+    n = len(toks)
+    L = [[0] * (n + 1) for _ in range(n + 1)]
+    out = set()
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            if toks[i - 1] == toks[j - 1]:
+                L[i][j] = L[i - 1][j - 1] + 1
+    for i in range(1, n + 1):
+        for j in range(i + 1, n + 1):
+            run = L[i][j]
+            if run >= k and (j == n or toks[i] != toks[j]):
+                out.add((i - run + 1, j - run + 1, run))
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(_intradoc_doc())
+def test_intradoc_spans_match_bruteforce(toks):
+    """The intra-doc span chain must equal the quadratic DP's maximal
+    self-repeats on every generated doc (valve-tripping docs excluded,
+    as in the cross-doc property — the flood semantics have their own
+    pin)."""
+    from collections import Counter
+
+    from hypothesis import assume
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        _XSUB_MAX_FREQ,
+        _XSUB_WINDOW,
+        intradoc_candidates,
+        intradoc_survivors,
+        merge_collision_spans,
+    )
+
+    k = _XSUB_WINDOW
+    freq = Counter(
+        tuple(toks[p : p + k]) for p in range(len(toks) - k + 1)
+    )
+    assume(not freq or max(freq.values()) <= _XSUB_MAX_FREQ)
+
+    spark = _spark()
+    df = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    got = {
+        (r["start1"], r["start2"], r["span_len"])
+        for r in merge_collision_spans(
+            intradoc_candidates(intradoc_survivors(df))
+        ).collect()
+    }
+    assert got == _brute_intradoc_runs(toks, k)
