@@ -2028,12 +2028,24 @@ def window_index_or_empty(
     standard ``hb=`` bucket layout — no `build_window_index`
     precondition. A pre-built corpus index, when one exists, is still
     the right starting point (its build-time frequency valve filters
-    corpus boilerplate; appends bypass the valve by design)."""
+    corpus boilerplate; appends bypass the valve by design).
+
+    The EXISTING-path read uses the bootstrap frame's EXPLICIT schema,
+    never inference (ADVICE r16): if batch 0's bootstrapping append
+    crashes mid-write, the dir exists but holds only ``_temporary``
+    droppings — no parquet footers — and an inferring read would fail
+    'Unable to infer schema' on EVERY subsequent replay, a permanent
+    poison pill (the exact footerless-sink class `admit_sink_upsert`'s
+    explicit-schema read was added against). With the schema pinned, a
+    footerless dir reads as zero rows and the replay re-creates the
+    index; the schema is derived from the zero-row slice of the
+    production builder, so it cannot drift from what appends write."""
     from ..ingest import target_exists
 
+    empty = _with_bucket(exact_substring_windows(docs_like.limit(0)))
     if target_exists(spark, path):
-        return spark.read.parquet(path)
-    return _with_bucket(exact_substring_windows(docs_like.limit(0)))
+        return spark.read.schema(empty.schema).parquet(path)
+    return empty
 
 
 def probe_window_candidates(

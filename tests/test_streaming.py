@@ -2558,3 +2558,72 @@ def test_stream_span_reports_bootstraps_fresh_index(spark, tmp_path):
         100,
         200,
     }
+
+
+def test_stream_span_reports_recovers_footerless_index(spark, tmp_path):
+    """ADVICE r16: if batch 0's bootstrapping `append_to_window_index`
+    crashes mid-write, the index dir EXISTS but holds only `_temporary`
+    droppings — zero parquet footers. A schema-inferring read would
+    fail 'Unable to infer schema' on every replay, permanently
+    poisoning the stream. `window_index_or_empty` must instead read
+    the footerless dir as ZERO rows under the builder-derived explicit
+    schema, so the replay re-probes the empty frame and its re-append
+    creates the real index."""
+    import json as _json
+    import time as _time
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        window_index_or_empty,
+    )
+    from nytimes_batch_processor_spark.streaming import stream_span_reports
+
+    index_path = tmp_path / "window_index"
+    # the crash shape: dir present, only _temporary contents, no footers
+    junk = index_path / "_temporary" / "0" / "attempt_0"
+    junk.mkdir(parents=True)
+    (junk / "part-00000.parquet").write_bytes(b"not a parquet footer")
+
+    docs_like = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    boot = window_index_or_empty(spark, str(index_path), docs_like)
+    assert boot.count() == 0
+    assert {"doc_id", "pos", "h", "hb"} <= set(boot.columns)
+
+    # and the full stream replays through it: batch 0 re-bootstraps,
+    # batch 1 reports spans against batch 0's docs (the fresh-deploy
+    # contract, unchanged by the poisoned dir)
+    src = tmp_path / "drops"
+    src.mkdir()
+    spans_path = str(tmp_path / "spans")
+    ckpt = str(tmp_path / "ckpt")
+    passage = " ".join(f"p{i}" for i in range(30))
+
+    def drop(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("a.json", [{"doc_id": 100, "text": "x0 x1 " + passage}])
+    _time.sleep(1.1)
+    drop("b.json", [{"doc_id": 200, "text": passage + " y0"}])
+    q = stream_span_reports(
+        spark, str(src), str(index_path), spans_path, ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    schema = "id1 long, id2 long, start1 long, start2 long, span_len long"
+    s0 = spark.read.schema(schema).parquet(f"{spans_path}/batch_id=0").collect()
+    assert s0 == [], s0
+    s1 = {
+        tuple(r)
+        for r in spark.read.schema(schema)
+        .parquet(f"{spans_path}/batch_id=1")
+        .collect()
+    }
+    assert s1 == {(200, 100, 1, 3, 30)}, s1
+    idx = spark.read.parquet(str(index_path))
+    assert {r["doc_id"] for r in idx.select("doc_id").distinct().collect()} == {
+        100,
+        200,
+    }
