@@ -158,6 +158,26 @@ def _norm_sink_path(path: str) -> str:
 # discards the OTHER mode's entry — flat on write success, batch as
 # soon as the mode is entered (its partitions may have been committed
 # by another process while a stale flat pass stood).
+#
+# SINGLE-WRITER-PROCESS ASSUMPTION (ADVICE r16, stated as a contract,
+# not silently relied on): this cache is process-local memory, so the
+# staleness rules above can only observe THIS process's writes. A flat
+# append committed by ANOTHER process after this process's batch-mode
+# pass leaves the batch entry standing while flat files sit on disk,
+# and the next batch write here would build the mixed layout
+# unvalidated — the cache cannot provide a cross-process guarantee.
+# Spark admitted sinks are single-writer by construction (one
+# streaming query owns a checkpoint/sink pair, and Structured
+# Streaming refuses concurrent writers on one checkpoint), and the
+# maintenance entrypoints are documented offline-only; multi-writer
+# deployments must route every writer through one process, or clear
+# this cache (`_forget_layout`) to pay a re-listing per write. A
+# cross-process fingerprint (root mtime) was considered and rejected:
+# every batch write creates a partition dir and touches the root
+# mtime, so a fingerprint either re-lists per micro-batch — the
+# O(#partitions) cost this cache exists to remove — or trusts
+# sub-second mtime granularity; a guard that cannot be relied on is
+# worse than a stated assumption.
 _LAYOUT_CHECKED: set[tuple[str, str]] = set()
 
 
@@ -526,9 +546,25 @@ def migrate_admitted_sink(
             # mixed-layout refusal (ADVICE r15). The published
             # partition is findable: migration ids are negative and
             # stream ids non-negative, so any COMMITTED negative
-            # partition is a migration's. Exactly one -> recover under
-            # it; more than one is a state this tool never produces ->
-            # refuse, naming the manifest, instead of guessing.
+            # partition is a migration's. But 'exactly one committed
+            # negative partition' is NOT proof it is the crashed run's
+            # publish (ADVICE r16): a committed negative partition
+            # persists forever after any SUCCESSFUL migration, so if
+            # flat files later reappear on the sink (manual copy,
+            # another process's stale layout cache) and a second
+            # migration crashes before publishing, the OLD partition
+            # would be adopted and 'finishing the cleanup' would
+            # delete never-migrated flat files — silent row loss.
+            # Adoption therefore requires the one fact the cleanup
+            # actually relies on, checked directly: every manifested
+            # flat row is CONTAINED in the candidate partition (true
+            # for a real crashed-after-publish, since the publish IS
+            # the rewrite of those files; and if an old partition
+            # happens to contain them all, deleting the flat copies
+            # is safe by the same containment). Containment fails ->
+            # refuse loudly instead of guessing. More than one
+            # committed negative partition is a state this tool never
+            # produces -> refuse likewise.
             if not job_commit_succeeded(spark, str(_p(f"batch_id={rec_id}"))):
                 negs = []
                 for st in fs.listStatus(root):
@@ -543,7 +579,41 @@ def migrate_admitted_sink(
                         negs.append(neg)
                 negs.sort()
                 if len(negs) == 1:
-                    rec_id = negs[0]
+                    live = [n for n in names if fs.exists(_p(n))]
+                    covered = True
+                    if live:
+                        flat_rows = spark.read.parquet(
+                            *(str(_p(n)) for n in live)
+                        )
+                        part_rows = spark.read.parquet(
+                            str(_p(f"batch_id={negs[0]}"))
+                        ).select(*flat_rows.columns)
+                        # plain (null-rejecting) anti-join: a flat row
+                        # with a NULL column can never prove itself
+                        # contained, which fails toward the REFUSAL —
+                        # the safe direction for a deletion guard
+                        covered = (
+                            flat_rows.join(
+                                part_rows, on=flat_rows.columns,
+                                how="left_anti",
+                            ).limit(1).count() == 0
+                        )
+                    if covered:
+                        rec_id = negs[0]
+                    else:
+                        raise ValueError(
+                            f"admitted sink {admitted_path} holds a "
+                            f"headerless migration manifest ({manifest}) "
+                            f"and a committed negative batch partition "
+                            f"batch_id={negs[0]} that does NOT contain "
+                            "the manifested flat rows — it is a PREVIOUS "
+                            "migration's publish, not the crashed run's; "
+                            "deleting the manifested files would lose "
+                            "rows. Re-run migrate_admitted_sink with the "
+                            "id the crashed run used, or resolve by hand "
+                            "(the manifest lists the files it was "
+                            "migrating)"
+                        )
                 elif len(negs) > 1:
                     raise ValueError(
                         f"admitted sink {admitted_path} holds a headerless "

@@ -2390,6 +2390,70 @@ def test_migrate_recovery_tolerates_degenerate_manifests(spark, tmp_path):
     assert got == [(1, -1), (2, -1)], got
 
 
+def test_migrate_headerless_recovery_requires_containment(spark, tmp_path):
+    """ADVICE r16: a committed negative partition persists forever after
+    a SUCCESSFUL migration, so 'exactly one committed negative
+    partition' is not proof it is the crashed run's publish. If flat
+    files REAPPEAR on a migrated sink and a second (headerless-
+    manifest) migration crashes before publishing, recovery must not
+    adopt the old partition and delete never-migrated flat files —
+    adoption requires row-level CONTAINMENT of the manifested flat
+    rows in the candidate partition; otherwise refuse loudly with
+    every breadcrumb left in place."""
+    import os as _os
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from nytimes_batch_processor_spark.ingest import migrate_admitted_sink
+
+    def reappeared_sink(name, rows):
+        """A sink whose ONLY negative partition is an old migration's
+        publish, with fresh flat files (a manual copy) at the root and
+        a headerless manifest naming them — the crashed-second-
+        migration shape."""
+        sink = tmp_path / name
+        old = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, text string")
+        old.coalesce(1).write.parquet(str(sink / "batch_id=-3"))
+        stage = tmp_path / f"{name}_stage"
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(stage))
+        names = []
+        for i, f in enumerate(sorted(_os.listdir(stage))):
+            if f.startswith(("_", ".")):
+                continue
+            dst = f"reappeared-{i}.parquet"
+            _shutil.copy(stage / f, sink / dst)
+            names.append(dst)
+        with open(sink / ".migrate_manifest", "w") as fh:
+            fh.write("\n".join(names) + "\n")
+        return str(sink), names
+
+    # (a) the reappeared rows are NOT in the old partition: adopting it
+    # would delete the only copy — refuse, everything intact
+    sink, names = reappeared_sink("reappeared_new", [(3, "c"), (4, "d")])
+    with _pytest.raises(ValueError, match="does NOT contain"):
+        migrate_admitted_sink(spark, sink)
+    assert _os.path.exists(f"{sink}/.migrate_manifest")
+    for n in names:
+        assert _os.path.exists(f"{sink}/{n}"), n
+
+    # (b) the reappeared rows ARE all present in the old partition
+    # (true duplicates): deleting the flat copies is safe by the same
+    # containment, and recovery converges under the old id
+    sink2, names2 = reappeared_sink("reappeared_dup", [(1, "a"), (2, "b")])
+    report = migrate_admitted_sink(spark, sink2)
+    assert report["status"] == "recovered" and report["legacy_batch_id"] == -3
+    assert not _os.path.exists(f"{sink2}/.migrate_manifest")
+    for n in names2:
+        assert not _os.path.exists(f"{sink2}/{n}"), n
+    got = sorted(
+        (r["doc_id"], r["batch_id"]) for r in spark.read.parquet(sink2).collect()
+    )
+    assert got == [(1, -3), (2, -3)], got
+
+
 def test_stream_span_reports_vs_previously_indexed(spark, tmp_path):
     """The streaming ExactSubstr wrapper (r15): per-batch span reports
     are computed against PREVIOUSLY indexed docs only (within-batch
