@@ -174,6 +174,102 @@ HEADLINE = [
 # bare session — standalone probes read ~15% slower).
 _ANCHOR_REF = {"anchor_cpu": 0.42, "anchor_shuffle": 0.31, "anchor_scan": 0.125}
 
+# --- per-anchor-class correction (VERDICT r16 item 1) ---------------------
+# A single composite env_factor cannot correct a shuffle-only host
+# regression: on the r16 driver host the shuffle anchor read 1.51x REF
+# while cpu read 0.82x, the composite read 1.12x, and 19 code-unchanged
+# queries were manufactured into movers. Each query therefore carries a
+# WEIGHT VECTOR over the three anchor classes; its corrected wall is
+# wall / (w . class_drift). Weights were fitted over the r9-r16 recorded
+# min-walls against the per-round anchor drift ratios (grid search on
+# the 2-simplex minimizing log-residual variance — `tools/anchor_fit.py`
+# reproduces the table), then sanity-checked against each plan's shape:
+# graph_pagerank (six exchange rounds) fits 0.75 shuffle,
+# text_quality_score (scan + map-only scoring) fits 0.80 scan,
+# dedup_incremental_probe (signature hashing + band equi-join) fits
+# 0.50/0.45/0.05 — the fit recovers what the plans say. Entries whose
+# bench shape changed mid-history are fitted on their stable window
+# only (sim_ann_ivf_topk from r11, rmse 0.40 -> 0.095). Entries too new
+# to fit (<4 rounds) are assigned from their plan shape and marked
+# provisional; unknown names fall back to the composite factor.
+_ANCHOR_WEIGHTS: dict[str, tuple[float, float, float]] = {
+    # name: (w_cpu, w_shuffle, w_scan)
+    "agg_pricing_summary": (0.25, 0.55, 0.20),
+    "filter_project_revenue": (0.45, 0.50, 0.05),
+    "join_broadcast_star": (0.15, 0.45, 0.40),
+    "join_theta_range": (0.35, 0.25, 0.40),
+    "agg_distinct_counts": (0.20, 0.40, 0.40),
+    "window_rank_topk_per_group": (0.30, 0.45, 0.25),
+    "window_range_rolling_7d": (0.35, 0.35, 0.30),
+    "sessionize_gap_surface": (0.45, 0.20, 0.35),
+    "q3_shipping_priority": (0.45, 0.40, 0.15),
+    "dedup_exact_union": (0.30, 0.50, 0.20),
+    "dedup_minhash_lsh": (0.45, 0.45, 0.10),
+    "sim_cosine_topk_bruteforce": (0.35, 0.45, 0.20),
+    "sim_ann_lsh_topk": (0.35, 0.65, 0.00),
+    "sim_ann_ivf_topk": (0.00, 0.75, 0.25),  # fitted r11+ (shape change)
+    "text_quality_score": (0.05, 0.15, 0.80),
+    "fn_json_surface": (0.35, 0.35, 0.30),
+    "sim_ann_ivf_fixed_topk": (0.45, 0.40, 0.15),
+    "pack_sequences_offsets": (0.30, 0.55, 0.15),
+    "sim_ann_ivf_q8_serve": (0.40, 0.50, 0.10),
+    "stateful_twin_surface": (0.00, 0.65, 0.35),
+    "graph_pagerank_fixed": (0.15, 0.75, 0.10),
+    "dedup_containment_prefix": (0.40, 0.30, 0.30),
+    "ivf_kmeans_int_train": (0.45, 0.55, 0.00),
+    "dedup_incremental_probe": (0.50, 0.45, 0.05),
+    "sim_incremental_probe": (0.35, 0.45, 0.20),
+    "stream_admission_twin": (0.45, 0.50, 0.05),
+    "curation_pipeline": (0.35, 0.55, 0.10),  # fitted r14+ (shape change)
+    "flagship": (0.25, 0.55, 0.20),
+    # provisional (plan-shape assigned; <4 fitted rounds as of r17):
+    "dedup_exact_substring_spans": (0.60, 0.25, 0.15),  # md5 window pass
+    "dedup_incremental_spans": (0.35, 0.45, 0.20),  # DPP probe join
+    "dedup_semantic_embedding": (0.50, 0.40, 0.10),  # exact-cos compare
+    "stream_ann_admission_twin": (0.40, 0.50, 0.10),  # admission lifecycle
+}
+
+_CLASS_TO_ANCHOR = {
+    "cpu": "anchor_cpu",
+    "shuffle": "anchor_shuffle",
+    "scan": "anchor_scan",
+}
+
+
+def _class_corrected(
+    timings: dict[str, float | None],
+    anchor_walls: dict[str, float],
+    env_factor: float | None,
+) -> tuple[dict[str, float], dict[str, float], dict[str, str]]:
+    """(per-class drift factors, per-query corrected walls, per-query
+    dominant-class tags). A query's corrected wall divides by the
+    weight-blended drift over the anchor classes that actually produced
+    a wall this run (weights renormalized when e.g. the scan anchor is
+    absent at sf != 0.1); unfitted names divide by the composite."""
+    drift = {
+        cls: round(anchor_walls[a] / _ANCHOR_REF[a], 3)
+        for cls, a in _CLASS_TO_ANCHOR.items()
+        if a in anchor_walls
+    }
+    corrected: dict[str, float] = {}
+    classes: dict[str, str] = {}
+    for name, wall in timings.items():
+        if wall is None:
+            continue
+        w = _ANCHOR_WEIGHTS.get(name)
+        if w is not None:
+            order = ("cpu", "shuffle", "scan")
+            avail = [(c, wt) for c, wt in zip(order, w) if c in drift and wt > 0]
+            mass = sum(wt for _, wt in avail)
+            if avail and mass > 0:
+                blended = sum(wt / mass * drift[c] for c, wt in avail)
+                corrected[name] = round(wall / blended, 3)
+                classes[name] = max(avail, key=lambda t: t[1])[0]
+                continue
+        if env_factor:
+            corrected[name] = round(wall / env_factor, 3)
+    return drift, corrected, classes
+
 
 def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float | None]:
     """Returns (anchor walls, env_factor). The scan anchor's REF is only
@@ -288,6 +384,9 @@ def main() -> None:
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)
+    drift_by_class, corrected_q, class_tags = _class_corrected(
+        timings, anchor_walls, env_factor
+    )
     out = {
         "metric": "headline_queries_wall_total",
         "value": total,
@@ -302,6 +401,15 @@ def main() -> None:
         "value_env_corrected": (
             round(total / env_factor, 3) if env_factor else total
         ),
+        # r17: per-anchor-class correction (VERDICT r16 item 1). The
+        # composite fields above stay for cross-round continuity; the
+        # class-corrected numbers are the ones to adjudicate movers
+        # with — a shuffle-only host regression lands on the shuffle-
+        # weighted queries and nowhere else.
+        "env_factor_by_class": drift_by_class,
+        "query_anchor_class": class_tags,
+        "queries_env_corrected": corrected_q,
+        "value_env_corrected_by_class": round(sum(corrected_q.values()), 3),
     }
     if errors:
         out["errors"] = errors

@@ -55,3 +55,63 @@ def test_disjoint_query_sets_report_zero_shared():
     vp = lines[1]["vs_prev"]
     assert vp["shared_queries"] == 0
     assert vp["shared_raw_ratio"] is None
+
+
+def test_class_corrected_ratio_uses_per_query_walls():
+    """r17 (VERDICT r16 item 1): when both rounds record per-query
+    class-corrected walls, vs_prev adds a class-corrected shared ratio
+    built from THOSE walls — so a shuffle-only host regression on
+    shuffle-weighted queries stops reading as a code regression."""
+    r1 = _parsed({"a": 1.0, "b": 2.0}, env=1.0)
+    r1["queries_env_corrected"] = {"a": 1.0, "b": 2.0}
+    r1["value_env_corrected_by_class"] = 3.0
+    # raw walls doubled, but per-class correction explains all of it
+    r2 = _parsed({"a": 2.0, "b": 4.0}, env=1.5)
+    r2["queries_env_corrected"] = {"a": 1.0, "b": 2.0}
+    r2["value_env_corrected_by_class"] = 3.0
+    lines = trend_lines([(1, r1), (2, r2)])
+    assert lines[1]["class_corrected_total_sec"] == 3.0
+    vp = lines[1]["vs_prev"]
+    assert vp["shared_class_corrected_ratio"] == 1.0
+    # composite-only rounds keep the old fields and skip the new one
+    lines2 = trend_lines([(1, _parsed({"a": 1.0}, env=1.0)), (2, r2)])
+    assert "shared_class_corrected_ratio" not in lines2[1]["vs_prev"]
+
+
+def test_bench_anchor_weights_cover_all_headline_queries():
+    """Every headline query (plus the two bench-only wrappers) carries a
+    weight vector summing to 1; a name added to HEADLINE without one
+    silently falls back to the composite factor — fail here instead."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _ANCHOR_WEIGHTS, HEADLINE, _class_corrected
+
+    for name in [*HEADLINE, "curation_pipeline", "flagship"]:
+        w = _ANCHOR_WEIGHTS.get(name)
+        assert w is not None, f"{name} missing from _ANCHOR_WEIGHTS"
+        assert abs(sum(w) - 1.0) < 1e-9, (name, w)
+
+    # arithmetic: a pure-shuffle query corrects by the shuffle drift
+    # alone; an unfitted name falls back to the composite factor
+    anchors = {"anchor_cpu": 0.42, "anchor_shuffle": 0.62, "anchor_scan": 0.125}
+    drift, corrected, classes = _class_corrected(
+        {"sim_ann_lsh_topk": 2.0, "not_a_query": 2.0},
+        anchors,
+        env_factor=1.26,
+    )
+    assert drift == {"cpu": 1.0, "shuffle": 2.0, "scan": 1.0}
+    # w = (0.35, 0.65, 0.0) -> blended = 0.35*1 + 0.65*2 = 1.65
+    assert corrected["sim_ann_lsh_topk"] == round(2.0 / 1.65, 3)
+    assert classes["sim_ann_lsh_topk"] == "shuffle"
+    assert corrected["not_a_query"] == round(2.0 / 1.26, 3)
+
+    # missing scan anchor (sf != 0.1): weights renormalize over the
+    # available classes instead of silently dropping mass
+    drift2, corrected2, _ = _class_corrected(
+        {"join_theta_range": 1.0},
+        {"anchor_cpu": 0.42, "anchor_shuffle": 0.31},
+        env_factor=1.0,
+    )
+    assert "scan" not in drift2
+    assert corrected2["join_theta_range"] == 1.0  # both drifts 1.0

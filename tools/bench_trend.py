@@ -63,6 +63,12 @@ def trend_lines(rounds: list[tuple[int, dict]]) -> list[dict]:
             "corrected_total_sec": corrected,
             "queries": parsed["queries"],
         }
+        # r17: per-anchor-class correction (VERDICT r16 item 1) — carry
+        # the class-corrected total when the round recorded one
+        if "value_env_corrected_by_class" in parsed:
+            line["class_corrected_total_sec"] = parsed[
+                "value_env_corrected_by_class"
+            ]
         if prev is not None:
             prnd, pq = prev
             shared = sorted(set(parsed["queries"]) & set(pq["queries"]))
@@ -81,6 +87,20 @@ def trend_lines(rounds: list[tuple[int, dict]]) -> list[dict]:
                     else None
                 ),
             }
+            # class-corrected like-for-like, only when BOTH rounds
+            # recorded per-query class-corrected walls (r17+)
+            cc, pcc = (
+                parsed.get("queries_env_corrected"),
+                pq.get("queries_env_corrected"),
+            )
+            if cc and pcc:
+                cshared = sorted(set(cc) & set(pcc) & set(shared))
+                cur_c = sum(cc[q] for q in cshared)
+                prev_c = sum(pcc[q] for q in cshared)
+                if prev_c:
+                    line["vs_prev"]["shared_class_corrected_ratio"] = round(
+                        cur_c / prev_c, 3
+                    )
         lines.append(line)
         prev = (rnd, parsed)
     return lines
