@@ -70,6 +70,7 @@ def _load_all_modules() -> None:
         approx,
         sessionize,
         quality,
+        quality_model,
     )
     from .functions import scalars, udfs  # noqa: F401
     from . import ingest, multimodal, tables  # noqa: F401
@@ -101,11 +102,15 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r16 entries accumulate here as code changes this round; the r15
-    # block (curate_admission_twin, for the manifest_from_admitted
-    # factoring) expired when CORRECTNESS_r15.json was recorded — the
-    # entry is hash-green in that sweep — and was deleted as this
-    # round's first-commit hygiene step.
+    # r17 entries accumulate here as code changes this round (the r16
+    # block was already empty when CORRECTNESS_r16.json landed —
+    # nothing to expire this time).
+    17: (
+        # curate_admission_pipeline gained the optional trained-quality
+        # stage (default None — semantics unchanged, but the entry's
+        # code path moved; the r4 lesson applies regardless)
+        "curate_admission_twin",
+    ),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}

@@ -1,0 +1,244 @@
+"""Model-based document quality filter (L2, SURVEY.md §2.3; VERDICT
+r16 item 2): the trained classifier stage every production curation
+pipeline runs next to the heuristic one — a fastText-style linear model
+over hashed token features, here MLlib ``LogisticRegression`` over
+``HashingTF`` (seeded, deterministic), trained on a bounded sample and
+scored MAP-ONLY so the filter folds into the batch's existing scan.
+
+Reference parity: the reference has no quality model (its only filter
+is key dedup, NytimesBatchProcessorApplication.kt:138-141); this is a
+north-star capability like the rest of the curation chain
+(`text_quality_score` carries the heuristic half).
+
+Scale shape at 100 TB:
+
+- TRAIN reads a deterministic hash-sample of at most ``sample_cap``
+  labeled rows (the `_train_ivf_centers` sampling contract — a model
+  trains on ~1e5 examples regardless of corpus size; L-BFGS itself is
+  a handful of treeAggregate passes over that bounded sample);
+- SCORE is one map-only pass: tokenize -> HashingTF -> w.x + b are all
+  per-row against broadcast coefficients — no exchange anywhere, so
+  scoring composes with the curation pipeline's signature pass exactly
+  like the heuristic filter (plan-pinned in tests/test_quality_model:
+  zero Exchange nodes in the scoring plan);
+- the catalog entry's AUC judge ranks a FIXED holdout panel (one
+  bounded window), the `sim_ann_ivf_topk` fixed-probe-panel shape —
+  at scale you grow the corpus, not the panel.
+
+Training labels on the driver fixture are derived, not pretended: the
+corpus has no quality labels, so the entry builds the standard
+weak-supervision shape — CLEAN = the document as ingested, DEGRADED =
+a deterministic token-level corruption of it (junk-token substitution
++ head truncation, the `dedup_intradoc_spans` derived-input
+discipline). That makes the task separable BY CONSTRUCTION (holdout
+AUC measures ~1.0); the honest claim this operator makes is the
+Spark-side plumbing — bounded-sample training, broadcast map-only
+scoring, deterministic labels/split — with the AUC gate proving the
+pipeline learns the signal it is given, and the bar (0.80) sitting far
+below the measurement so MLlib float wobble cannot flip the driver
+hash (the `sim_ann_ivf_topk` 0.4-vs-0.58 margin policy).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import query
+from ..sources import load_tables
+
+#: Training never reads more labeled rows than this (same dial as the
+#: IVF quantizer's `_IVF_SAMPLE_CAP`).
+QC_SAMPLE_CAP = 100_000
+#: HashingTF feature space. 2^12 keeps the coefficient vector ~32 KiB —
+#: broadcast-trivial — while collisions stay rare vs the fixture vocab.
+QC_NUM_FEATURES = 4096
+#: Holdout = doc_id % QC_HOLDOUT_MOD == 0; the rest trains.
+QC_HOLDOUT_MOD = 5
+#: Degraded = doc_id % 2 == 1 (label 1 = degraded, the filter target).
+QC_AUC_BAR = 0.80
+
+
+def _tokens(text: Column) -> Column:
+    """Whitespace tokens, lowercased — the `text_quality_score`
+    tokenization, shared so the heuristic and model filters disagree
+    on weights, never on what a token is."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def degrade_documents(docs: DataFrame) -> DataFrame:
+    """The derived label corpus: (doc_id, label, qtext) where odd
+    doc_ids carry a DEGRADED variant (every 3rd token replaced with a
+    positional junk token, then truncated to the first 24 tokens —
+    token-repetition + truncation, two real low-quality signatures)
+    and even doc_ids the text as ingested. Deterministic per doc_id,
+    so the oracle replays labels as ``doc_id % 2`` without touching
+    text."""
+    toks = _tokens(F.col("text"))
+    junked = F.transform(
+        toks,
+        lambda x, i: F.when(
+            i % 3 == F.lit(2),
+            F.concat(F.lit("zq"), F.pmod(i, F.lit(8)).cast("string")),
+        ).otherwise(x),
+    )
+    degraded = F.concat_ws(" ", F.slice(junked, 1, 24))
+    return docs.select(
+        "doc_id",
+        F.pmod("doc_id", F.lit(2)).cast("int").alias("label"),
+        F.when(F.pmod("doc_id", F.lit(2)) == 1, degraded)
+        .otherwise(F.col("text"))
+        .alias("qtext"),
+    )
+
+
+def qc_training_sample(labeled: DataFrame, sample_cap: int) -> DataFrame:
+    """ONE copy of the bounded-training-sample rule (the
+    `_train_ivf_centers` contract): a deterministic hash-sample of at
+    most ~``sample_cap`` rows, the subplan shared by
+    `quality_classifier_train` and the scale gate's ``qc_train_sampled``
+    measure — a hand-copied predicate in the measure would silently
+    diverge from what training actually reads."""
+    n = labeled.count()
+    if n <= sample_cap:
+        return labeled
+    keep = int(1_000_000 * sample_cap / n)
+    return labeled.filter(
+        F.pmod(F.abs(F.xxhash64("doc_id")), F.lit(1_000_000)) < keep
+    )
+
+
+def quality_classifier_train(
+    labeled: DataFrame,
+    seed: int = 42,
+    sample_cap: int = QC_SAMPLE_CAP,
+):
+    """Fit the quality model on (doc_id, label, qtext): deterministic
+    hash-sample to ``sample_cap`` rows, a PINNED partition layout
+    (L-BFGS treeAggregate sums floats in partition order — fixing the
+    layout fixes the fit bit-for-bit within a session), then
+    HashingTF(2^12) -> LogisticRegression. Returns the fitted
+    ``PipelineModel``."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    train = qc_training_sample(labeled, sample_cap).select(
+        "label", _tokens(F.col("qtext")).alias("qtoks")
+    ).repartition(8, "label")
+    tf = HashingTF(
+        inputCol="qtoks", outputCol="features", numFeatures=QC_NUM_FEATURES
+    )
+    lr = LogisticRegression(
+        maxIter=20, regParam=0.01, standardization=False, tol=1e-7
+    )
+    # seed is accepted for signature stability with the other trainers;
+    # LR itself is seed-free (zero init + deterministic aggregation)
+    _ = seed
+    model = Pipeline(stages=[tf, lr]).fit(train)
+    # The freshly-fitted LR model carries a trainingSummary that holds
+    # the live SparkSession — any task closure capturing the model
+    # (e.g. `curate_admission_pipeline`'s localCheckpoint over a
+    # model-filtered batch) then dies Task-not-serializable. The
+    # persisted form has no summary, so a write/load round-trip (a few
+    # KiB — the coefficient vector) yields the executor-safe model.
+    import shutil
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    tmp = tempfile.mkdtemp(prefix="qc-model-")
+    try:
+        model.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def quality_classifier_score(
+    model, docs: DataFrame, text_col: str = "qtext"
+) -> DataFrame:
+    """MAP-ONLY scoring: every input column plus ``p_degraded`` —
+    tokenize, hash, dot the broadcast coefficients, all per-row. No
+    exchange (plan-pinned); composes with any per-row stage
+    (`curate_admission_pipeline` runs it as an optional filter inside
+    its existing quality pass)."""
+    from pyspark.ml.functions import vector_to_array
+
+    feats = docs.select(
+        *docs.columns, _tokens(F.col(text_col)).alias("qtoks")
+    )
+    return model.transform(feats).select(
+        *docs.columns,
+        vector_to_array(F.col("probability")).getItem(1).alias("p_degraded"),
+    )
+
+
+@query(
+    "quality_classifier_surface",
+    tables=("documents",),
+    oracle="""
+SELECT CAST(doc_id AS BIGINT)     AS doc_id,
+       CAST(doc_id % 2 AS BIGINT) AS is_degraded,
+       TRUE                       AS auc_ge_080,
+       TRUE                       AS rescore_identical
+FROM documents WHERE doc_id % {hold} = 0
+""".format(hold=QC_HOLDOUT_MOD),
+)
+def quality_classifier_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-judging driver surface for the trained quality filter: the
+    model's scores depend on MLlib float L-BFGS and are not
+    SQL-replayable, so — the `sim_ann_ivf_topk` contract — the entry
+    returns deterministic outputs judged IN-QUERY, with a constant-TRUE
+    oracle:
+
+    - one row per HOLDOUT document (doc_id % 5 == 0; absent row =
+      scoring lost a doc), with its construction label;
+    - ``auc_ge_080``: exact Mann-Whitney AUC of ``p_degraded`` against
+      the construction labels over the holdout >= 0.80 (measured ~1.0
+      — the derived task is separable by construction; the wide margin
+      is the hash-stability policy, the honest number lives in
+      tests/test_quality_model.py where it prints);
+    - ``rescore_identical``: scoring the holdout twice through
+      `quality_classifier_score` agrees bit-for-bit (max |p1 - p2|
+      == 0) — the map-only path has no nondeterminism to hide.
+
+    The AUC ranks the holdout in ONE bounded window (fixed panel, the
+    scale note in the module docstring); the corpus-level booleans ride
+    every row via the broadcast scalar-aggregate cross join, the
+    repo's accepted O(1)-flag-row pattern."""
+    docs = load_tables(spark, sf_dir, "documents").documents
+    labeled = degrade_documents(docs)
+    train = labeled.filter(F.pmod("doc_id", F.lit(QC_HOLDOUT_MOD)) != 0)
+    holdout = labeled.filter(F.pmod("doc_id", F.lit(QC_HOLDOUT_MOD)) == 0)
+    model = quality_classifier_train(train)
+    s1 = quality_classifier_score(model, holdout).select(
+        "doc_id", "label", F.col("p_degraded").alias("p1")
+    )
+    s2 = quality_classifier_score(model, holdout).select(
+        "doc_id", F.col("p_degraded").alias("p2")
+    )
+    scored = s1.join(s2, "doc_id")
+    w = W.orderBy(F.col("p1").asc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    flags = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("rnk"))).alias("_rpos"),
+        F.sum(F.col("label")).alias("_npos"),
+        F.sum(F.lit(1) - F.col("label")).alias("_nneg"),
+        F.max(F.abs(F.col("p1") - F.col("p2"))).alias("_dmax"),
+    ).select(
+        (
+            (
+                F.col("_rpos") - F.col("_npos") * (F.col("_npos") + 1) / 2
+            )
+            / (F.col("_npos") * F.col("_nneg"))
+            >= QC_AUC_BAR
+        ).alias("auc_ge_080"),
+        (F.col("_dmax") == 0.0).alias("rescore_identical"),
+    )
+    return ranked.crossJoin(F.broadcast(flags)).select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("label").cast("bigint").alias("is_degraded"),
+        "auc_ge_080",
+        "rescore_identical",
+    )

@@ -1098,6 +1098,8 @@ def curate_admission_pipeline(
     metrics_out: dict | None = None,
     admitted_path: str | None = None,
     batch_id: int | None = None,
+    quality_model=None,
+    p_degraded_bar: float = 0.5,
 ) -> DataFrame:
     """The COMPOSED steady-state curation pipeline over ONE arriving
     batch (VERDICT r11 item 4; admission semantics completed r14,
@@ -1105,7 +1107,10 @@ def curate_admission_pipeline(
     chain whose stages the isolated scale families prove one at a
     time:
 
-        quality filter -> PII redact -> near-dup ADMISSION against the
+        quality filter (heuristic, plus the optional TRAINED
+        `quality_model` — a fitted `quality_classifier_train` pipeline
+        scored map-only, docs at ``p_degraded >= p_degraded_bar``
+        dropped) -> PII redact -> near-dup ADMISSION against the
         persisted MinHash index (`operators.dedup.admit_minhash_batch`
         — the EXACT operator the streaming sink runs: index probe PLUS
         within-batch self-probe, canonicalize-by-min, optional
@@ -1163,6 +1168,19 @@ def curate_admission_pipeline(
         F.length("text").cast("long").alias("n_chars"),
     )
     quality = scored.filter(quality_pass(F.col("n_tokens_raw"), F.col("n_chars")))
+    if quality_model is not None:
+        # optional TRAINED filter (VERDICT r16 item 2), stacked on the
+        # heuristic one: scoring is map-only (broadcast coefficients —
+        # plan-pinned in tests/test_quality_model.py), so it folds into
+        # the same pass; runs BEFORE the quality observation so the
+        # counter keeps meaning 'docs the quality stage shipped onward'
+        from .quality_model import quality_classifier_score
+
+        quality = (
+            quality_classifier_score(quality_model, quality, text_col="text")
+            .filter(F.col("p_degraded") < F.lit(p_degraded_bar))
+            .drop("p_degraded")
+        )
     obs = {
         "quality": Observation(),
         "admitted": Observation(),

@@ -18,6 +18,8 @@ from scale_bench import (  # noqa: E402
     MERGE_EQ_KEYS,
     MH_OCCUPANCY_KEY,
     OCCUPANCY_KEY,
+    QC_AUC_FLOOR,
+    QC_AUC_KEY,
     PIPE_EQ_KEYS,
     WALL_KEYS,
     compute_gate,
@@ -41,6 +43,8 @@ def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int 
     row[OCCUPANCY_KEY] = 0.12
     # MinHash band-bucket skew: a healthy admitted index (r15 twin axis)
     row[MH_OCCUPANCY_KEY] = 0.05
+    # trained-classifier holdout AUC: separable-by-construction task
+    row[QC_AUC_KEY] = 0.99
     return row
 
 
@@ -227,3 +231,17 @@ def test_mh_bucket_occupancy_gate_is_absolute_or_nonconcentrating():
     lo5[MH_OCCUPANCY_KEY] = 0.55
     hi5[MH_OCCUPANCY_KEY] = 0.3
     assert compute_gate({"x1": lo5, "x10": hi5}, 10, "b")["occupancy_ok"]
+
+
+def test_qc_auc_floor_is_absolute():
+    """r17: a holdout AUC below the floor at ANY scale fails the gate
+    even when every growth ratio is clean — the bounded sample or the
+    feature hashing stopped carrying the construction signal."""
+    lo, hi = _row(1), _row(10)
+    hi[QC_AUC_KEY] = QC_AUC_FLOOR  # at the floor: allowed
+    out = compute_gate({"x1": lo, "x10": hi}, 10, "b")
+    assert out["qc_auc_ok"] and out["linear_ok"]
+    hi2 = _row(10)
+    hi2[QC_AUC_KEY] = QC_AUC_FLOOR - 0.01
+    bad = compute_gate({"x1": lo, "x10": hi2}, 10, "b")
+    assert not bad["qc_auc_ok"] and not bad["linear_ok"]

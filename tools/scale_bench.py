@@ -756,6 +756,66 @@ def semdedup_scale_measure(spark, sf_dir: str, k: int) -> dict:
     }
 
 
+QC_SCALE_SAMPLE_CAP = 320  # below every scale's training pool (x1 at
+# sf0.01 has 400 non-holdout docs), so the bounded-sample claim is
+# exercised — and FLAT-gated — at every base fixture, not just sf0.1
+
+
+def qc_scale_measure(spark, sf_dir: str, k: int) -> dict:
+    """Trained-quality-classifier family (r17, VERDICT r16 item 2):
+    the scale claims behind `quality_classifier_surface`.
+
+    - qc_train_sampled (FLAT): training reads a deterministic
+      hash-sample bounded by the cap regardless of corpus size — the
+      subplan is `qc_training_sample` itself (shared, never copied);
+    - qc_scored (COUNT, linear): map-only scoring covers the full
+      per-scale corpus — one row out per row in;
+    - qc_auc (ABSOLUTE >= floor): the model trained on the per-scale
+      sample still separates the per-scale holdout. The degradation
+      tokens (zqN) are inserted AFTER replica perturbation, so the
+      signal exists identically at every scale — a falling AUC means
+      sampling or feature hashing broke, not the fixture;
+    - walls recorded (train includes the sampling count + L-BFGS over
+      the bounded sample; score is the map-only full-corpus pass).
+    """
+    from nytimes_batch_processor_spark.operators.quality_model import (
+        QC_HOLDOUT_MOD,
+        degrade_documents,
+        qc_training_sample,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    labeled = degrade_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+    pool = labeled.filter(F.pmod("doc_id", F.lit(QC_HOLDOUT_MOD)) != 0)
+    n_sampled = qc_training_sample(pool, QC_SCALE_SAMPLE_CAP).count()
+    t0 = time.perf_counter()
+    model = quality_classifier_train(pool, sample_cap=QC_SCALE_SAMPLE_CAP)
+    train_wall = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    n_scored = quality_classifier_score(model, labeled).count()
+    score_wall = round(time.perf_counter() - t0, 3)
+    hold = quality_classifier_score(
+        model, labeled.filter(F.pmod("doc_id", F.lit(QC_HOLDOUT_MOD)) == 0)
+    ).select("doc_id", "label", "p_degraded")
+    rows = hold.collect()
+    order = sorted(rows, key=lambda r: (r["p_degraded"], r["doc_id"]))
+    ranks = {r["doc_id"]: i + 1 for i, r in enumerate(order)}
+    npos = sum(1 for r in rows if r["label"] == 1)
+    nneg = len(rows) - npos
+    rpos = sum(ranks[r["doc_id"]] for r in rows if r["label"] == 1)
+    auc = (rpos - npos * (npos + 1) / 2) / max(npos * nneg, 1)
+    return {
+        "qc_train_sampled": n_sampled,
+        "qc_scored": n_scored,
+        "qc_auc": round(auc, 4),
+        "qc_train_wall_sec": train_wall,
+        "qc_score_wall_sec": score_wall,
+    }
+
+
 def merge_scale_measure(spark, k: int) -> dict:
     """MERGE family (VERDICT r10 item 5): a FIXED change batch (derived
     from replica 0 only) merged into a x`k` base table whose replicas
@@ -905,6 +965,8 @@ COUNT_KEYS = (
     # only the candidate volume is a scale claim.
     "sem_candidates",
     "sem_drops",
+    # r17: map-only scoring covers the full corpus — one row per doc
+    "qc_scored",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
 # not see its MinHash candidate/match mass move at all (shingle-disjoint
@@ -921,6 +983,8 @@ FLAT_KEYS = (
     # 60-bit window hash started pooling random collisions
     "ix_xsub_candidates",
     "ix_xsub_spans",
+    # r17: the bounded training sample — cap-constant across scales
+    "qc_train_sampled",
 )
 # Composed-pipeline admitted-set invariants (r14, the self-probe
 # semantics): a x`k` batch of unperturbed id-offset replicas must admit
@@ -965,6 +1029,8 @@ WALL_KEYS = (
     "xsub_wall_sec",
     "ix_xsub_wall_sec",
     "sem_wall_sec",
+    "qc_train_wall_sec",
+    "qc_score_wall_sec",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
@@ -1007,6 +1073,13 @@ OCCUPANCY_KEY = "ix_ann_max_cell_share"
 MH_OCCUPANCY_KEY = "ix_mh_max_bucket_share"
 MH_CONCENTRATION_SLACK = 1.2
 MH_DEGENERACY_CEILING = 0.6
+# Trained-classifier quality at scale (r17): holdout AUC per scale,
+# gated ABSOLUTE like the occupancy keys — the derived task is
+# separable by construction (measured ~1.0 at every scale), so a slide
+# below the floor means the bounded sample or the feature hashing
+# stopped carrying the signal, regardless of growth ratios.
+QC_AUC_KEY = "qc_auc"
+QC_AUC_FLOOR = 0.90
 
 
 def compute_gate(results: dict, factor: int, base: str) -> dict:
@@ -1051,6 +1124,7 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         and all(hi[key] == lo[key] for key in PIPE_EQ_KEYS)
     )
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
+    qc_auc_ok = all(row[QC_AUC_KEY] >= QC_AUC_FLOOR for row in results.values())
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
     mh_base = lo[MH_OCCUPANCY_KEY]
     occupancy_ok = all(
@@ -1077,9 +1151,12 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "merge_ok": merge_ok,
         "occupancy_ok": occupancy_ok,
         "occupancy_bound": IVF_MAX_CELL_SHARE,
+        "qc_auc_ok": qc_auc_ok,
+        "qc_auc_floor": QC_AUC_FLOOR,
         "mh_bucket_bound": MINHASH_MAX_BUCKET_SHARE,
         "mh_degeneracy_ceiling": MH_DEGENERACY_CEILING,
-        "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok,
+        "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok
+        and qc_auc_ok,
     }
 
 
@@ -1254,6 +1331,8 @@ def main() -> None:
         # the SemDedup family over the full per-scale corpus under the
         # k ∝ N bounded-cell-size policy (r16)
         row.update(semdedup_scale_measure(spark, sf_dir, k))
+        # the trained-quality-classifier family (r17)
+        row.update(qc_scale_measure(spark, sf_dir, k))
         # ... and its index-scaled axis: fixed base batch vs the x`k`
         # window index (r15: candidates/spans FLAT)
         row.update(window_probe_scale_measure(spark, k, sf_dir))
