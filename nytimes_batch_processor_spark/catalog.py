@@ -110,6 +110,9 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         # stage (default None — semantics unchanged, but the entry's
         # code path moved; the r4 lesson applies regardless)
         "curate_admission_twin",
+        # pack_sequences_offsets now routes through the shared
+        # packed_offsets helper (the pack_sequences_bpe refactor)
+        "pack_sequences_offsets",
     ),
 }
 

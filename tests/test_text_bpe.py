@@ -1,0 +1,122 @@
+"""Deterministic BPE tokenizer + tokenizer-aware packing (r17, VERDICT
+r16 item 3): encoder equivalence against a THIRD quadratic reference
+(hypothesis), reconstruction invariants, Arrow-batch plumbing vs the
+driver-side encoder, and the map-only plan claim."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nytimes_batch_processor_spark.operators.text import (  # noqa: E402
+    _BPE_MERGES,
+    _BPE_RANKS,
+    bpe_encode_word,
+    bpe_encode_word_by_rank,
+    bpe_token_counts,
+    packed_offsets,
+)
+from nytimes_batch_processor_spark.plans import executed_plan  # noqa: E402
+
+# characters that actually appear in the merge table, plus a stranger
+_ALPHA = sorted({c for m in _BPE_MERGES for part in m for c in part}) + ["q", "z"]
+
+
+def _bpe_single_step(word: str) -> list[str]:
+    """Quadratic REFERENCE encoder (test-only, the hypothesis ground
+    truth): repeatedly merge only the LEFTMOST occurrence of the
+    lowest-ranked pair present, one occurrence per step. Equivalent to
+    both production strategies for any TRAINED merge table (a pair's
+    parents always outrank it), with control flow shared with
+    neither."""
+    sym = list(word)
+    while True:
+        best = None
+        for i in range(len(sym) - 1):
+            r = _BPE_RANKS.get((sym[i], sym[i + 1]))
+            if r is not None and (best is None or r < best[0]):
+                best = (r, i)
+        if best is None:
+            return sym
+        _, i = best
+        sym = sym[:i] + [sym[i] + sym[i + 1]] + sym[i + 2 :]
+
+
+@given(
+    st.text(alphabet=_ALPHA, min_size=0, max_size=24),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_encoders_agree_with_quadratic_reference(word):
+    got = bpe_encode_word(word)
+    twin = bpe_encode_word_by_rank(word)
+    ref = _bpe_single_step(word)
+    assert got == ref, (word, got, ref)
+    assert twin == ref, (word, twin, ref)
+    # reconstruction: encoding never loses or reorders characters
+    assert "".join(got) == word
+
+
+def test_bpe_fixed_geometry():
+    """Pinned encodes — the merge table is a versioned literal, so
+    these are contracts, not snapshots."""
+    assert bpe_encode_word("join") == ["join"]
+    assert bpe_encode_word("customer") == ["customer"]
+    assert bpe_encode_word("joins") == ["join", "s"]
+    # 'vector' merges via ctor/ector; a stranger word stays chars
+    assert bpe_encode_word("vector") == ["vector"]
+    assert bpe_encode_word("qqz") == ["q", "q", "z"]
+    assert bpe_encode_word("") == []
+    # overlap handling: 'erer' merges left-to-right non-overlapping
+    assert bpe_encode_word("erer") == ["er", "er"]
+
+
+def test_bpe_counts_match_driver_encoder(spark):
+    """The Arrow/mapInPandas plumbing returns exactly what the driver-
+    side encoder says, doc for doc — batching, schema, and the word
+    cache change nothing."""
+    rows = [
+        (1, "join the customer batch"),
+        (2, "vector vector order"),
+        (3, ""),
+        (4, "qq zz join"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs).collect()
+    }
+    want = {
+        i: sum(len(bpe_encode_word(w)) for w in t.lower().split())
+        for i, t in rows
+    }
+    assert got == want
+
+
+def test_bpe_counts_plan_is_map_only(spark):
+    """The 100 TB claim: the count pass adds no exchange — one
+    ArrowEvalPython/mapInPandas stage over the scan."""
+    docs = spark.createDataFrame(
+        [(1, "join scan")], "doc_id long, text string"
+    )
+    plan = executed_plan(bpe_token_counts(docs))
+    assert "Exchange" not in plan, plan
+
+
+def test_packed_offsets_shared_by_both_entries(spark):
+    """`packed_offsets` is the ONE packer copy: feeding it constant
+    counts reproduces the textbook exclusive prefix sum regardless of
+    which tokenizer produced them."""
+    counts = spark.createDataFrame(
+        [(i, 10) for i in range(7)], "doc_id long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["bin_id"], r["bin_offset"])
+        for r in packed_offsets(counts).collect()
+    }
+    assert got == {i: (10 * i, 0, 10 * i) for i in range(7)}
