@@ -1940,9 +1940,16 @@ def semdedup_candidate_pairs(assigned: DataFrame) -> DataFrame:
     claims to pin). Candidate volume is the sum over cells of |c|^2 —
     linear in N only under the k ∝ N bounded-cell-size policy the
     gate exercises."""
-    ac = assigned.select(
-        "vec_id", "e", "nrm", F.explode("cells").alias("cell")
+    return _semdedup_pairs_exploded(
+        assigned.select("vec_id", "e", "nrm", F.explode("cells").alias("cell"))
     )
+
+
+def _semdedup_pairs_exploded(ac: DataFrame) -> DataFrame:
+    """The compare join over an EXPLODED (vec_id, e, nrm, cell) frame —
+    factored out (r17) so the in-memory path above and the persisted
+    bucketed-table path (`semdedup_pairs_persisted`) run the IDENTICAL
+    subplan over their respective inputs."""
     cos = _dot(F.col("a1.e"), F.col("a2.e")) / (
         F.col("a1.nrm") * F.col("a2.nrm")
     )
@@ -1959,6 +1966,68 @@ def semdedup_candidate_pairs(assigned: DataFrame) -> DataFrame:
             cos.alias("cos_raw"),
         )
     )
+
+
+def build_semdedup_assignment(
+    spark: SparkSession,
+    vectors: DataFrame,
+    name: str,
+    centers: list[list[float]] | None = None,
+    n_assign: int = _SEMDEDUP_NASSIGN,
+    n_buckets: int = 32,
+) -> None:
+    """PRODUCTION SemDedup layout (r17, closing the PLANS.md promise):
+    persist the exploded multi-assignment as a managed table BUCKETED
+    (and bucket-sorted) by ``cell`` — the persisted shuffle — with the
+    quantizer definition in the standard `_centroids.json` sidecar
+    next to the table's files (the `build_ivf_parquet_index` /
+    `save_ivf_centers` contract, so `load_semdedup_centers` resolves
+    the exact centroids any later probe or re-compare must use).
+
+    Layout choice, measured against the alternative: the IVF probe
+    index persists ``partitionBy(cell)`` because its consumer is a
+    DPP-pruned point probe (read ONLY the probed cells). The semdedup
+    COMPARE's consumer is the full within-cell self-join — partition
+    dirs give it nothing (plain parquet partitioning carries no
+    co-location metadata, so the self-join would still exchange both
+    sides), while bucketing bakes the hash-partitioning into the file
+    layout: the pair stage over this table runs with ZERO Exchange
+    (plan-pinned in tests/test_dedup_quality.py under the fact-fact
+    no-broadcast regime), and every re-compare — new threshold,
+    incremental batch, audit — reuses the write-time shuffle for free.
+    ``centers`` defaults to the fixed quantizer; pass a trained set
+    (`_train_ivf_centers` / `load_ivf_centers` / the integer-Lloyd
+    `ivf_kmeans_int_train` recipe) for the production path — the
+    sidecar records whichever trained the layout."""
+    from ..tables import managed_table_dir, write_bucketed
+
+    if centers is None:
+        centers = ivf_fixed_centers()
+    assigned = semdedup_assigned(vectors, centers, n_assign)
+    exploded = assigned.select(
+        "vec_id", "e", "nrm", F.explode("cells").alias("cell")
+    )
+    write_bucketed(exploded, name, "cell", n_buckets)
+    # the managed table's data dir is <warehouse>/<name>; the sidecar
+    # lives inside it (underscore-prefixed — scan-invisible)
+    save_ivf_centers(spark, managed_table_dir(spark, name), centers)
+
+
+def load_semdedup_centers(spark: SparkSession, name: str) -> list[list[float]]:
+    """The centroids a persisted assignment was built with (sidecar;
+    fixed quantizer when absent — the `load_ivf_centers` contract)."""
+    from ..tables import managed_table_dir
+
+    return load_ivf_centers(spark, managed_table_dir(spark, name))
+
+
+def semdedup_pairs_persisted(spark: SparkSession, name: str) -> DataFrame:
+    """Candidate pairs from the PERSISTED bucketed assignment — the
+    shared `_semdedup_pairs_exploded` subplan over the table scan. With
+    both self-join sides reading the same cell-bucketed layout the
+    exchange is already on disk; the only runtime movement is the
+    verdict groupBy downstream."""
+    return _semdedup_pairs_exploded(spark.table(name))
 
 
 def semdedup_verdicts(

@@ -89,6 +89,23 @@ def warehouse_scratch_path(
     return f"{warehouse}/engine_{name}"
 
 
+def managed_table_dir(spark: SparkSession, name: str) -> str:
+    """The session-catalog data directory of a default-db managed table
+    (``<warehouse>/<name>``, scheme-stripped) — where sidecar artifacts
+    (e.g. the semdedup quantizer's ``_centroids.json``) live next to
+    the table's files. Matches `_clean_orphaned_table_dir`'s layout
+    derivation; only valid for the default database of the session
+    catalog, which is the only place this repo creates tables."""
+    if "." in name:
+        raise ValueError(f"default-db table name expected, got: {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    for scheme in ("file://", "file:"):
+        if warehouse.startswith(scheme):
+            warehouse = warehouse[len(scheme):]
+            break
+    return f"{warehouse}/{name}"
+
+
 def clone_parquet_dir(path: str) -> str:
     """Driver-local copy of a parquet directory into a fresh private
     scratch dir — the mutation-isolation idiom for anything that runs

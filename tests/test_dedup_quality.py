@@ -1351,3 +1351,61 @@ def test_intradoc_entry_is_nonvacuous_and_echo_shaped(spark, sf_dir):
     for r in rows:
         assert r["doc_id"] % 7 == 0, r
         assert r["start1"] == 1 and r["span_len"] >= _INTRADOC_ECHO, r
+
+
+def test_semdedup_persisted_path_colocated_and_equal(spark, sf_dir):
+    """The production SemDedup layout (r17, PLANS.md promise made
+    real): the exploded multi-assignment persists BUCKETED by cell
+    with the quantizer sidecar, the pair stage over the persisted
+    table runs with ZERO Exchange in the fact-fact (no-broadcast)
+    regime, and the persisted path's candidate pairs equal the
+    in-memory path's bit for bit — same subplan, same values. Also
+    exercises the TRAINED-quantizer variant: the sidecar round-trips
+    the centers the layout was built with."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _as_double,
+        _norm,
+        _train_ivf_centers,
+        build_semdedup_assignment,
+        ivf_fixed_centers,
+        load_semdedup_centers,
+        semdedup_assigned,
+        semdedup_candidate_pairs,
+        semdedup_pairs_persisted,
+    )
+    from nytimes_batch_processor_spark.sources import load_tables
+
+    vec = (
+        load_tables(spark, sf_dir, "embeddings")
+        .embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    name = "semdedup_assign_test"
+    # trained variant: the integer-Lloyd/KMeans recipe's centers ride
+    # the sidecar and round-trip exactly
+    centers, _ = _train_ivf_centers(vec, 16, seed=42, sample_cap=10_000)
+    build_semdedup_assignment(spark, vec, name, centers=centers)
+    assert load_semdedup_centers(spark, name) == centers
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = semdedup_pairs_persisted(spark, name)
+        got = {
+            (r["id1"], r["id2"], round(r["cos_raw"], 9))
+            for r in pairs.collect()
+        }
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"persisted compare shuffles:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    want = {
+        (r["id1"], r["id2"], round(r["cos_raw"], 9))
+        for r in semdedup_candidate_pairs(
+            semdedup_assigned(vec, centers)
+        ).collect()
+    }
+    assert got == want
+    assert got, "vacuously empty candidate set"

@@ -21,6 +21,7 @@ from scale_bench import (  # noqa: E402
     QC_AUC_FLOOR,
     QC_AUC_KEY,
     PIPE_EQ_KEYS,
+    SEM_PERSIST_BOOL_KEYS,
     WALL_KEYS,
     compute_gate,
 )
@@ -45,6 +46,8 @@ def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int 
     row[MH_OCCUPANCY_KEY] = 0.05
     # trained-classifier holdout AUC: separable-by-construction task
     row[QC_AUC_KEY] = 0.99
+    # persisted-SemDedup invariants: bucketed layout equal + co-located
+    row.update({k: True for k in SEM_PERSIST_BOOL_KEYS})
     return row
 
 
@@ -245,3 +248,17 @@ def test_qc_auc_floor_is_absolute():
     hi2[QC_AUC_KEY] = QC_AUC_FLOOR - 0.01
     bad = compute_gate({"x1": lo, "x10": hi2}, 10, "b")
     assert not bad["qc_auc_ok"] and not bad["linear_ok"]
+
+
+def test_sem_persist_booleans_gate_every_scale():
+    """The persisted-SemDedup axis (r17) gates two per-scale booleans:
+    the bucketed layout's pair count must EQUAL the in-memory subplan's
+    and its executed compare must hold zero Exchange — a single False
+    at any scale fails linear_ok."""
+    ok = compute_gate({"x1": _row(1), "x10": _row(10)}, 10, "b")
+    assert ok["sem_persist_ok"] and ok["linear_ok"]
+    for key in SEM_PERSIST_BOOL_KEYS:
+        bad_hi = _row(10)
+        bad_hi[key] = False
+        bad = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
+        assert not bad["sem_persist_ok"] and not bad["linear_ok"], key

@@ -747,12 +747,51 @@ def semdedup_scale_measure(spark, sf_dir: str, k: int) -> dict:
     n_drops = dup.select("id2").distinct().count()
     wall = round(time.perf_counter() - t0, 3)
     cand.unpersist(blocking=False)
+
+    # Persisted-path axis (r17, VERDICT r16 item 4): the production
+    # layout buckets the exploded assignment by cell, so EVERY later
+    # compare — new threshold, audit, incremental batch — reuses the
+    # write-time shuffle. Two claims, gated as booleans at every scale:
+    # (a) the persisted compare's candidate count EQUALS the in-memory
+    # path's (same subplan over the same rows — a drift means the
+    # bucketed write lost or duplicated assignments), and (b) the pair
+    # stage's executed plan contains ZERO Exchange under the no-
+    # broadcast regime (the co-location is ON DISK, which is the whole
+    # point of the layout; a hot loop that re-shuffles a 100 TB
+    # assignment every compare is the scale failure this axis exists
+    # to catch). The write wall is recorded, never gated (one-time
+    # layout cost, trivially ∝ N).
+    from nytimes_batch_processor_spark.operators.similarity import (
+        build_semdedup_assignment,
+        semdedup_pairs_persisted,
+    )
+
+    table = f"semdedup_scale_assign_x{k}"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t1 = time.perf_counter()
+    build_semdedup_assignment(spark, vec, table, centers=centers)
+    build_wall = round(time.perf_counter() - t1, 3)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t2 = time.perf_counter()
+        ppairs = semdedup_pairs_persisted(spark, table)
+        n_pcand = ppairs.count()
+        persist_wall = round(time.perf_counter() - t2, 3)
+        plan = ppairs._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
     return {
         "sem_cells": 16 * k,
         "sem_candidates": n_cand,
         "sem_dup_pairs": n_pairs,
         "sem_drops": n_drops,
         "sem_wall_sec": wall,
+        "sem_persist_pairs_equal": n_pcand == n_cand,
+        "sem_persist_exchange_free": "Exchange" not in plan,
+        "sem_persist_build_wall_sec": build_wall,
+        "sem_persist_wall_sec": persist_wall,
     }
 
 
@@ -1029,8 +1068,19 @@ WALL_KEYS = (
     "xsub_wall_sec",
     "ix_xsub_wall_sec",
     "sem_wall_sec",
+    "sem_persist_build_wall_sec",
+    "sem_persist_wall_sec",
     "qc_train_wall_sec",
     "qc_score_wall_sec",
+)
+# Persisted-SemDedup invariants (r17): booleans measured per scale —
+# the bucketed layout's pair count equals the in-memory subplan's, and
+# its executed compare plan holds ZERO Exchange (the co-location is in
+# the file layout; any Exchange means the write-time shuffle is being
+# paid again on every compare).
+SEM_PERSIST_BOOL_KEYS = (
+    "sem_persist_pairs_equal",
+    "sem_persist_exchange_free",
 )
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
@@ -1125,6 +1175,9 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     )
     rounds_ok = hi["cc_rounds"] <= lo["cc_rounds"] + 4
     qc_auc_ok = all(row[QC_AUC_KEY] >= QC_AUC_FLOOR for row in results.values())
+    sem_persist_ok = all(
+        row[key] for row in results.values() for key in SEM_PERSIST_BOOL_KEYS
+    )
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
     mh_base = lo[MH_OCCUPANCY_KEY]
     occupancy_ok = all(
@@ -1153,10 +1206,11 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "occupancy_bound": IVF_MAX_CELL_SHARE,
         "qc_auc_ok": qc_auc_ok,
         "qc_auc_floor": QC_AUC_FLOOR,
+        "sem_persist_ok": sem_persist_ok,
         "mh_bucket_bound": MINHASH_MAX_BUCKET_SHARE,
         "mh_degeneracy_ceiling": MH_DEGENERACY_CEILING,
         "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok
-        and qc_auc_ok,
+        and qc_auc_ok and sem_persist_ok,
     }
 
 
