@@ -155,6 +155,19 @@ HEADLINE = [
     # so its ~7s at sf0.1 is fixed lifecycle overhead + genuine
     # admission cost, not a scan problem.
     "stream_ann_admission_twin",
+    # r17: BPE-tokenized packing — the mapInPandas greedy-merge encode
+    # (the engine's second Python hot path, Arrow-batched like the
+    # multimodal workers) feeding the existing two-level-scan packer;
+    # ~2s at sf0.1, encode-dominated.
+    "pack_sequences_bpe",
+    # r17: span-level train/test decontamination on the shared
+    # ExactSubstr chain — window md5 pass + train/test window-hash
+    # equi-join + maximal-span merge; ~2s at sf0.1.
+    "decon_leak_spans",
+    # quality_classifier_surface deliberately NOT here: its ~8s wall is
+    # MLlib L-BFGS fixed overhead (flat at x10 — qc_train_wall_sec in
+    # BENCH_sf1.json carries its cost model), which would spend ~33s of
+    # the driver's 550s budget re-measuring job-scheduling noise.
 ]
 
 
@@ -227,6 +240,8 @@ _ANCHOR_WEIGHTS: dict[str, tuple[float, float, float]] = {
     "dedup_incremental_spans": (0.35, 0.45, 0.20),  # DPP probe join
     "dedup_semantic_embedding": (0.50, 0.40, 0.10),  # exact-cos compare
     "stream_ann_admission_twin": (0.40, 0.50, 0.10),  # admission lifecycle
+    "pack_sequences_bpe": (0.55, 0.35, 0.10),  # Python BPE encode + pack
+    "decon_leak_spans": (0.50, 0.35, 0.15),  # window md5 + hash equi-join
 }
 
 _CLASS_TO_ANCHOR = {
