@@ -2014,11 +2014,30 @@ def build_semdedup_assignment(
 
 
 def load_semdedup_centers(spark: SparkSession, name: str) -> list[list[float]]:
-    """The centroids a persisted assignment was built with (sidecar;
-    fixed quantizer when absent — the `load_ivf_centers` contract)."""
+    """The centroids a persisted assignment was built with — STRICT,
+    deliberately unlike `load_ivf_centers`' fixed-quantizer fallback:
+    `build_semdedup_assignment` ALWAYS publishes the sidecar (fixed or
+    trained) as its last step, so a missing sidecar on an existing
+    assignment table means the build crashed between the table write
+    and the sidecar publish. Falling back to the fixed quantizer there
+    would hand a TRAINED layout the wrong centroids — every later
+    probe or re-compare against it lands in the wrong cells with no
+    error anywhere downstream (the silent-wrong-verdict failure class).
+    A plain IVF index legitimately omits the sidecar (fixed-quantizer
+    builds never write one), which is why ITS loader may fall back and
+    this one must not."""
     from ..tables import managed_table_dir
 
-    return load_ivf_centers(spark, managed_table_dir(spark, name))
+    path = managed_table_dir(spark, name)
+    p, fs = _ivf_sidecar(spark, path)
+    if not fs.exists(p):
+        raise ValueError(
+            f"semdedup assignment table '{name}' has no _centroids.json "
+            "sidecar — the build crashed before publishing its quantizer; "
+            "rebuild with build_semdedup_assignment instead of guessing "
+            "centroids"
+        )
+    return load_ivf_centers(spark, path)
 
 
 def semdedup_pairs_persisted(spark: SparkSession, name: str) -> DataFrame:

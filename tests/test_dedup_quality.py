@@ -1409,3 +1409,38 @@ def test_semdedup_persisted_path_colocated_and_equal(spark, sf_dir):
     }
     assert got == want
     assert got, "vacuously empty candidate set"
+
+
+def test_semdedup_centers_loader_is_strict_on_crashed_builds(spark, sf_dir):
+    """A crash between build_semdedup_assignment's table write and its
+    sidecar publish must read as an ERROR, not as the fixed quantizer:
+    a trained layout silently re-compared with fixed centroids lands
+    every later probe in the wrong cells with no downstream signal.
+    Simulated by deleting the sidecar after a successful build."""
+    import os
+
+    import pytest
+
+    from nytimes_batch_processor_spark.operators.similarity import (
+        _as_double,
+        _norm,
+        build_semdedup_assignment,
+        load_semdedup_centers,
+    )
+    from nytimes_batch_processor_spark.sources import load_tables
+    from nytimes_batch_processor_spark.tables import managed_table_dir
+
+    vec = (
+        load_tables(spark, sf_dir, "embeddings")
+        .embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .withColumn("nrm", _norm(F.col("e")))
+    )
+    name = "semdedup_assign_crash_test"
+    try:
+        build_semdedup_assignment(spark, vec, name)
+        assert load_semdedup_centers(spark, name)  # healthy build loads
+        os.remove(os.path.join(managed_table_dir(spark, name), "_centroids.json"))
+        with pytest.raises(ValueError, match="crashed before publishing"):
+            load_semdedup_centers(spark, name)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
