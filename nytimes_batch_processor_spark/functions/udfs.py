@@ -35,6 +35,23 @@ from ..catalog import query
 from ..sources import load_tables
 
 
+def spread_for_python(df: DataFrame) -> DataFrame:
+    """Parallelism guard for Python hot paths (r17, ONE shared copy —
+    used by the BPE encode and the multimodal mapInPandas chains): a
+    small corpus (one parquet file) scans as ONE partition, which
+    serializes the entire mapInPandas stage onto a single core — the
+    `semdedup_assigned` single-partition class. The spread is
+    CONDITIONAL: round-robin repartition to session parallelism only
+    when the input's partitioning is below it, so a production-scale
+    scan (thousands of input splits) flows through with ZERO added
+    exchange while the degenerate small scan fans out. Map-only
+    consumers see identical values either way."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 # Return types are DataType instances (not DDL strings) so the UDFs can
 # be declared at import time without an active SparkContext.
 @F.pandas_udf(T.DoubleType())

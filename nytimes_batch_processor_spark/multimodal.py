@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from .catalog import query
+from .functions.udfs import spread_for_python
 from .sources import load_tables
 
 try:  # codecs are not installed in this container — STUBBED decode path
@@ -329,7 +330,7 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     synthesizer field-exactly; the deterministic fake now covers ONLY
     pixel/sample decode (fake_features), not metadata."""
     t = load_tables(spark, sf_dir, "documents")
-    media = t.documents.select("doc_id", "text").mapInPandas(
+    media = spread_for_python(t.documents.select("doc_id", "text")).mapInPandas(
         synthesize_media, MEDIA_SCHEMA
     )
     return media.mapInPandas(parse_media_headers, HEADER_SCHEMA)
@@ -399,7 +400,9 @@ def mm_resize_thumbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins every sampled byte."""
     t = load_tables(spark, sf_dir, "documents")
     mm = attach_binary_payload(t.documents)
-    thumbs = mm.select("doc_id", "payload").mapInPandas(fake_resize, THUMB_SCHEMA)
+    thumbs = spread_for_python(mm.select("doc_id", "payload")).mapInPandas(
+        fake_resize, THUMB_SCHEMA
+    )
     return thumbs.select(
         "doc_id",
         "thumb_w",
@@ -466,7 +469,9 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm_resize_thumbs (frame boundaries split UTF-8 sequences)."""
     t = load_tables(spark, sf_dir, "documents")
     mm = attach_binary_payload(t.documents)
-    frames = mm.select("doc_id", "payload").mapInPandas(fake_frame_sample, FRAME_SCHEMA)
+    frames = spread_for_python(mm.select("doc_id", "payload")).mapInPandas(
+        fake_frame_sample, FRAME_SCHEMA
+    )
     return frames.select(
         "doc_id",
         "frame_idx",
@@ -506,7 +511,9 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest invariants)."""
     t = load_tables(spark, sf_dir, "documents")
     mm = attach_binary_payload(t.documents)
-    feats = mm.select("doc_id", "payload").mapInPandas(fake_features, FEATURE_SCHEMA)
+    feats = spread_for_python(mm.select("doc_id", "payload")).mapInPandas(
+        fake_features, FEATURE_SCHEMA
+    )
     return feats.select(
         "doc_id",
         "n_bytes",

@@ -617,12 +617,20 @@ def bpe_encode_word_by_rank(word: str) -> list[str]:
 def bpe_token_counts(docs: DataFrame, encoder=bpe_encode_word) -> DataFrame:
     """(doc_id, n_tokens) under the literal BPE tokenizer — the
     map-only Arrow-batched pass feeding `packed_offsets`. Scale shape:
-    pure per-row work (zero exchange, pinned in tests/test_plans-style
-    by the entry's pytest), one Python worker pool per task, and a
-    per-batch word-level memo so the fixture's Zipfian vocabulary costs
-    ~|vocab| encodes per batch, not ~|tokens|. At 100 TB this is the
-    one deliberately-Python stage in the packing chain; everything
-    around it stays JVM-side."""
+    pure per-row work (zero exchange on a well-partitioned scan), one
+    Python worker pool per task, and a per-batch word-level memo so the
+    fixture's Zipfian vocabulary costs ~|vocab| encodes per batch, not
+    ~|tokens|. At 100 TB this is the one deliberately-Python stage in
+    the packing chain; everything around it stays JVM-side.
+
+    Parallelism guard (r17): a SMALL corpus (one parquet file) scans as
+    ONE partition, which would serialize the whole Python encode onto a
+    single core — the `semdedup_assigned` single-partition class. The
+    spread is CONDITIONAL, unlike semdedup's unconditional round-robin:
+    repartition only when the scan's partitioning is below the session
+    parallelism, so a production-scale scan (thousands of input splits)
+    flows through with zero added exchange while the degenerate small
+    scan fans out."""
     import pandas as pd
 
     def _batches(it):
@@ -641,7 +649,9 @@ def bpe_token_counts(docs: DataFrame, encoder=bpe_encode_word) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "n_tokens": counts}
             )
 
-    return docs.select("doc_id", "text").mapInPandas(
+    from ..functions.udfs import spread_for_python
+
+    return spread_for_python(docs.select("doc_id", "text")).mapInPandas(
         _batches, "doc_id long, n_tokens long"
     )
 

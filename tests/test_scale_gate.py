@@ -18,6 +18,7 @@ from scale_bench import (  # noqa: E402
     MERGE_EQ_KEYS,
     MH_OCCUPANCY_KEY,
     OCCUPANCY_KEY,
+    INVARIANT_BOOL_KEYS,
     QC_AUC_FLOOR,
     QC_AUC_KEY,
     PIPE_EQ_KEYS,
@@ -48,6 +49,8 @@ def _row(scale: int, count_mult: float = 1.0, rounds: int = 4, merge_parts: int 
     row[QC_AUC_KEY] = 0.99
     # persisted-SemDedup invariants: bucketed layout equal + co-located
     row.update({k: True for k in SEM_PERSIST_BOOL_KEYS})
+    # per-scale correctness invariants (packer token conservation)
+    row.update({k: True for k in INVARIANT_BOOL_KEYS})
     return row
 
 
@@ -262,3 +265,16 @@ def test_sem_persist_booleans_gate_every_scale():
         bad_hi[key] = False
         bad = compute_gate({"x1": _row(1), "x10": bad_hi}, 10, "b")
         assert not bad["sem_persist_ok"] and not bad["linear_ok"], key
+
+
+def test_invariant_booleans_gate_every_scale():
+    """The per-scale correctness invariants (r17: the packer's token
+    conservation) gate as booleans: a single False at any scale fails
+    linear_ok even with every ratio perfectly linear."""
+    ok = compute_gate({"x1": _row(1), "x10": _row(10)}, 10, "b")
+    assert ok["invariants_ok"] and ok["linear_ok"]
+    for key in INVARIANT_BOOL_KEYS:
+        bad_lo = _row(1)
+        bad_lo[key] = False
+        bad = compute_gate({"x1": bad_lo, "x10": _row(10)}, 10, "b")
+        assert not bad["invariants_ok"] and not bad["linear_ok"], key

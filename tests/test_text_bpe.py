@@ -99,13 +99,34 @@ def test_bpe_counts_match_driver_encoder(spark):
 
 
 def test_bpe_counts_plan_is_map_only(spark):
-    """The 100 TB claim: the count pass adds no exchange — one
-    ArrowEvalPython/mapInPandas stage over the scan."""
+    """The 100 TB claim: the count pass adds no exchange over a
+    WELL-PARTITIONED scan — one ArrowEvalPython/mapInPandas stage.
+    (r17: the parallelism guard only fires below session parallelism,
+    so a production-scale input flows through exchange-free.)"""
+    sc = spark.sparkContext
     docs = spark.createDataFrame(
-        [(1, "join scan")], "doc_id long, text string"
-    )
+        [(i, "join scan") for i in range(64)], "doc_id long, text string"
+    ).repartition(sc.defaultParallelism)
     plan = executed_plan(bpe_token_counts(docs))
-    assert "Exchange" not in plan, plan
+    # the input repartition above is the ONLY exchange — bpe adds none
+    # (AQE's dump repeats the plan under '== Initial Plan ==';
+    # count in the final section only)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1, plan
+
+
+def test_bpe_counts_fans_out_degenerate_scans(spark):
+    """The r17 parallelism guard: a single-partition input (a small
+    parquet file scans as ONE split) must NOT serialize the Python
+    encode onto one core — the count pass fans it out to session
+    parallelism. The values are unchanged either way."""
+    sc = spark.sparkContext
+    docs = spark.createDataFrame(
+        [(i, "join scan") for i in range(64)], "doc_id long, text string"
+    ).coalesce(1)
+    out = bpe_token_counts(docs)
+    assert out.rdd.getNumPartitions() == sc.defaultParallelism
+    assert out.count() == 64
 
 
 def test_packed_offsets_shared_by_both_entries(spark):

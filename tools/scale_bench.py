@@ -855,6 +855,97 @@ def qc_scale_measure(spark, sf_dir: str, k: int) -> dict:
     }
 
 
+def bpe_scale_measure(spark, sf_dir: str) -> dict:
+    """Tokenizer-aware-packing family (r17, VERDICT r16 item 3): the
+    scale claims behind `pack_sequences_bpe` over the full per-scale
+    corpus.
+
+    - bpe_tokens (COUNT, linear): total BPE token mass out of the
+      Arrow-batched map-only encode — superlinear growth would mean
+      the per-batch word memo or the encode itself degenerated;
+    - bpe_bins (COUNT, linear): packed bins = ceil(tokens / capacity),
+      the two-level packer's output cardinality;
+    - bpe_conserved (BOOLEAN): the last document's start_offset plus
+      its n_tokens equals the total token mass — the packer's
+      conservation invariant, which breaks if the bucket-level or
+      in-bucket prefix sums ever drop or double-count a document
+      (exactly the failure a bucket-boundary bug produces, invisible
+      to a ratio gate);
+    - the wall covers encode + pack end to end.
+    """
+    from nytimes_batch_processor_spark.operators.text import (
+        _PACK_CAPACITY,
+        bpe_token_counts,
+        packed_offsets,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    counts = bpe_token_counts(docs).localCheckpoint(eager=True)
+    packed = packed_offsets(counts)
+    agg = packed.agg(
+        F.sum("n_tokens").alias("toks"),
+        (F.max("bin_id") + 1).alias("bins"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 3)
+    counts.unpersist(blocking=False)
+    return {
+        "bpe_tokens": int(agg["toks"]),
+        "bpe_bins": int(agg["bins"]),
+        "bpe_conserved": int(agg["end"]) == int(agg["toks"]),
+        "bpe_capacity": _PACK_CAPACITY,
+        "bpe_wall_sec": wall,
+    }
+
+
+def dspan_scale_measure(spark, sf_dir: str) -> dict:
+    """Span-decontamination family (r17, VERDICT r16 item 5): the
+    scale claims behind `decon_leak_spans` with BOTH splits growing
+    with the corpus (train < 80, test >= 90 of the same hash split the
+    entry uses). Replicas are window-disjoint by construction (the
+    xsub fixture contract), so leakage is the planted canaries plus
+    the base corpus's natural overlap — both ∝ N:
+
+    - dspan_leaked_windows (COUNT, linear): test windows whose hash
+      occurs in the train split — the equi-join's output, bounded by
+      the test side; superlinear growth means the 60-bit window hash
+      started pooling random cross-split collisions;
+    - dspan_spans (COUNT, linear): maximal merged spans reported;
+    - the wall covers both window passes, the distinct-hash collapse,
+      the join, and the span merge.
+    """
+    from nytimes_batch_processor_spark.operators.text import (
+        decon_derived_docs,
+        decon_leaked_windows,
+    )
+    from nytimes_batch_processor_spark.operators.dedup import (
+        merge_collision_spans,
+    )
+
+    docs = decon_derived_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    train = docs.filter(F.col("bucket") < 80)
+    test = docs.filter(F.col("bucket") >= 90)
+    t0 = time.perf_counter()
+    leaked = decon_leaked_windows(train, test).localCheckpoint(eager=True)
+    n_leaked = leaked.count()
+    n_spans = merge_collision_spans(
+        leaked.select(
+            F.col("doc_id").alias("id1"),
+            F.col("doc_id").alias("id2"),
+            F.col("pos").alias("pos1"),
+            F.col("pos").alias("pos2"),
+        )
+    ).count()
+    wall = round(time.perf_counter() - t0, 3)
+    leaked.unpersist(blocking=False)
+    return {
+        "dspan_leaked_windows": n_leaked,
+        "dspan_spans": n_spans,
+        "dspan_wall_sec": wall,
+    }
+
+
 def merge_scale_measure(spark, k: int) -> dict:
     """MERGE family (VERDICT r10 item 5): a FIXED change batch (derived
     from replica 0 only) merged into a x`k` base table whose replicas
@@ -1006,6 +1097,14 @@ COUNT_KEYS = (
     "sem_drops",
     # r17: map-only scoring covers the full corpus — one row per doc
     "qc_scored",
+    # r17: BPE token mass and packed-bin cardinality out of the
+    # map-only encode + two-level packer
+    "bpe_tokens",
+    "bpe_bins",
+    # r17: span decontamination with both splits growing — leakage is
+    # canary + base natural overlap under window-disjoint replicas
+    "dspan_leaked_windows",
+    "dspan_spans",
 )
 # Flat-expected counts: a FIXED batch against a grown corpus index may
 # not see its MinHash candidate/match mass move at all (shingle-disjoint
@@ -1072,6 +1171,8 @@ WALL_KEYS = (
     "sem_persist_wall_sec",
     "qc_train_wall_sec",
     "qc_score_wall_sec",
+    "bpe_wall_sec",
+    "dspan_wall_sec",
 )
 # Persisted-SemDedup invariants (r17): booleans measured per scale —
 # the bucketed layout's pair count equals the in-memory subplan's, and
@@ -1082,6 +1183,11 @@ SEM_PERSIST_BOOL_KEYS = (
     "sem_persist_pairs_equal",
     "sem_persist_exchange_free",
 )
+# Per-scale correctness invariants gated as booleans (r17): the
+# packer's token-conservation identity — last start_offset + n_tokens
+# == total token mass — which a bucket-boundary prefix-sum bug breaks
+# while every ratio stays perfectly linear.
+INVARIANT_BOOL_KEYS = ("bpe_conserved",)
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
 # equality, not a ratio bound (cost ∝ touched partitions, never table
@@ -1178,6 +1284,9 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
     sem_persist_ok = all(
         row[key] for row in results.values() for key in SEM_PERSIST_BOOL_KEYS
     )
+    invariants_ok = all(
+        row[key] for row in results.values() for key in INVARIANT_BOOL_KEYS
+    )
     merge_ok = all(hi[key] == lo[key] for key in MERGE_EQ_KEYS)
     mh_base = lo[MH_OCCUPANCY_KEY]
     occupancy_ok = all(
@@ -1207,10 +1316,11 @@ def compute_gate(results: dict, factor: int, base: str) -> dict:
         "qc_auc_ok": qc_auc_ok,
         "qc_auc_floor": QC_AUC_FLOOR,
         "sem_persist_ok": sem_persist_ok,
+        "invariants_ok": invariants_ok,
         "mh_bucket_bound": MINHASH_MAX_BUCKET_SHARE,
         "mh_degeneracy_ceiling": MH_DEGENERACY_CEILING,
         "linear_ok": linear_ok and rounds_ok and merge_ok and occupancy_ok
-        and qc_auc_ok and sem_persist_ok,
+        and qc_auc_ok and sem_persist_ok and invariants_ok,
     }
 
 
@@ -1387,6 +1497,9 @@ def main() -> None:
         row.update(semdedup_scale_measure(spark, sf_dir, k))
         # the trained-quality-classifier family (r17)
         row.update(qc_scale_measure(spark, sf_dir, k))
+        # the BPE-packing and span-decontamination families (r17)
+        row.update(bpe_scale_measure(spark, sf_dir))
+        row.update(dspan_scale_measure(spark, sf_dir))
         # ... and its index-scaled axis: fixed base batch vs the x`k`
         # window index (r15: candidates/spans FLAT)
         row.update(window_probe_scale_measure(spark, k, sf_dir))
