@@ -159,6 +159,9 @@ def _png_bytes(width: int, height: int, body: bytes) -> bytes:
     import struct
     import zlib
 
+    if not (1 <= width <= 0xFFFFFFFF and 1 <= height <= 0xFFFFFFFF):
+        raise ValueError(f"PNG dims {width}x{height} not encodable in u32")
+
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 6, 0, 0, 0)
     chunk = b"IHDR" + ihdr
     return (
@@ -176,6 +179,9 @@ def _jpeg_bytes(width: int, height: int, body: bytes) -> bytes:
     33 header bytes."""
     import struct
 
+    if not (1 <= width <= 0xFFFF and 1 <= height <= 0xFFFF):
+        raise ValueError(f"JPEG dims {width}x{height} not encodable in u16")
+
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, height, width, 1) + b"\x01\x11\x00"
     return b"\xff\xd8" + app0 + sof0 + body
@@ -183,11 +189,19 @@ def _jpeg_bytes(width: int, height: int, body: bytes) -> bytes:
 
 def _wav_bytes(sample_rate: int, channels: int, body: bytes) -> bytes:
     """RIFF/WAVE with a PCM fmt chunk (little-endian fields) and a data
-    chunk holding the body. 44 header bytes — the canonical WAV layout."""
+    chunk holding the body. 44 header bytes — the canonical WAV layout.
+    Validates encodability up front (hypothesis-found edge): the
+    block-align field is u16, so 16-bit PCM caps channels at 32767, and
+    byte_rate must fit u32 — out-of-range inputs raise instead of
+    struct-erroring mid-pack or silently wrapping."""
     import struct
 
     bits = 16
+    if not (1 <= channels and channels * bits // 8 <= 0xFFFF):
+        raise ValueError(f"channels {channels} not encodable in u16 block-align")
     byte_rate = sample_rate * channels * bits // 8
+    if not (1 <= sample_rate <= 0xFFFFFFFF and byte_rate <= 0xFFFFFFFF):
+        raise ValueError(f"sample_rate {sample_rate} x {channels}ch overflows u32")
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, byte_rate, channels * bits // 8, bits
     )

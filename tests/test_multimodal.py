@@ -147,3 +147,47 @@ def test_mm_binary_metadata_parses_synthesized_headers(spark, sf_dir):
             assert r["sample_rate"] == 8000 + (r["doc_id"] % 8) * 4000, r
             assert r["channels"] == 1 + r["doc_id"] % 2, r
             assert r["width"] is None and r["height"] is None, r
+
+
+def test_header_roundtrip_property():
+    """Hypothesis: parse inverts synthesize across the containers'
+    full legal dimension ranges (JPEG dims are u16, PNG u32-positive,
+    WAV rate/channels u32/u16) with arbitrary body bytes — catches
+    offset bugs that the fixture's narrow derived ranges never reach."""
+    from hypothesis import given, settings, strategies as st
+
+    from nytimes_batch_processor_spark.multimodal import (
+        _jpeg_bytes,
+        _png_bytes,
+        _wav_bytes,
+        parse_jpeg_header,
+        parse_png_header,
+        parse_wav_header,
+    )
+
+    import pytest
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=65535),
+        h=st.integers(min_value=1, max_value=65535),
+        # encodable WAV range: block-align (channels*2) fits u16 and
+        # byte_rate (rate*channels*2) fits u32 — constrained generation,
+        # and the synthesizer's own validation covers the rest
+        rate=st.integers(min_value=1, max_value=192_000),
+        ch=st.integers(min_value=1, max_value=1024),
+        body=st.binary(max_size=64),
+    )
+    def check(w, h, rate, ch, body):
+        assert parse_png_header(_png_bytes(w, h, body)) == (w, h)
+        assert parse_jpeg_header(_jpeg_bytes(w, h, body)) == (w, h)
+        assert parse_wav_header(_wav_bytes(rate, ch, body)) == (rate, ch)
+
+    check()
+    # the hypothesis-found edge now raises instead of struct-erroring
+    with pytest.raises(ValueError, match="block-align"):
+        _wav_bytes(8000, 32768, b"")
+    with pytest.raises(ValueError, match="u16"):
+        _jpeg_bytes(70000, 16, b"")
+    with pytest.raises(ValueError, match="u32"):
+        _png_bytes(0, 16, b"")
