@@ -113,6 +113,19 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         # pack_sequences_offsets now routes through the shared
         # packed_offsets helper (the pack_sequences_bpe refactor)
         "pack_sequences_offsets",
+        # mm_binary_metadata was REWRITTEN (synthesized valid media
+        # headers parsed back byte-level; new columns, new oracle) and
+        # the other three multimodal chains gained the
+        # spread_for_python fan-out — all four re-enter the window
+        # (the r4 lesson; self-review r17)
+        "mm_binary_metadata",
+        "mm_resize_thumbs",
+        "mm_frame_sample",
+        "mm_decode_features",
+        # dedup_semantic_embedding's compare stage was factored into
+        # _semdedup_pairs_exploded (value-identical, but the code
+        # path moved)
+        "dedup_semantic_embedding",
     ),
 }
 

@@ -588,16 +588,29 @@ def migrate_admitted_sink(
                         part_rows = spark.read.parquet(
                             str(_p(f"batch_id={negs[0]}"))
                         ).select(*flat_rows.columns)
-                        # plain (null-rejecting) anti-join: a flat row
-                        # with a NULL column can never prove itself
-                        # contained, which fails toward the REFUSAL —
-                        # the safe direction for a deletion guard
-                        covered = (
-                            flat_rows.join(
-                                part_rows, on=flat_rows.columns,
-                                how="left_anti",
-                            ).limit(1).count() == 0
+                        # MULTISET containment (r17 self-review), not
+                        # set containment: a flat row present TWICE
+                        # (legacy double-append) but once in the
+                        # candidate partition would pass an anti-join
+                        # and still lose a copy on cleanup. Compare
+                        # per-row-value COUNTS: every flat group must
+                        # appear at least as often in the partition.
+                        # The null-rejecting join keeps the old
+                        # NULL-fails-toward-REFUSAL direction — a flat
+                        # group with a NULL column never matches, so
+                        # pc reads NULL and the guard refuses.
+                        cols = flat_rows.columns
+                        fcnt = flat_rows.groupBy(cols).agg(
+                            F.count(F.lit(1)).alias("_fc")
                         )
+                        pcnt = part_rows.groupBy(cols).agg(
+                            F.count(F.lit(1)).alias("_pc")
+                        )
+                        short = fcnt.join(pcnt, on=cols, how="left").filter(
+                            F.col("_pc").isNull()
+                            | (F.col("_fc") > F.col("_pc"))
+                        )
+                        covered = short.limit(1).count() == 0
                     if covered:
                         rec_id = negs[0]
                     else:

@@ -219,8 +219,29 @@ def quality_classifier_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("p_degraded").alias("p2")
     )
     scored = s1.join(s2, "doc_id")
-    w = W.orderBy(F.col("p1").asc(), F.col("doc_id").asc())
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    # Two-level rank (the `packed_offsets` idiom, r17): the holdout
+    # GROWS with the corpus (doc_id % 5), so a single global orderBy
+    # window would serialize the whole panel through one task at scale
+    # — caught by the unpartitioned-window census in tests/test_plans.
+    # p1 ∈ [0,1] buckets monotonically (floor(p1*K), 1.0 clamped into
+    # the top bucket), so global rank = bucket prefix-offset (tiny
+    # window over the O(K) aggregate) + within-bucket row_number
+    # (partitioned window). Ties across buckets are impossible: equal
+    # p1 always lands in one bucket, and doc_id breaks ties within it.
+    _K = 64
+    bucketed = scored.withColumn(
+        "b", F.least(F.floor(F.col("p1") * _K), F.lit(_K - 1)).cast("long")
+    )
+    w_b = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    boff = (
+        bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select("b", F.coalesce(F.sum("bn").over(w_b), F.lit(0)).alias("boff"))
+    )
+    w_d = W.partitionBy("b").orderBy(F.col("p1").asc(), F.col("doc_id").asc())
+    ranked = bucketed.join(F.broadcast(boff), "b").withColumn(
+        "rnk", F.col("boff") + F.row_number().over(w_d)
+    )
     flags = ranked.agg(
         F.sum(F.when(F.col("label") == 1, F.col("rnk"))).alias("_rpos"),
         F.sum(F.col("label")).alias("_npos"),

@@ -705,8 +705,19 @@ def pack_sequences_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     27,165 whitespace tokens at sf0.01 (the 48-merge vocab splits most
     chars; compression is the vocab's job, correctness is this
     entry's)."""
+    from .. import checkpoints
+
     t = load_tables(spark, sf_dir, "documents")
-    packed = packed_offsets(bpe_token_counts(t.documents))
+    # Pin the packed frame ONCE (r17 self-review): it feeds BOTH the
+    # corpus-level flags aggregate and the panel join below, and
+    # without the checkpoint the full-corpus Python BPE encode — the
+    # entry's dominant cost — evaluates twice in the one action. One
+    # row per doc, so the pinned blocks are small; rotate releases the
+    # previous invocation's generation.
+    packed = packed_offsets(bpe_token_counts(t.documents)).localCheckpoint(
+        eager=True
+    )
+    checkpoints.rotate("text.pack_sequences_bpe", packed)
     flags = packed.agg(
         (
             (F.max(F.col("start_offset") + F.col("n_tokens")) == F.sum("n_tokens"))

@@ -2453,6 +2453,18 @@ def test_migrate_headerless_recovery_requires_containment(spark, tmp_path):
     )
     assert got == [(1, -3), (2, -3)], got
 
+    # (c) MULTISET containment (r17 self-review): a flat row present
+    # TWICE (legacy double-append) but only once in the old partition
+    # passes a set-level anti-join, yet adopting would delete one of
+    # the two copies — the guard must compare per-row COUNTS and
+    # refuse.
+    sink3, names3 = reappeared_sink("reappeared_multiset", [(1, "a"), (1, "a")])
+    with _pytest.raises(ValueError, match="does NOT contain"):
+        migrate_admitted_sink(spark, sink3)
+    assert _os.path.exists(f"{sink3}/.migrate_manifest")
+    for n in names3:
+        assert _os.path.exists(f"{sink3}/{n}"), n
+
 
 def test_stream_span_reports_vs_previously_indexed(spark, tmp_path):
     """The streaming ExactSubstr wrapper (r15): per-batch span reports
