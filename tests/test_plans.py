@@ -347,7 +347,10 @@ def test_unpartitioned_window_census_is_pinned(spark, sf_dir):
         "window_agg_surface": 1,         # grand-total denominator over 25-row agg (pct branch)
         "window_range_rolling_7d": 1,    # daily spine over O(days)
         "pack_sequences_offsets": 1,     # two-level prefix scan, top level O(partitions)
-        "pack_sequences_bpe": 1,         # same shared packer, same top level
+        # pack_sequences_bpe: 0 — its packer windows sit BEHIND the
+        # entry's localCheckpoint (r17), invisible to this plan walk;
+        # the shared packer subplan stays census-pinned via
+        # pack_sequences_offsets above
         "quality_classifier_surface": 1,  # AUC bucket spine over an O(64) agg
         "stream_window_surface": 1,      # window spine over O(windows)
         "stream_dedup_watermark_twin": 1,  # watermark spine over O(days)
