@@ -260,7 +260,12 @@ def _class_corrected(
     dominant-class tags). A query's corrected wall divides by the
     weight-blended drift over the anchor classes that actually produced
     a wall this run (weights renormalized when e.g. the scan anchor is
-    absent at sf != 0.1); unfitted names divide by the composite."""
+    absent at sf != 0.1); unfitted names divide by the composite, and
+    when no correction is derivable at all the RAW wall is recorded
+    (divide by 1.0) so `value_env_corrected_by_class` always sums the
+    same query set as `value` — a varying subset would make the
+    headline class-corrected total non-like-for-like across rounds
+    (ADVICE r17)."""
     drift = {
         cls: round(anchor_walls[a] / _ANCHOR_REF[a], 3)
         for cls, a in _CLASS_TO_ANCHOR.items()
@@ -281,8 +286,7 @@ def _class_corrected(
                 corrected[name] = round(wall / blended, 3)
                 classes[name] = max(avail, key=lambda t: t[1])[0]
                 continue
-        if env_factor:
-            corrected[name] = round(wall / env_factor, 3)
+        corrected[name] = round(wall / env_factor, 3) if env_factor else wall
     return drift, corrected, classes
 
 
@@ -402,6 +406,23 @@ def main() -> None:
     drift_by_class, corrected_q, class_tags = _class_corrected(
         timings, anchor_walls, env_factor
     )
+    # Two-line output protocol (VERDICT r17 item 1): the r17 single line
+    # grew past the driver's 2,000-char capture window when the per-class
+    # fields landed, so BENCH_r17.json recorded `parsed: null`. The
+    # per-class DETAIL now goes on a PRECEDING line (and a sidecar file
+    # next to this script, for humans and bench_trend), and the FINAL
+    # printed line is the compact r16-schema object the driver's parser
+    # has consumed since r9 — plus the one scalar class-corrected total.
+    detail = {
+        "metric": "headline_queries_class_detail",
+        # r17: per-anchor-class correction (VERDICT r16 item 1). The
+        # class-corrected numbers are the ones to adjudicate movers
+        # with — a shuffle-only host regression lands on the shuffle-
+        # weighted queries and nowhere else.
+        "env_factor_by_class": drift_by_class,
+        "query_anchor_class": class_tags,
+        "queries_env_corrected": corrected_q,
+    }
     out = {
         "metric": "headline_queries_wall_total",
         "value": total,
@@ -416,19 +437,20 @@ def main() -> None:
         "value_env_corrected": (
             round(total / env_factor, 3) if env_factor else total
         ),
-        # r17: per-anchor-class correction (VERDICT r16 item 1). The
-        # composite fields above stay for cross-round continuity; the
-        # class-corrected numbers are the ones to adjudicate movers
-        # with — a shuffle-only host regression lands on the shuffle-
-        # weighted queries and nowhere else.
-        "env_factor_by_class": drift_by_class,
-        "query_anchor_class": class_tags,
-        "queries_env_corrected": corrected_q,
         "value_env_corrected_by_class": round(sum(corrected_q.values()), 3),
     }
     if errors:
         out["errors"] = errors
         out["failed_count"] = len(errors)
+    try:
+        sidecar = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_CLASS_DETAIL.json"
+        )
+        with open(sidecar, "w") as f:
+            json.dump({**detail, **out}, f, indent=1)
+    except OSError:
+        pass  # the sidecar is a convenience; stdout carries the record
+    print(json.dumps(detail))
     print(json.dumps(out))
     spark.stop()
 

@@ -102,30 +102,18 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r17 entries accumulate here as code changes this round (the r16
-    # block was already empty when CORRECTNESS_r16.json landed —
-    # nothing to expire this time).
-    17: (
-        # curate_admission_pipeline gained the optional trained-quality
-        # stage (default None — semantics unchanged, but the entry's
-        # code path moved; the r4 lesson applies regardless)
-        "curate_admission_twin",
-        # pack_sequences_offsets now routes through the shared
-        # packed_offsets helper (the pack_sequences_bpe refactor)
-        "pack_sequences_offsets",
-        # mm_binary_metadata was REWRITTEN (synthesized valid media
-        # headers parsed back byte-level; new columns, new oracle) and
-        # the other three multimodal chains gained the
-        # spread_for_python fan-out — all four re-enter the window
-        # (the r4 lesson; self-review r17)
-        "mm_binary_metadata",
+    # r18 entries accumulate here as code changes this round (the r17
+    # block expired when CORRECTNESS_r17.json landed — all 50 sweep
+    # rows green, so nothing carries over).
+    18: (
+        # spread_for_python's width probe switched from .rdd to
+        # inputFiles() (ADVICE r18 #1) — every Python-hot-path entry
+        # routed through it re-enters the window (the r4 lesson)
+        "pack_sequences_bpe",
+        "mm_binary_metadata",  # also: oracle gained NULL-text COALESCE
         "mm_resize_thumbs",
         "mm_frame_sample",
         "mm_decode_features",
-        # dedup_semantic_embedding's compare stage was factored into
-        # _semdedup_pairs_exploded (value-identical, but the code
-        # path moved)
-        "dedup_semantic_embedding",
     ),
 }
 

@@ -45,9 +45,25 @@ def spread_for_python(df: DataFrame) -> DataFrame:
     when the input's partitioning is below it, so a production-scale
     scan (thousands of input splits) flows through with ZERO added
     exchange while the degenerate small scan fans out. Map-only
-    consumers see identical values either way."""
+    consumers see identical values either way.
+
+    The width probe deliberately avoids ``df.rdd`` (ADVICE r17): under
+    AQE, materializing the RDD finalizes the physical plan and eagerly
+    EXECUTES any upstream shuffle stages — fine for the scan-rooted
+    map-only frames this guard serves, but a silent double-execution
+    trap for any future caller with a shuffle upstream. Instead the
+    probe counts the scan's input files (`inputFiles`, a pure listing
+    call that never runs the plan): file count upper-bounds scan
+    partition count, so files < parallelism certainly means an
+    under-parallel scan (the case the guard exists for), while a
+    many-file production scan passes through untouched. A
+    non-file-rooted frame (no input files — e.g. an in-memory local
+    relation in tests) conservatively spreads, which is at worst one
+    redundant round-robin exchange on a tiny frame; a frame with a
+    shuffle already between scan and guard keeps its shuffle.partitions
+    width either way, so no decision here can under-parallelize it."""
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    if len(df.inputFiles()) < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

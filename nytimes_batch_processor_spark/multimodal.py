@@ -328,7 +328,7 @@ SELECT doc_id,
        CASE WHEN doc_id % 3 = 2 THEN CAST(8000 + (doc_id % 8) * 4000 AS INT) END AS sample_rate,
        CASE WHEN doc_id % 3 = 2 THEN CAST(1 + doc_id % 2 AS INT) END AS channels,
        CAST(CASE WHEN doc_id % 3 = 2 THEN 44 ELSE 33 END
-            + octet_length(encode(text)) AS INT) AS n_bytes
+            + COALESCE(octet_length(encode(text)), 0) AS INT) AS n_bytes
 FROM documents
 """,
 )

@@ -2039,11 +2039,30 @@ def window_index_or_empty(
     explicit-schema read was added against). With the schema pinned, a
     footerless dir reads as zero rows and the replay re-creates the
     index; the schema is derived from the zero-row slice of the
-    production builder, so it cannot drift from what appends write."""
+    production builder, so it cannot drift from what appends write.
+
+    The pinned read has one blind spot (ADVICE r17): a SCHEMA-DRIFTED
+    existing index (column added/renamed by a different builder
+    version) would read silently as nulls/dropped columns and feed null
+    hashes into the probe join. So when the dir holds real footers, the
+    on-disk column set is checked against the builder schema first — a
+    cheap footer-only inference — and a mismatch fails loud instead of
+    probing garbage. Inference failing is exactly the footerless-
+    droppings case, which the pinned zero-row read handles."""
     from ..ingest import target_exists
 
     empty = _with_bucket(exact_substring_windows(docs_like.limit(0)))
     if target_exists(spark, path):
+        try:
+            on_disk = set(spark.read.parquet(path).schema.names)
+        except Exception:  # noqa: BLE001 — footerless dir: no footers to check
+            on_disk = None
+        if on_disk is not None and on_disk != set(empty.schema.names):
+            raise ValueError(
+                f"window index at {path} has drifted schema: on-disk "
+                f"{sorted(on_disk)} vs builder {sorted(empty.schema.names)}; "
+                "rebuild the index with the current builder"
+            )
         return spark.read.schema(empty.schema).parquet(path)
     return empty
 

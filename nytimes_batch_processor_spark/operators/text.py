@@ -560,6 +560,203 @@ _BPE_MERGES: tuple[tuple[str, str], ...] = (
 _BPE_RANKS: dict[tuple[str, str], int] = {m: i for i, m in enumerate(_BPE_MERGES)}
 
 
+def bpe_vocab_frame(docs: DataFrame) -> DataFrame:
+    """The trainer's working set: ONE corpus pass collapsing documents
+    to the word-frequency table ``(cnt, syms)`` with every word split
+    into its character symbols. Everything after this is vocab-bounded
+    — the standard BPE-training move (Sennrich et al. 2016 §3.2 trains
+    on the dictionary, not the corpus), and the reason the 48-iteration
+    loop below survives 100 TB: the corpus is scanned exactly once."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "cnt",
+            F.filter(F.split("word", ""), lambda c: c != "").alias("syms"),
+        )
+    )
+
+
+def _merge_pair_in_syms(a: str, b: str):
+    """Column expression applying ONE merge (a, b) -> a+b to the
+    ``syms`` array, left-to-right non-overlapping — the exact rewrite
+    `bpe_encode_word`'s inner loop performs, as a JVM-side fold so
+    48 training iterations never leave codegen. The fold is equivalent
+    to the scanner: both consume greedily left-to-right, and the
+    freshly-merged symbol can never re-match as the LEFT side within
+    the same pass (a == a+b would need b empty, and symbols are
+    non-empty). Literals go through F.lit, never string-built SQL —
+    corpus characters (quotes, backslashes) must not be parsed."""
+    a_c, b_c, ab_c = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == a_c)
+            & (s == b_c),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(ab_c)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+#: Vocabularies at or below this row count train driver-side over the
+#: collected word-frequency table (≤ a few MiB — the bounded-collect
+#: class); above it, the iterations stay fully distributed.
+BPE_DRIVER_VOCAB_CAP = 65_536
+
+
+def _bpe_train_local(
+    items: list[tuple[int, list[str]]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The training loop over an in-memory (cnt, syms) vocab — the
+    driver-side arm of `bpe_train_merges` (identical semantics to the
+    distributed arm; the two are hypothesis-cross-checked in
+    tests/test_text_bpe.py). This is how fastBPE / HF `tokenizers`
+    train too: the CORPUS pass is the distributed part, the merge loop
+    runs over the word-count table."""
+    syms = [list(s) for _, s in items]
+    cnts = [c for c, _ in items]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for c, s in zip(cnts, syms):
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        # max count, ties broken lexicographically on (left, right)
+        a, b = min(pc, key=lambda p: (-pc[p], p))
+        merges.append((a, b))
+        for j, s in enumerate(syms):
+            out, i = [], 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[j] = out
+    return merges
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    n_merges: int = len(_BPE_MERGES),
+    driver_vocab_cap: int = BPE_DRIVER_VOCAB_CAP,
+) -> list[tuple[str, str]]:
+    """BPE merge-table training (VERDICT r17 item 2 — the tokenizer
+    previously only *applied* the fixture-learned literal): the
+    classic pair-count -> argmax -> re-encode loop (Sennrich et al.
+    2016, arXiv:1508.07909). Semantics pinned to what produced
+    `_BPE_MERGES`: adjacent pairs counted at every position
+    (overlapping — "aaa" counts (a,a) twice), weighted by word
+    frequency; ties broken lexicographically on (left, right); the
+    winning pair merged left-to-right non-overlapping.
+
+    Two-arm shape, the `_train_ivf_centers` bounded-working-set
+    contract: the CORPUS is scanned exactly once either way
+    (`bpe_vocab_frame` — the only unbounded input), and the iterations
+    run over the word-frequency table, which is vocab-sized, not
+    corpus-sized. A vocab at or below ``driver_vocab_cap`` rows is
+    collected and looped driver-side (48 sequential Spark jobs over a
+    31-row fixture vocab would be pure scheduler overhead — measured
+    25-40s vs ~2s); a larger vocab runs the DISTRIBUTED loop: per
+    iteration, pair counting is a map-side-combined groupBy over the
+    vocab, the argmax ships ONE row to the driver (TakeOrdered, the
+    bounded-collect class), the merge apply is a JVM-side array fold
+    (`_merge_pair_in_syms`), and the vocab is re-pinned (eager
+    localCheckpoint) so iteration i never re-runs the previous folds —
+    the `pack_sequences_bpe` double-encode class. Determinism: integer
+    counts, total-ordered argmax, no floats anywhere — the same corpus
+    always yields the same table on either arm (and a uniformly
+    replicated corpus yields the IDENTICAL table, the bpet_*
+    scale-gate invariant)."""
+    from .. import checkpoints
+
+    vocab = bpe_vocab_frame(docs).localCheckpoint(eager=True)
+    checkpoints.rotate("text.bpe_train_vocab", vocab)
+    if vocab.count() <= driver_vocab_cap:
+        items = [(r["cnt"], list(r["syms"])) for r in vocab.collect()]
+        return _bpe_train_local(items, n_merges)
+    pairs_expr = F.expr(
+        "zip_with(slice(syms, 1, size(syms) - 1),"
+        "         slice(syms, 2, size(syms) - 1),"
+        "         (x, y) -> struct(x AS a, y AS b))"
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = (
+            vocab.select("cnt", F.explode(pairs_expr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()  # bounded: exactly one row per iteration
+        )
+        if not best:
+            break  # every word is a single symbol — nothing to merge
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        vocab = vocab.select(
+            "cnt", _merge_pair_in_syms(a, b).alias("syms")
+        ).localCheckpoint(eager=True)
+        checkpoints.rotate("text.bpe_train_vocab", vocab)
+    return merges
+
+
+def _bpe_train_oracle() -> str:
+    """The shipped literal as a VALUES relation — the trained table
+    must reproduce it rank-for-rank on the fixture it was learned
+    from (the driver sweeps at sf0.01, which IS that corpus)."""
+    rows = ",\n    ".join(
+        f"({i}, '{a}', '{b}', TRUE)"
+        for i, (a, b) in enumerate(_BPE_MERGES)
+    )
+    return f"""
+SELECT CAST(rank AS BIGINT) AS rank, lhs, rhs, matches_literal
+FROM (VALUES
+    {rows}
+) AS t(rank, lhs, rhs, matches_literal)
+"""
+
+
+@query("bpe_train_merges", tables=("documents",), oracle=_bpe_train_oracle())
+def bpe_train_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog surface for the distributed BPE trainer: train the full
+    48-merge table on the sweep corpus and return one row per rank —
+    ``(rank, lhs, rhs, matches_literal)``. The oracle is the shipped
+    `_BPE_MERGES` literal as a VALUES relation, so the driver hash
+    proves the distributed pair-count/argmax/re-encode loop reproduces
+    the table the production encoder ships (the literal was learned
+    from this same sf0.01 fixture with the same counting semantics —
+    re-derived and pinned in tests/test_text_bpe.py against an
+    in-test pure-Python reference trainer). ``matches_literal`` is
+    judged in-query per rank, so at a non-fixture SF (bench at sf0.1)
+    the entry still returns honest booleans instead of silently
+    asserting fixture facts."""
+    t = load_tables(spark, sf_dir, "documents")
+    trained = bpe_train_merges(t.documents)
+    rows = [
+        (
+            i,
+            a,
+            b,
+            i < len(_BPE_MERGES) and (a, b) == _BPE_MERGES[i],
+        )
+        for i, (a, b) in enumerate(trained)
+    ]
+    return spark.createDataFrame(
+        rows, "rank BIGINT, lhs STRING, rhs STRING, matches_literal BOOLEAN"
+    )
+
+
 def bpe_encode_word(word: str) -> list[str]:
     """Greedy BPE encode of one word (the production encoder): start
     from characters, repeatedly merge ALL left-to-right non-overlapping

@@ -95,7 +95,15 @@ def managed_table_dir(spark: SparkSession, name: str) -> str:
     (e.g. the semdedup quantizer's ``_centroids.json``) live next to
     the table's files. Matches `_clean_orphaned_table_dir`'s layout
     derivation; only valid for the default database of the session
-    catalog, which is the only place this repo creates tables."""
+    catalog, which is the only place this repo creates tables.
+
+    The name is LOWERCASED to match the session catalog's identifier
+    normalization (ADVICE r17): `saveAsTable("MyTable")` stores its
+    data under `<warehouse>/mytable`, so deriving the dir from the
+    caller's casing verbatim would park sidecar artifacts (e.g. the
+    semdedup `_centroids.json`) OUTSIDE the table directory — breaking
+    orphan cleanup and the 'sidecar is scan-invisible because it lives
+    inside the table dir' assumption."""
     if "." in name:
         raise ValueError(f"default-db table name expected, got: {name}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
@@ -103,7 +111,7 @@ def managed_table_dir(spark: SparkSession, name: str) -> str:
         if warehouse.startswith(scheme):
             warehouse = warehouse[len(scheme):]
             break
-    return f"{warehouse}/{name}"
+    return f"{warehouse}/{name.lower()}"
 
 
 def clone_parquet_dir(path: str) -> str:

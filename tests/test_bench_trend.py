@@ -73,9 +73,47 @@ def test_class_corrected_ratio_uses_per_query_walls():
     assert lines[1]["class_corrected_total_sec"] == 3.0
     vp = lines[1]["vs_prev"]
     assert vp["shared_class_corrected_ratio"] == 1.0
-    # composite-only rounds keep the old fields and skip the new one
+    # composite-only rounds (r9–r16 shape) bridge via raw/env_factor —
+    # the r18 change that makes the ratio computable across the r16↔r17
+    # era boundary: r1 corrected {"a": 1.0/1.0}, shared {"a"} -> 1.0/1.0
     lines2 = trend_lines([(1, _parsed({"a": 1.0}, env=1.0)), (2, r2)])
-    assert "shared_class_corrected_ratio" not in lines2[1]["vs_prev"]
+    assert lines2[1]["vs_prev"]["shared_class_corrected_ratio"] == 1.0
+    # pre-anchor rounds (no env_factor, no per-class walls) still make
+    # no corrected claim at all
+    lines3 = trend_lines([(1, _parsed({"a": 1.0})), (2, r2)])
+    assert "shared_class_corrected_ratio" not in lines3[1]["vs_prev"]
+
+
+def test_recovered_round_row_carries_only_corrected_walls():
+    """r18 (VERDICT r17 item 1): a round recovered from the driver tail
+    (r17's `parsed: null`) has no raw walls — its trend row must flag
+    itself, report None raw totals, and still produce the
+    class-corrected like-for-like ratio against the composite-era
+    neighbor on both sides."""
+    r16 = _parsed({"a": 2.0, "b": 4.0}, env=2.0)  # corrected: a=1, b=2
+    r17 = {
+        "sf": 0.1,
+        "recovered_from_tail": True,
+        "queries_env_corrected": {"a": 1.0, "b": 2.0, "c": 5.0},
+        "value_env_corrected_by_class": 8.0,
+    }
+    r18 = _parsed({"a": 3.0, "b": 6.0}, env=1.0)
+    r18["queries_env_corrected"] = {"a": 3.0, "b": 6.0}
+    r18["value_env_corrected_by_class"] = 9.0
+    lines = trend_lines([(16, r16), (17, r17), (18, r18)])
+    row17 = lines[1]
+    assert row17["recovered_from_tail"] is True
+    assert row17["raw_total_sec"] is None
+    assert row17["corrected_total_sec"] is None
+    assert row17["class_corrected_total_sec"] == 8.0
+    assert row17["n_queries"] == 3
+    assert "queries" not in row17
+    # r17 vs r16: shared {a, b}; (1+2) / ((2+4)/2.0) = 1.0
+    assert row17["vs_prev"]["shared_class_corrected_ratio"] == 1.0
+    assert row17["vs_prev"]["shared_queries"] == 2
+    assert "shared_raw_ratio" not in row17["vs_prev"]
+    # r18 vs r17: shared {a, b}; (3+6) / (1+2) = 3.0
+    assert lines[2]["vs_prev"]["shared_class_corrected_ratio"] == 3.0
 
 
 def test_bench_anchor_weights_cover_all_headline_queries():

@@ -129,6 +129,62 @@ def test_bpe_counts_fans_out_degenerate_scans(spark):
     assert out.count() == 64
 
 
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_trainer_arms_agree(spark, vocab_items):
+    """`bpe_train_merges` r18: the DISTRIBUTED iteration arm
+    (driver_vocab_cap=0) and the driver-side arm produce the identical
+    merge table on arbitrary tiny corpora — same overlapping pair
+    counts, same lexicographic tie-break, same left-to-right re-encode.
+    The corpus is synthesized so each (cnt, word) appears cnt times,
+    exercising the frequency weighting through the real corpus pass."""
+    from nytimes_batch_processor_spark.operators.text import (
+        _bpe_train_local,
+        bpe_train_merges,
+    )
+
+    rows, did = [], 0
+    for cnt, word in vocab_items:
+        for _ in range(cnt):
+            rows.append((did, word))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    dist = bpe_train_merges(docs, n_merges=4, driver_vocab_cap=0)
+    loc = bpe_train_merges(docs, n_merges=4)
+    ref = _bpe_train_local(
+        [(c, list(w)) for c, w in vocab_items], 4
+    )
+    assert dist == loc == ref, (vocab_items, dist, loc, ref)
+
+
+def test_bpe_trained_table_reproduces_literal(spark):
+    """The entry's core claim, pinned at the fixture the literal was
+    learned from: training on sf0.01 documents reproduces `_BPE_MERGES`
+    rank-for-rank (the driver sweep hash-checks the same thing through
+    the VALUES oracle)."""
+    from nytimes_batch_processor_spark.operators.text import (
+        bpe_train_merges_entry,
+    )
+
+    # pinned to sf0.01 regardless of the suite's SF: the literal's
+    # provenance is THIS corpus; other SFs may legitimately rank
+    # differently and the entry reports that honestly via the booleans
+    rows = bpe_train_merges_entry(spark, "/root/testdata/sf0.01").collect()
+    assert len(rows) == len(_BPE_MERGES)
+    assert all(r["matches_literal"] for r in rows), [
+        (r["rank"], r["lhs"], r["rhs"]) for r in rows if not r["matches_literal"]
+    ]
+
+
 def test_packed_offsets_shared_by_both_entries(spark):
     """`packed_offsets` is the ONE packer copy: feeding it constant
     counts reproduces the textbook exclusive prefix sum regardless of
