@@ -114,6 +114,9 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "mm_resize_thumbs",
         "mm_frame_sample",
         "mm_decode_features",
+        # qc_training_sample gained the n_estimate fast path (default
+        # behavior identical, but the entry's code path moved)
+        "quality_classifier_surface",
     ),
 }
 

@@ -92,14 +92,23 @@ def degrade_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def qc_training_sample(labeled: DataFrame, sample_cap: int) -> DataFrame:
+def qc_training_sample(
+    labeled: DataFrame, sample_cap: int, n_estimate: int | None = None
+) -> DataFrame:
     """ONE copy of the bounded-training-sample rule (the
     `_train_ivf_centers` contract): a deterministic hash-sample of at
     most ~``sample_cap`` rows, the subplan shared by
     `quality_classifier_train` and the scale gate's ``qc_train_sampled``
     measure — a hand-copied predicate in the measure would silently
-    diverge from what training actually reads."""
-    n = labeled.count()
+    diverge from what training actually reads.
+
+    ``n_estimate`` (VERDICT r17 nit): callers that already know the
+    labeled-corpus size (a catalog rowcount, a prior observation) pass
+    it and skip the sizing ``count()`` action entirely; the keep-rate
+    only sets the EXPECTED sample size, so an estimate is exactly as
+    good as an exact count here. Default None keeps the exact count
+    for callers with nothing better."""
+    n = labeled.count() if n_estimate is None else n_estimate
     if n <= sample_cap:
         return labeled
     keep = int(1_000_000 * sample_cap / n)
@@ -112,6 +121,7 @@ def quality_classifier_train(
     labeled: DataFrame,
     seed: int = 42,
     sample_cap: int = QC_SAMPLE_CAP,
+    n_estimate: int | None = None,
 ):
     """Fit the quality model on (doc_id, label, qtext): deterministic
     hash-sample to ``sample_cap`` rows, a PINNED partition layout
@@ -123,7 +133,7 @@ def quality_classifier_train(
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import HashingTF
 
-    train = qc_training_sample(labeled, sample_cap).select(
+    train = qc_training_sample(labeled, sample_cap, n_estimate).select(
         "label", _tokens(F.col("qtext")).alias("qtoks")
     ).repartition(8, "label")
     tf = HashingTF(

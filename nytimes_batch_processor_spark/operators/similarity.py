@@ -2200,6 +2200,79 @@ def dedup_semantic_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_verdicts(v, ivf_fixed_centers())
 
 
+@query(
+    "dedup_semantic_trained",
+    tables=("embeddings",),
+    oracle="""
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       TRUE AS persisted_verdict_match,
+       TRUE AS sidecar_roundtrip
+FROM embeddings
+WHERE list_sum(list_transform(embedding,
+                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+""",
+)
+def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED-quantizer SemDedup through the PERSISTED production
+    layout (VERDICT r17 item 4 — `dedup_semantic_embedding` sweeps
+    only the fixed quantizer; the trained path was pytest/scale-gate-
+    only): train k-means centers (`_train_ivf_centers`, the one
+    sampling/seeding recipe), build the cell-BUCKETED assignment table
+    + `_centroids.json` sidecar (`build_semdedup_assignment`), and
+    judge IN-QUERY — the `sim_ann_ivf_topk` contract, since trained
+    centers are float MLlib output and not SQL-replayable — that:
+
+    - ``persisted_verdict_match`` (per vector, real hash signal): the
+      verdict derived from the persisted table's pair stage
+      (`semdedup_pairs_persisted`, zero-Exchange over the bucketed
+      layout) equals the in-memory path's verdict bit-for-bit —
+      status, canon_id, AND n_dups (the `sem_persist_pairs_equal`
+      scale-gate boolean, promoted to a swept per-row claim);
+    - ``sidecar_roundtrip`` (corpus-level): `load_semdedup_centers`
+      returns EXACTLY the trained centers (json float round-trip is
+      repr-exact; the strict loader refuses a missing sidecar rather
+      than guessing — its failure mode is an error, never False).
+
+    One row per non-zero-norm vector (absent row = a path lost a
+    vector), the SQL-replayable row set the constant-TRUE oracle
+    pins."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir, "embeddings")
+    v = t.embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    ).withColumn("nrm", _norm(F.col("e")))
+    trained, _ = _train_ivf_centers(v, _IVF_K, 42, _IVF_SAMPLE_CAP)
+    name = f"semdedup_trained_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    build_semdedup_assignment(spark, v, name, centers=trained)
+    sidecar_ok = load_semdedup_centers(spark, name) == trained
+    mem = semdedup_verdicts(v, trained)
+    dups_p = (
+        semdedup_pairs_persisted(spark, name)
+        .filter(F.col("cos_raw") >= SEMDEDUP_COS)
+        .select("id1", "id2")
+        .groupBy(F.col("id2").alias("vec_id"))
+        .agg(
+            F.min("id1").alias("canon_p"),
+            F.countDistinct("id1").alias("n_dups_p"),
+        )
+    )
+    return mem.join(dups_p, "vec_id", "left").select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        (
+            (
+                F.col("status")
+                == F.when(F.col("canon_p").isNull(), F.lit("keep")).otherwise(
+                    F.lit("drop")
+                )
+            )
+            & F.col("canon_id").eqNullSafe(F.col("canon_p"))
+            & (F.col("n_dups") == F.coalesce(F.col("n_dups_p"), F.lit(0)))
+        ).alias("persisted_verdict_match"),
+        F.lit(sidecar_ok).alias("sidecar_roundtrip"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ANN admission — the oracle-backed batch twin (r16)
 # ---------------------------------------------------------------------------

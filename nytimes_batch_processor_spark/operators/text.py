@@ -757,34 +757,50 @@ def bpe_train_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_encode_word(word: str) -> list[str]:
-    """Greedy BPE encode of one word (the production encoder): start
-    from characters, repeatedly merge ALL left-to-right non-overlapping
-    occurrences of the LOWEST-RANKED pair present, until no known pair
-    remains. Pure Python by design — this is the genuinely
-    non-relational per-token loop, run Arrow-batched inside
-    `bpe_token_counts` (the multimodal hot-path discipline) with a
-    per-batch word cache, never per-row py4j."""
-    sym = list(word)
-    while len(sym) > 1:
-        best = None
-        for i in range(len(sym) - 1):
-            r = _BPE_RANKS.get((sym[i], sym[i + 1]))
-            if r is not None and (best is None or r < best):
-                best = r
-        if best is None:
-            break
-        a, b = _BPE_MERGES[best]
-        out, i = [], 0
-        while i < len(sym):
-            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
-                out.append(a + b)
-                i += 2
-            else:
-                out.append(sym[i])
-                i += 1
-        sym = out
-    return sym
+def bpe_encoder_for(merges) -> "callable":
+    """Build the production greedy encoder over an ARBITRARY merge
+    table (r18 — the train->apply loop a tokenizer artifact actually
+    lives in: `bpe_train_merges` learns the table, this turns it into
+    the encoder `bpe_token_counts` ships to executors). Returned
+    closure == `bpe_encode_word`'s algorithm exactly; the module-level
+    encoder IS this factory applied to the shipped literal, so the two
+    cannot drift."""
+    merges = tuple(tuple(m) for m in merges)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    def encode(word: str) -> list[str]:
+        sym = list(word)
+        while len(sym) > 1:
+            best = None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            a, b = merges[best]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    return encode
+
+
+#: Greedy BPE encode of one word (the production encoder): start from
+#: characters, repeatedly merge ALL left-to-right non-overlapping
+#: occurrences of the LOWEST-RANKED pair present, until no known pair
+#: remains. Pure Python by design — the genuinely non-relational
+#: per-token loop, run Arrow-batched inside `bpe_token_counts` (the
+#: multimodal hot-path discipline) with a per-batch word cache, never
+#: per-row py4j. Defined as the factory over the shipped literal.
+bpe_encode_word = bpe_encoder_for(_BPE_MERGES)
 
 
 def bpe_encode_word_by_rank(word: str) -> list[str]:
@@ -2082,3 +2098,155 @@ def curate_admission_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+def _curate_model_oracle() -> str:
+    """DuckDB twin of the MODEL-STAGE composed curation run (VERDICT
+    r17 item 3): the trained quality classifier's drop decisions are
+    replayed via the DETERMINISTIC construction labels — the derived
+    task is separable by construction (fixture-measured margins at
+    sf0.01: min p(degraded|odd) 0.83 vs max p(degraded|even) 0.32, a
+    2.5x band around the 0.5 bar), so 'model drops doc' == 'doc_id is
+    odd' is the exact SQL replay of what the fitted model does, and
+    the in-query ``model_matches_labels`` boolean witnesses that
+    equality independently. Everything else is the
+    `_curate_twin_oracle` machinery verbatim: `degrade_documents`'s
+    junk-substitution + truncation reconstructed in SQL (DuckDB lambda
+    indexes are 1-based where Spark's transform index is 0-based),
+    heuristic quality filter, PII redaction, ONE `_minhash_sig_ctes`
+    stack over corpus + surviving batch, the shared
+    `_admission_m01_ctes` growth unroll (only the batch-0 arm is
+    populated — sigs holds no residue-2/3 docs), and the
+    export_train_shards manifest window."""
+    from .dedup import (
+        _ADMIT_BATCHES,
+        _ADMIT_CORPUS_RES,
+        _admission_m01_ctes,
+        _minhash_sig_ctes,
+    )
+
+    cor = _ADMIT_CORPUS_RES
+    b0 = ", ".join(map(str, _ADMIT_BATCHES[0]))
+    ntok = "len(string_split_regex(lower(text), '\\s+'))"
+    return f"""WITH lab AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 1 THEN array_to_string(list_slice(
+                    list_transform(
+                        list_filter(string_split_regex(lower(text), '\\s+'),
+                                    t -> t <> ''),
+                        (x, i) -> CASE WHEN (i - 1) % 3 = 2
+                                       THEN concat('zq', CAST((i - 1) % 8 AS VARCHAR))
+                                       ELSE x END),
+                    1, 24), ' ')
+                ELSE text END AS text
+    FROM documents WHERE doc_id % 5 IN ({b0})
+),
+rq AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{_PII_ID_RE}', '[ID]', 'g') AS text
+    FROM lab
+    WHERE {ntok} >= {_QUALITY_MIN_TOKENS}
+      AND CAST(length(text) AS DOUBLE) / {ntok} < {_QUALITY_MAX_CHARS_PER_TOKEN}
+      AND doc_id % 2 = 0
+),
+src AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = {cor}
+    UNION ALL
+    SELECT doc_id, text FROM rq
+),
+{_minhash_sig_ctes(source='src')},
+{_admission_m01_ctes()},
+mtok AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':shard')),
+                        1, 15)) AS BIGINT) % 2147483647) % {_SHARD_COUNT} AS shard,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':ord')),
+                       1, 15)) AS BIGINT) % 2147483647 AS ohash
+    FROM rq
+),
+man AS (
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_offset
+    FROM mtok WHERE doc_id IN (SELECT doc_id FROM adm0)
+    WINDOW w AS (PARTITION BY shard ORDER BY ohash, doc_id)
+)
+SELECT doc_id, shard, pos, n_tokens, tok_offset,
+       CAST(tok_offset // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+       TRUE AS model_matches_labels
+FROM man"""
+
+
+@query(
+    "curate_model_twin",
+    tables=("documents",),
+    oracle=_curate_model_oracle(),
+)
+def curate_model_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED quality model driven through the composed curation
+    pipeline (VERDICT r17 item 3 — `curate_admission_pipeline`'s
+    ``quality_model=`` stage was pytest-covered but never
+    driver-hash-verified): train `quality_classifier_train` on the
+    derived-label corpus over residues 2/3, then run ONE batch
+    (residues 0/1, texts from `degrade_documents` so the model has
+    real degradations to drop) through the full pipeline — heuristic
+    quality filter -> MODEL filter (map-only broadcast scoring,
+    p_degraded >= 0.5 dropped) -> PII redact -> near-dup admission
+    against a clone of the session corpus index -> shard/pack
+    manifest. The oracle replays the model's drops as ``doc_id % 2 =
+    1`` (the construction labels; margins in `_curate_model_oracle`),
+    so every manifest row's existence and offsets witness the model
+    stage's decisions inside the composed plan, and
+    ``model_matches_labels`` asserts the decision==label equality
+    in-query over the heuristic-surviving batch — a misclassification
+    flips both the boolean and the admitted set."""
+    from ..tables import clone_parquet_dir
+    from .dedup import _ADMIT_BATCHES, admission_corpus_index_for
+    from .quality_model import (
+        degrade_documents,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    labeled = degrade_documents(t.documents)
+    model = quality_classifier_train(
+        labeled.filter((F.col("doc_id") % 5).isin(2, 3))
+    )
+    batch = labeled.filter(
+        (F.col("doc_id") % 5).isin(*_ADMIT_BATCHES[0])
+    ).select("doc_id", F.col("qtext").alias("text"))
+    path = clone_parquet_dir(admission_corpus_index_for(spark, sf_dir))
+    man = curate_admission_pipeline(spark, path, batch, quality_model=model)
+    # independent in-query judge: over the heuristic-surviving batch,
+    # the model's >= 0.5 decision equals the construction label on
+    # EVERY doc (one map-only rescore + one O(1) aggregate)
+    toks = F.split(F.lower("text"), r"\s+")
+    heur = batch.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("long").alias("ntr"),
+        F.length("text").cast("long").alias("nch"),
+    ).filter(quality_pass(F.col("ntr"), F.col("nch")))
+    flags = quality_classifier_score(model, heur, text_col="text").agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("p_degraded") >= 0.5)
+                    != (F.pmod("doc_id", F.lit(2)) == 1),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("model_matches_labels")
+    )
+    return man.select(
+        "doc_id", "shard", "pos", "n_tokens", "tok_offset", "bin_id"
+    ).crossJoin(F.broadcast(flags))

@@ -1444,3 +1444,19 @@ def test_semdedup_centers_loader_is_strict_on_crashed_builds(spark, sf_dir):
             load_semdedup_centers(spark, name)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_semdedup_trained_entry_paths_agree(spark):
+    """`dedup_semantic_trained` (r18, VERDICT r17 item 4): the swept
+    trained-quantizer entry — persisted bucketed verdicts equal the
+    in-memory path per vector, and the sidecar round-trips the trained
+    centers exactly — holds at sf0.001 (the sweep pins sf0.01)."""
+    from nytimes_batch_processor_spark.operators.similarity import (
+        dedup_semantic_trained,
+    )
+
+    rows = dedup_semantic_trained(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    bad = [r["vec_id"] for r in rows if not r["persisted_verdict_match"]]
+    assert bad == [], f"persisted/in-memory verdict drift: {bad[:5]}"
+    assert all(r["sidecar_roundtrip"] for r in rows)

@@ -152,3 +152,19 @@ def test_pipeline_optional_model_stage(spark, tmp_path):
     # the dropped doc never entered the index either
     indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
     assert indexed == {1, 100}, indexed
+
+
+def test_curate_model_twin_model_agrees_with_labels(spark):
+    """`curate_model_twin` (r18, VERDICT r17 item 3): the swept entry's
+    premise — the trained model's >= 0.5 decision equals the
+    construction label on every heuristic-surviving batch doc — holds
+    at the fixture, and the manifest admits only even (clean) ids."""
+    from nytimes_batch_processor_spark.operators.text import (
+        curate_model_twin,
+    )
+
+    rows = curate_model_twin(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "empty manifest — the composed pipeline admitted nothing"
+    assert all(r["model_matches_labels"] for r in rows)
+    odd = [r["doc_id"] for r in rows if r["doc_id"] % 2 == 1]
+    assert odd == [], f"model-dropped ids leaked into the manifest: {odd}"

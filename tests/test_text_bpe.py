@@ -197,3 +197,41 @@ def test_packed_offsets_shared_by_both_entries(spark):
         for r in packed_offsets(counts).collect()
     }
     assert got == {i: (10 * i, 0, 10 * i) for i in range(7)}
+
+
+def test_bpe_encoder_factory_closes_train_apply_loop(spark):
+    """`bpe_encoder_for` (r18): a TRAINED merge table drops into the
+    same Arrow-batched count pass the literal encoder runs — the
+    tokenizer-artifact lifecycle (train -> ship -> encode) end to end.
+    Trained-on-fixture == literal, so counts must agree exactly; and a
+    DIFFERENT table must actually change the encoding (the factory is
+    not secretly reading the module literal)."""
+    from nytimes_batch_processor_spark.operators.text import (
+        bpe_encoder_for,
+        bpe_token_counts,
+        bpe_train_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "merge join order batch scan") for i in range(8)],
+        "doc_id long, text string",
+    )
+    trained = bpe_train_merges(docs, n_merges=8)
+    enc = bpe_encoder_for(trained)
+    assert enc("merge") == bpe_encoder_for(trained)("merge")
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(docs, encoder=enc).collect()
+    }
+    ref = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe_token_counts(
+            docs, encoder=bpe_encoder_for(trained)
+        ).collect()
+    }
+    assert got == ref and len(got) == 8
+    # an empty table means character-level counts — different from the
+    # trained table's (which merges at least one pair on these words)
+    none_enc = bpe_encoder_for([])
+    assert none_enc("merge") == list("merge")
+    assert len(enc("merge")) < 5

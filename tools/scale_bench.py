@@ -899,6 +899,57 @@ def bpe_scale_measure(spark, sf_dir: str) -> dict:
     }
 
 
+def bpet_scale_measure(spark, sf_dir: str) -> dict:
+    """BPE merge-table TRAINING family (r18, VERDICT r17 item 2): the
+    scale claims behind `bpe_train_merges`. Replicas perturb tokens
+    (token-bijective `x{i}` suffixes), so the trained TABLE legitimately
+    differs across scales — the gated claims are the cost model and the
+    determinism contract, not table equality:
+
+    - bpet_vocab (COUNT, linear): word-frequency-table rows — the
+      trainer's entire working set after the one corpus pass; replicas
+      add disjoint word forms, so super-linear growth means the vocab
+      collapse itself broke;
+    - bpet_pair_mass (COUNT, linear): iteration-0 weighted adjacent-
+      pair mass (the per-iteration aggregation input), ∝ token mass;
+    - bpet_merges (FLAT): merges learned — n_merges-bounded at every
+      scale (an early loop exit would under-train silently);
+    - bpet_deterministic (BOOLEAN): training twice on the same corpus
+      yields the identical table — integer counts + total-ordered
+      argmax have no right to wobble;
+    - bpet_arms_agree (BOOLEAN): the DISTRIBUTED iteration arm
+      (driver_vocab_cap=0, 6 merges) matches the driver-side arm's
+      prefix at every scale — the two-arm contract exercised on real
+      per-scale corpora, not just the hypothesis micro-vocabs;
+    - the wall covers vocab pass + full driver-arm training.
+    """
+    from nytimes_batch_processor_spark.operators.text import (
+        bpe_train_merges,
+        bpe_vocab_frame,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    vocab = bpe_vocab_frame(docs).localCheckpoint(eager=True)
+    n_vocab = vocab.count()
+    pair_mass = vocab.select(
+        ((F.size("syms") - 1).cast("long") * F.col("cnt")).alias("pm")
+    ).agg(F.sum("pm")).collect()[0][0]
+    full = bpe_train_merges(docs)
+    wall = round(time.perf_counter() - t0, 3)
+    again = bpe_train_merges(docs)
+    dist6 = bpe_train_merges(docs, n_merges=6, driver_vocab_cap=0)
+    vocab.unpersist(blocking=False)
+    return {
+        "bpet_vocab": n_vocab,
+        "bpet_pair_mass": int(pair_mass),
+        "bpet_merges": len(full),
+        "bpet_deterministic": full == again,
+        "bpet_arms_agree": dist6 == full[:6],
+        "bpet_wall_sec": wall,
+    }
+
+
 def dspan_scale_measure(spark, sf_dir: str) -> dict:
     """Span-decontamination family (r17, VERDICT r16 item 5): the
     scale claims behind `decon_leak_spans` with BOTH splits growing
@@ -1080,6 +1131,10 @@ COUNT_KEYS = (
     "xsub_surviving_windows",
     "xsub_candidates",
     "xsub_spans",
+    # r18: BPE trainer — vocab rows and iteration-0 pair mass, both
+    # ∝ corpus under the token-bijective replica perturbation
+    "bpet_vocab",
+    "bpet_pair_mass",
     # r16: SemDedup under the k ∝ N bounded-cell-size policy. Gated:
     # candidates (the COST model — measured exactly 10.0x at x10) and
     # drops (bounded by the vector count, which grows x factor).
@@ -1123,6 +1178,8 @@ FLAT_KEYS = (
     "ix_xsub_spans",
     # r17: the bounded training sample — cap-constant across scales
     "qc_train_sampled",
+    # r18: merges learned per training run — n_merges-bounded always
+    "bpet_merges",
 )
 # Composed-pipeline admitted-set invariants (r14, the self-probe
 # semantics): a x`k` batch of unperturbed id-offset replicas must admit
@@ -1172,6 +1229,7 @@ WALL_KEYS = (
     "qc_train_wall_sec",
     "qc_score_wall_sec",
     "bpe_wall_sec",
+    "bpet_wall_sec",
     "dspan_wall_sec",
 )
 # Persisted-SemDedup invariants (r17): booleans measured per scale —
@@ -1187,7 +1245,13 @@ SEM_PERSIST_BOOL_KEYS = (
 # packer's token-conservation identity — last start_offset + n_tokens
 # == total token mass — which a bucket-boundary prefix-sum bug breaks
 # while every ratio stays perfectly linear.
-INVARIANT_BOOL_KEYS = ("bpe_conserved",)
+INVARIANT_BOOL_KEYS = (
+    "bpe_conserved",
+    # r18 BPE-trainer contracts: bit-identical retrain, and the
+    # distributed iteration arm agreeing with the driver-side arm
+    "bpet_deterministic",
+    "bpet_arms_agree",
+)
 # MERGE invariants: a fixed change batch against replica-disjoint base
 # tables must touch IDENTICAL partitions and rows at every scale —
 # equality, not a ratio bound (cost ∝ touched partitions, never table
@@ -1499,6 +1563,8 @@ def main() -> None:
         row.update(qc_scale_measure(spark, sf_dir, k))
         # the BPE-packing and span-decontamination families (r17)
         row.update(bpe_scale_measure(spark, sf_dir))
+        # the BPE TRAINER family (r18)
+        row.update(bpet_scale_measure(spark, sf_dir))
         row.update(dspan_scale_measure(spark, sf_dir))
         # ... and its index-scaled axis: fixed base batch vs the x`k`
         # window index (r15: candidates/spans FLAT)
