@@ -185,7 +185,19 @@ HEADLINE = [
 # the factor exists to catch. REF calibrated from anchors run INSIDE a
 # full r9 bench process (post-warmup JIT state differs measurably from a
 # bare session — standalone probes read ~15% slower).
-_ANCHOR_REF = {"anchor_cpu": 0.42, "anchor_shuffle": 0.31, "anchor_scan": 0.125}
+_ANCHOR_REF = {
+    "anchor_cpu": 0.42,
+    "anchor_shuffle": 0.31,
+    "anchor_scan": 0.125,
+    # seeded r18 (same idle-host, in-process protocol as the r9 trio):
+    # Arrow-batched mapInPandas with a pure-Python per-row loop — the
+    # Python-WORKER axis the JVM anchors cannot see. Motivated by the
+    # r18 pre-commit probe: the host read cpu 0.88 / shuffle 1.60, and
+    # pack_sequences_bpe (Python-encode-dominated) banded +20% under
+    # the 3-class blend but re-banded to +4% under min-of-5 — the
+    # drift it actually sees lives on this axis.
+    "anchor_python": 0.55,
+}
 
 # --- per-anchor-class correction (VERDICT r16 item 1) ---------------------
 # A single composite env_factor cannot correct a shuffle-only host
@@ -240,7 +252,10 @@ _ANCHOR_WEIGHTS: dict[str, tuple[float, float, float]] = {
     "dedup_incremental_spans": (0.35, 0.45, 0.20),  # DPP probe join
     "dedup_semantic_embedding": (0.50, 0.40, 0.10),  # exact-cos compare
     "stream_ann_admission_twin": (0.40, 0.50, 0.10),  # admission lifecycle
-    "pack_sequences_bpe": (0.55, 0.35, 0.10),  # Python BPE encode + pack
+    # 4-tuple (cpu, shuffle, scan, python): the encode dominates and
+    # lives on the Python-worker axis (r18 — the +20%-banded/-+4%-real
+    # mover that motivated anchor_python)
+    "pack_sequences_bpe": (0.20, 0.20, 0.05, 0.55),
     "decon_leak_spans": (0.50, 0.35, 0.15),  # window md5 + hash equi-join
 }
 
@@ -248,6 +263,11 @@ _CLASS_TO_ANCHOR = {
     "cpu": "anchor_cpu",
     "shuffle": "anchor_shuffle",
     "scan": "anchor_scan",
+    # r18: the Python-worker axis (Arrow transfer + Python bytecode) —
+    # drifts independently of JVM cpu (a host can JIT fast and fork
+    # Python workers slow). Weight vectors are 3-tuples unless a query
+    # is Python-hot; zip() pads the missing class with weight 0.
+    "python": "anchor_python",
 }
 
 
@@ -278,7 +298,7 @@ def _class_corrected(
             continue
         w = _ANCHOR_WEIGHTS.get(name)
         if w is not None:
-            order = ("cpu", "shuffle", "scan")
+            order = ("cpu", "shuffle", "scan", "python")
             avail = [(c, wt) for c, wt in zip(order, w) if c in drift and wt > 0]
             mass = sum(wt for _, wt in avail)
             if avail and mass > 0:
@@ -290,10 +310,30 @@ def _class_corrected(
     return drift, corrected, classes
 
 
+def _anchor_python_work(batches):
+    """The python-anchor workload: a pure-Python per-row loop with a
+    dict memo over Arrow batches — the `bpe_token_counts` cost shape
+    (Python bytecode + Arrow transfer), fixed at 1.5M rows over 8
+    partitions so the measurement is host-drift, never plan drift."""
+    import pandas as pd
+
+    for pdf in batches:
+        cache: dict[int, int] = {}
+        acc = 0
+        for v in pdf["id"]:
+            k = int(v) % 997
+            c = cache.get(k)
+            if c is None:
+                c = cache[k] = (k * 31 + 7) % 101
+            acc += c
+        yield pd.DataFrame({"s": [acc]})
+
+
 def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float | None]:
     """Returns (anchor walls, env_factor). The scan anchor's REF is only
     meaningful against the sf0.1 fixture, so at any other sf the factor
-    is the geomean of the two data-independent anchors alone. Returns
+    is the geomean of the data-independent anchors alone (cpu, shuffle,
+    and — since r18 — python). Returns
     factor None if no anchor produced a wall — callers must not let an
     anchor failure cost the round its query numbers (the r4 lesson
     applies here too; r9 self-review)."""
@@ -306,6 +346,10 @@ def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float 
         .groupBy("k")
         .count()
         .selectExpr("sum(count) AS s")
+        .collect(),
+        "anchor_python": lambda: spark.range(1_500_000, numPartitions=8)
+        .mapInPandas(_anchor_python_work, "s long")
+        .selectExpr("sum(s) AS s")
         .collect(),
     }
     if sf == 0.1:

@@ -153,3 +153,21 @@ def test_bench_anchor_weights_cover_all_headline_queries():
     )
     assert "scan" not in drift2
     assert corrected2["join_theta_range"] == 1.0  # both drifts 1.0
+
+    # r18: the python anchor class — a Python-worker-only slowdown
+    # corrects the Python-hot query and leaves a JVM-only query alone
+    drift3, corrected3, classes3 = _class_corrected(
+        {"pack_sequences_bpe": 3.0, "agg_pricing_summary": 1.0},
+        {
+            "anchor_cpu": 0.42,
+            "anchor_shuffle": 0.31,
+            "anchor_scan": 0.125,
+            "anchor_python": 1.10,  # 2x REF (0.55)
+        },
+        env_factor=1.0,
+    )
+    assert drift3["python"] == 2.0
+    # (0.20, 0.20, 0.05, 0.55) -> blended = 0.45*1 + 0.55*2 = 1.55
+    assert corrected3["pack_sequences_bpe"] == round(3.0 / 1.55, 3)
+    assert classes3["pack_sequences_bpe"] == "python"
+    assert corrected3["agg_pricing_summary"] == 1.0  # no python weight

@@ -176,13 +176,18 @@ def test_bpe_trained_table_reproduces_literal(spark):
     )
 
     # pinned to sf0.01 regardless of the suite's SF: the literal's
-    # provenance is THIS corpus; other SFs may legitimately rank
-    # differently and the entry reports that honestly via the booleans
+    # provenance is THIS corpus; other SFs legitimately rank
+    # differently (sf0.001 diverges at rank 1) and the entry reports
+    # that honestly — oracle and Spark side both flip to FALSE there
     rows = bpe_train_merges_entry(spark, "/root/testdata/sf0.01").collect()
     assert len(rows) == len(_BPE_MERGES)
-    assert all(r["matches_literal"] for r in rows), [
-        (r["rank"], r["lhs"], r["rhs"]) for r in rows if not r["matches_literal"]
-    ]
+    assert all(r["table_matches_literal"] for r in rows)
+    assert all(r["dist_prefix_agrees"] for r in rows)
+    # the honesty arm: a non-provenance corpus must NOT claim the
+    # literal (and the arms still agree there)
+    rows001 = bpe_train_merges_entry(spark, "/root/testdata/sf0.001").collect()
+    assert not any(r["table_matches_literal"] for r in rows001)
+    assert all(r["dist_prefix_agrees"] for r in rows001)
 
 
 def test_packed_offsets_shared_by_both_entries(spark):
