@@ -196,7 +196,7 @@ _ANCHOR_REF = {
     # pack_sequences_bpe (Python-encode-dominated) banded +20% under
     # the 3-class blend but re-banded to +4% under min-of-5 — the
     # drift it actually sees lives on this axis.
-    "anchor_python": 0.55,
+    "anchor_python": 0.48,
 }
 
 # --- per-anchor-class correction (VERDICT r16 item 1) ---------------------
@@ -313,8 +313,9 @@ def _class_corrected(
 def _anchor_python_work(batches):
     """The python-anchor workload: a pure-Python per-row loop with a
     dict memo over Arrow batches — the `bpe_token_counts` cost shape
-    (Python bytecode + Arrow transfer), fixed at 1.5M rows over 8
-    partitions so the measurement is host-drift, never plan drift."""
+    (Python bytecode + Arrow transfer), fixed at 4M rows over 8
+    partitions so the measurement is host-drift, never plan drift.
+    (4M rows ~ 0.9s: the 1.5M draft read +-30% run noise.)"""
     import pandas as pd
 
     for pdf in batches:
@@ -347,7 +348,7 @@ def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float 
         .count()
         .selectExpr("sum(count) AS s")
         .collect(),
-        "anchor_python": lambda: spark.range(1_500_000, numPartitions=8)
+        "anchor_python": lambda: spark.range(4_000_000, numPartitions=8)
         .mapInPandas(_anchor_python_work, "s long")
         .selectExpr("sum(s) AS s")
         .collect(),
