@@ -171,3 +171,11 @@ def test_bench_anchor_weights_cover_all_headline_queries():
     assert corrected3["pack_sequences_bpe"] == round(3.0 / 1.55, 3)
     assert classes3["pack_sequences_bpe"] == "python"
     assert corrected3["agg_pricing_summary"] == 1.0  # no python weight
+
+    # ADVICE r17 #5 (closed r18): with NO anchors and NO env_factor the
+    # corrected dict still covers every timed query (raw walls, /1.0)
+    # so the class-corrected total stays like-for-like across rounds
+    _, corrected4, _ = _class_corrected(
+        {"agg_pricing_summary": 1.3, "not_a_query": 0.7}, {}, env_factor=None
+    )
+    assert corrected4 == {"agg_pricing_summary": 1.3, "not_a_query": 0.7}

@@ -191,3 +191,29 @@ def test_header_roundtrip_property():
         _jpeg_bytes(70000, 16, b"")
     with pytest.raises(ValueError, match="u32"):
         _png_bytes(0, 16, b"")
+
+
+def test_null_text_n_bytes_matches_oracle_semantics(spark, duck):
+    """ADVICE r17 #4 (closed r18): NULL documents.text — Python maps it
+    to an empty body (header-only payload), and the oracle's
+    COALESCE(octet_length(...), 0) must agree, for every container."""
+    import pandas as pd
+
+    from nytimes_batch_processor_spark.multimodal import (
+        parse_media_headers,
+        synthesize_media,
+    )
+
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [None, None, None]})
+    media = next(synthesize_media(iter([pdf])))
+    parsed = next(parse_media_headers(iter([media])))
+    got = dict(zip(parsed["doc_id"], parsed["n_bytes"]))
+    want = duck.execute(
+        """
+        SELECT doc_id,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 44 ELSE 33 END
+                    + COALESCE(octet_length(encode(text)), 0) AS INT)
+        FROM (VALUES (0, NULL), (1, NULL), (2, NULL)) t(doc_id, text)
+        """
+    ).fetchall()
+    assert got == dict(want), (got, want)

@@ -880,3 +880,51 @@ def test_index_compaction_preserves_probe_results(spark, sf_dir, tmp_path):
         f"post-compaction occupancy {stats['max_cell_share']:.3f} exceeds "
         f"{IVF_MAX_CELL_SHARE}"
     )
+
+
+def test_managed_table_dir_matches_catalog_normalization(spark):
+    """ADVICE r17 #2 (closed r18): saveAsTable lowercases identifiers,
+    so a mixed-case caller name must resolve to the SAME directory the
+    catalog actually writes — otherwise sidecar artifacts
+    (`_centroids.json`) land outside the table dir and the orphan
+    cleanup / scan-invisibility assumptions break."""
+    import os
+
+    from nytimes_batch_processor_spark.tables import (
+        managed_table_dir,
+        write_bucketed,
+    )
+
+    name = "MixedCaseSidecarProbe"
+    df = spark.createDataFrame([(1, 2)], "k long, v long")
+    write_bucketed(df, name, "k", 2)
+    try:
+        d = managed_table_dir(spark, name)
+        assert d == managed_table_dir(spark, name.lower())
+        assert os.path.isdir(d), d  # the dir saveAsTable really used
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_spread_for_python_listing_probe(spark, tmp_path):
+    """ADVICE r17 #1 (closed r18): the parallelism guard probes scan
+    width via inputFiles() — a one-file parquet scan fans out to
+    session parallelism, a many-file scan passes through IDENTICALLY
+    (object identity: zero added exchange), and the probe never
+    executes the plan (no .rdd materialization under AQE)."""
+    from nytimes_batch_processor_spark.functions.udfs import (
+        spread_for_python,
+    )
+
+    sc = spark.sparkContext
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    narrow = spark.read.parquet(one).select("id")
+    spread = spread_for_python(narrow)
+    assert spread is not narrow
+    assert spread.rdd.getNumPartitions() == sc.defaultParallelism
+
+    many = str(tmp_path / "many")
+    spark.range(1000).repartition(sc.defaultParallelism).write.parquet(many)
+    wide = spark.read.parquet(many).select("id")
+    assert spread_for_python(wide) is wide  # untouched, not re-planned

@@ -2703,3 +2703,27 @@ def test_stream_span_reports_recovers_footerless_index(spark, tmp_path):
         100,
         200,
     }
+
+
+def test_window_index_rejects_schema_drifted_dir(spark, tmp_path):
+    """ADVICE r17 #3 (closed r18): the pinned-schema read that fixes
+    the footerless poison pill must NOT silently null-read a
+    SCHEMA-DRIFTED existing index (column renamed by another builder
+    version) — that feeds null hashes into the probe join. When the
+    dir holds real footers with the wrong column set,
+    `window_index_or_empty` fails loud naming both schemas."""
+    import pytest
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        window_index_or_empty,
+    )
+
+    docs_like = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    drifted = str(tmp_path / "drifted_index")
+    spark.createDataFrame(
+        [(1, 0, 7)], "doc_id long, pos long, h_renamed long"
+    ).write.parquet(drifted)
+    with pytest.raises(ValueError, match="drifted schema"):
+        window_index_or_empty(spark, drifted, docs_like)
