@@ -156,13 +156,15 @@ def test_bench_anchor_weights_cover_all_headline_queries():
 
     # r18: the python anchor class — a Python-worker-only slowdown
     # corrects the Python-hot query and leaves a JVM-only query alone
+    from bench import _ANCHOR_REF
+
     drift3, corrected3, classes3 = _class_corrected(
         {"pack_sequences_bpe": 3.0, "agg_pricing_summary": 1.0},
         {
             "anchor_cpu": 0.42,
             "anchor_shuffle": 0.31,
             "anchor_scan": 0.125,
-            "anchor_python": 1.10,  # 2x REF (0.55)
+            "anchor_python": _ANCHOR_REF["anchor_python"] * 2,  # 2x REF
         },
         env_factor=1.0,
     )
