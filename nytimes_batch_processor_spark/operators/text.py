@@ -647,9 +647,10 @@ def _bpe_train_local(
 
 
 def bpe_train_merges(
-    docs: DataFrame,
+    docs: DataFrame | None,
     n_merges: int = len(_BPE_MERGES),
     driver_vocab_cap: int = BPE_DRIVER_VOCAB_CAP,
+    vocab: DataFrame | None = None,
 ) -> list[tuple[str, str]]:
     """BPE merge-table training (VERDICT r17 item 2 — the tokenizer
     previously only *applied* the fixture-learned literal): the
@@ -677,11 +678,19 @@ def bpe_train_merges(
     counts, total-ordered argmax, no floats anywhere — the same corpus
     always yields the same table on either arm (and a uniformly
     replicated corpus yields the IDENTICAL table, the bpet_*
-    scale-gate invariant)."""
+    scale-gate invariant).
+
+    ``vocab``: a prebuilt `bpe_vocab_frame` (already pinned — the
+    caller owns its lifecycle). Callers training more than once on the
+    same corpus (the entry's full-table + distributed-prefix pair, the
+    scale gate's determinism retrain) pass it so the corpus is scanned
+    ONCE total, not once per training call — at 100 TB the corpus pass
+    dwarfs everything after it."""
     from .. import checkpoints
 
-    vocab = bpe_vocab_frame(docs).localCheckpoint(eager=True)
-    checkpoints.rotate("text.bpe_train_vocab", vocab)
+    if vocab is None:
+        vocab = bpe_vocab_frame(docs).localCheckpoint(eager=True)
+        checkpoints.rotate("text.bpe_train_vocab", vocab)
     if vocab.count() <= driver_vocab_cap:
         items = [(r["cnt"], list(r["syms"])) for r in vocab.collect()]
         return _bpe_train_local(items, n_merges)
@@ -767,10 +776,19 @@ def bpe_train_merges_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
       are honestly FALSE (sf0.001 ranks differently from rank 1 on;
       the first draft's VALUES oracle asserted fixture facts
       everywhere and failed the full-suite sf0.001 parity run)."""
+    from .. import checkpoints
+
     t = load_tables(spark, sf_dir, "documents")
-    trained = bpe_train_merges(t.documents)
+    # ONE corpus pass feeds both training calls (the r18 self-review
+    # fix: full-table + distributed-prefix each rebuilding the vocab
+    # doubled the corpus scan). Own rotate key — the distributed loop
+    # rotates "text.bpe_train_vocab" internally and would otherwise
+    # release this frame mid-use.
+    vocab = bpe_vocab_frame(t.documents).localCheckpoint(eager=True)
+    checkpoints.rotate("text.bpe_train_vocab_entry", vocab)
+    trained = bpe_train_merges(None, vocab=vocab)
     dist = bpe_train_merges(
-        t.documents, n_merges=_BPE_DIST_CHECK, driver_vocab_cap=0
+        None, n_merges=_BPE_DIST_CHECK, driver_vocab_cap=0, vocab=vocab
     )
     lit = [tuple(m) for m in _BPE_MERGES]
     arms_ok = dist == trained[:_BPE_DIST_CHECK]

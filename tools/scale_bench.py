@@ -935,10 +935,11 @@ def bpet_scale_measure(spark, sf_dir: str) -> dict:
     pair_mass = vocab.select(
         ((F.size("syms") - 1).cast("long") * F.col("cnt")).alias("pm")
     ).agg(F.sum("pm")).collect()[0][0]
-    full = bpe_train_merges(docs)
+    # ONE corpus pass for all three training calls (r18 self-review)
+    full = bpe_train_merges(None, vocab=vocab)
     wall = round(time.perf_counter() - t0, 3)
-    again = bpe_train_merges(docs)
-    dist6 = bpe_train_merges(docs, n_merges=6, driver_vocab_cap=0)
+    again = bpe_train_merges(None, vocab=vocab)
+    dist6 = bpe_train_merges(None, n_merges=6, driver_vocab_cap=0, vocab=vocab)
     vocab.unpersist(blocking=False)
     return {
         "bpet_vocab": n_vocab,
