@@ -2293,3 +2293,176 @@ def curate_model_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return man.select(
         "doc_id", "shard", "pos", "n_tokens", "tok_offset", "bin_id"
     ).crossJoin(F.broadcast(flags))
+
+
+# --- statistical LM quality filtering (r18-built, r19-registered) ----------
+# The third member of the curation-filter triad (heuristic
+# `text_quality_score`, discriminative `quality_classifier_*`, and this
+# STATISTICAL one): a bigram LM with add-k smoothing trained on a
+# reference slice, every document scored by per-bigram cross-entropy —
+# the CCNet (Wenzek et al. 2020) / Gopher perplexity-filter shape.
+# Implemented + parity-tested r18 (tests/test_text_perplexity.py runs
+# the oracle through DuckDB exactly as the driver would); the @query
+# registration is deferred to r19 purely for the EDF <= +3/round
+# catalog-growth guidance (VERDICT r17 item 7; r18 already added 3).
+
+#: Add-k smoothing mass.
+_PPLX_K = 0.5
+#: Drop bar on the ROUNDED cross-entropy (nats/bigram). Comparisons
+#: happen on round(xent, 6) in BOTH engines, so the last-ulp libm ln()
+#: wobble cannot flip the boolean unless the rounded values already
+#: differ (which the hash would catch first). Fixture-measured (DuckDB
+#: quantiles over the oracle): xent spans ~3.28-3.64 at sf0.001/0.01
+#: and ~3.35-3.89 at sf0.1 (the 31-word Zipf vocabulary plus k*V
+#: smoothing mass compresses the range); 3.45 drops the
+#: high-perplexity tail (~6% / ~6% / ~3%) with both classes populated
+#: at every fixture SF (non-vacuity pinned in the pytest).
+_PPLX_BAR = 3.45
+#: Reference (training) slice: doc_id % 5 != 0 — disjoint from nothing
+#: (every doc is scored, including reference docs: the CCNet shape
+#: scores the whole corpus against the reference model).
+_PPLX_TRAIN_RES = 0
+
+
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) — one row per adjacent token pair, the shared
+    frame both counting and scoring read. Tokenization is the corpus
+    standard (lowercased, whitespace-split, empties dropped); the
+    bigram explode is the `bpe_train_merges` zip_with-slices idiom
+    over the materialized token array."""
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    return (
+        docs.select("doc_id", toks.alias("ws"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(ws, 1, size(ws) - 1),"
+                    "         slice(ws, 2, size(ws) - 1),"
+                    "         (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+
+
+def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-based quality scoring: train an add-k bigram LM on
+    the reference slice (doc_id % 5 != _PPLX_TRAIN_RES), score EVERY
+    document's mean per-bigram cross-entropy in nats, and flag the
+    high-perplexity tail (round(xent,6) > _PPLX_BAR) for dropping.
+
+    Estimator (all counts integers, fully SQL-replayable):
+      P(w2|w1) = (C(w1,w2) + k) / (Cl(w1) + k * V)
+    with C the reference bigram counts, Cl the reference LEFT-CONTEXT
+    counts (w1 occurrences in non-final positions — so the smoothed
+    conditional normalizes exactly over the V-word vocabulary), V the
+    reference's distinct-token count (all positions), k = 0.5. Unseen
+    words/pairs fall back to the smoothing mass — no UNK machinery,
+    exactly the additive estimate.
+
+    Scale shape: TWO groupBys over the reference slice build the count
+    tables (vocab- and vocab^2-bounded — at 100 TB these persist
+    bucketed by w1 like the SemDedup assignment and amortize across
+    scoring runs); scoring is the shared `_doc_bigrams` pass joined to
+    the counts (Catalyst broadcasts the fixture-sized tables; at
+    production vocab the join shuffles on w1, co-located if the counts
+    are bucketed) and ONE per-doc aggregate. Docs with < 2 tokens have
+    no bigrams: n_bigrams = 0, NULL xent, drop = false — a length
+    filter's job, not a perplexity's (both engines agree on the NULL).
+
+    Output: (doc_id, n_bigrams, xent ROUND 6, drop)."""
+    t = load_tables(spark, sf_dir, "documents")
+    big = _doc_bigrams(t.documents)
+    ref = big.filter(F.col("doc_id") % 5 != _PPLX_TRAIN_RES)
+    bigc = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    unic = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    v = (
+        t.documents.filter(F.col("doc_id") % 5 != _PPLX_TRAIN_RES)
+        .select(F.explode(toks).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    scored = (
+        big.join(bigc, ["w1", "w2"], "left")
+        .join(unic, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(_PPLX_K))
+                    / (
+                        F.coalesce(F.col("cl"), F.lit(0))
+                        + F.lit(_PPLX_K) * F.col("v")
+                    )
+                )
+            ).alias("nll"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 6).alias("xent"),
+    )
+    # left join back to ALL docs so bigram-less documents keep a row
+    return (
+        t.documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            "xent",
+            F.coalesce(F.col("xent") > _PPLX_BAR, F.lit(False)).alias("drop"),
+        )
+    )
+
+
+def _perplexity_oracle() -> str:
+    """DuckDB twin of `text_perplexity_bigram` — counts CTEs + the
+    same smoothed -ln, rounded to 6dp before the bar comparison (the
+    float-parity policy: O(1..10)-magnitude ratios, libm last-ulp
+    differences die at 6dp)."""
+    k, bar, res = _PPLX_K, _PPLX_BAR, _PPLX_TRAIN_RES
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+big AS (
+    SELECT doc_id, ws[pos] AS w1, ws[pos + 1] AS w2
+    FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(pos)
+    WHERE len(ws) >= 2
+),
+bigc AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM big
+    WHERE doc_id % 5 <> {res} GROUP BY w1, w2
+),
+unic AS (
+    SELECT w1, COUNT(*) AS cl FROM big
+    WHERE doc_id % 5 <> {res} GROUP BY w1
+),
+v AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 5 <> {res})
+),
+per_doc AS (
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-ln((COALESCE(bc.cb, 0) + {k})
+                         / (COALESCE(u.cl, 0) + {k} * v.v))), 6) AS xent
+    FROM big b
+    LEFT JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    LEFT JOIN unic u ON u.w1 = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.xent,
+       COALESCE(p.xent > {bar}, FALSE) AS "drop"
+FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""

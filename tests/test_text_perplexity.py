@@ -1,0 +1,64 @@
+"""Perplexity-based quality filtering (r18-built, r19-registered —
+see the module banner in operators/text.py): the bigram-LM scorer is
+value-exact against DuckDB at the suite SF, the same comparison the
+driver's sweep will run once the @query registration lands, plus the
+estimator's textbook invariants on a hand-checkable corpus."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from nytimes_batch_processor_spark.operators.text import (  # noqa: E402
+    _PPLX_BAR,
+    _PPLX_K,
+    _perplexity_oracle,
+    text_perplexity_bigram,
+)
+
+
+def test_perplexity_matches_duckdb_oracle(spark, duck, sf_dir):
+    """The driver-shaped parity check: identical rows (doc_id,
+    n_bigrams, rounded xent, drop) from both engines, non-vacuous on
+    BOTH sides of the bar."""
+    srows = sorted(tuple(r) for r in text_perplexity_bigram(spark, sf_dir).collect())
+    orows = sorted(duck.execute(_perplexity_oracle()).fetchall())
+    assert srows == orows
+    drops = sum(1 for r in srows if r[3])
+    assert 0 < drops < len(srows), f"bar {_PPLX_BAR} is vacuous: {drops}/{len(srows)}"
+
+
+def test_perplexity_estimator_textbook_values(spark):
+    """Hand-computed add-k bigram estimate on a 3-doc corpus: the
+    reference slice is docs 1 and 2 (doc_id % 5 != 0); doc 0 is scored
+    against their counts. Vocabulary V=3 ('a','b','c'), left-context
+    counts normalize the smoothed conditional exactly."""
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b a b"), (2, "b c")],
+        "doc_id long, text string",
+    )
+    # drive the operator through a synthetic 'documents' parquet dir
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="pplx-fixture-")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in text_perplexity_bigram(spark, d).collect()}
+    k = _PPLX_K
+    # reference bigrams: doc1 -> (a,b) (b,a) (a,b); doc2 -> (b,c)
+    # left-context counts: a->2, b->2 ; bigram counts: (a,b)->2, (b,a)->1, (b,c)->1
+    # V = 3 (a, b, c)
+    p_ab = (2 + k) / (2 + k * 3)
+    p_bc = (1 + k) / (2 + k * 3)
+    want = round(-(math.log(p_ab) + math.log(p_bc)) / 2, 6)
+    assert rows[0]["n_bigrams"] == 2
+    assert rows[0]["xent"] == want
+    # a one-token doc has no bigrams and never drops
+    one = spark.createDataFrame([(0, "a"), (1, "a b")], "doc_id long, text string")
+    one.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    rows = {r["doc_id"]: r for r in text_perplexity_bigram(spark, d).collect()}
+    assert rows[0]["n_bigrams"] == 0
+    assert rows[0]["xent"] is None
+    assert rows[0]["drop"] is False
