@@ -2390,14 +2390,20 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(v))
         .select(
             "doc_id",
-            (
+            # v = 0 (EMPTY reference slice) leaves the estimate
+            # undefined — NULL, never a division by zero (ANSI mode
+            # would throw; DuckDB would produce inf): every doc then
+            # reports NULL xent / drop=false, the honest "no model"
+            # answer, mirrored in the oracle's CASE
+            F.when(
+                F.col("v") > 0,
                 -F.log(
                     (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(_PPLX_K))
                     / (
                         F.coalesce(F.col("cl"), F.lit(0))
                         + F.lit(_PPLX_K) * F.col("v")
                     )
-                )
+                ),
             ).alias("nll"),
         )
     )
@@ -2452,8 +2458,10 @@ v AS (
 per_doc AS (
     SELECT b.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(-ln((COALESCE(bc.cb, 0) + {k})
-                         / (COALESCE(u.cl, 0) + {k} * v.v))), 6) AS xent
+           ROUND(AVG(CASE WHEN v.v > 0
+                          THEN -ln((COALESCE(bc.cb, 0) + {k})
+                                   / (COALESCE(u.cl, 0) + {k} * v.v))
+                     END), 6) AS xent
     FROM big b
     LEFT JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
     LEFT JOIN unic u ON u.w1 = b.w1

@@ -62,3 +62,90 @@ def test_perplexity_estimator_textbook_values(spark):
     assert rows[0]["n_bigrams"] == 0
     assert rows[0]["xent"] is None
     assert rows[0]["drop"] is False
+
+
+def _pplx_reference(rows: list[tuple[int, str]], k: float) -> dict:
+    """Pure-Python reference estimator (test-only ground truth, no
+    shared control flow with the operator): add-k bigram LM over the
+    doc_id%5!=0 slice, per-doc mean -ln P(w2|w1)."""
+    import collections
+
+    def toks(t):
+        return [w for w in t.lower().split() if w]
+
+    bigc: dict = collections.Counter()
+    unic: dict = collections.Counter()
+    vocab = set()
+    for did, text in rows:
+        ws = toks(text)
+        if did % 5 != 0:
+            vocab.update(ws)
+            for a, b in zip(ws, ws[1:]):
+                bigc[(a, b)] += 1
+                unic[a] += 1
+    v = len(vocab)
+    out = {}
+    for did, text in rows:
+        ws = toks(text)
+        pairs = list(zip(ws, ws[1:]))
+        if not pairs:
+            out[did] = (0, None)
+            continue
+        nll = [
+            -math.log((bigc.get(p, 0) + k) / (unic.get(p[0], 0) + k * v))
+            for p in pairs
+        ]
+        out[did] = (len(pairs), round(sum(nll) / len(nll), 6))
+    return out
+
+
+def test_perplexity_matches_pure_python_reference(spark, tmp_path):
+    """Property-style sweep: random tiny corpora (mixed reference and
+    scored-only docs, repeated words, single-token docs) agree with the
+    in-test reference estimator doc for doc."""
+    import itertools
+    import random
+
+    rng = random.Random(18)
+    words = ["ga", "bo", "tu", "le", "xi"]
+    for trial in range(6):
+        rows = []
+        for did in range(rng.randint(3, 12)):
+            n = rng.randint(1, 9)
+            rows.append((did, " ".join(rng.choice(words) for _ in range(n))))
+        d = str(tmp_path / f"t{trial}")
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(f"{d}/documents.parquet")
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["xent"])
+            for r in text_perplexity_bigram(spark, d).collect()
+        }
+        want = _pplx_reference(rows, _PPLX_K)
+        assert got == want, (trial, rows, got, want)
+
+
+def test_perplexity_empty_reference_slice_is_null_not_crash(spark, tmp_path):
+    """A corpus whose every doc_id lands in the scored residue (no
+    reference slice at all, v = 0) must return NULL xent / drop=false
+    for every doc — never an ANSI division-by-zero or an inf."""
+    rows = [(0, "ga bo tu"), (5, "bo bo"), (10, "tu")]
+    d = str(tmp_path / "noref")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {r["doc_id"]: r for r in text_perplexity_bigram(spark, d).collect()}
+    assert got[0]["n_bigrams"] == 2 and got[0]["xent"] is None
+    assert got[5]["xent"] is None and got[5]["drop"] is False
+    assert got[10]["n_bigrams"] == 0
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{d}/documents.parquet/*.parquet')"  # Spark writes a dir
+    )
+    orows = sorted(con.execute(_perplexity_oracle()).fetchall())
+    assert orows == sorted(
+        tuple(r) for r in text_perplexity_bigram(spark, d).collect()
+    )
