@@ -117,6 +117,11 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         # qc_training_sample gained the n_estimate fast path (default
         # behavior identical, but the entry's code path moved)
         "quality_classifier_surface",
+        # curate_admission_pipeline gained the optional perplexity
+        # stage (default None — semantics unchanged, but the composed
+        # path moved; the r4 lesson, same as r17's quality_model= add)
+        "curate_admission_twin",
+        "curate_model_twin",
     ),
 }
 

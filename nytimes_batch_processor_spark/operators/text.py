@@ -1726,6 +1726,8 @@ def curate_admission_pipeline(
     batch_id: int | None = None,
     quality_model=None,
     p_degraded_bar: float = 0.5,
+    perplexity=None,
+    xent_bar: float | None = None,
 ) -> DataFrame:
     """The COMPOSED steady-state curation pipeline over ONE arriving
     batch (VERDICT r11 item 4; admission semantics completed r14,
@@ -1806,6 +1808,21 @@ def curate_admission_pipeline(
             quality_classifier_score(quality_model, quality, text_col="text")
             .filter(F.col("p_degraded") < F.lit(p_degraded_bar))
             .drop("p_degraded")
+        )
+    if perplexity is not None:
+        # optional STATISTICAL LM filter (r18 — the triad's third
+        # member, stacked like the trained model above): ``perplexity``
+        # is a `perplexity_counts` triple; docs whose rounded
+        # cross-entropy exceeds the bar drop before signing. Adds one
+        # per-doc aggregate + join pre-admission; docs with no bigrams
+        # (or an empty reference LM) are not droppable — NULL compares
+        # false, the `text_perplexity_bigram` semantics.
+        bar = _PPLX_BAR if xent_bar is None else xent_bar
+        scores = perplexity_scores(quality.select("doc_id", "text"), perplexity)
+        quality = (
+            quality.join(scores.select("doc_id", "xent"), "doc_id", "left")
+            .filter(~F.coalesce(F.col("xent") > F.lit(bar), F.lit(False)))
+            .drop("xent")
         )
     obs = {
         "quality": Observation(),
@@ -2374,18 +2391,51 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: (doc_id, n_bigrams, xent ROUND 6, drop)."""
     t = load_tables(spark, sf_dir, "documents")
-    big = _doc_bigrams(t.documents)
-    ref = big.filter(F.col("doc_id") % 5 != _PPLX_TRAIN_RES)
-    bigc = ref.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    unic = ref.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
-    v = (
+    lm = perplexity_counts(
         t.documents.filter(F.col("doc_id") % 5 != _PPLX_TRAIN_RES)
-        .select(F.explode(toks).alias("w"))
-        .agg(F.count_distinct("w").alias("v"))
     )
+    per_doc = perplexity_scores(t.documents, lm)
+    # left join back to ALL docs so bigram-less documents keep a row
+    return (
+        t.documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            "xent",
+            F.coalesce(F.col("xent") > _PPLX_BAR, F.lit(False)).alias("drop"),
+        )
+    )
+
+
+def perplexity_counts(ref_docs: DataFrame):
+    """(bigc, unic, v) — the bigram LM's count tables over a reference
+    corpus, the ONE copy shared by `text_perplexity_bigram` and the
+    pipeline's optional perplexity stage (the `packed_offsets`
+    one-copy rule). At 100 TB these persist bucketed by w1 and
+    amortize across scoring runs."""
+    big = _doc_bigrams(ref_docs)
+    bigc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    unic = big.groupBy("w1").agg(F.count(F.lit(1)).alias("cl"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "")
+    v = ref_docs.select(F.explode(toks).alias("w")).agg(
+        F.count_distinct("w").alias("v")
+    )
+    return bigc, unic, v
+
+
+def perplexity_scores(docs: DataFrame, lm) -> DataFrame:
+    """(doc_id, n_bigrams, xent ROUND 6) per document WITH at least
+    one bigram — callers owning a full-corpus report left-join back to
+    their doc set (`text_perplexity_bigram`); the pipeline stage
+    treats a missing row as not-droppable. ``lm`` is the
+    `perplexity_counts` triple."""
+    bigc, unic, v = lm
     scored = (
-        big.join(bigc, ["w1", "w2"], "left")
+        _doc_bigrams(docs)
+        .join(bigc, ["w1", "w2"], "left")
         .join(unic, "w1", "left")
         .crossJoin(F.broadcast(v))
         .select(
@@ -2407,22 +2457,9 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nll"),
         )
     )
-    per_doc = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("xent"),
-    )
-    # left join back to ALL docs so bigram-less documents keep a row
-    return (
-        t.documents.select("doc_id")
-        .join(per_doc, "doc_id", "left")
-        .select(
-            F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.coalesce(F.col("n_bigrams"), F.lit(0))
-            .cast("bigint")
-            .alias("n_bigrams"),
-            "xent",
-            F.coalesce(F.col("xent") > _PPLX_BAR, F.lit(False)).alias("drop"),
-        )
     )
 
 

@@ -149,3 +149,48 @@ def test_perplexity_empty_reference_slice_is_null_not_crash(spark, tmp_path):
     assert orows == sorted(
         tuple(r) for r in text_perplexity_bigram(spark, d).collect()
     )
+
+
+def test_pipeline_perplexity_stage_drops_high_xent_docs(spark, tmp_path):
+    """The composed stage (r18, staged for an r19 swept twin like the
+    r17 quality_model= precedent): a gibberish doc whose bigrams the
+    reference LM has never seen scores high cross-entropy and must
+    vanish from the manifest AND never enter the index; a fluent doc
+    passes. The reference LM trains on a separate corpus slice."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from nytimes_batch_processor_spark.operators.text import (
+        curate_admission_pipeline,
+        perplexity_counts,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "the scan reads the table and the join merges rows")
+         for i in range(1, 9)],
+        "doc_id long, text string",
+    )
+    lm = perplexity_counts(ref)
+    fluent = "the scan reads the table and the join merges rows again"
+    gibberish = "zz qq vv pp kk ww yy xx jj uu nn mm"
+    index_path = str(tmp_path / "index")
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, "completely unrelated corpus text here")],
+            "doc_id long, text string",
+        ),
+        index_path,
+    )
+    batch = spark.createDataFrame(
+        [(100, fluent), (101, gibberish)], "doc_id long, text string"
+    )
+    # bar between the two scores: fluent ~0.77 (mostly seen bigrams
+    # against V=8), gibberish = the all-unseen constant ln(8) ~ 2.079
+    man = curate_admission_pipeline(
+        spark, index_path, batch, perplexity=lm, xent_bar=1.5
+    )
+    assert {r["doc_id"] for r in man.collect()} == {100}
+    indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert indexed == {1, 100}, indexed
