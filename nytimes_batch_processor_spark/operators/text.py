@@ -2511,3 +2511,141 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
        COALESCE(p.xent > {bar}, FALSE) AS "drop"
 FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
+
+
+def _curate_pplx_oracle() -> str:
+    """DuckDB twin of `curate_perplexity_twin` (r18-built; the @query
+    registration rides r19's entry budget): the LM's drop decisions are
+    fully SQL-replayable — unlike the MLlib model stage, no label
+    indirection is needed; the oracle recomputes the xent itself. The
+    rest is the `_curate_model_oracle` machinery verbatim: heuristic
+    quality filter, PII redaction replay, ONE `_minhash_sig_ctes`
+    stack over corpus + surviving batch, the shared
+    `_admission_m01_ctes` growth unroll, the manifest window — plus
+    the admitted doc's rounded xent as a value-level float column."""
+    from .dedup import (
+        _ADMIT_BATCHES,
+        _ADMIT_CORPUS_RES,
+        _admission_m01_ctes,
+        _minhash_sig_ctes,
+    )
+
+    k, bar = _PPLX_K, _PPLX_BAR
+    cor = _ADMIT_CORPUS_RES
+    b0 = ", ".join(map(str, _ADMIT_BATCHES[0]))
+    ntok = "len(string_split_regex(lower(text), '\\s+'))"
+    return f"""WITH dd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, ws[pos] AS w1, ws[pos + 1] AS w2
+    FROM dd, unnest(generate_series(1, len(ws) - 1)) AS g(pos)
+    WHERE len(ws) >= 2
+),
+lm_bigc AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM bg WHERE doc_id % 5 IN (2, 3)
+    GROUP BY w1, w2
+),
+lm_unic AS (
+    SELECT w1, COUNT(*) AS cl FROM bg WHERE doc_id % 5 IN (2, 3) GROUP BY w1
+),
+lm_v AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(ws) AS w FROM dd WHERE doc_id % 5 IN (2, 3))
+),
+xe AS (
+    SELECT b.doc_id,
+           ROUND(AVG(CASE WHEN v.v > 0
+                          THEN -ln((COALESCE(bc.cb, 0) + {k})
+                                   / (COALESCE(u.cl, 0) + {k} * v.v))
+                     END), 6) AS xent
+    FROM bg b
+    LEFT JOIN lm_bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    LEFT JOIN lm_unic u ON u.w1 = b.w1
+    CROSS JOIN lm_v v
+    WHERE b.doc_id % 5 IN ({b0})
+    GROUP BY b.doc_id
+),
+rq AS (
+    SELECT d.doc_id,
+           regexp_replace(regexp_replace(regexp_replace(d.text,
+               '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{_PII_ID_RE}', '[ID]', 'g') AS text
+    FROM documents d LEFT JOIN xe ON xe.doc_id = d.doc_id
+    WHERE d.doc_id % 5 IN ({b0})
+      AND {ntok} >= {_QUALITY_MIN_TOKENS}
+      AND CAST(length(text) AS DOUBLE) / {ntok} < {_QUALITY_MAX_CHARS_PER_TOKEN}
+      AND NOT COALESCE(xe.xent > {bar}, FALSE)
+),
+src AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = {cor}
+    UNION ALL
+    SELECT doc_id, text FROM rq
+),
+{_minhash_sig_ctes(source='src')},
+{_admission_m01_ctes()},
+mtok AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':shard')),
+                        1, 15)) AS BIGINT) % 2147483647) % {_SHARD_COUNT} AS shard,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':ord')),
+                       1, 15)) AS BIGINT) % 2147483647 AS ohash
+    FROM rq
+),
+man AS (
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_offset
+    FROM mtok WHERE doc_id IN (SELECT doc_id FROM adm0)
+    WINDOW w AS (PARTITION BY shard ORDER BY ohash, doc_id)
+)
+SELECT m.doc_id, m.shard, m.pos, m.n_tokens, m.tok_offset,
+       CAST(m.tok_offset // {_PACK_CAPACITY} AS BIGINT) AS bin_id,
+       xe.xent
+FROM man m JOIN xe ON xe.doc_id = m.doc_id"""
+
+
+def curate_perplexity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STATISTICAL-LM filter driven through the composed curation
+    pipeline (r18-built; registration staged for r19 — the exact
+    quality_model= -> curate_model_twin arc one round later): train
+    the bigram LM on residues 2/3 (`perplexity_counts`), run the
+    residue-0/1 batch through the FULL pipeline — heuristic quality
+    filter -> PERPLEXITY filter (round(xent,6) > _PPLX_BAR drops;
+    fixture-measured 86/200 batch docs at sf0.01, both classes
+    populated) -> PII redact -> near-dup admission against a clone of
+    the session corpus index -> shard/pack manifest. Unlike the model
+    twin, the drop decisions are DIRECTLY SQL-replayable (integer
+    counts + ln + 6dp rounding), so the oracle recomputes them with no
+    label indirection, and each admitted doc carries its rounded xent
+    as a value-level float column the hash pins."""
+    from ..tables import clone_parquet_dir
+    from .dedup import _ADMIT_BATCHES, admission_corpus_index_for
+
+    t = load_tables(spark, sf_dir, "documents")
+    lm = perplexity_counts(
+        t.documents.filter((F.col("doc_id") % 5).isin(2, 3))
+    )
+    batch = t.documents.filter(
+        (F.col("doc_id") % 5).isin(*_ADMIT_BATCHES[0])
+    ).select("doc_id", "text")
+    path = clone_parquet_dir(admission_corpus_index_for(spark, sf_dir))
+    man = curate_admission_pipeline(spark, path, batch, perplexity=lm)
+    xe = perplexity_scores(batch, lm).select("doc_id", "xent")
+    return (
+        man.select(
+            "doc_id", "shard", "pos", "n_tokens", "tok_offset", "bin_id"
+        )
+        .join(xe, "doc_id")
+        .select(
+            "doc_id", "shard", "pos", "n_tokens", "tok_offset", "bin_id",
+            "xent",
+        )
+    )

@@ -194,3 +194,22 @@ def test_pipeline_perplexity_stage_drops_high_xent_docs(spark, tmp_path):
     assert {r["doc_id"] for r in man.collect()} == {100}
     indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
     assert indexed == {1, 100}, indexed
+
+
+def test_curate_perplexity_twin_matches_oracle(spark, duck, sf_dir):
+    """The r19-staged swept twin, driver-shaped today: the composed
+    pipeline with the perplexity stage produces exactly the oracle's
+    manifest (membership, offsets, AND each admitted doc's rounded
+    xent), non-vacuously — the batch must lose docs to the LM filter
+    yet still admit some."""
+    from nytimes_batch_processor_spark.operators.text import (
+        _curate_pplx_oracle,
+        curate_perplexity_twin,
+    )
+
+    srows = sorted(
+        tuple(r) for r in curate_perplexity_twin(spark, sf_dir).collect()
+    )
+    orows = sorted(duck.execute(_curate_pplx_oracle()).fetchall())
+    assert srows == orows
+    assert 0 < len(srows) < 200, len(srows)  # filtered, not vacuous
