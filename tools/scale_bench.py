@@ -951,6 +951,55 @@ def bpet_scale_measure(spark, sf_dir: str) -> dict:
     }
 
 
+def pplx_scale_measure(spark, sf_dir: str) -> dict:
+    """Perplexity-filter family (r18-built alongside the operator; the
+    entry registers r19): the scale claims behind
+    `text_perplexity_bigram` / the pipeline's LM stage.
+
+    - pplx_vocab (COUNT, linear): reference distinct tokens — replicas
+      add token-bijective word forms, so super-linear growth means the
+      vocab aggregation broke;
+    - pplx_bigram_rows (COUNT, linear): bigram count-table rows (the
+      LM's persisted working set, vocab^2-BOUNDED but fixture-sparse);
+    - pplx_scored (COUNT, linear): documents receiving an xent;
+    - pplx_dropped (recorded, NOT gated): docs above the bar — the
+      drop RATE legitimately shifts as replica word forms dilute the
+      reference counts (the sem_dup_pairs precedent: gate cost, not
+      yield);
+    - the wall covers counts + scoring + the drop aggregate.
+    """
+    from nytimes_batch_processor_spark.operators.text import (
+        _PPLX_BAR,
+        perplexity_counts,
+        perplexity_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.perf_counter()
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    bigc, unic, v = perplexity_counts(ref)
+    bigc = bigc.localCheckpoint(eager=True)
+    n_big = bigc.count()
+    n_vocab = v.collect()[0]["v"]
+    scores = perplexity_scores(docs, (bigc, unic, v)).localCheckpoint(
+        eager=True
+    )
+    agg = scores.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("xent") > _PPLX_BAR).cast("long")).alias("d"),
+    ).collect()[0]
+    wall = round(time.perf_counter() - t0, 3)
+    bigc.unpersist(blocking=False)
+    scores.unpersist(blocking=False)
+    return {
+        "pplx_vocab": int(n_vocab),
+        "pplx_bigram_rows": int(n_big),
+        "pplx_scored": int(agg["n"]),
+        "pplx_dropped": int(agg["d"] or 0),
+        "pplx_wall_sec": wall,
+    }
+
+
 def dspan_scale_measure(spark, sf_dir: str) -> dict:
     """Span-decontamination family (r17, VERDICT r16 item 5): the
     scale claims behind `decon_leak_spans` with BOTH splits growing
@@ -1136,6 +1185,11 @@ COUNT_KEYS = (
     # ∝ corpus under the token-bijective replica perturbation
     "bpet_vocab",
     "bpet_pair_mass",
+    # r18: perplexity filter — reference vocab, bigram count-table
+    # rows, and scored docs, all ∝ corpus (drops recorded, not gated)
+    "pplx_vocab",
+    "pplx_bigram_rows",
+    "pplx_scored",
     # r16: SemDedup under the k ∝ N bounded-cell-size policy. Gated:
     # candidates (the COST model — measured exactly 10.0x at x10) and
     # drops (bounded by the vector count, which grows x factor).
@@ -1231,6 +1285,7 @@ WALL_KEYS = (
     "qc_score_wall_sec",
     "bpe_wall_sec",
     "bpet_wall_sec",
+    "pplx_wall_sec",
     "dspan_wall_sec",
 )
 # Persisted-SemDedup invariants (r17): booleans measured per scale —
@@ -1566,6 +1621,8 @@ def main() -> None:
         row.update(bpe_scale_measure(spark, sf_dir))
         # the BPE TRAINER family (r18)
         row.update(bpet_scale_measure(spark, sf_dir))
+        # the perplexity-filter family (r18)
+        row.update(pplx_scale_measure(spark, sf_dir))
         row.update(dspan_scale_measure(spark, sf_dir))
         # ... and its index-scaled axis: fixed base batch vs the x`k`
         # window index (r15: candidates/spans FLAT)
