@@ -52,19 +52,55 @@ def spread_for_python(df: DataFrame) -> DataFrame:
     EXECUTES any upstream shuffle stages — fine for the scan-rooted
     map-only frames this guard serves, but a silent double-execution
     trap for any future caller with a shuffle upstream. Instead the
-    probe counts the scan's input files (`inputFiles`, a pure listing
-    call that never runs the plan): file count upper-bounds scan
-    partition count, so files < parallelism certainly means an
-    under-parallel scan (the case the guard exists for), while a
-    many-file production scan passes through untouched. A
-    non-file-rooted frame (no input files — e.g. an in-memory local
-    relation in tests) conservatively spreads, which is at worst one
-    redundant round-robin exchange on a tiny frame; a frame with a
-    shuffle already between scan and guard keeps its shuffle.partitions
-    width either way, so no decision here can under-parallelize it."""
+    probe works from the scan's input-file LISTING (`inputFiles`, pure
+    metadata, never runs the plan), refined per ADVICE r18 #1 — raw
+    file COUNT under-estimates scan width because Spark splits large
+    splittable (parquet) files, so a few-big-files scan used to eat a
+    redundant full round-robin exchange:
+
+    - ``files >= parallelism``: pass through with no further work —
+      every file yields at least one partition, so the scan is already
+      wide (this is the production path: thousands of splits, zero
+      driver-side stats).
+    - ``files < parallelism``: stat those few files (bounded by
+      parallelism, so a handful of driver-side FS calls) and replay
+      Spark's own split-packing estimate
+      (``FilePartition.maxSplitBytes``): maxSplit = min(
+      maxPartitionBytes, max(openCostInBytes, paddedBytes/parallelism))
+      with paddedBytes = bytes + openCost per file; estimated
+      partitions = ceil(paddedBytes / maxSplit). Spread only when the
+      ESTIMATE is under parallelism — a scan of a few large files that
+      Spark will split 32 ways flows through untouched.
+    - no input files (non-file-rooted — e.g. an in-memory local
+      relation): pass through. There is no listing evidence of an
+      under-parallel scan, and `createDataFrame` already slices to
+      defaultParallelism; spreading here is what let a wider shuffled
+      frame be SHRUNK to parallelism (the r18 advice's last case).
+
+    Residual: a post-shuffle frame rooted in tiny leaf files still
+    spreads, costing one exchange — but only when total listed bytes
+    are under ~openCost*parallelism (~128 MiB), where the exchange is
+    noise. Values are identical on every path (map-only consumers)."""
     sc = df.sparkSession.sparkContext
-    if len(df.inputFiles()) < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
+    par = sc.defaultParallelism
+    files = df.inputFiles()
+    if not files or len(files) >= par:
+        return df
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    total = 0
+    for uri in files:
+        p = jvm.org.apache.hadoop.fs.Path(uri)
+        total += p.getFileSystem(hconf).getFileStatus(p).getLen()
+    conf = df.sparkSession._jsparkSession.sessionState().conf()
+    open_cost = conf.filesOpenCostInBytes()
+    padded = total + open_cost * len(files)
+    max_split = min(
+        conf.filesMaxPartitionBytes(), max(open_cost, padded // par)
+    )
+    est_partitions = -(-padded // max(max_split, 1))  # ceil
+    if est_partitions < par:
+        return df.repartition(par)
     return df
 
 

@@ -2047,15 +2047,21 @@ def window_index_or_empty(
     hashes into the probe join. So when the dir holds real footers, the
     on-disk column set is checked against the builder schema first — a
     cheap footer-only inference — and a mismatch fails loud instead of
-    probing garbage. Inference failing is exactly the footerless-
-    droppings case, which the pinned zero-row read handles."""
+    probing garbage. Only ``AnalysisException`` (UNABLE_TO_INFER_SCHEMA
+    — probed empirically: a dir holding only ``_temporary`` droppings)
+    is the footerless case; any OTHER inference failure (corrupt
+    footer surfaces as a SparkException FAILED_READ_FILE, permission/IO
+    errors likewise) propagates instead of being silently reclassified
+    as a fresh bootstrap (ADVICE r18 #4)."""
+    from pyspark.errors import AnalysisException
+
     from ..ingest import target_exists
 
     empty = _with_bucket(exact_substring_windows(docs_like.limit(0)))
     if target_exists(spark, path):
         try:
             on_disk = set(spark.read.parquet(path).schema.names)
-        except Exception:  # noqa: BLE001 — footerless dir: no footers to check
+        except AnalysisException:  # footerless dir: no footers to check
             on_disk = None
         if on_disk is not None and on_disk != set(empty.schema.names):
             raise ValueError(

@@ -102,13 +102,21 @@ def qc_training_sample(
     measure — a hand-copied predicate in the measure would silently
     diverge from what training actually reads.
 
-    ``n_estimate`` (VERDICT r17 nit): callers that already know the
-    labeled-corpus size (a catalog rowcount, a prior observation) pass
-    it and skip the sizing ``count()`` action entirely; the keep-rate
-    only sets the EXPECTED sample size, so an estimate is exactly as
-    good as an exact count here. Default None keeps the exact count
-    for callers with nothing better."""
-    n = labeled.count() if n_estimate is None else n_estimate
+    ``n_estimate`` (VERDICT r17 nit, hardened per ADVICE r18 #2): a
+    caller that already knows the labeled-corpus size (a catalog
+    rowcount, a prior observation) passes it and — when the estimate
+    exceeds the cap — skips the sizing ``count()`` entirely, because
+    the keep-RATE only sets the EXPECTED sample size and an estimate
+    is exactly as good as an exact count for a rate. The estimate is
+    NEVER trusted for the cap-BYPASS branch: an underestimate at or
+    under ``sample_cap`` would silently return the full corpus and
+    turn the memory/cost bound advisory, so that branch always
+    re-checks with the exact count (one action, only on the
+    small-corpus path where it is cheap anyway)."""
+    if n_estimate is not None and n_estimate > sample_cap:
+        n = n_estimate
+    else:
+        n = labeled.count()
     if n <= sample_cap:
         return labeled
     keep = int(1_000_000 * sample_cap / n)

@@ -17,6 +17,45 @@ sys.path.insert(
 from bench_trend import trend_lines  # noqa: E402
 
 
+def test_sidecar_merge_requires_value_stamp(tmp_path, monkeypatch):
+    """ADVICE r18 #3: the BENCH_CLASS_DETAIL sidecar must attach only
+    to the round whose final-line raw total it carries — name-set + sf
+    alone silently merged a PREVIOUS round's class-corrected walls into
+    a newer round (consecutive rounds usually share the catalog) when
+    the newer bench run failed to rewrite the sidecar."""
+    import json
+
+    import bench_trend
+
+    monkeypatch.setattr(bench_trend, "REPO", str(tmp_path))
+    q1 = {"a": 1.0, "b": 2.0}
+    q2 = {"a": 1.2, "b": 2.2}  # same query set, different walls
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"value": 3.0, "sf": 0.1, "queries": q1}})
+    )
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": {"value": 3.4, "sf": 0.1, "queries": q2}})
+    )
+    # the sidecar was written by r01's run (value stamp 3.0); r02's run
+    # failed to rewrite it — the bug shape merged it into r02 anyway
+    side = {
+        "queries": q1,
+        "sf": 0.1,
+        "value": 3.0,
+        "queries_env_corrected": {"a": 0.9, "b": 1.8},
+    }
+    (tmp_path / "BENCH_CLASS_DETAIL.json").write_text(json.dumps(side))
+    rounds = dict(bench_trend.load_rounds())
+    assert rounds[1]["queries_env_corrected"] == {"a": 0.9, "b": 1.8}
+    assert "queries_env_corrected" not in rounds[2]
+    # a sidecar matching NO round's value stamp is ignored entirely
+    side["value"] = 99.9
+    (tmp_path / "BENCH_CLASS_DETAIL.json").write_text(json.dumps(side))
+    rounds = dict(bench_trend.load_rounds())
+    assert "queries_env_corrected" not in rounds[1]
+    assert "queries_env_corrected" not in rounds[2]
+
+
 def _parsed(queries: dict, env: float | None = None) -> dict:
     out = {"value": round(sum(queries.values()), 3), "sf": 0.1, "queries": queries}
     if env is not None:

@@ -93,6 +93,49 @@ def test_scoring_is_map_only(spark):
     assert "Exchange" not in plan, plan
 
 
+def test_training_sample_estimate_never_bypasses_cap(spark):
+    """ADVICE r18 #2: `n_estimate` may only set the keep-RATE (where an
+    estimate is as good as a count) — it must NEVER decide the
+    cap-bypass branch, because an UNDERESTIMATE at or below the cap
+    would silently return the full corpus and turn the memory bound
+    advisory. An underestimate therefore yields the exact same capped
+    sample as the exact-count path, and an above-cap estimate scales
+    the keep-rate exactly like a real count of that size."""
+    from nytimes_batch_processor_spark.operators.quality_model import (
+        qc_training_sample,
+    )
+
+    lab = _labeled(spark)
+    n = lab.count()
+    cap = 60
+    assert n > cap  # the corpus genuinely exceeds the cap at this SF
+
+    exact = {r["doc_id"] for r in qc_training_sample(lab, cap).collect()}
+    assert 0 < len(exact) < n  # the cap really bit
+
+    # the bug shape: an underestimate <= cap used to early-return the
+    # FULL labeled set; now it falls back to the exact count and caps
+    under = {
+        r["doc_id"]
+        for r in qc_training_sample(lab, cap, n_estimate=5).collect()
+    }
+    assert under == exact
+
+    # above-cap estimates are trusted for the rate: a 2x overestimate
+    # halves the keep-rate, so the sample shrinks and stays a subset
+    over = {
+        r["doc_id"]
+        for r in qc_training_sample(lab, cap, n_estimate=2 * n).collect()
+    }
+    assert over < exact  # strictly smaller, same hash ordering
+    # an accurate estimate reproduces the exact-count sample verbatim
+    accurate = {
+        r["doc_id"]
+        for r in qc_training_sample(lab, cap, n_estimate=n).collect()
+    }
+    assert accurate == exact
+
+
 def test_training_sample_cap(spark):
     """A cap below the corpus still trains a separating model (the
     deterministic hash-sample keeps both classes), and the capped fit

@@ -2705,6 +2705,32 @@ def test_stream_span_reports_recovers_footerless_index(spark, tmp_path):
     }
 
 
+def test_window_index_corrupt_footer_propagates(spark, tmp_path):
+    """ADVICE r18 #4: only AnalysisException (UNABLE_TO_INFER_SCHEMA —
+    the `_temporary`-droppings case above) may fall through to the
+    pinned zero-row read. A dir holding a REAL top-level part file
+    with a corrupt footer is a genuine read failure (SparkException
+    FAILED_READ_FILE) and must propagate, not be silently reclassified
+    as a fresh bootstrap that then re-creates the index around the
+    corruption."""
+    import pytest
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        window_index_or_empty,
+    )
+
+    docs_like = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    corrupt = tmp_path / "corrupt_index"
+    corrupt.mkdir()
+    (corrupt / "part-00000-bad.snappy.parquet").write_bytes(
+        b"not a parquet file: no magic footer"
+    )
+    with pytest.raises(Exception, match="footer"):
+        window_index_or_empty(spark, str(corrupt), docs_like)
+
+
 def test_window_index_rejects_schema_drifted_dir(spark, tmp_path):
     """ADVICE r17 #3 (closed r18): the pinned-schema read that fixes
     the footerless poison pill must NOT silently null-read a

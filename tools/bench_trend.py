@@ -66,10 +66,13 @@ def load_rounds() -> list[tuple[int, dict]]:
         rounds.append((int(m.group(1)), parsed))
     # r18+: per-query class-corrected walls live on the detail line /
     # sidecar, not the compact final line the driver parses. Merge the
-    # sidecar into the round it belongs to — identified by an exact
-    # query-name-set and sf match, the same identity the bench run keyed
-    # them by (a stale sidecar from a different catalog simply won't
-    # match any round and is ignored).
+    # sidecar into the round it belongs to — identified by the final
+    # line's raw-total `value` (bench.py writes the same float to both
+    # the sidecar and the compact record, so equality is exact — ADVICE
+    # r18 #3: name-set + sf alone silently attached a previous round's
+    # sidecar to a newer round whose own bench run failed to rewrite
+    # it), plus the query-name-set and sf as structural sanity. A stale
+    # sidecar from any other run simply matches no round and is ignored.
     rounds.sort()
     side_path = os.path.join(REPO, "BENCH_CLASS_DETAIL.json")
     if os.path.exists(side_path):
@@ -77,11 +80,13 @@ def load_rounds() -> list[tuple[int, dict]]:
             side = json.load(f)
         for _, parsed in reversed(rounds):  # latest matching round only —
             # the sidecar is overwritten per run, so it describes at most
-            # the most recent round sharing its query set
+            # the most recent round sharing its identity
             if (
                 "queries" in parsed
                 and set(parsed["queries"]) == set(side.get("queries", {}))
                 and parsed.get("sf") == side.get("sf")
+                and parsed.get("value") == side.get("value")
+                and parsed.get("value") is not None
                 and "queries_env_corrected" not in parsed
             ):
                 parsed["queries_env_corrected"] = side["queries_env_corrected"]
