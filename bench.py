@@ -217,6 +217,14 @@ _ANCHOR_REF = {
 # only (sim_ann_ivf_topk from r11, rmse 0.40 -> 0.095). Entries too new
 # to fit (<4 rounds) are assigned from their plan shape and marked
 # provisional; unknown names fall back to the composite factor.
+# Python shares (r19): anchor_fit now fits the 4-class model — pre-r18
+# rounds constrain the JVM proportions through the same renormalized
+# blend _class_corrected applies, python-anchored rounds identify the
+# python share. With only ONE python-anchored round recorded (r18), a
+# python share is unidentifiable (the r19 fit assigns ~0 to every
+# candidate, incl. stateful_twin_surface / stream_admission_twin), so
+# no fitted 4-tuples ship yet; refit via `python tools/anchor_fit.py
+# <name>` once >= 4 python-anchored rounds exist and promote then.
 _ANCHOR_WEIGHTS: dict[str, tuple[float, float, float]] = {
     # name: (w_cpu, w_shuffle, w_scan)
     "agg_pricing_summary": (0.25, 0.55, 0.20),

@@ -102,25 +102,23 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
-    # r18 entries accumulate here as code changes this round (the r17
-    # block expired when CORRECTNESS_r17.json landed — all 50 sweep
+    # r19 entries accumulate here as code changes this round (the r18
+    # block expired when CORRECTNESS_r18.json landed — all 50 sweep
     # rows green, so nothing carries over).
-    18: (
-        # spread_for_python's width probe switched from .rdd to
-        # inputFiles() (ADVICE r18 #1) — every Python-hot-path entry
-        # routed through it re-enters the window (the r4 lesson)
+    19: (
+        # spread_for_python's width probe refined from raw file count
+        # to a byte-based split estimate (ADVICE r18 #1) — every
+        # Python-hot-path entry routed through it re-enters the window
+        # (the r4 lesson; values identical, partitioning moved)
         "pack_sequences_bpe",
-        "mm_binary_metadata",  # also: oracle gained NULL-text COALESCE
+        "mm_binary_metadata",
         "mm_resize_thumbs",
         "mm_frame_sample",
         "mm_decode_features",
-        # qc_training_sample gained the n_estimate fast path (default
-        # behavior identical, but the entry's code path moved)
+        # qc_training_sample's cap-bypass branch now always re-checks
+        # with the exact count (ADVICE r18 #2) — the trained-model
+        # entries' training subplan moved
         "quality_classifier_surface",
-        # curate_admission_pipeline gained the optional perplexity
-        # stage (default None — semantics unchanged, but the composed
-        # path moved; the r4 lesson, same as r17's quality_model= add)
-        "curate_admission_twin",
         "curate_model_twin",
     ),
 }

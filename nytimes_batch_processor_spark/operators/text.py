@@ -2320,8 +2320,9 @@ def curate_model_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the CCNet (Wenzek et al. 2020) / Gopher perplexity-filter shape.
 # Implemented + parity-tested r18 (tests/test_text_perplexity.py runs
 # the oracle through DuckDB exactly as the driver would); the @query
-# registration is deferred to r19 purely for the EDF <= +3/round
-# catalog-growth guidance (VERDICT r17 item 7; r18 already added 3).
+# registrations landed r19 — deferred one round purely for the EDF
+# <= +3/round catalog-growth guidance (VERDICT r17 item 7; r18 had
+# already added its 3).
 
 #: Add-k smoothing mass.
 _PPLX_K = 0.5
@@ -2364,6 +2365,61 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+def _perplexity_oracle() -> str:
+    """DuckDB twin of `text_perplexity_bigram` — counts CTEs + the
+    same smoothed -ln, rounded to 6dp before the bar comparison (the
+    float-parity policy: O(1..10)-magnitude ratios, libm last-ulp
+    differences die at 6dp)."""
+    k, bar, res = _PPLX_K, _PPLX_BAR, _PPLX_TRAIN_RES
+    return f"""
+WITH d AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+big AS (
+    SELECT doc_id, ws[pos] AS w1, ws[pos + 1] AS w2
+    FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(pos)
+    WHERE len(ws) >= 2
+),
+bigc AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM big
+    WHERE doc_id % 5 <> {res} GROUP BY w1, w2
+),
+unic AS (
+    SELECT w1, COUNT(*) AS cl FROM big
+    WHERE doc_id % 5 <> {res} GROUP BY w1
+),
+v AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 5 <> {res})
+),
+per_doc AS (
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(CASE WHEN v.v > 0
+                          THEN -ln((COALESCE(bc.cb, 0) + {k})
+                                   / (COALESCE(u.cl, 0) + {k} * v.v))
+                     END), 6) AS xent
+    FROM big b
+    LEFT JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    LEFT JOIN unic u ON u.w1 = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       p.xent,
+       COALESCE(p.xent > {bar}, FALSE) AS "drop"
+FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+@query(
+    "text_perplexity_bigram",
+    tables=("documents",),
+    oracle=_perplexity_oracle(),
+)
 def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-based quality scoring: train an add-k bigram LM on
     the reference slice (doc_id % 5 != _PPLX_TRAIN_RES), score EVERY
@@ -2461,56 +2517,6 @@ def perplexity_scores(docs: DataFrame, lm) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("nll"), 6).alias("xent"),
     )
-
-
-def _perplexity_oracle() -> str:
-    """DuckDB twin of `text_perplexity_bigram` — counts CTEs + the
-    same smoothed -ln, rounded to 6dp before the bar comparison (the
-    float-parity policy: O(1..10)-magnitude ratios, libm last-ulp
-    differences die at 6dp)."""
-    k, bar, res = _PPLX_K, _PPLX_BAR, _PPLX_TRAIN_RES
-    return f"""
-WITH d AS (
-    SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
-    FROM documents
-),
-big AS (
-    SELECT doc_id, ws[pos] AS w1, ws[pos + 1] AS w2
-    FROM d, unnest(generate_series(1, len(ws) - 1)) AS g(pos)
-    WHERE len(ws) >= 2
-),
-bigc AS (
-    SELECT w1, w2, COUNT(*) AS cb FROM big
-    WHERE doc_id % 5 <> {res} GROUP BY w1, w2
-),
-unic AS (
-    SELECT w1, COUNT(*) AS cl FROM big
-    WHERE doc_id % 5 <> {res} GROUP BY w1
-),
-v AS (
-    SELECT COUNT(DISTINCT w) AS v
-    FROM (SELECT unnest(ws) AS w FROM d WHERE doc_id % 5 <> {res})
-),
-per_doc AS (
-    SELECT b.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           ROUND(AVG(CASE WHEN v.v > 0
-                          THEN -ln((COALESCE(bc.cb, 0) + {k})
-                                   / (COALESCE(u.cl, 0) + {k} * v.v))
-                     END), 6) AS xent
-    FROM big b
-    LEFT JOIN bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
-    LEFT JOIN unic u ON u.w1 = b.w1
-    CROSS JOIN v
-    GROUP BY b.doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       COALESCE(p.n_bigrams, 0) AS n_bigrams,
-       p.xent,
-       COALESCE(p.xent > {bar}, FALSE) AS "drop"
-FROM d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
-"""
 
 
 def _curate_pplx_oracle() -> str:
@@ -2612,9 +2618,14 @@ SELECT m.doc_id, m.shard, m.pos, m.n_tokens, m.tok_offset,
 FROM man m JOIN xe ON xe.doc_id = m.doc_id"""
 
 
+@query(
+    "curate_perplexity_twin",
+    tables=("documents",),
+    oracle=_curate_pplx_oracle(),
+)
 def curate_perplexity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STATISTICAL-LM filter driven through the composed curation
-    pipeline (r18-built; registration staged for r19 — the exact
+    pipeline (r18-built, REGISTERED r19 — the exact
     quality_model= -> curate_model_twin arc one round later): train
     the bigram LM on residues 2/3 (`perplexity_counts`), run the
     residue-0/1 batch through the FULL pipeline — heuristic quality

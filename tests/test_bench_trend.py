@@ -155,6 +155,44 @@ def test_recovered_round_row_carries_only_corrected_walls():
     assert lines[2]["vs_prev"]["shared_class_corrected_ratio"] == 3.0
 
 
+def test_anchor_fit_recovers_python_share_via_renormalization():
+    """r19 (VERDICT r18 item 4 groundwork): the 4-class fit must use
+    pre-r18 rounds (no anchor_python) through the SAME renormalized
+    blend bench._class_corrected applies — those rounds pin the JVM
+    proportions, python-anchored rounds identify the python share. A
+    synthetic half-cpu/half-python query over 4 JVM-only + 2
+    python-anchored rounds recovers (0.5, 0, 0, 0.5) exactly."""
+    from anchor_fit import fit
+
+    base = 2.0
+    jvm_drifts = [
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0},
+        {"cpu": 1.2, "shuffle": 0.8, "scan": 1.0},
+        {"cpu": 0.9, "shuffle": 1.5, "scan": 1.1},
+        {"cpu": 1.1, "shuffle": 1.0, "scan": 0.7},
+    ]
+    py_drifts = [
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0, "python": 2.0},
+        {"cpu": 0.8, "shuffle": 1.2, "scan": 1.0, "python": 0.6},
+    ]
+    rounds = {}
+    for i, d in enumerate(jvm_drifts + py_drifts, start=1):
+        # true weights (0.5 cpu, 0.5 python), renormalized over the
+        # classes the round measured — JVM-only rounds blend to d_cpu
+        if "python" in d:
+            blend = 0.5 * d["cpu"] + 0.5 * d["python"]
+        else:
+            blend = d["cpu"]
+        rounds[i] = ({"p": base * blend}, d)
+    got = fit("p", rounds)
+    assert got is not None
+    w, fit_base, rmse, n, n_py = got
+    assert w == (0.5, 0.0, 0.0, 0.5), w
+    assert abs(fit_base - base) < 1e-9
+    assert rmse < 1e-9
+    assert (n, n_py) == (6, 2)
+
+
 def test_bench_anchor_weights_cover_all_headline_queries():
     """Every headline query (plus the two bench-only wrappers) carries a
     weight vector summing to 1; a name added to HEADLINE without one
