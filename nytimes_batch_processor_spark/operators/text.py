@@ -870,6 +870,105 @@ def bpe_encode_word_by_rank(word: str) -> list[str]:
     return sym
 
 
+_BPE_TOKENIZER_SIDECAR = "_bpe_tokenizer.json"
+
+
+def _bpe_sidecar(spark: SparkSession, path: str):
+    """(hadoop Path of the tokenizer artifact, its FileSystem) — the
+    `_centroids.json` idiom: underscore-prefixed so parquet readers
+    and the partition detector ignore it, written through the Hadoop
+    FS API so the artifact lands wherever the data does (local, HDFS,
+    object store) without a second IO stack."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{_BPE_TOKENIZER_SIDECAR}"
+    )
+    return p, p.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def save_bpe_tokenizer(
+    spark: SparkSession,
+    path: str,
+    merges,
+    provenance: tuple[int, int] | None = None,
+) -> None:
+    """Persist a TRAINED merge table as a tokenizer artifact (r19,
+    VERDICT r18 item 6 — the `_centroids.json` precedent for the BPE
+    family): the artifact is the tokenizer's DEFINITION, exactly as a
+    trained-IVF sidecar is the index's quantizer definition — a packer
+    encoding with any other table writes token counts and offsets that
+    no later reader can reproduce. JSON round-trips the merge strings
+    exactly (no float wobble to manage), so saved == loaded is
+    string-equality-exact. ``provenance`` optionally records the
+    (doc count, token mass) fingerprint of the training corpus (the
+    `_BPE_PROVENANCE` shape) so a loader can refuse a table on the
+    wrong corpus if it cares."""
+    import json
+
+    payload = {
+        "version": 1,
+        "merges": [list(m) for m in merges],
+        "provenance": list(provenance) if provenance else None,
+    }
+    p, fs = _bpe_sidecar(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(json.dumps(payload).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def load_bpe_tokenizer(
+    spark: SparkSession, path: str
+) -> tuple[tuple[tuple[str, str], ...], tuple[int, int] | None]:
+    """(merges, provenance) from a saved tokenizer artifact — STRICT,
+    the `load_semdedup_centers` discipline: a missing or malformed
+    artifact raises instead of falling back to the shipped literal,
+    because silently encoding with the WRONG merge table produces
+    token counts and pack offsets that are plausible and irreproducible
+    (the silent-wrong-verdict failure class). The shipped `_BPE_MERGES`
+    literal is an explicit caller choice, never a fallback."""
+    import json
+
+    p, fs = _bpe_sidecar(spark, path)
+    if not fs.exists(p):
+        raise ValueError(
+            f"no {_BPE_TOKENIZER_SIDECAR} under {path} — train with "
+            "bpe_train_merges and save_bpe_tokenizer first; refusing to "
+            "guess a merge table"
+        )
+    reader = spark._jvm.java.io.BufferedReader(
+        spark._jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    payload = json.loads("".join(lines))
+    if payload.get("version") != 1:
+        raise ValueError(
+            f"unsupported tokenizer artifact version {payload.get('version')!r}"
+        )
+    merges = payload["merges"]
+    if not all(
+        isinstance(m, list)
+        and len(m) == 2
+        and all(isinstance(s, str) and s for s in m)
+        for m in merges
+    ):
+        raise ValueError("malformed merge table in tokenizer artifact")
+    prov = payload.get("provenance")
+    return (
+        tuple((m[0], m[1]) for m in merges),
+        tuple(prov) if prov else None,
+    )
+
+
 def bpe_token_counts(docs: DataFrame, encoder=bpe_encode_word) -> DataFrame:
     """(doc_id, n_tokens) under the literal BPE tokenizer — the
     map-only Arrow-batched pass feeding `packed_offsets`. Scale shape:
@@ -2658,5 +2757,203 @@ def curate_perplexity_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "shard", "pos", "n_tokens", "tok_offset", "bin_id",
             "xent",
+        )
+    )
+
+
+#: Drop bar for the STREAMING perplexity twin, whose LM trains on the
+#: admission CORPUS slice (doc_id % 5 == _ADMIT_CORPUS_RES — the
+#: natural production reference: score arrivals against what the index
+#: already holds) rather than `_PPLX_BAR`'s %5!=0 slice. The smaller
+#: reference shifts the xent distribution up (smoothing mass weighs
+#: more), so the bar moves with it: fixture-measured (DuckDB quantiles)
+#: drops 36-41/200 per batch at sf0.001/0.01 and 19-23/2000 at sf0.1 —
+#: both classes populated in BOTH batches at every fixture SF.
+_STREAM_PPLX_BAR = 3.55
+
+
+def _stream_pplx_oracle() -> str:
+    """DuckDB twin of `stream_pplx_curation_twin`: the
+    `_curate_twin_oracle` two-batch growth machinery (no injection —
+    raw batches, like the pplx batch twin) with the LM CTEs of
+    `_curate_pplx_oracle` re-pointed at the CORPUS reference slice,
+    the xent drop predicate in ``rq``, and per-batch manifests over
+    each admitted set — the exact frames `foreach_batch_curation`
+    rebuilds from its committed sink partitions."""
+    from .dedup import (
+        _ADMIT_BATCHES,
+        _ADMIT_CORPUS_RES,
+        _admission_m01_ctes,
+        _minhash_sig_ctes,
+    )
+
+    k, bar = _PPLX_K, _STREAM_PPLX_BAR
+    cor = _ADMIT_CORPUS_RES
+    b1 = ", ".join(map(str, _ADMIT_BATCHES[1]))
+    man = """SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS tok_offset
+    FROM mtok WHERE doc_id IN (SELECT doc_id FROM {adm})
+    WINDOW w AS (PARTITION BY shard ORDER BY ohash, doc_id)"""
+    final = """SELECT m.doc_id, CAST({b} AS BIGINT) AS batch, m.shard, m.pos,
+       m.n_tokens, m.tok_offset,
+       CAST(m.tok_offset // {cap} AS BIGINT) AS bin_id, xe.xent
+FROM man{b} m JOIN xe ON xe.doc_id = m.doc_id"""
+    ntok = "len(string_split_regex(lower(text), '\\s+'))"
+    return f"""WITH dd AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+    FROM documents
+),
+bg AS (
+    SELECT doc_id, ws[pos] AS w1, ws[pos + 1] AS w2
+    FROM dd, unnest(generate_series(1, len(ws) - 1)) AS g(pos)
+    WHERE len(ws) >= 2
+),
+lm_bigc AS (
+    SELECT w1, w2, COUNT(*) AS cb FROM bg WHERE doc_id % 5 = {cor}
+    GROUP BY w1, w2
+),
+lm_unic AS (
+    SELECT w1, COUNT(*) AS cl FROM bg WHERE doc_id % 5 = {cor} GROUP BY w1
+),
+lm_v AS (
+    SELECT COUNT(DISTINCT w) AS v
+    FROM (SELECT unnest(ws) AS w FROM dd WHERE doc_id % 5 = {cor})
+),
+xe AS (
+    SELECT b.doc_id,
+           ROUND(AVG(CASE WHEN v.v > 0
+                          THEN -ln((COALESCE(bc.cb, 0) + {k})
+                                   / (COALESCE(u.cl, 0) + {k} * v.v))
+                     END), 6) AS xent
+    FROM bg b
+    LEFT JOIN lm_bigc bc ON bc.w1 = b.w1 AND bc.w2 = b.w2
+    LEFT JOIN lm_unic u ON u.w1 = b.w1
+    CROSS JOIN lm_v v
+    WHERE b.doc_id % 5 <> {cor}
+    GROUP BY b.doc_id
+),
+rq AS (
+    SELECT d.doc_id,
+           regexp_replace(regexp_replace(regexp_replace(d.text,
+               '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+               '{_PII_PHONE_RE}', '[PHONE]', 'g'),
+               '{_PII_ID_RE}', '[ID]', 'g') AS text
+    FROM documents d LEFT JOIN xe ON xe.doc_id = d.doc_id
+    WHERE d.doc_id % 5 <> {cor}
+      AND {ntok} >= {_QUALITY_MIN_TOKENS}
+      AND CAST(length(text) AS DOUBLE) / {ntok} < {_QUALITY_MAX_CHARS_PER_TOKEN}
+      AND NOT COALESCE(xe.xent > {bar}, FALSE)
+),
+src AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = {cor}
+    UNION ALL
+    SELECT doc_id, text FROM rq
+),
+{_minhash_sig_ctes(source='src')},
+{_admission_m01_ctes()},
+adm1 AS (
+    SELECT doc_id FROM sigs
+    WHERE doc_id % 5 IN ({b1}) AND doc_id NOT IN (SELECT qid FROM m1)
+),
+mtok AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_tokens,
+           (CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':shard')),
+                        1, 15)) AS BIGINT) % 2147483647) % {_SHARD_COUNT} AS shard,
+           CAST(concat('0x', substr(md5(concat(CAST(doc_id AS VARCHAR), ':ord')),
+                       1, 15)) AS BIGINT) % 2147483647 AS ohash
+    FROM rq
+),
+man0 AS (
+    {man.format(adm='adm0')}
+),
+man1 AS (
+    {man.format(adm='adm1')}
+)
+{final.format(b=0, cap=_PACK_CAPACITY)}
+UNION ALL
+{final.format(b=1, cap=_PACK_CAPACITY)}"""
+
+
+@query(
+    "stream_pplx_curation_twin",
+    tables=("documents",),
+    oracle=_stream_pplx_oracle(),
+)
+def stream_pplx_curation_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LM-filtered curation pipeline driven through the REAL
+    streaming applier (r19, VERDICT r18 item 5): two micro-batches
+    (`_ADMIT_BATCHES` residues) run through the EXACT function
+    `streaming.pipeline.foreach_batch_curation` hands foreachBatch —
+    heuristic quality -> PERPLEXITY drop (LM trained on the admission
+    CORPUS slice, the production reference; bar `_STREAM_PPLX_BAR`) ->
+    PII redact -> near-dup admission with index GROWTH between the
+    batches -> per-batch committed admitted-sink partition -> manifest
+    REBUILT from that committed partition (the crash-convergence path,
+    not the returned plan). Output: both manifests, each admitted
+    doc's rounded xent pinned as a value column. What this adds over
+    `curate_perplexity_twin`: the streaming wrapper's sink-rebuild
+    manifest derivation and sequential two-batch growth under the LM
+    filter are the frames being hashed — a dropped doc that leaked
+    into the sink partition, a manifest derived from the re-verdicted
+    ledger, or a missing index append between batches all flip rows.
+    The live-stream run of the same composition (file source,
+    checkpoint, availableNow) is pytest-pinned in
+    tests/test_streaming.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import foreach_batch_curation
+    from ..tables import clone_parquet_dir
+    from .dedup import (
+        _ADMIT_BATCHES,
+        _ADMIT_CORPUS_RES,
+        admission_corpus_index_for,
+    )
+
+    t = load_tables(spark, sf_dir, "documents")
+    lm = perplexity_counts(
+        t.documents.filter(F.col("doc_id") % 5 == _ADMIT_CORPUS_RES)
+    )
+    index_path = clone_parquet_dir(admission_corpus_index_for(spark, sf_dir))
+    scratch = tempfile.mkdtemp(prefix="engine_streampplx_")
+    atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+    apply_fn = foreach_batch_curation(
+        index_path,
+        f"{scratch}/admitted",
+        f"{scratch}/manifest",
+        perplexity=lm,
+        xent_bar=_STREAM_PPLX_BAR,
+    )
+    mans = []
+    man_schema = (
+        "doc_id long, shard long, pos long, n_tokens long, "
+        "tok_offset long, bin_id long"
+    )
+    for b, residues in enumerate(_ADMIT_BATCHES):
+        batch = t.documents.filter(
+            (F.col("doc_id") % 5).isin(*residues)
+        ).select("doc_id", "text")
+        apply_fn(batch, b)
+        mans.append(
+            spark.read.schema(man_schema)
+            .parquet(f"{scratch}/manifest/batch_id={b}")
+            .withColumn("batch", F.lit(b).cast("long"))
+        )
+    xe = perplexity_scores(
+        t.documents.filter(F.col("doc_id") % 5 != _ADMIT_CORPUS_RES), lm
+    ).select("doc_id", "xent")
+    return (
+        mans[0].unionByName(mans[1])
+        .join(xe, "doc_id")
+        .select(
+            "doc_id", "batch", "shard", "pos", "n_tokens", "tok_offset",
+            "bin_id", "xent",
         )
     )

@@ -214,7 +214,12 @@ def stream_document_admission(
 
 
 def foreach_batch_curation(
-    index_path: str, admitted_path: str, manifest_path: str
+    index_path: str,
+    admitted_path: str,
+    manifest_path: str,
+    quality_model=None,
+    perplexity=None,
+    xent_bar: float | None = None,
 ):
     """foreachBatch form of the COMPOSED curation pipeline (VERDICT r14
     item 3 — the steady-state production shape of
@@ -243,7 +248,19 @@ def foreach_batch_curation(
 
     The sink-partition read uses an explicit schema so a zero-admission
     batch (empty committed partition) reads as empty instead of failing
-    inference, mirroring `admit_sink_upsert`'s legacy-read rule."""
+    inference, mirroring `admit_sink_upsert`'s legacy-read rule.
+
+    The three optional curation stages compose here exactly as in the
+    batch pipeline (r19, the quality_model= -> perplexity= arc):
+    ``quality_model`` a fitted `quality_classifier_train` pipeline
+    scored map-only per batch; ``perplexity`` a `perplexity_counts`
+    triple — the add-k bigram LM whose rounded cross-entropy drops the
+    high-perplexity tail (bar ``xent_bar``, default the operator's
+    `_PPLX_BAR`) BEFORE any document signs or probes the index, so a
+    gibberish doc never enters the admission machinery at all. Both
+    are driver-held artifacts (a few KiB of coefficients / two
+    count DataFrames); at 100 TB the LM counts persist bucketed by w1
+    and load once per stream, not per batch."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..ingest import job_commit_succeeded
@@ -265,6 +282,9 @@ def foreach_batch_curation(
             batch_df,
             admitted_path=admitted_path,
             batch_id=batch_id,
+            quality_model=quality_model,
+            perplexity=perplexity,
+            xent_bar=xent_bar,
         )
         sink_part = f"{admitted_path.rstrip('/')}/batch_id={batch_id}"
         admitted = spark.read.schema("doc_id long, text string").parquet(
@@ -284,6 +304,9 @@ def stream_curation(
     admitted_path: str,
     manifest_path: str,
     checkpoint_dir: str,
+    quality_model=None,
+    perplexity=None,
+    xent_bar: float | None = None,
 ) -> DataStreamWriter:
     """Streaming composed curation: the JSONL document stream of
     `stream_document_admission` routed through the FULL curation chain
@@ -296,7 +319,14 @@ def stream_curation(
         "maxFilesPerTrigger", 1
     ).json(src_dir)
     return raw.writeStream.foreachBatch(
-        foreach_batch_curation(index_path, admitted_path, manifest_path)
+        foreach_batch_curation(
+            index_path,
+            admitted_path,
+            manifest_path,
+            quality_model=quality_model,
+            perplexity=perplexity,
+            xent_bar=xent_bar,
+        )
     ).option("checkpointLocation", checkpoint_dir)
 
 

@@ -2175,6 +2175,108 @@ def test_migrate_admitted_sink_crash_recovery(spark, tmp_path):
     assert got == [(1, -1), (2, -1)], got
 
 
+def test_stream_curation_perplexity_filter(spark, tmp_path):
+    """r19 (VERDICT r18 item 5): the statistical-LM filter composed
+    into the REAL stream — `stream_curation(perplexity=...)` drops a
+    high-perplexity document before it signs, probes, or enters
+    anything: not the admitted sink, not the manifest, and above all
+    never the index (a later fluent near-rephrase must not dedup
+    against gibberish). A fluent novel doc in the same batch admits
+    normally, so the drop is the LM's, not the batch's."""
+    import json as _json
+    import time as _time
+
+    from nytimes_batch_processor_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from nytimes_batch_processor_spark.operators.text import (
+        perplexity_counts,
+        perplexity_scores,
+    )
+    from nytimes_batch_processor_spark.streaming import stream_curation
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    index_path = str(tmp_path / "index")
+    admitted_path = str(tmp_path / "admitted")
+    manifest_path = str(tmp_path / "manifest")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus_text = "the quick brown fox jumps over the lazy dog tonight"
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, corpus_text)], "doc_id long, text string"
+        ),
+        index_path,
+    )
+    # reference corpus: a small fluent register the LM learns
+    ref = spark.createDataFrame(
+        [
+            (10, "the cat sat on the mat and the dog sat on the rug"),
+            (11, "the dog ran to the cat and the cat ran to the mat"),
+            (12, "a cat and a dog sat on the mat near the rug"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = perplexity_counts(ref)
+    fluent = "the cat ran to the rug and the dog sat on the mat"
+    gibberish = "zxqv jqwk fplm vvtr qqzx mmnb rrty uuio ppas ddfg"
+    scores = {
+        r["doc_id"]: r["xent"]
+        for r in perplexity_scores(
+            spark.createDataFrame(
+                [(100, fluent), (101, gibberish)],
+                "doc_id long, text string",
+            ),
+            lm,
+        ).collect()
+    }
+    assert scores[101] > scores[100]  # the LM really separates them
+    bar = (scores[100] + scores[101]) / 2
+
+    def drop(name, rows):
+        (src / name).write_text(
+            "\n".join(_json.dumps(r) for r in rows) + "\n"
+        )
+
+    drop("a.json", [
+        {"doc_id": 100, "text": fluent},
+        {"doc_id": 101, "text": gibberish},
+    ])
+    _time.sleep(1.1)
+    # batch 1: a verbatim copy of the gibberish — were 101 indexed, 201
+    # would verdict dup; with the LM filter, 201 is dropped by its OWN
+    # xent too, and the index never holds either
+    drop("b.json", [{"doc_id": 201, "text": gibberish}])
+    q = stream_curation(
+        spark, str(src), index_path, admitted_path, manifest_path, ckpt,
+        perplexity=lm, xent_bar=bar,
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(180)
+
+    sink = {
+        (r["doc_id"], r["batch_id"])
+        for r in spark.read.parquet(admitted_path).collect()
+    }
+    assert sink == {(100, 0)}, sink
+    man0 = spark.read.schema(
+        "doc_id long, shard long, pos long, n_tokens long, "
+        "tok_offset long, bin_id long"
+    ).parquet(f"{manifest_path}/batch_id=0")
+    assert {r["doc_id"] for r in man0.collect()} == {100}
+    man1 = spark.read.schema(man0.schema).parquet(
+        f"{manifest_path}/batch_id=1"
+    )
+    assert man1.count() == 0  # zero-admission batch, committed empty
+    indexed = {
+        r["doc_id"]
+        for r in spark.read.parquet(index_path)
+        .select("doc_id").distinct().collect()
+    }
+    assert 101 not in indexed and 201 not in indexed
+    assert {1, 100} <= indexed  # corpus + the fluent admission grew it
+
+
 def test_stream_curation_composes_and_recovers(spark, tmp_path):
     """The streaming wrapper of the COMPOSED curation pipeline (VERDICT
     r14 item 3): a JSONL document stream runs quality -> redact ->
