@@ -2464,6 +2464,101 @@ def _doc_bigrams(docs: DataFrame) -> DataFrame:
     )
 
 
+_LM_META_SIDECAR = "_lm_meta.json"
+
+
+def save_perplexity_lm(spark: SparkSession, name: str, lm, n_buckets: int = 8) -> None:
+    """Persist a trained bigram LM so it amortizes across scoring runs
+    and sessions (r19 — the persistence path behind the 100 TB posture
+    the perplexity docstrings claim): the count tables land as MANAGED
+    TABLES BUCKETED BY ``w1`` (``{name}_bigrams`` (w1, w2, cb) and
+    ``{name}_contexts`` (w1, cl) — `write_bucketed`, the co-located
+    layout, so a production-vocab scoring join on w1 reuses the
+    on-disk hash partitioning instead of exchanging the counts per
+    run), and the scalar vocabulary size V — one row, the bounded
+    collect class — rides a ``_lm_meta.json`` sidecar in the bigrams
+    table dir (the `_centroids.json` idiom). At fixture scale Catalyst
+    broadcasts the tiny tables anyway; the bucketing is the contract
+    that survives when V no longer fits a broadcast."""
+    import json
+
+    from ..tables import managed_table_dir, write_bucketed
+
+    bigc, unic, v = lm
+    write_bucketed(bigc, f"{name}_bigrams", "w1", n_buckets)
+    write_bucketed(unic, f"{name}_contexts", "w1", n_buckets)
+    vval = int(v.collect()[0]["v"])  # bounded: the one-row V aggregate
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{managed_table_dir(spark, f'{name}_bigrams')}/{_LM_META_SIDECAR}"
+    )
+    out = p.getFileSystem(spark._jsc.hadoopConfiguration()).create(p, True)
+    try:
+        out.write(
+            bytearray(
+                json.dumps({"version": 1, "v": vval, "k": _PPLX_K}).encode(
+                    "utf-8"
+                )
+            )
+        )
+    finally:
+        out.close()
+
+
+def load_perplexity_lm(spark: SparkSession, name: str):
+    """The `perplexity_counts` triple back from a saved LM — STRICT
+    (the `load_semdedup_centers` discipline): missing tables or a
+    missing/foreign-version sidecar raise, because scoring against a
+    partial LM (counts without their V, or one count table of two)
+    produces plausible, wrong cross-entropies with no error anywhere
+    downstream. The sidecar is written LAST by `save_perplexity_lm`,
+    so its presence witnesses a complete publish."""
+    import json
+
+    from ..tables import managed_table_dir
+
+    for suffix in ("_bigrams", "_contexts"):
+        if not spark.catalog.tableExists(f"{name}{suffix}"):
+            raise ValueError(
+                f"perplexity LM '{name}' is missing its {suffix} table — "
+                "save with save_perplexity_lm first"
+            )
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{managed_table_dir(spark, f'{name}_bigrams')}/{_LM_META_SIDECAR}"
+    )
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        raise ValueError(
+            f"perplexity LM '{name}' has no {_LM_META_SIDECAR} sidecar — "
+            "the save crashed before publishing V; re-save instead of "
+            "guessing the vocabulary size"
+        )
+    reader = jvm.java.io.BufferedReader(
+        jvm.java.io.InputStreamReader(fs.open(p), "UTF-8")
+    )
+    try:
+        lines = []
+        while True:
+            line = reader.readLine()
+            if line is None:
+                break
+            lines.append(line)
+    finally:
+        reader.close()
+    meta = json.loads("".join(lines))
+    if meta.get("version") != 1:
+        raise ValueError(
+            f"unsupported perplexity LM sidecar version {meta.get('version')!r}"
+        )
+    v = spark.range(1).select(F.lit(int(meta["v"])).cast("long").alias("v"))
+    return (
+        spark.table(f"{name}_bigrams"),
+        spark.table(f"{name}_contexts"),
+        v,
+    )
+
+
 def _perplexity_oracle() -> str:
     """DuckDB twin of `text_perplexity_bigram` — counts CTEs + the
     same smoothed -ln, rounded to 6dp before the bar comparison (the

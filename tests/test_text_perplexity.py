@@ -213,3 +213,64 @@ def test_curate_perplexity_twin_matches_oracle(spark, duck, sf_dir):
     orows = sorted(duck.execute(_curate_pplx_oracle()).fetchall())
     assert srows == orows
     assert 0 < len(srows) < 200, len(srows)  # filtered, not vacuous
+
+
+def test_perplexity_lm_artifact_roundtrip(spark):
+    """r19: a trained bigram LM survives a session boundary as managed
+    BUCKETED-BY-w1 tables + a _lm_meta.json sidecar carrying V —
+    scores from the loaded LM equal scores from the in-memory triple
+    row-for-row (rounded xent included), and the STRICT loader refuses
+    a missing table and a missing sidecar instead of scoring against a
+    partial model."""
+    import pytest
+
+    from nytimes_batch_processor_spark.operators.text import (
+        load_perplexity_lm,
+        perplexity_counts,
+        perplexity_scores,
+        save_perplexity_lm,
+    )
+
+    ref = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat on the rug"),
+            (2, "the dog ran to the cat and the cat ran to the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "the cat ran to the rug"),
+            (11, "zxqv jqwk fplm vvtr"),
+            (12, "the dog sat on the mat"),
+        ],
+        "doc_id long, text string",
+    )
+    lm = perplexity_counts(ref)
+    name = "pplx_lm_roundtrip_probe"
+    try:
+        save_perplexity_lm(spark, name, lm, n_buckets=2)
+        loaded = load_perplexity_lm(spark, name)
+        got = sorted(
+            tuple(r) for r in perplexity_scores(docs, loaded).collect()
+        )
+        want = sorted(
+            tuple(r) for r in perplexity_scores(docs, lm).collect()
+        )
+        assert got == want and len(got) == 3
+
+        # strict loader: a missing sidecar on existing tables refuses
+        from nytimes_batch_processor_spark.tables import managed_table_dir
+
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(
+            f"{managed_table_dir(spark, name + '_bigrams')}/_lm_meta.json"
+        )
+        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, False)
+        with pytest.raises(ValueError, match="sidecar"):
+            load_perplexity_lm(spark, name)
+    finally:
+        for suffix in ("_bigrams", "_contexts"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+    with pytest.raises(ValueError, match="missing its"):
+        load_perplexity_lm(spark, name)
