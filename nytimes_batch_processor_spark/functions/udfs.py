@@ -72,19 +72,38 @@ def spread_for_python(df: DataFrame) -> DataFrame:
       ESTIMATE is under parallelism — a scan of a few large files that
       Spark will split 32 ways flows through untouched.
     - no input files (non-file-rooted — e.g. an in-memory local
-      relation): pass through. There is no listing evidence of an
-      under-parallel scan, and `createDataFrame` already slices to
-      defaultParallelism; spreading here is what let a wider shuffled
-      frame be SHRUNK to parallelism (the r18 advice's last case).
+      relation): classify by the ANALYZED logical plan (a string
+      render; never optimizes or executes). If the plan contains a
+      shuffle-inducing node, its width is already the session
+      shuffle-partition count and a round-robin repartition could only
+      SHRINK it (the r18 advice's last case) — pass through. A NARROW
+      tree over local data (project/filter/coalesce — the test-fixture
+      shape) has no upstream query stages at all, so there `.rdd` is
+      execution-free and the probe reads the true width, fanning out
+      the degenerate single-slice case the guard exists for (pinned by
+      test_bpe_counts_fans_out_degenerate_scans).
 
     Residual: a post-shuffle frame rooted in tiny leaf files still
     spreads, costing one exchange — but only when total listed bytes
     are under ~openCost*parallelism (~128 MiB), where the exchange is
     noise. Values are identical on every path (map-only consumers)."""
+    import re
+
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     files = df.inputFiles()
-    if not files or len(files) >= par:
+    if not files:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if re.search(
+            r"\b(Join|Aggregate|Window|Sort|Deduplicate|Intersect|Except"
+            r"|RepartitionByExpression|GlobalLimit)\b|Repartition \d+, true",
+            plan,
+        ):
+            return df
+        if df.rdd.getNumPartitions() < par:
+            return df.repartition(par)
+        return df
+    if len(files) >= par:
         return df
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()

@@ -959,6 +959,14 @@ def test_spread_for_python_estimates_splits_from_bytes(spark, tmp_path):
     # split, so the guard still fans it out
     assert spread_for_python(big) is not big
 
-    # non-file-rooted: no listing evidence — never repartitioned
-    local = spark.createDataFrame([(1,), (2,)], "k long")
-    assert spread_for_python(local) is local
+    # non-file-rooted with a shuffle in the plan: its width is already
+    # the session shuffle-partition count — never repartitioned (a
+    # round-robin here could only SHRINK a wider frame)
+    local = spark.createDataFrame([(1, 1), (2, 1)], "k long, v long")
+    agg = local.groupBy("k").count()
+    assert spread_for_python(agg) is agg
+    # ... while a NARROW single-slice local frame still fans out (the
+    # degenerate case the guard exists for — the r17 spec, unchanged)
+    narrow_local = local.coalesce(1)
+    spread_local = spread_for_python(narrow_local)
+    assert spread_local is not narrow_local
