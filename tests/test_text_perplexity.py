@@ -274,3 +274,91 @@ def test_perplexity_lm_artifact_roundtrip(spark):
             spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
     with pytest.raises(ValueError, match="missing its"):
         load_perplexity_lm(spark, name)
+
+
+def test_pipeline_full_triad_composes_in_one_chain(spark, tmp_path):
+    """r19: all THREE curation filter classes stacked in ONE pipeline
+    call — heuristic (token geometry), discriminative (trained
+    classifier), statistical (bigram LM) — each dropping a different
+    document for its OWN reason while a clean doc flows through to
+    admission and the manifest. Per-stage attribution is asserted
+    EXPLICITLY before the composed run (the classifier really flags
+    only the degraded register; the LM really flags only the
+    scrambled-order doc), so the chain's verdict cannot be one stage
+    doing another's work."""
+    from nytimes_batch_processor_spark.operators.dedup import (
+        build_minhash_index,
+    )
+    from nytimes_batch_processor_spark.operators.quality_model import (
+        degrade_documents,
+        quality_classifier_score,
+        quality_classifier_train,
+    )
+    from nytimes_batch_processor_spark.operators.text import (
+        curate_admission_pipeline,
+        perplexity_counts,
+        perplexity_scores,
+    )
+
+    register = (
+        "the scan reads the table and the join merges rows "
+        "while the sink writes batches and the index grows"
+    )
+    base = spark.createDataFrame(
+        [(i, register) for i in range(1, 41)], "doc_id long, text string"
+    )
+    model = quality_classifier_train(degrade_documents(base), sample_cap=100)
+    lm = perplexity_counts(
+        spark.createDataFrame(
+            [(i, "the scan reads the table and the join merges rows")
+             for i in range(1, 9)],
+            "doc_id long, text string",
+        )
+    )
+    clean = "the scan reads the table and the join merges rows again"
+    too_short = "just four tokens here"  # heuristic drop (<5 tokens)
+    # the degraded register the classifier learned: junk token at
+    # every 3rd slot (degrade_documents' construction)
+    degraded = "the scan zq2 the table zq5 the join zq0 rows zq3"
+    # same BAG of tokens as `clean` (the classifier's features), but
+    # the bigram ORDER is scrambled — only the LM can tell them apart
+    scrambled = "again rows merges join the and table the reads scan the"
+
+    # per-stage attribution, asserted before composing:
+    probe = spark.createDataFrame(
+        [(100, clean), (102, degraded), (103, scrambled)],
+        "doc_id long, text string",
+    )
+    p = {
+        r["doc_id"]: r["p_degraded"]
+        for r in quality_classifier_score(
+            model, probe, text_col="text"
+        ).collect()
+    }
+    assert p[102] >= 0.5 and p[100] < 0.5 and p[103] < 0.5, p
+    xe = {
+        r["doc_id"]: r["xent"]
+        for r in perplexity_scores(probe, lm).collect()
+    }
+    bar = 1.5
+    assert xe[103] > bar > xe[100], xe
+
+    index_path = str(tmp_path / "index")
+    build_minhash_index(
+        spark.createDataFrame(
+            [(1, "completely unrelated corpus text here")],
+            "doc_id long, text string",
+        ),
+        index_path,
+    )
+    batch = spark.createDataFrame(
+        [(100, clean), (101, too_short), (102, degraded), (103, scrambled)],
+        "doc_id long, text string",
+    )
+    man = curate_admission_pipeline(
+        spark, index_path, batch,
+        quality_model=model, perplexity=lm, xent_bar=bar,
+    )
+    assert {r["doc_id"] for r in man.collect()} == {100}
+    indexed = {r["doc_id"] for r in spark.read.parquet(index_path).collect()}
+    assert indexed == {1, 100}, indexed
