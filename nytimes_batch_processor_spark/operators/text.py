@@ -2999,7 +2999,16 @@ def stream_pplx_curation_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     ledger, or a missing index append between batches all flip rows.
     The live-stream run of the same composition (file source,
     checkpoint, availableNow) is pytest-pinned in
-    tests/test_streaming.py."""
+    tests/test_streaming.py.
+
+    Cost class (measured ~3-4s at the sf0.01 sweep SF, ~13.5s at
+    sf0.1): the `stream_admission_twin` two-lifecycle model plus the
+    per-invocation LM train (two vocab-bounded groupBys over the
+    corpus slice — the `dedup_semantic_trained` deliberate-build
+    precedent: the sweep SHOULD exercise the train path), sink
+    partition writes and manifest-rebuild reads. Deliberately NOT a
+    bench headline; its scale claims ride the already-gated pipe_*/
+    adm_*/pplx_* families."""
     import atexit
     import shutil
     import tempfile
