@@ -2551,6 +2551,16 @@ def load_perplexity_lm(spark: SparkSession, name: str):
         raise ValueError(
             f"unsupported perplexity LM sidecar version {meta.get('version')!r}"
         )
+    if meta.get("k") != _PPLX_K:
+        # the counts are k-independent, but every xent computed from
+        # them uses the module's CURRENT k — a model saved under a
+        # different smoothing constant would silently score on a
+        # different estimate than the one it was validated with
+        raise ValueError(
+            f"perplexity LM '{name}' was saved with k={meta.get('k')!r} "
+            f"but this engine smooths with k={_PPLX_K}; retrain/re-save "
+            "rather than mixing smoothing constants"
+        )
     v = spark.range(1).select(F.lit(int(meta["v"])).cast("long").alias("v"))
     return (
         spark.table(f"{name}_bigrams"),

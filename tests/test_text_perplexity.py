@@ -263,10 +263,24 @@ def test_perplexity_lm_artifact_roundtrip(spark):
         from nytimes_batch_processor_spark.tables import managed_table_dir
 
         jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(
-            f"{managed_table_dir(spark, name + '_bigrams')}/_lm_meta.json"
-        )
-        p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, False)
+        side = f"{managed_table_dir(spark, name + '_bigrams')}/_lm_meta.json"
+        # a foreign smoothing constant refuses: the counts are
+        # k-independent but the scores are not
+        import json as _json
+
+        with open(side) as f:
+            meta = _json.load(f)
+        meta["k"] = 0.25
+        # rewrite through the Hadoop FS (a plain-python write would
+        # invalidate the LocalFileSystem's .crc sidecar-of-the-sidecar)
+        p = jvm.org.apache.hadoop.fs.Path(side)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        out = fs.create(p, True)
+        out.write(bytearray(_json.dumps(meta).encode("utf-8")))
+        out.close()
+        with pytest.raises(ValueError, match="smooth"):
+            load_perplexity_lm(spark, name)
+        fs.delete(p, False)
         with pytest.raises(ValueError, match="sidecar"):
             load_perplexity_lm(spark, name)
     finally:
