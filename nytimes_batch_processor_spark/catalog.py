@@ -102,6 +102,18 @@ def _load_all_modules() -> None:
 # rotation treadmill (capacity cap WINDOW * (MAX_AGE + 1) = 150).
 
 _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
+    # r20: spread_for_python's no-files classifier moved from a regex
+    # over the plan's string render to a structural node-name walk
+    # (ADVICE r19 #1) — the file-rooted production path the driver
+    # SFs exercise is untouched, but the r4 lesson is unconditional:
+    # every entry routed through the changed function re-enters.
+    20: (
+        "pack_sequences_bpe",
+        "mm_binary_metadata",
+        "mm_resize_thumbs",
+        "mm_frame_sample",
+        "mm_decode_features",
+    ),
     # r19 entries accumulate here as code changes this round (the r18
     # block expired when CORRECTNESS_r18.json landed — all 50 sweep
     # rows green, so nothing carries over).

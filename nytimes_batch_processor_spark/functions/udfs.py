@@ -35,6 +35,49 @@ from ..catalog import query
 from ..sources import load_tables
 
 
+#: Logical-plan nodes that never induce an exchange and never hide an
+#: upstream query stage — the ONLY trees the `.rdd` width probe may
+#: touch (see `spread_for_python`). Conservative by construction: a
+#: node missing from this set (shuffle-inducing or just unknown, e.g.
+#: FlatMapGroupsInPandas) classifies the frame as pass-through, which
+#: costs at most a skipped spread on an already-degenerate frame.
+_NARROW_PLAN_NODES = frozenset(
+    {
+        "Project",
+        "Filter",
+        "LocalRelation",
+        "LogicalRDD",  # createDataFrame-from-rows roots here in PySpark
+        "SubqueryAlias",
+        "Range",
+        "OneRowRelation",
+        "LocalLimit",
+        "Generate",
+    }
+)
+
+
+def _plan_is_narrow(df: DataFrame) -> bool:
+    """True iff every node of the ANALYZED logical plan is known-narrow
+    (py4j tree walk over node names — structural, so a column alias
+    that collides with a plan-node word can never misclassify, unlike
+    a regex over the plan's string render; ADVICE r19 #1). Repartition
+    is narrow exactly when ``shuffle = false`` (coalesce); the
+    round-robin form is an exchange."""
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        if name == "Repartition":
+            if node.shuffle():
+                return False
+        elif name not in _NARROW_PLAN_NODES:
+            return False
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return True
+
+
 def spread_for_python(df: DataFrame) -> DataFrame:
     """Parallelism guard for Python hot paths (r17, ONE shared copy —
     used by the BPE encode and the multimodal mapInPandas chains): a
@@ -72,33 +115,33 @@ def spread_for_python(df: DataFrame) -> DataFrame:
       ESTIMATE is under parallelism — a scan of a few large files that
       Spark will split 32 ways flows through untouched.
     - no input files (non-file-rooted — e.g. an in-memory local
-      relation): classify by the ANALYZED logical plan (a string
-      render; never optimizes or executes). If the plan contains a
-      shuffle-inducing node, its width is already the session
-      shuffle-partition count and a round-robin repartition could only
-      SHRINK it (the r18 advice's last case) — pass through. A NARROW
-      tree over local data (project/filter/coalesce — the test-fixture
-      shape) has no upstream query stages at all, so there `.rdd` is
-      execution-free and the probe reads the true width, fanning out
-      the degenerate single-slice case the guard exists for (pinned by
-      test_bpe_counts_fans_out_degenerate_scans).
+      relation): classify by WALKING the ANALYZED logical plan's node
+      names (py4j tree walk; never optimizes or executes — ADVICE r19
+      #1 replaced the r19-draft regex over the plan's string render,
+      whose word-boundary match false-positived on a column ALIAS
+      named `Join`/`Sort` and whose blacklist missed shuffle-inducing
+      nodes like FlatMapGroupsInPandas, sending them to the `.rdd`
+      probe — the double-execution trap under AQE). The classifier is
+      a WHITELIST of known-narrow nodes (project/filter/local-
+      relation/coalesce …): only a tree that is narrow END TO END has
+      no upstream query stages, so there `.rdd` is execution-free and
+      the probe reads the true width, fanning out the degenerate
+      single-slice case the guard exists for (pinned by
+      test_bpe_counts_fans_out_degenerate_scans). ANY other node —
+      shuffle-inducing or merely unknown — passes through: its width
+      is already the session shuffle-partition count (or unknowable
+      without executing), and a round-robin repartition could only
+      SHRINK it (the r18 advice's last case).
 
     Residual: a post-shuffle frame rooted in tiny leaf files still
     spreads, costing one exchange — but only when total listed bytes
     are under ~openCost*parallelism (~128 MiB), where the exchange is
     noise. Values are identical on every path (map-only consumers)."""
-    import re
-
     sc = df.sparkSession.sparkContext
     par = sc.defaultParallelism
     files = df.inputFiles()
     if not files:
-        plan = df._jdf.queryExecution().analyzed().toString()
-        if re.search(
-            r"\b(Join|Aggregate|Window|Sort|Deduplicate|Intersect|Except"
-            r"|RepartitionByExpression|GlobalLimit)\b|Repartition \d+, true",
-            plan,
-        ):
+        if not _plan_is_narrow(df):
             return df
         if df.rdd.getNumPartitions() < par:
             return df.repartition(par)

@@ -908,7 +908,11 @@ def save_bpe_tokenizer(
     payload = {
         "version": 1,
         "merges": [list(m) for m in merges],
-        "provenance": list(provenance) if provenance else None,
+        # `is not None`, never truthiness (ADVICE r19 #2): the valid
+        # (int, int) shapes are all truthy, but an accidental () would
+        # silently persist as None instead of failing the reader's
+        # shape expectations downstream
+        "provenance": list(provenance) if provenance is not None else None,
     }
     p, fs = _bpe_sidecar(spark, path)
     out = fs.create(p, True)
@@ -965,7 +969,7 @@ def load_bpe_tokenizer(
     prov = payload.get("provenance")
     return (
         tuple((m[0], m[1]) for m in merges),
-        tuple(prov) if prov else None,
+        tuple(prov) if prov is not None else None,
     )
 
 

@@ -186,11 +186,56 @@ def test_anchor_fit_recovers_python_share_via_renormalization():
         rounds[i] = ({"p": base * blend}, d)
     got = fit("p", rounds)
     assert got is not None
-    w, fit_base, rmse, n, n_py = got
+    w, fit_base, rmse, n, n_py, at_edge = got
     assert w == (0.5, 0.0, 0.0, 0.5), w
     assert abs(fit_base - base) < 1e-9
     assert rmse < 1e-9
     assert (n, n_py) == (6, 2)
+    assert at_edge is False  # 0.5 is interior, not censored
+
+
+def test_anchor_fit_flags_python_share_at_reachable_edge():
+    """ADVICE r19 #3: a pure-python candidate has zero blendable mass
+    for JVM-only rounds and is discarded, so against mixed history a
+    genuinely python-dominated query saturates at w_python = 0.95 —
+    the fit must FLAG that edge so the saturated value reads as
+    censored-by-history, never as a measured share. With an all-python
+    history the full simplex is reachable and the flag stays off."""
+    from anchor_fit import fit
+
+    base = 2.0
+    # truth: pure-python. JVM drifts pinned at 1.0 everywhere so no
+    # JVM mass can reduce residual variance — the ONLY fit pressure is
+    # toward the python corner, which mixed history makes unreachable.
+    jvm_drifts = [
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0},
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0},
+    ]
+    py_drifts = [
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0, "python": 2.0},
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0, "python": 0.5},
+        {"cpu": 1.0, "shuffle": 1.0, "scan": 1.0, "python": 1.5},
+    ]
+    rounds = {}
+    for i, d in enumerate(jvm_drifts + py_drifts, start=1):
+        rounds[i] = ({"p": base * d.get("python", 1.0)}, d)
+    w, _, _, n, n_py, at_edge = fit("p", rounds)
+    assert (n, n_py) == (5, 3)
+    assert w[3] == 0.95, w  # capped one grid step inside the corner
+    assert at_edge is True
+
+    # all-python history: the corner is reachable, no censoring flag
+    rounds_all = {
+        i: ({"p": base * d["python"]}, d) for i, d in enumerate(py_drifts, 1)
+    }
+    rounds_all[4] = (
+        {"p": base * 1.0},
+        {"cpu": 0.6, "shuffle": 1.2, "scan": 1.3, "python": 1.0},
+    )
+    w2, _, _, _, n_py2, at_edge2 = fit("p", rounds_all)
+    assert n_py2 == 4
+    assert w2[3] == 1.0, w2
+    assert at_edge2 is False
 
 
 def test_bench_anchor_weights_cover_all_headline_queries():

@@ -970,3 +970,31 @@ def test_spread_for_python_estimates_splits_from_bytes(spark, tmp_path):
     narrow_local = local.coalesce(1)
     spread_local = spread_for_python(narrow_local)
     assert spread_local is not narrow_local
+
+
+def test_spread_for_python_walks_plan_nodes(spark):
+    """ADVICE r19 #1: the no-files classifier must read the analyzed
+    plan's NODE names, not a regex over its string render — (a) a
+    narrow local frame whose column alias collides with a plan-node
+    word (`Join`) still fans out, and (b) a grouped-map
+    (FlatMapGroupsInPandas) frame — shuffle-inducing but absent from
+    the old blacklist — passes through untouched instead of falling to
+    the `.rdd` width probe (the double-execution trap under AQE)."""
+    from pyspark.sql import functions as F
+
+    from nytimes_batch_processor_spark.functions.udfs import (
+        spread_for_python,
+    )
+
+    sc = spark.sparkContext
+    local = spark.createDataFrame([(1, 1), (2, 1)], "k long, v long")
+    aliased = local.coalesce(1).select(F.col("v").alias("Join"))
+    spread = spread_for_python(aliased)
+    assert spread is not aliased  # narrow + single slice: must fan out
+    assert spread.rdd.getNumPartitions() == sc.defaultParallelism
+
+    def _ident(pdf):
+        return pdf
+
+    grouped = local.groupBy("k").applyInPandas(_ident, "k long, v long")
+    assert spread_for_python(grouped) is grouped  # no probe, no spread

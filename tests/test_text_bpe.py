@@ -312,3 +312,29 @@ def test_bpe_tokenizer_artifact_roundtrip(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="malformed"):
         load_bpe_tokenizer(spark, str(bad))
+
+
+def test_bpe_tokenizer_provenance_zero_roundtrips(spark, tmp_path):
+    """ADVICE r19 #2 (adjudicated): the advice's named case — a
+    provenance fingerprint of (0, 0) — in fact already round-tripped,
+    because a two-element tuple/list is truthy regardless of its
+    contents; this test pins that. The save/load checks were still
+    moved to ``is not None`` so the genuinely-falsy shapes (an
+    accidental empty tuple) fail the reader's shape expectations
+    downstream instead of silently collapsing to None."""
+    from nytimes_batch_processor_spark.operators.text import (
+        load_bpe_tokenizer,
+        save_bpe_tokenizer,
+    )
+
+    art = str(tmp_path / "tok_zero")
+    save_bpe_tokenizer(spark, art, [("a", "b")], provenance=(0, 0))
+    merges, prov = load_bpe_tokenizer(spark, art)
+    assert merges == (("a", "b"),)
+    assert prov == (0, 0)
+
+    # None stays None — the optional case is still optional
+    art2 = str(tmp_path / "tok_none")
+    save_bpe_tokenizer(spark, art2, [("a", "b")], provenance=None)
+    _, prov2 = load_bpe_tokenizer(spark, art2)
+    assert prov2 is None

@@ -31,7 +31,16 @@ Caveats the table in bench.py encodes by hand:
 - a python share resting on < 4 python-anchored rounds is reported
   with that count and stays PROVISIONAL in bench.py's table — one
   python round can be fitted exactly by ANY share (unidentifiable),
-  so the tool prints n_python alongside the vector.
+  so the tool prints n_python alongside the vector;
+- REACHABLE-SIMPLEX BOUNDARY (ADVICE r19 #3): a candidate vector with
+  zero blendable mass for ANY observed round is discarded — so against
+  a mixed history (JVM-only rounds present), the pure-python corner
+  (0, 0, 0, 1) is unreachable and the largest fittable python share is
+  1 - grid_step = 0.95. A genuinely python-dominated query therefore
+  SATURATES at the edge rather than fitting ~1.0; `fit` reports
+  ``at_python_edge`` and the CLI prints the marker so a saturated 0.95
+  is read as "at least this much, censored by the history", never as
+  a measured share.
 
 Usage: python tools/anchor_fit.py [--since N] [name ...]
 """
@@ -82,7 +91,7 @@ def load_history() -> dict[int, tuple[dict, dict]]:
 
 def fit(
     name: str, rounds: dict[int, tuple[dict, dict]], since: int = 0
-) -> tuple[tuple[float, float, float, float], float, float, int, int] | None:
+) -> tuple[tuple[float, float, float, float], float, float, int, int, bool] | None:
     obs = [
         (q[name], drift)
         for rnd, (q, drift) in sorted(rounds.items())
@@ -91,6 +100,11 @@ def fit(
     if len(obs) < 4:
         return None
     n_python = sum(1 for _, d in obs if "python" in d)
+    # the largest python share any candidate can carry against THIS
+    # history: 1.0 when every round measured python, else one grid
+    # step below (some JVM weight must remain blendable for the
+    # python-less rounds) — see the module docstring's boundary note
+    max_python = 1.0 if n_python == len(obs) else 0.95
     grid = [i / 20 for i in range(21)]
     best = None
     for a in grid:
@@ -125,7 +139,8 @@ def fit(
                 if best is None or err < best[0]:
                     best = (err, tuple(w.values()), math.exp(mu))
     err, w, base = best
-    return w, base, math.sqrt(err / len(obs)), len(obs), n_python
+    at_edge = w[3] >= max_python - 1e-9 and max_python < 1.0
+    return w, base, math.sqrt(err / len(obs)), len(obs), n_python, at_edge
 
 
 def main() -> None:
@@ -142,7 +157,7 @@ def main() -> None:
         if got is None:
             print(f"{name}: <4 anchored rounds — assign from the plan shape")
             continue
-        w, base, rmse, n, n_py = got
+        w, base, rmse, n, n_py, at_edge = got
         print(
             f"{name}: w_cpu={w[0]:.2f} w_shuffle={w[1]:.2f} w_scan={w[2]:.2f}"
             f" w_python={w[3]:.2f} base={base:.2f}s log_rmse={rmse:.3f}"
@@ -150,6 +165,13 @@ def main() -> None:
             + (
                 "  [python share provisional: <4 python-anchored rounds]"
                 if w[3] > 0 and n_py < 4
+                else ""
+            )
+            + (
+                "  [w_python at reachable-simplex edge: JVM-only rounds"
+                " cap the fittable share at 0.95 — read as censored,"
+                " not measured]"
+                if at_edge
                 else ""
             )
         )
