@@ -14,7 +14,13 @@ noise bound, which is what a long-running engine's latency actually is.
 min-of-2 because single-pass deltas of +-0.4s on sub-2s queries were
 run noise; r7 added a third pass for sub-second queries; r9 made the
 third pass universal after min-of-2 left a ~20% band on multi-second
-queries, and added the env_factor micro-anchor for host drift.)
+queries, and added the env_factor micro-anchor for host drift; r20
+BRACKETED the anchors — measured min-of-5 both BEFORE and AFTER the
+timed passes, effective wall = per-anchor min of the two brackets,
+per-anchor drift recorded — after the r18->r19 corrected-total swing
+(~19% on flat raw walls) turned out to be single-shot anchor noise:
+one mismeasured anchor run silently rescaled every corrected wall of
+its round, and nothing in the record could bound it.)
 """
 
 from __future__ import annotations
@@ -217,14 +223,21 @@ _ANCHOR_REF = {
 # only (sim_ann_ivf_topk from r11, rmse 0.40 -> 0.095). Entries too new
 # to fit (<4 rounds) are assigned from their plan shape and marked
 # provisional; unknown names fall back to the composite factor.
-# Python shares (r19): anchor_fit now fits the 4-class model — pre-r18
-# rounds constrain the JVM proportions through the same renormalized
-# blend _class_corrected applies, python-anchored rounds identify the
-# python share. With only ONE python-anchored round recorded (r18), a
-# python share is unidentifiable (the r19 fit assigns ~0 to every
-# candidate, incl. stateful_twin_surface / stream_admission_twin), so
-# no fitted 4-tuples ship yet; refit via `python tools/anchor_fit.py
-# <name>` once >= 4 python-anchored rounds exist and promote then.
+# Python shares (final state, r20): anchor_fit fits the 4-class model —
+# pre-r18 rounds constrain the JVM proportions through the same
+# renormalized blend _class_corrected applies, python-anchored rounds
+# identify the python share. The build ends with TWO python-anchored
+# rounds recorded (r18, r19; r20 pending), below the >= 4 criterion, so
+# the provisional r20 fit is RECORDED (SURVEY §25) but NOT promoted:
+# every >= 4-round query fits w_python = 0.00 at n_python = 2 (no
+# python-share evidence either way — two rounds of python drift are
+# absorbable by the JVM classes), and pack_sequences_bpe — the one
+# genuinely Python-dominated headline — has only 2 anchored bench
+# rounds total (r17's anchors died with its truncated record), so its
+# 4-tuple below stays PLAN-SHAPE assigned, provisional, and excluded
+# from any gating. Caveat for a future refit: against a history with
+# JVM-only rounds the fittable python share is censored at 0.95
+# (anchor_fit reports the edge — ADVICE r19 #3).
 _ANCHOR_WEIGHTS: dict[str, tuple[float, float, float]] = {
     # name: (w_cpu, w_shuffle, w_scan)
     "agg_pricing_summary": (0.25, 0.55, 0.20),
@@ -338,14 +351,14 @@ def _anchor_python_work(batches):
         yield pd.DataFrame({"s": [acc]})
 
 
-def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float | None]:
-    """Returns (anchor walls, env_factor). The scan anchor's REF is only
-    meaningful against the sf0.1 fixture, so at any other sf the factor
-    is the geomean of the data-independent anchors alone (cpu, shuffle,
-    and — since r18 — python). Returns
-    factor None if no anchor produced a wall — callers must not let an
-    anchor failure cost the round its query numbers (the r4 lesson
-    applies here too; r9 self-review)."""
+def _env_anchor(spark, sf_dir: str, sf: float) -> dict[str, float]:
+    """One anchor BRACKET: each fixed workload warmed once then timed
+    min-of-5. The scan anchor's REF is only meaningful against the
+    sf0.1 fixture, so at any other sf it is skipped and the factor is
+    derived from the data-independent anchors alone (cpu, shuffle,
+    and — since r18 — python). An anchor that throws is simply absent
+    from the returned walls — an anchor failure must never cost the
+    round its query numbers (the r4 lesson; r9 self-review)."""
     anchors = {
         "anchor_cpu": lambda: spark.range(4_000_000_000)
         .selectExpr("sum(id % 7) AS s")
@@ -381,13 +394,35 @@ def _env_anchor(spark, sf_dir: str, sf: float) -> tuple[dict[str, float], float 
             walls[name] = round(min(ts), 3)
         except Exception:  # noqa: BLE001 — anchors must never kill the bench
             continue
+    return walls
+
+
+def _bracket_anchors(
+    pre: dict[str, float], post: dict[str, float]
+) -> tuple[dict[str, float], dict[str, float], float | None]:
+    """(effective walls, per-anchor drift, composite env_factor) from
+    the two brackets (r20, VERDICT r19 item 1). Effective wall = the
+    per-anchor MIN of the brackets — min-of-10 across the suite, and
+    comparable to the REF values (calibrated post-warmup: min favors
+    the warmed reading). Drift = post/pre, the recorded bound on how
+    much the host moved UNDER the suite; a drift far from 1.0 says the
+    corrected walls of that class carry that much anchor uncertainty.
+    An anchor present in only one bracket contributes its single wall
+    and reports no drift."""
+    walls = {
+        k: min(v for v in (pre.get(k), post.get(k)) if v is not None)
+        for k in {*pre, *post}
+    }
+    drift = {
+        k: round(post[k] / pre[k], 3) for k in pre if k in post and pre[k] > 0
+    }
     ratios = [walls[k] / _ANCHOR_REF[k] for k in walls]
     if not ratios:
-        return walls, None
+        return walls, drift, None
     geomean = 1.0
     for r in ratios:
         geomean *= r
-    return walls, round(geomean ** (1 / len(ratios)), 3)
+    return walls, drift, round(geomean ** (1 / len(ratios)), 3)
 
 
 def main() -> None:
@@ -425,6 +460,15 @@ def main() -> None:
     all_names = [*HEADLINE, "curation_pipeline", "flagship"]
     for name in all_names:  # warmup pass: JIT/codegen/read-path, unmeasured
         run(name)
+    # PRE bracket (r20): anchors measured min-of-5 after query warmup
+    # (the REF-comparable JIT state) but BEFORE the timed passes — so
+    # the suite is bracketed and single-shot anchor mismeasurement is
+    # bounded by the recorded pre/post drift instead of silently
+    # rescaling the round's corrected walls (the r18->r19 swing).
+    try:
+        anchor_pre = _env_anchor(spark, sf_dir, sf)
+    except Exception:  # noqa: BLE001 — anchors must never kill the bench
+        anchor_pre = {}
     # THREE timed passes for every query (r9; r3 added min-of-2, r7 a
     # third pass for sub-second queries only): same-code r9 runs showed
     # min-of-2 leaving a ~20% band on multi-second queries too
@@ -450,9 +494,12 @@ def main() -> None:
     }
 
     try:
-        anchor_walls, env_factor = _env_anchor(spark, sf_dir, sf)
+        anchor_post = _env_anchor(spark, sf_dir, sf)
     except Exception:  # noqa: BLE001 — belt over _env_anchor's own braces
-        anchor_walls, env_factor = {}, None
+        anchor_post = {}
+    anchor_walls, anchor_drift, env_factor = _bracket_anchors(
+        anchor_pre, anchor_post
+    )
 
     ok = {k: v for k, v in timings.items() if v is not None}
     total = round(sum(ok.values()), 3)
@@ -475,6 +522,11 @@ def main() -> None:
         "env_factor_by_class": drift_by_class,
         "query_anchor_class": class_tags,
         "queries_env_corrected": corrected_q,
+        # r20: the raw brackets behind the final line's effective
+        # (min) anchors — pre runs after query warmup, post after the
+        # timed passes; both are min-of-5 per anchor.
+        "env_anchor_pre": anchor_pre,
+        "env_anchor_post": anchor_post,
     }
     out = {
         "metric": "headline_queries_wall_total",
@@ -485,7 +537,12 @@ def main() -> None:
         # env_factor ~1.0 on the r9 reference host; divide the total (or
         # any per-query wall) by it to compare across rounds net of
         # sandbox drift. value_env_corrected is that division, recorded.
+        # Since r20 env_anchor is the per-anchor MIN of the pre/post
+        # brackets (raw brackets on the detail line / sidecar) and
+        # env_anchor_drift records post/pre — the bound on anchor
+        # trustworthiness this round.
         "env_anchor": anchor_walls,
+        "env_anchor_drift": anchor_drift,
         "env_factor": env_factor,
         "value_env_corrected": (
             round(total / env_factor, 3) if env_factor else total

@@ -303,3 +303,51 @@ def test_bench_anchor_weights_cover_all_headline_queries():
         {"agg_pricing_summary": 1.3, "not_a_query": 0.7}, {}, env_factor=None
     )
     assert corrected4 == {"agg_pricing_summary": 1.3, "not_a_query": 0.7}
+
+
+def test_bracketed_anchor_effective_min_and_drift():
+    """r20 (VERDICT r19 item 1): the effective anchor wall is the
+    per-anchor MIN of the pre/post brackets (REF-comparable: min
+    favors the warmed reading), drift is post/pre, an anchor present
+    in only one bracket contributes its wall but no drift claim, and
+    the env_factor geomean runs over the effective walls."""
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _ANCHOR_REF, _bracket_anchors
+
+    pre = {"anchor_cpu": 0.50, "anchor_shuffle": 0.31, "anchor_python": 0.48}
+    post = {"anchor_cpu": 0.42, "anchor_shuffle": 0.62, "anchor_scan": 0.125}
+    walls, drift, env = _bracket_anchors(pre, post)
+    assert walls == {
+        "anchor_cpu": 0.42,      # min(0.50, 0.42)
+        "anchor_shuffle": 0.31,  # min(0.31, 0.62)
+        "anchor_python": 0.48,   # pre only
+        "anchor_scan": 0.125,    # post only
+    }
+    assert drift == {"anchor_cpu": 0.84, "anchor_shuffle": 2.0}
+    # all effective walls equal REF -> geomean exactly 1.0
+    assert all(walls[k] == _ANCHOR_REF[k] for k in walls)
+    assert env == 1.0
+
+    # a failed bracket degrades to the other bracket alone, no drift
+    walls2, drift2, env2 = _bracket_anchors({}, post)
+    assert walls2 == post and drift2 == {}
+    assert env2 is not None
+    # both brackets empty: no factor, never a crash
+    assert _bracket_anchors({}, {}) == ({}, {}, None)
+
+
+def test_trend_row_carries_anchor_drift():
+    """r20: a round recording env_anchor_drift gets it on its trend
+    row (the per-round trustworthiness bound); earlier rounds don't
+    grow a spurious key."""
+    r1 = _parsed({"a": 1.0}, env=1.0)
+    r2 = _parsed({"a": 1.1}, env=1.0)
+    r2["env_anchor_drift"] = {"anchor_cpu": 1.05, "anchor_shuffle": 0.97}
+    lines = trend_lines([(1, r1), (2, r2)])
+    assert "env_anchor_drift" not in lines[0]
+    assert lines[1]["env_anchor_drift"] == {
+        "anchor_cpu": 1.05,
+        "anchor_shuffle": 0.97,
+    }

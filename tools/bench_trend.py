@@ -138,6 +138,12 @@ def trend_lines(rounds: list[tuple[int, dict]]) -> list[dict]:
             # nobody reads its per-query numbers as raw walls.
             line["recovered_from_tail"] = True
             line["queries_env_corrected"] = parsed["queries_env_corrected"]
+        # r20: bracketed anchors (VERDICT r19 item 1) — carry the
+        # per-anchor post/pre drift so every trend row states how
+        # trustworthy its own correction layer was; rounds before r20
+        # measured anchors once and have no bound to report.
+        if "env_anchor_drift" in parsed:
+            line["env_anchor_drift"] = parsed["env_anchor_drift"]
         # r17: per-anchor-class correction (VERDICT r16 item 1) — carry
         # the class-corrected total when the round recorded one
         if "value_env_corrected_by_class" in parsed:
