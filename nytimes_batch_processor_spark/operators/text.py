@@ -2674,6 +2674,72 @@ def text_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "text_perplexity_persisted",
+    tables=("documents",),
+    oracle=(
+        "SELECT q.*, TRUE AS persisted_match FROM ("
+        + _perplexity_oracle()
+        + ") q"
+    ),
+)
+def text_perplexity_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`text_perplexity_bigram` scored through the PERSISTED LM (r20,
+    VERDICT r19 item 6 — the `dedup_semantic_trained` persisted-verdict
+    precedent): train the bigram LM, publish it via `save_perplexity_lm`
+    (w1-BUCKETED managed tables + the `_lm_meta.json` sidecar), load it
+    back via the STRICT `load_perplexity_lm`, and score every document
+    from the LOADED tables — so the hashed plan actually READS the
+    bucketed on-disk layout the 100 TB posture is built on, not the
+    in-memory counts. Each row also carries ``persisted_match``: the
+    in-query per-doc judge that the loaded-path (n_bigrams, xent)
+    null-safe-equals the in-memory-path values — integer counts
+    round-trip parquet exactly and both paths take -ln over identical
+    integers, so any divergence (a bucket-routing drop, a stale
+    sidecar V, a partial publish) flips the row and the hash. The
+    oracle recomputes the scores from scratch and pins the judge as
+    constant TRUE.
+
+    Scale shape: identical to `text_perplexity_bigram` except the
+    count-table scans come from the bucketed tables — at production
+    vocab the w1 scoring join reuses the on-disk hash layout instead
+    of exchanging the counts per run (at fixture scale Catalyst
+    broadcasts them; the bucketing is the surviving contract). The
+    save adds two small bucketed writes per invocation — the artifact
+    publish cost the entry exists to exercise."""
+    t = load_tables(spark, sf_dir, "documents")
+    lm = perplexity_counts(
+        t.documents.filter(F.col("doc_id") % 5 != _PPLX_TRAIN_RES)
+    )
+    save_perplexity_lm(spark, "engine_pplx_lm", lm)
+    loaded = load_perplexity_lm(spark, "engine_pplx_lm")
+    per_doc = perplexity_scores(t.documents, loaded)
+    mem = perplexity_scores(t.documents, lm).select(
+        "doc_id",
+        F.col("n_bigrams").alias("mem_n_bigrams"),
+        F.col("xent").alias("mem_xent"),
+    )
+    return (
+        t.documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(mem, "doc_id", "left")
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_bigrams"),
+            "xent",
+            F.coalesce(F.col("xent") > _PPLX_BAR, F.lit(False)).alias("drop"),
+            (
+                F.col("xent").eqNullSafe(F.col("mem_xent"))
+                & F.coalesce(F.col("n_bigrams"), F.lit(0)).eqNullSafe(
+                    F.coalesce(F.col("mem_n_bigrams"), F.lit(0))
+                )
+            ).alias("persisted_match"),
+        )
+    )
+
+
 def perplexity_counts(ref_docs: DataFrame):
     """(bigc, unic, v) — the bigram LM's count tables over a reference
     corpus, the ONE copy shared by `text_perplexity_bigram` and the
