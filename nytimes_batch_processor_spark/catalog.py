@@ -125,15 +125,20 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "dedup_incremental_probe",  # sign-wide + pinned signatures
         "dedup_resolve_surface",  # minhash sig F.expr + spread (lsh)
         "stream_ann_admission_twin",  # probe cells pinned in checkpoint
-        # CAPACITY EXCEPTION (r20, documented in OPTIMIZATION_r20.md):
-        # curate_model_twin also routes through the admission spread,
-        # but listing it pushed forced entries to 51 > WINDOW.
-        # curate_admission_twin + curate_perplexity_twin exercise the
-        # IDENTICAL changed admission subplan (the model stage itself
-        # is untouched), the entry is oracle-green at sf0.01 via
-        # tools/quick_verify.py and the full pytest parity sweep, and
-        # its last driver hash-green row is r19 so the MAX_AGE=2 bound
-        # still forces it into the r21 window unconditionally.
+        # CAPACITY EXCEPTIONS (r20, documented in OPTIMIZATION_r20.md):
+        # two entries also route through r20-changed functions but
+        # listing them pushed forced entries past the 50-slot WINDOW.
+        # Both are oracle-green at sf0.01 via tools/quick_verify.py
+        # and the full pytest parity sweep, both are r19-green so the
+        # MAX_AGE=2 bound forces them into the r21 window regardless,
+        # and each one's changed subplan is exercised THIS round by an
+        # in-window sibling sharing the exact changed function:
+        # - curate_model_twin (admission spread): covered by
+        #   curate_admission_twin + curate_perplexity_twin — the model
+        #   stage itself is untouched;
+        # - dedup_shingle_containment (shingle_arrays tokenize-only
+        #   filter): covered by dedup_containment_prefix, which is in
+        #   the window by age and shares shingle_arrays verbatim.
         # already forced by age this round (listed for the record):
         "dedup_exact_substring_spans",
         "dedup_incremental_spans",

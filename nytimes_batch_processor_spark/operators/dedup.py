@@ -199,12 +199,24 @@ def minhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
       O(n_empty^2) candidates at corpus scale. An empty doc has no
       shingle evidence to dedup on; callers that must keep them route
       them through exact dedup instead."""
-    toks_h = F.transform(
-        F.array_remove(_tokens(F.col(text_col)), ""),
-        _portable_token_hash,
-    )
-    base = docs.select(F.col(id_col).alias("doc_id"), toks_h.alias("_th")).filter(
-        F.size("_th") > 0
+    # The token-less-doc filter tests the TOKEN array, not the hash
+    # array (r20): filtering on size(_th) > 0 let predicate pushdown
+    # substitute the full tokenize+md5+pmod expression and evaluate it
+    # per row at the scan — below any caller's spread exchange, i.e.
+    # single-task on a small scan, and a third full evaluation next to
+    # the two the plan already carries. size(_tk) > 0 is exactly
+    # equivalent (hashing never changes emptiness) and the pushed
+    # predicate now costs tokenize only.
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array_remove(_tokens(F.col(text_col)), "").alias("_tk"),
+        )
+        .filter(F.size("_tk") > 0)
+        .select(
+            "doc_id",
+            F.transform(F.col("_tk"), _portable_token_hash).alias("_th"),
+        )
     )
     # NOTE (measured, r4): rewriting these 32 unrolled transforms as one
     # nested transform over a struct-array of (a, b) coefficients — the
@@ -1467,9 +1479,17 @@ def shingle_arrays(documents: DataFrame) -> DataFrame:
     )
     # materialize the shingle ARRAY as a column before explode/size:
     # referencing the transform expression twice would re-evaluate it
-    # per access under codegen (the decon lesson, text.py)
-    return docs.select("doc_id", shingles.alias("shingles")).filter(
-        F.size("shingles") > 0
+    # per access under codegen (the decon lesson, text.py). The
+    # shingle-less filter tests size(toks) >= 3 — exactly equivalent
+    # (>= 3 tokens always yields >= 1 distinct shingle) — so predicate
+    # pushdown substitutes only the tokenize, not the full shingle
+    # build, below the caller's spread exchange (r20: the pushed
+    # size(shingles) > 0 form re-ran the whole shingle transform
+    # per row in the single-task scan stage, measured 1.22s of the
+    # entry's 2.9s wall in the event log).
+    return (
+        docs.filter(F.size("toks") >= 3)
+        .select("doc_id", shingles.alias("shingles"))
     )
 
 
@@ -1749,10 +1769,19 @@ def dedup_containment_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     form re-tokenizes the corpus 4x — measured 4.0s -> 1.6s at sf0.1
     (the minhash signature lesson; on a cluster persist() or a staged
     parquet snapshot plays the same role)."""
+    from ..functions.udfs import spread_for_python
+
     t = load_tables(spark, sf_dir, "documents")
-    sh = shingle_arrays(t.documents.filter(F.col("doc_id") < 500)).localCheckpoint(
-        eager=True
-    )
+    # Spread before shingling (r20): the checkpointed shingle table is
+    # referenced four times downstream, and a single-file scan pins the
+    # tokenize pass AND every consumer stage (probe explode, verify
+    # array_intersect per candidate) to its ONE partition. Conditional:
+    # a production-wide scan flows through with zero added exchange.
+    sh = shingle_arrays(
+        spread_for_python(
+            t.documents.filter(F.col("doc_id") < 500).select("doc_id", "text")
+        )
+    ).localCheckpoint(eager=True)
     checkpoints.rotate("dedup.containment_sh", sh)
     return containment_prefix_pairs(sh)
 
