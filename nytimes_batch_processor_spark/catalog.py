@@ -145,25 +145,9 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
         "decon_leak_spans",
         "decon_train_test_overlap",
     ),
-    # r19 entries accumulate here as code changes this round (the r18
-    # block expired when CORRECTNESS_r18.json landed — all 50 sweep
-    # rows green, so nothing carries over).
-    19: (
-        # spread_for_python's width probe refined from raw file count
-        # to a byte-based split estimate (ADVICE r18 #1) — every
-        # Python-hot-path entry routed through it re-enters the window
-        # (the r4 lesson; values identical, partitioning moved)
-        "pack_sequences_bpe",
-        "mm_binary_metadata",
-        "mm_resize_thumbs",
-        "mm_frame_sample",
-        "mm_decode_features",
-        # qc_training_sample's cap-bypass branch now always re-checks
-        # with the exact count (ADVICE r18 #2) — the trained-model
-        # entries' training subplan moved
-        "quality_classifier_surface",
-        "curate_model_twin",
-    ),
+    # r21 entries accumulate here as code changes this round (the r19
+    # block expired when CORRECTNESS_r19.json's successor r20 landed —
+    # all 50 sweep rows green, so nothing carries over).
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}
