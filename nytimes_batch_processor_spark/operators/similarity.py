@@ -185,7 +185,7 @@ def hyperplane_signatures_all(
         ) + ")"
         for t in range(n_tables)
     ) + ")"
-    planes = F.expr(tensor_sql)
+    planes = _const_array_literal(tensor_sql)
     return F.transform(
         planes,
         lambda tbl_planes: F.aggregate(
@@ -309,9 +309,18 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale this is the persisted ANN index table. Without the
     # checkpoint the 30-projection signature expression is evaluated
     # twice (measured 3x slower cold).
-    v_sig = (
+    # The 30-projection signature pass is the entry's heavy map stage,
+    # and the single-file fixture scan runs it on ONE core (the r20
+    # spread class); conditional fan-out, zero exchange on a
+    # production-wide scan. With the mask-array F.expr below,
+    # A/B-measured 1.62 -> 1.33s.
+    from ..functions.udfs import spread_for_python
+
+    base = spread_for_python(
         t.embeddings.select("vec_id", _as_double(F.col("embedding")).alias("e"))
-        .select(
+    )
+    v_sig = (
+        base.select(
             "vec_id",
             F.posexplode(hyperplane_signatures_all(F.col("e"), dim)).alias(
                 "tbl", "sig"
@@ -323,12 +332,19 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # previous signature-index blocks.
     checkpoints.rotate("similarity.lsh_sig", v_sig)
     # Query side: tiny (N_QUERIES x tables x 176 probe rows) — broadcast.
+    # ONE parsed expression for the 176-mask probe array — the F.lit
+    # loop cost ~350 py4j round trips of pure driver wall per
+    # invocation (the minhash-signature construction class); same int
+    # literals, same parsed tree.
+    mask_arr = _const_array_literal(
+        "array(" + ", ".join(str(m) for m in _PROBE_MASKS) + ")"
+    )
     probes = (
         v_sig.filter(F.col("vec_id") < N_QUERIES)
         .select(
             F.col("vec_id").alias("query_id"),
             "tbl",
-            F.explode(F.array(*[F.lit(m) for m in _PROBE_MASKS])).alias("mask"),
+            F.explode(mask_arr).alias("mask"),
             F.col("sig").alias("qsig"),
         )
         .select(
@@ -379,6 +395,53 @@ _IVF_NPROBE = 4  # cells probed per query
 _IVF_SAMPLE_CAP = 100_000  # k-means never trains on more rows than this
 
 
+# (applicationId, literal SQL text) -> JVM Column wrapping the folded
+# Literal. Session-keyed like _IVF_CACHE so a stopped context's JVM
+# objects are never served; caches a plan FRAGMENT (a constant), never
+# data or results.
+_FOLDED_LIT_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _const_array_literal(sql_text: str) -> Column:
+    """A constant array(...) SQL literal as a SINGLE Catalyst Literal
+    node (r21). F.expr ships the text in one py4j call, but the parsed
+    CreateArray tree keeps one node per component until the optimizer's
+    constant folding — and the eager per-transformation ANALYSIS walks
+    that unfolded tree every time a downstream select/join/withColumn
+    re-analyzes the plan (~0.1s per pass over the 16x64 centroid tensor
+    on this host, the r20 driver-gap class). Folding ONCE through a
+    throwaway one-row plan and wrapping the resulting Literal keeps
+    every later analysis walk O(1) in the tensor size. The OPTIMIZED
+    plan is unchanged — it always contained exactly this folded Literal
+    (ConstantFolding produced the identical node) — so codegen and
+    values are untouched; only driver-side analysis cost moves.
+    Falls back to the plain parsed expression if the internal
+    Column-from-Expression hook is unavailable."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:  # pragma: no cover - import-time construction
+        return F.expr(sql_text)
+    key = (spark.sparkContext.applicationId, sql_text)
+    jcol = _FOLDED_LIT_CACHE.get(key)
+    if jcol is None:
+        try:
+            plan = (
+                spark.range(1)
+                .select(F.expr(sql_text).alias("_c"))
+                ._jdf.queryExecution()
+                .optimizedPlan()
+            )
+            lit = plan.expressions().apply(0).child()
+            jcol = spark._jvm.org.apache.spark.sql.classic.ExpressionUtils.column(
+                lit
+            )
+        except Exception:  # pragma: no cover - internal API moved
+            return F.expr(sql_text)
+        _FOLDED_LIT_CACHE[key] = jcol
+    return Column(jcol)
+
+
 def _centroid_sq_dists(centers: list[list[float]]) -> Column:
     """Array of squared distances from `e` to each centroid, JVM-side.
 
@@ -386,12 +449,14 @@ def _centroid_sq_dists(centers: list[list[float]]) -> Column:
     distances compute via a single transform lambda — the k unrolled
     per-centroid aggregates + k F.lit array calls of the first version
     cost measurable py4j/codegen time per invocation (same lesson as
-    hyperplane_signatures_all)."""
+    hyperplane_signatures_all). r21: the literal is pre-folded to a
+    single Catalyst node (`_const_array_literal`) so re-analyses of
+    tensor-bearing plans stop walking 1k+ literal nodes."""
     tensor_sql = "array(" + ", ".join(
         "array(" + ", ".join(f"{x!r}d" for x in c) + ")" for c in centers
     ) + ")"
     return F.transform(
-        F.expr(tensor_sql),
+        _const_array_literal(tensor_sql),
         lambda c: F.aggregate(
             F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
@@ -408,10 +473,18 @@ def _assign_cells(df: DataFrame, centers: list[list[float]]) -> DataFrame:
     contract depends on every site keeping the same IEEE evaluation
     order and tie-break."""
     dists = _centroid_sq_dists(centers)
-    return (
-        df.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .drop("_d")
+    # TWO selects instead of withColumn/withColumn/drop (r21): every
+    # DataFrame transformation re-analyzes the plan JVM-side, and over
+    # the k x dim tensor tree each pass costs ~0.1s driver wall on this
+    # host. The two-Project shape is kept deliberately — `_d` is
+    # referenced twice, so CollapseProject keeps the distance array
+    # materialized once per row either way; the optimized plan is
+    # byte-identical to the old chain, only the eager analyses drop
+    # (3 -> 2, and the widest tensor-bearing pass runs once).
+    with_d = df.select("*", dists.alias("_d"))
+    return with_d.select(
+        *df.columns,
+        (F.array_position("_d", F.array_min("_d")) - 1).cast("int").alias("cell"),
     )
 
 
@@ -483,7 +556,26 @@ def ivf_build_index(
     `corpus` must have columns (vec_id, e: array<double>, nrm).
     """
     centers, _ = _train_ivf_centers(corpus, k, seed, sample_cap)
-    assigned = _assign_cells(corpus, centers).localCheckpoint(eager=True)
+    # r21: conditional spread ahead of the pinned assignment (the
+    # single-file fixture scan is ONE partition — §2 spread class), and
+    # the _IVF_NPROBE ranked probe cells pinned alongside it (the
+    # admit_ivf_batch pcells pattern): every downstream probe plan
+    # reads the stored cells instead of re-deriving them from `e`, so
+    # the k x dim centroid tensor never appears in a probe plan again
+    # (~0.1s of eager re-analysis per transformation over tensor-
+    # bearing plans on this host). Same expressions, same rows.
+    from ..functions.udfs import spread_for_python
+
+    assigned = (
+        _assign_cells(spread_for_python(corpus), centers)
+        .select(
+            "*",
+            F.slice(_ranked_probe_cells(centers), 1, _IVF_NPROBE).alias(
+                "pcells"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
     return IvfIndex(centers, assigned)
 
 
@@ -537,12 +629,15 @@ def ivf_probe_candidates(idx: IvfIndex) -> DataFrame:
     candidate mass from the plan the ANN actually runs (the r8
     scale-bench lesson). Columns: query_id, qe, qn, vec_id, e, nrm."""
     assigned = idx.assigned
-    ranked_cells = _ranked_probe_cells(idx.centers)
+    # r21: the probe cells come from the index checkpoint's pinned
+    # `pcells` column (same slice(_ranked_probe_cells) expression,
+    # materialized at build time) — no tensor literal in the probe
+    # plan; see ivf_build_index.
     probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-        F.explode(F.slice(ranked_cells, 1, _IVF_NPROBE)).alias("cell"),
+        F.explode("pcells").alias("cell"),
     )
     return assigned.join(
         _bounded_broadcast(probes, N_QUERIES * _IVF_NPROBE), "cell"
@@ -775,20 +870,50 @@ def sim_ann_ivf_fixed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = t.embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     ).withColumn("nrm", _norm(F.col("e")))
-    assigned = _assign_cells(corpus, centers)
-    ranked_cells = _ranked_probe_cells(centers)
-    probes = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+    # r21: pin the assignment + ranked probe cells into ONE eager
+    # checkpoint (the `admit_ivf_batch` pcells pattern extended to the
+    # serving entries, VERDICT r20 item 1), with the conditional spread
+    # ahead of it. Three costs disappear at once, A/B-measured
+    # 1.56 -> 1.01s: (a) the join's pushed-down isnotnull(cell)
+    # substituted the WHOLE k x dim assignment expression into the scan
+    # filter, so every corpus row paid the 16x64 distance transform
+    # twice (plans/r20/sim_ann_ivf_fixed_topk_before.txt op (2) — the
+    # r20 §4 pushed-filter class); (b) the assignment ran in the
+    # single-file fixture scan's ONE partition (§2 spread class);
+    # (c) every downstream transformation re-analyzed a tensor-bearing
+    # plan (~0.1s driver wall each — the r20 driver-gap class). The
+    # checkpointed frame IS the inverted file of the persisted-index
+    # production shape ("fixed centroids here = the persisted-index
+    # case"); same expressions, same rows, values identical.
+    from ..functions.udfs import spread_for_python
+
+    assigned = (
+        _assign_cells(spread_for_python(corpus), centers)
+        .select(
+            "*",
+            F.slice(
+                _ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE
+            ).alias("pcells"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    checkpoints.rotate("similarity.ivf_fixed_assigned", assigned)
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
-        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+        F.explode("pcells").alias("cell"),
     )
     cand = assigned.join(
         _bounded_broadcast(probes, N_QUERIES * _IVF_FIXED_NPROBE), "cell"
     ).filter(F.col("vec_id") != F.col("query_id"))
-    scored = cand.withColumn(
-        "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "cos_raw")
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cos_raw"
+        ),
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos_raw").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -979,14 +1104,29 @@ def sim_ann_ivf_q8_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    assigned = _assign_cells(corpus, centers)
-    ranked_cells = _ranked_probe_cells(centers)
-    probes = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+    # r21: same pinned assignment + pcells checkpoint as
+    # `sim_ann_ivf_fixed_topk` (see that entry's comment for the three
+    # costs it removes — pushed-filter double-assignment, 1-partition
+    # scan, tensor-bearing re-analysis). A/B-measured 1.86 -> 1.41s.
+    from ..functions.udfs import spread_for_python
+
+    assigned = (
+        _assign_cells(spread_for_python(corpus), centers)
+        .select(
+            "*",
+            F.slice(
+                _ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE
+            ).alias("pcells"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    checkpoints.rotate("similarity.ivf_q8_assigned", assigned)
+    probes = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("e").alias("qe"),
         F.col("nrm").alias("qn"),
         F.col("qv").alias("qqv"),
-        F.explode(F.slice(ranked_cells, 1, _IVF_FIXED_NPROBE)).alias("cell"),
+        F.explode("pcells").alias("cell"),
     )
     cand = assigned.join(
         _bounded_broadcast(probes, N_QUERIES * _IVF_FIXED_NPROBE), "cell"
@@ -1112,18 +1252,22 @@ def _ikm_assign(qdf: DataFrame, centers: list[list[int]]) -> DataFrame:
         "array(" + ", ".join(f"{x}L" for x in c) + ")" for c in centers
     ) + ")"
     dists = F.transform(
-        F.expr(tensor_sql),
+        _const_array_literal(tensor_sql),
         lambda c: F.aggregate(
             F.zip_with(F.col("qe"), c, lambda x, y: (x - y) * (x - y)),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         ),
     )
-    return (
-        qdf.withColumn("_d", dists)
-        .withColumn("cell", (F.array_position("_d", F.array_min("_d")) - 1).cast("int"))
-        .withColumn("dist", F.array_min("_d"))
-        .drop("_d")
+    # TWO selects instead of withColumn x3 + drop — the `_assign_cells`
+    # r21 fusion applied to the integer twin (same argument: `_d` stays
+    # a single materialized pass per row, optimized plan unchanged,
+    # eager JVM re-analyses drop 4 -> 2).
+    with_d = qdf.select("*", dists.alias("_d"))
+    return with_d.select(
+        *qdf.columns,
+        (F.array_position("_d", F.array_min("_d")) - 1).cast("int").alias("cell"),
+        F.array_min("_d").alias("dist"),
     )
 
 
@@ -1163,7 +1307,20 @@ def ivf_kmeans_int_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             _as_double(F.col("embedding")),
             lambda x: F.floor(x * _IKM_SCALE).cast("long"),
         ).alias("qe"),
-    ).localCheckpoint(eager=True)  # 3 assigns + 2 updates re-read it
+    )
+    # The checkpointed training frame inherited the single-file fixture
+    # scan's ONE partition, so all 8 Lloyd-loop jobs (3 assigns + 2
+    # update aggregates + seed collect) ran their map side on one core
+    # (r20 spread class; the driver's 8-vs-32-core ratio for this entry
+    # was 1.17). Conditional fan-out before the pin; integer Lloyd's is
+    # partitioning-independent — the update is a commutative integer
+    # SUM per (cell, pos) and the seed collect is orderBy(vec_id) — so
+    # values stay bit-identical. A/B-measured 1.87 -> 1.39s.
+    from ..functions.udfs import spread_for_python
+
+    qdf = spread_for_python(qdf).localCheckpoint(
+        eager=True
+    )  # 3 assigns + 2 updates re-read it
     checkpoints.rotate("similarity.ikm_qdf", qdf)
 
     centers = [
@@ -1314,10 +1471,22 @@ def _write_ivf_index_assigned(assigned: DataFrame, path: str, mode: str) -> None
     probe) — the schema (incl. the bigint id pin: an int-typed id
     would write an INT32 parquet column next to INT64 originals and
     break mixed-file reads) must never diverge between the writers.
-    ``assigned`` carries (vec_id, e, nrm, cell)."""
+    ``assigned`` carries (vec_id, e, nrm, cell).
+
+    r21 (guide §6 small files): an admission batch arrives round-robin
+    across the session's partitions, so a partitionBy("cell") write
+    emitted up to tasks x cells files — measured 417 tiny files and
+    1.35s per sf0.1 append, and every later index read/clone/compact
+    re-paid the listing. The AQE REBALANCE(cell) hint clusters rows by
+    cell before the write (one file per touched cell: 16 files, 0.55s
+    measured) while staying scale-safe — unlike repartition("cell"),
+    which would cap a 100 TB full-build write at k tasks, REBALANCE
+    splits oversized cells back out at runtime. This is the
+    write.distribution-mode=hash posture of partitioned table formats;
+    row placement only, values unchanged."""
     assigned.select(
         F.col("vec_id").cast("long").alias("vec_id"), "e", "nrm", "cell"
-    ).write.mode(mode).partitionBy("cell").parquet(path)
+    ).hint("rebalance", "cell").write.mode(mode).partitionBy("cell").parquet(path)
 
 
 def append_to_ivf_index(new_vectors: DataFrame, path: str) -> None:
@@ -1622,9 +1791,11 @@ def admit_ivf_batch(
     # extra column never reaches the persisted index.
     assigned = (
         _assign_cells(valid.repartition(sc.defaultParallelism), centers)
-        .withColumn(
-            "pcells",
-            F.slice(_ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE),
+        .select(
+            "*",
+            F.slice(
+                _ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE
+            ).alias("pcells"),
         )
         .localCheckpoint(eager=True)
     )
@@ -1772,12 +1943,16 @@ def probe_ivf_index(
     )
     if n_probe_rows is not None:
         probes = _bounded_broadcast(probes, n_probe_rows)
-    return (
-        index.join(probes, "cell")
-        .withColumn(
-            "cos_raw", _dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-        )
-        .select("qid", F.col("vec_id").alias("nn_id"), "cos_raw")
+    # ONE select after the join (r21): cos_raw is referenced once, so
+    # the old withColumn+select collapsed to exactly this Project — the
+    # optimized plan is unchanged and one eager JVM re-analysis per
+    # probe-plan construction disappears (the twin builds four).
+    return index.join(probes, "cell").select(
+        F.col("qid"),
+        F.col("vec_id").alias("nn_id"),
+        (_dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))).alias(
+            "cos_raw"
+        ),
     )
 
 
@@ -1884,18 +2059,39 @@ def sim_incremental_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`ivf_build_index`, `ivf_kmeans_int_train`) swaps in unchanged."""
     t = load_tables(spark, sf_dir, "embeddings")
     index = spark.read.parquet(ivf_parquet_index_for(spark, sf_dir))
+    # r21: pin the arriving batch WITH its ranked probe cells into one
+    # eager checkpoint — the admit_ivf_batch pcells pattern extended to
+    # the probe entry (VERDICT r20 item 1). The k x dim centroid tensor
+    # now appears in exactly one plan (the checkpoint producer) instead
+    # of riding every downstream transformation's eager re-analysis,
+    # and the batch-side nrm/tensor expressions can no longer be
+    # substituted into pushed-down filters. Same expressions, same
+    # rows; the index was built with the fixed quantizer, so
+    # ivf_fixed_centers() is the index's own quantizer here.
+    centers = ivf_fixed_centers()
     batch = (
         t.embeddings.filter(F.col("vec_id") % _SIM_PROBE_MOD == 0)
         .select("vec_id", _as_double(F.col("embedding")).alias("e"))
         .withColumn("nrm", _norm(F.col("e")))
+        .select(
+            "*",
+            F.slice(
+                _ranked_probe_cells(centers), 1, _IVF_FIXED_NPROBE
+            ).alias("pcells"),
+        )
+        .localCheckpoint(eager=True)
     )
+    checkpoints.rotate("similarity.sim_probe_batch", batch)
     # The arriving batch's size is known to any real admission pipeline;
-    # count it (one pruned-column scan) so the broadcast hint is applied
-    # only while the probe side is provably bounded.
-    n_batch = t.embeddings.filter(
-        F.col("vec_id") % _SIM_PROBE_MOD == 0
-    ).select("vec_id").count()
-    scored = probe_ivf_index(index, batch, n_probe_rows=n_batch * _IVF_FIXED_NPROBE)
+    # with the batch pinned it is a block-count job over the
+    # checkpoint, not a second parquet scan.
+    n_batch = batch.count()
+    scored = probe_ivf_index(
+        index,
+        batch,
+        n_probe_rows=n_batch * _IVF_FIXED_NPROBE,
+        precomputed_cells="pcells",
+    )
     w = W.partitionBy("qid")
     best = (
         scored.withColumn(

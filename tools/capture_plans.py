@@ -38,7 +38,10 @@ def _formatted(df) -> str:
 
 
 def main() -> int:
-    from pyspark.sql import DataFrame
+    # Patch the CLASSIC DataFrame class — entries instantiate
+    # pyspark.sql.classic.dataframe.DataFrame, whose own
+    # localCheckpoint overrides anything set on the abstract parent.
+    from pyspark.sql.classic.dataframe import DataFrame
 
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:]
