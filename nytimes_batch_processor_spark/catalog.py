@@ -148,6 +148,42 @@ _CHANGED_BY_ROUND: dict[int, tuple[str, ...]] = {
     # r21 entries accumulate here as code changes this round (the r19
     # block expired when CORRECTNESS_r19.json's successor r20 landed —
     # all 50 sweep rows green, so nothing carries over).
+    21: (
+        # r20's two CAPACITY EXCEPTIONS redeemed first (ADVICE r20 #2):
+        # the MAX_AGE argument alone would NOT have forced them into
+        # r21 (last green r19 > latest-MAX_AGE and the EDF fill
+        # tie-break passes them over), so they are pinned explicitly —
+        # the exception may not roll forward a second round. Both also
+        # route through code changed THIS round (shingle/admission
+        # chains untouched, but the sweep is the point).
+        "curate_model_twin",
+        "dedup_shingle_containment",
+        # r21 optimization round — every entry routed through a
+        # changed function re-enters (the r4 lesson). The centroid
+        # tensor literal now pre-folds to a single Catalyst node
+        # (_const_array_literal; optimized plans verified identical),
+        # _assign_cells/_ikm_assign fused to two selects, the IVF
+        # serving/probe entries pin assignment+pcells checkpoints, the
+        # index write clusters by cell (REBALANCE), simhash_frame's
+        # bit loops ship as parsed SQL, and dedup_intradoc_spans
+        # gained the conditional spread. probe_ivf_index's default
+        # path changed (tail fused to one select) — its default-path
+        # callers enter the window this round (closing ADVICE r20 #3's
+        # documentation gap).
+        "sim_ann_ivf_topk",
+        "sim_incremental_probe",
+        "stream_ann_admission_twin",
+        "dedup_semantic_embedding",
+        "dedup_neardup_pairs_surface",
+        "dedup_intradoc_spans",
+        # already forced by age this round (listed for the record —
+        # they route through the same changed functions):
+        "sim_ann_ivf_fixed_topk",
+        "sim_ann_ivf_q8_serve",
+        "sim_ann_lsh_topk",
+        "ivf_kmeans_int_train",
+        "dedup_semantic_trained",
+    ),
 }
 
 _ROWS_ONLY_FORCE_BY_ROUND: dict[int, tuple[str, ...]] = {}

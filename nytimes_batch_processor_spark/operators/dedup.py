@@ -1224,26 +1224,27 @@ def simhash_frame(documents: DataFrame) -> DataFrame:
         "doc_id", F.explode(_tokens(F.col("text"))).alias("tok")
     ).withColumn("h", _simhash_token_hash(F.col("tok")))
     # Sum +1/-1 per bit position over token hashes; sign -> simhash bit.
-    # (r20 note: these two unrolled 48-term Column loops cross py4j
-    # ~300 times per call — the minhash_signatures construction-cost
-    # class, fixable with one F.expr string each; DEFERRED to the next
-    # optimization round because the r20 sweep window had no slot left
-    # for dedup_neardup_pairs_surface to re-enter.)
+    # r21 (the r20-deferred F.expr rewrite, landed): the two unrolled
+    # 48-term Column loops crossed py4j ~600 times per call (~3ms per
+    # Column op on this host; cProfile put simhash_frame at 1.59s of
+    # the entry's 2.27s construction) — the minhash_signatures
+    # construction-cost class. Each aggregate/CASE term now ships as a
+    # parsed SQL string: same CASE/sum trees, same literal widths
+    # (optimized plan verified byte-identical), parsed JVM-side.
+    # A/B-measured on dedup_neardup_pairs_surface: 4.45 -> 2.50s.
     bit_cols = [
-        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)).alias(f"s_{i}")
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << i}) != 0 THEN 1 ELSE -1 END)"
+        ).alias(f"s_{i}")
         for i in range(_SIMHASH_BITS)
     ]
-    agg = tok.groupBy("doc_id").agg(*bit_cols)
-    return agg.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(0)
-                for i in range(_SIMHASH_BITS)
-            ],
-            F.lit(0),
-        ).cast("long").alias("simhash"),
+    sim_terms = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
     )
+    sim_col = F.expr(f"CAST(0 + {sim_terms} AS BIGINT)").alias("simhash")
+    agg = tok.groupBy("doc_id").agg(*bit_cols)
+    return agg.select("doc_id", sim_col)
 
 
 def simhash_band_widths(band_bits: int) -> list[int]:
@@ -2575,13 +2576,19 @@ def dedup_intradoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup.intradoc_surv"."""
     t = load_tables(spark, sf_dir, "documents")
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    # (r20 note: the echo derivation + K-fold md5 window pass run in
-    # the scan's single fixture partition — the
-    # `dedup_exact_substring_spans` spread fix applies verbatim;
-    # DEFERRED to the next optimization round, no sweep slot left for
-    # this entry to re-enter the r20 window.)
+    # r21 (the r20-deferred spread, landed): the echo derivation +
+    # K-fold md5 window pass ran in the scan's single fixture
+    # partition — the `dedup_exact_substring_spans` spread fix applies
+    # verbatim. Conditional fan-out; map-only derivation + per-doc
+    # window valve are partitioning-independent, values identical.
+    from ..functions.udfs import spread_for_python
+
     surv = (
-        intradoc_survivors(_intradoc_echo_docs(t.documents))
+        intradoc_survivors(
+            _intradoc_echo_docs(
+                spread_for_python(t.documents.select("doc_id", "text"))
+            )
+        )
         .repartition(n_part, "doc_id", "h")
         .localCheckpoint(eager=True)
     )

@@ -498,6 +498,12 @@ def pagerank_fixed_ranks(trade: DataFrame) -> DataFrame:
     # localCheckpoint; N and the uniform r0 both derive from this
     # snapshot (a distinct over the in-memory 1.2M-row RDD), never from
     # a second lineitem x orders scan (measured ~1s saved at sf0.1).
+    # (r21 negative result, measured then reverted: broadcasting `deg`
+    # into this join — 16k rows, same size as the per-iteration rank
+    # broadcast — LOST, min-of-3 2.95s -> 3.12s entry wall. The SMJ
+    # plan reuses one hash(src) Exchange for BOTH the degree aggregate
+    # and the join's stream side, so the hint traded a reused exchange
+    # for an extra broadcast-build job. Don't retry.)
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges_deg.select("src").distinct()
     n = nodes.count()  # O(1) driver scalar: graph size for the teleport term
